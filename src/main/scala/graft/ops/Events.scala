@@ -1,0 +1,124 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import Det._
+
+/** Event-stream operators: sessionization + the deterministic batch
+  * analogs of the Structured Streaming windows (SURVEY.md §2.7). The true
+  * streaming semantics (watermark eviction over MemoryStream) are covered
+  * by StreamingSpec — not oracle-checkable.
+  *
+  * All time arithmetic is on epoch microseconds (BIGINT) so both engines
+  * compare integers, never intervals.
+  */
+object Events {
+
+  private def eus = unix_micros(col("ts").cast("timestamp"))
+
+  /** 30-minute-gap sessionization: gap strictly greater than the threshold
+    * starts a new session (gap == 30 min exactly → same session).
+    * Batch analog of `session_window($"ts", "30 minutes")`; the
+    * library-level streaming variant lives in graft.streaming.
+    */
+  def sessionize(events: DataFrame, gapUs: Long = 1800000000L): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    events
+      .select(col("user_id"), col("event_id"), col("ts"), eus.as("eus"))
+      .withColumn("prev_eus", lag(col("eus"), 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev_eus").isNull || col("eus") - col("prev_eus") > gapUs, 1).otherwise(0))
+      .withColumn("session_id",
+        sum(col("new_sess")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("long"))
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"), min(col("ts")).as("t_start"), max(col("ts")).as("t_end"))
+  }
+
+  val sessionizeQ = QueryDef(
+    "sessionize",
+    """WITH x AS (
+      |  SELECT user_id, event_id, ts, epoch_us(ts) AS eus,
+      |         lag(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_eus
+      |  FROM events
+      |), f AS (
+      |  SELECT *, CASE WHEN prev_eus IS NULL OR eus - prev_eus > 1800000000 THEN 1 ELSE 0 END AS new_sess
+      |  FROM x
+      |), sid AS (
+      |  SELECT *, CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      |  FROM f
+      |)
+      |SELECT user_id, session_id, CAST(count(*) AS BIGINT) AS n_events,
+      |       min(ts) AS t_start, max(ts) AS t_end
+      |FROM sid GROUP BY user_id, session_id
+      |ORDER BY user_id, session_id""".stripMargin) { (s, d) =>
+    sessionize(Tables.events(s, d)).orderBy("user_id", "session_id")
+  }
+
+  val streamTumbling = QueryDef(
+    "stream_tumbling",
+    """SELECT date_trunc('hour', ts) AS window_start, event_type,
+      |  CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY window_start, event_type
+      |ORDER BY window_start, event_type""".stripMargin) { (s, d) =>
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(dec(col("value"))).cast("double").as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"), col("n"), col("sum_value"))
+      .orderBy("window_start", "event_type")
+  }
+
+  val streamSliding = QueryDef(
+    "stream_sliding",
+    """WITH g AS (
+      |  SELECT make_timestamp((epoch_us(ts) // 1800000000) * 1800000000) AS g30 FROM events
+      |)
+      |SELECT window_start, CAST(count(*) AS BIGINT) AS n FROM (
+      |  SELECT g30 AS window_start FROM g
+      |  UNION ALL
+      |  SELECT g30 - INTERVAL 30 MINUTE AS window_start FROM g
+      |) GROUP BY window_start ORDER BY window_start""".stripMargin) { (s, d) =>
+    // 1h windows every 30min: each event lands in exactly two windows
+    // (epoch-aligned grid on both engines).
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("n"))
+      .orderBy("window_start")
+  }
+
+  val streamWatermark = QueryDef(
+    "stream_watermark",
+    """WITH m AS (
+      |  SELECT *, epoch_us(ts) AS eus,
+      |         max(epoch_us(ts)) OVER (PARTITION BY event_type ORDER BY event_id
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rmax
+      |  FROM events
+      |)
+      |SELECT date_trunc('hour', ts) AS window_start, event_type,
+      |  CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+      |FROM m WHERE eus >= rmax - 3600000000
+      |GROUP BY window_start, event_type
+      |ORDER BY window_start, event_type""".stripMargin) { (s, d) =>
+    // Deterministic batch projection of withWatermark("ts", "1 hour"):
+    // drop any event more than 1h behind the running per-type max event
+    // time (arrival order = event_id), then tumbling-aggregate the rest.
+    val w = Window.partitionBy("event_type").orderBy("event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, d)
+      .withColumn("eus", eus)
+      .withColumn("rmax", max(col("eus")).over(w))
+      .filter(col("eus") >= col("rmax") - 3600000000L)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(dec(col("value"))).cast("double").as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"), col("n"), col("sum_value"))
+      .orderBy("window_start", "event_type")
+  }
+
+  val all: Seq[QueryDef] = Seq(sessionizeQ, streamTumbling, streamSliding, streamWatermark)
+}

@@ -1,0 +1,175 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import Det._
+
+/** Scalar-function surface — SURVEY.md §2.7 (`fn_*`, `udtf_shingles`).
+  *
+  * Everything stays inside whole-stage codegen: built-in string/date/math/
+  * array/JSON functions and higher-order array functions only — no UDFs.
+  *
+  * Cross-engine float discipline: `ln`/`pow` are the only libm-dependent
+  * outputs and are rounded to 4dp (both engines compute them on
+  * bit-identical inputs, so a mismatch needs a value within 1 ulp of a
+  * rounding boundary — measure-zero); `sqrt` is IEEE-correctly-rounded and
+  * needs no rounding; exact ops (`abs`/`ceil`/`floor`/`%`) are emitted raw.
+  */
+object Functions {
+
+  val fnString = QueryDef(
+    "fn_string",
+    """SELECT doc_id,
+      |  upper(lang) AS lang_up,
+      |  substr(text, 1, 20) AS prefix20,
+      |  CAST(length(text) AS BIGINT) AS len,
+      |  concat_ws('|', lang, source) AS lang_source,
+      |  substr(replace(text, 'spark', 'SPARK'), 1, 30) AS replaced30,
+      |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      |FROM documents ORDER BY doc_id LIMIT 100""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        upper(col("lang")).as("lang_up"),
+        substring(col("text"), 1, 20).as("prefix20"),
+        length(col("text")).cast("long").as("len"),
+        concat_ws("|", col("lang"), col("source")).as("lang_source"),
+        substring(expr("replace(text, 'spark', 'SPARK')"), 1, 30).as("replaced30"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .orderBy("doc_id")
+      .limit(100)
+  }
+
+  val fnDate = QueryDef(
+    "fn_date",
+    """SELECT event_id,
+      |  date_trunc('hour', ts) AS ts_hour,
+      |  CAST(year(ts) AS INT) AS y,
+      |  CAST(month(ts) AS INT) AS m,
+      |  CAST(dayofweek(ts) + 1 AS INT) AS dow,
+      |  epoch_us(ts) AS eus,
+      |  epoch_us(ts) - epoch_us(TIMESTAMP '2024-01-01') AS delta_us
+      |FROM events ORDER BY event_id LIMIT 100""".stripMargin) { (s, d) =>
+    // DuckDB dayofweek is 0=Sunday, Spark's is 1=Sunday — aligned via +1 on
+    // the oracle side. Epoch microseconds keep all deltas integer-exact.
+    val eus = unix_micros(col("ts").cast("timestamp"))
+    Tables.events(s, d)
+      .select(col("event_id"),
+        date_trunc("hour", col("ts")).as("ts_hour"),
+        year(col("ts")).as("y"),
+        month(col("ts")).as("m"),
+        dayofweek(col("ts")).as("dow"),
+        eus.as("eus"),
+        (eus - unix_micros(lit("2024-01-01").cast("timestamp"))).as("delta_us"))
+      .orderBy("event_id")
+      .limit(100)
+  }
+
+  val fnMath = QueryDef(
+    "fn_math",
+    """SELECT l_orderkey, l_linenumber, l_quantity,
+      |  abs(l_quantity - 25) AS abs_dev,
+      |  CAST(ceil(l_extendedprice) AS BIGINT) AS price_ceil,
+      |  CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
+      |  round(pow(l_quantity, 2), 4) AS qty_sq,
+      |  round(ln(l_extendedprice), 4) AS price_ln,
+      |  round(sqrt(l_extendedprice), 4) AS price_sqrt,
+      |  l_orderkey % 7 AS key_mod
+      |FROM lineitem
+      |ORDER BY l_orderkey, l_linenumber, l_quantity, price_ceil, price_ln
+      |LIMIT 100""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        abs(col("l_quantity") - 25).as("abs_dev"),
+        ceil(col("l_extendedprice")).as("price_ceil"),
+        floor(col("l_extendedprice")).as("price_floor"),
+        round(pow(col("l_quantity"), 2), 4).as("qty_sq"),
+        round(log(col("l_extendedprice")), 4).as("price_ln"),
+        round(sqrt(col("l_extendedprice")), 4).as("price_sqrt"),
+        (col("l_orderkey") % 7).as("key_mod"))
+      .orderBy("l_orderkey", "l_linenumber", "l_quantity", "price_ceil", "price_ln")
+      .limit(100)
+  }
+
+  val fnArray = QueryDef(
+    "fn_array",
+    """SELECT vec_id,
+      |  CAST(len(embedding) AS INT) AS dim,
+      |  CAST(embedding[1] AS DOUBLE) AS e1,
+      |  round(sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS l2_norm,
+      |  list_transform(embedding[1:4], x -> CAST(x AS DOUBLE)) AS head4
+      |FROM embeddings ORDER BY vec_id LIMIT 100""".stripMargin) { (s, d) =>
+    // Higher-order array functions; float→double casts are exact, the
+    // squared-sum is a sequential left fold on both engines.
+    Tables.embeddings(s, d)
+      .select(col("vec_id"),
+        size(col("embedding")).as("dim"),
+        element_at(col("embedding"), 1).cast("double").as("e1"),
+        round(sqrt(aggregate(
+          transform(col("embedding"), x => x.cast("double") * x.cast("double")),
+          lit(0.0), (acc, x) => acc + x)), 4).as("l2_norm"),
+        transform(slice(col("embedding"), 1, 4), x => x.cast("double")).as("head4"))
+      .orderBy("vec_id")
+      .limit(100)
+  }
+
+  val fnJson = QueryDef(
+    "fn_json",
+    """SELECT CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_mod,
+      |  CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+      |  CAST(min(CAST(json_extract_string(props, '$.k') AS INT)) AS INT) AS min_k,
+      |  CAST(max(CAST(json_extract_string(props, '$.k') AS INT)) AS INT) AS max_k
+      |FROM events GROUP BY k_mod ORDER BY k_mod""".stripMargin) { (s, d) =>
+    val k = get_json_object(col("props"), "$.k").cast("int")
+    Tables.events(s, d)
+      .groupBy((k % 10).as("k_mod"))
+      .agg(count(lit(1)).as("n"),
+        sum(k).as("sum_k"),
+        min(k).as("min_k"),
+        max(k).as("max_k"))
+      .orderBy("k_mod")
+  }
+
+  /** Distinct 3-gram token shingles per document — the generator/UDTF
+    * representative (a pure higher-order-function pipeline, no custom
+    * Generator needed: transform over an index sequence + explode). Also
+    * the candidate-generation primitive for `dedup_near`.
+    */
+  def shingles(docs: DataFrame, n: Int = 3): DataFrame = {
+    val slid = docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= n)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(0, size(toks) - $n), i -> " +
+        (0 until n).map(j => s"toks[i + $j]").mkString("concat_ws(' ', ", ", ", ")") +
+        ")")).as("shingle"))
+    slid.distinct()
+  }
+
+  private val shingleCte =
+    """WITH pos AS (
+      |  SELECT doc_id,
+      |         unnest(string_split(text, ' ')) AS tok,
+      |         generate_subscripts(string_split(text, ' '), 1) AS p
+      |  FROM documents
+      |), sh AS (
+      |  SELECT doc_id,
+      |         tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w AS shingle
+      |  FROM pos WINDOW w AS (PARTITION BY doc_id ORDER BY p)
+      |)""".stripMargin
+
+  val udtfShingles = QueryDef(
+    "udtf_shingles",
+    s"""$shingleCte
+       |SELECT DISTINCT doc_id, shingle FROM sh WHERE shingle IS NOT NULL
+       |ORDER BY doc_id, shingle""".stripMargin) { (s, d) =>
+    shingles(Tables.documents(s, d)).orderBy("doc_id", "shingle")
+  }
+
+  /** DuckDB CTE producing the same distinct-shingle relation — shared with
+    * the dedup oracle. */
+  def shingleOracleCte: String = shingleCte
+
+  val all: Seq[QueryDef] = Seq(fnString, fnDate, fnMath, fnArray, fnJson, udtfShingles)
+}

@@ -1,0 +1,42 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.types._
+
+/** One gated operator: a Spark implementation plus (usually) a DuckDB
+  * oracle producing the identical relation on the same parquet tables.
+  * `oracle = None` marks ops the driver checks rows-only (sketches,
+  * streaming truth).
+  */
+final case class QueryDef(
+    name: String,
+    fn: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+object QueryDef {
+  def apply(name: String, oracle: String)(
+      fn: (SparkSession, String) => DataFrame): QueryDef =
+    QueryDef(name, fn, Some(oracle))
+  def noOracle(name: String)(fn: (SparkSession, String) => DataFrame): QueryDef =
+    QueryDef(name, fn, None)
+}
+
+/** Cross-engine determinism helpers (SURVEY §2.9).
+  *
+  * Strategy: every floating-point output is either (a) a raw stored double
+  * passed through untouched, (b) an exact DECIMAL computation cast to
+  * DOUBLE at the boundary (bit-identical in any engine), or (c) a double
+  * expression built from bit-identical operands with the identical
+  * operation tree on both sides (IEEE 754 determinism). Rounding is used
+  * only on irreducibly-double values and always on already-identical
+  * doubles.
+  */
+object Det {
+  /** Exact-sum cast for ≤2dp money/measure columns (FIXTURES.md). */
+  def dec(c: Column): Column = c.cast(DecimalType(18, 4))
+  /** Tight money cast used inside products so scales stay small. */
+  def money(c: Column): Column = c.cast(DecimalType(12, 2))
+  /** 2dp rate in [0,1] (discount, tax). */
+  def rate(c: Column): Column = c.cast(DecimalType(4, 2))
+  def dbl(c: Column): Column = c.cast(DoubleType)
+}

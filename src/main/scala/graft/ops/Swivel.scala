@@ -1,0 +1,126 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.swivel.SwivelPrep
+
+/** Declared Swivel queries (SURVEY.md §2.6) binding the fixed corpus
+  * parameters windowSize=10, minCount=5, shardSize=8, plus the DuckDB
+  * oracle CTE chain mirroring each stage.
+  */
+object Swivel {
+  val WindowSize = 10
+  val MinCount = 5
+  val ShardSize = 8
+
+  /** Shared DuckDB CTE prefix: tokens → vocab → id-mapped tokens → ordered
+    * in-window pairs (both orientations) → per-distance counts per cell.
+    * Weight = fixed-order Σ_d n_d/d (matches SwivelPrep.weightExpr). */
+  private val weightSql: String =
+    (1 to WindowSize).map(k => s"sum(CASE WHEN dd = $k THEN 1 ELSE 0 END) / $k.0")
+      .mkString(" + ")
+
+  private val baseCte: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id,
+       |         CAST(generate_subscripts(string_split(text, ' '), 1) AS BIGINT) AS pos,
+       |         unnest(string_split(text, ' ')) AS token
+       |  FROM documents
+       |), vcnt AS (
+       |  SELECT token, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM tok GROUP BY token HAVING count(*) >= $MinCount
+       |), vrk AS (
+       |  SELECT token, cnt,
+       |         row_number() OVER (ORDER BY cnt DESC, token) AS rn,
+       |         count(*) OVER () AS total
+       |  FROM vcnt
+       |), vocab AS (
+       |  SELECT CAST(rn - 1 AS BIGINT) AS id, token, cnt
+       |  FROM vrk WHERE rn <= (total // $ShardSize) * $ShardSize
+       |), tid AS (
+       |  SELECT t.doc_id, t.pos, v.id FROM tok t JOIN vocab v USING (token)
+       |), prs AS (
+       |  SELECT a.id AS x, b.id AS y, CAST(b.pos - a.pos AS INT) AS dd
+       |  FROM tid a JOIN tid b
+       |    ON a.doc_id = b.doc_id AND b.pos > a.pos AND b.pos <= a.pos + $WindowSize
+       |), pboth AS (
+       |  SELECT x AS row_id, y AS col_id, dd FROM prs
+       |  UNION ALL
+       |  SELECT y AS row_id, x AS col_id, dd FROM prs
+       |), cells AS (
+       |  SELECT row_id, col_id, round($weightSql, 4) AS weight
+       |  FROM pboth GROUP BY row_id, col_id
+       |)""".stripMargin
+
+  val swivelTokenize = QueryDef(
+    "swivel_tokenize",
+    s"""$baseCte
+       |SELECT doc_id, pos, token FROM tok ORDER BY doc_id, pos""".stripMargin) { (s, d) =>
+    SwivelPrep.tokenize(Tables.documents(s, d)).orderBy("doc_id", "pos")
+  }
+
+  val swivelVocab = QueryDef(
+    "swivel_vocab",
+    s"""$baseCte
+       |SELECT id, token, cnt FROM vocab ORDER BY id""".stripMargin) { (s, d) =>
+    SwivelPrep.buildVocab(Tables.documents(s, d), MinCount, ShardSize).orderBy("id")
+  }
+
+  val swivelCooc = QueryDef(
+    "swivel_cooc",
+    s"""$baseCte
+       |SELECT row_id, col_id, weight FROM cells ORDER BY row_id, col_id""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    SwivelPrep.cooc(docs, SwivelPrep.buildVocab(docs, MinCount, ShardSize), WindowSize)
+      .orderBy("row_id", "col_id")
+  }
+
+  val swivelMarginals = QueryDef(
+    "swivel_marginals",
+    s"""$baseCte
+       |SELECT row_id AS id, round($weightSql, 4) AS marginal
+       |FROM pboth GROUP BY id ORDER BY id""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    SwivelPrep.marginals(docs, SwivelPrep.buildVocab(docs, MinCount, ShardSize), WindowSize)
+      .orderBy("id")
+  }
+
+  private val shardCte =
+    s""", nsh AS (
+       |  SELECT (count(*) // $ShardSize) AS num_shards FROM vocab
+       |), shards AS (
+       |  SELECT row_id % num_shards AS row_shard,
+       |         col_id % num_shards AS col_shard,
+       |         row_id // num_shards AS local_row,
+       |         col_id // num_shards AS local_col,
+       |         row_id AS global_row, col_id AS global_col, weight
+       |  FROM cells, nsh
+       |)""".stripMargin
+
+  val swivelShard = QueryDef(
+    "swivel_shard",
+    s"""$baseCte$shardCte
+       |SELECT * FROM shards ORDER BY global_row, global_col""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val vocab = SwivelPrep.buildVocab(docs, MinCount, ShardSize)
+    SwivelPrep.shard(SwivelPrep.cooc(docs, vocab, WindowSize), vocab, ShardSize)
+      .orderBy("global_row", "global_col")
+  }
+
+  val swivelShardStats = QueryDef(
+    "swivel_shard_stats",
+    s"""$baseCte$shardCte
+       |SELECT row_shard, col_shard, CAST(count(*) AS BIGINT) AS n_cells
+       |FROM shards GROUP BY row_shard, col_shard
+       |ORDER BY row_shard, col_shard""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val vocab = SwivelPrep.buildVocab(docs, MinCount, ShardSize)
+    SwivelPrep.shard(SwivelPrep.cooc(docs, vocab, WindowSize), vocab, ShardSize)
+      .groupBy("row_shard", "col_shard")
+      .agg(count(lit(1)).as("n_cells"))
+      .orderBy("row_shard", "col_shard")
+  }
+
+  val all: Seq[QueryDef] = Seq(swivelTokenize, swivelVocab, swivelCooc,
+    swivelMarginals, swivelShard, swivelShardStats)
+}

@@ -1,0 +1,96 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import Det._
+
+/** Text / document pipeline operators — dedup + corpus stats
+  * (SURVEY.md §2.7; NORTH-STAR LLM-pipeline surface).
+  */
+object Text {
+
+  val textStats = QueryDef(
+    "text_stats",
+    """SELECT lang,
+      |  CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+      |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+      |  CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars,
+      |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("source")).as("n_sources"),
+        sum(col("n_chars")).as("sum_chars"),
+        (sum(col("n_chars")).cast("double") / count(lit(1))).as("avg_chars"),
+        sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
+      .orderBy("lang")
+  }
+
+  /** Exact deduplication by content hash. At 100 TB this is the cheapest
+    * dedup pass: one shuffle on a 128-bit hash, combinable aggregates.
+    */
+  def exactDupGroups(docs: DataFrame): DataFrame =
+    docs.groupBy(md5(col("text")).as("h"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keeper"))
+
+  val dedupExact = QueryDef(
+    "dedup_exact",
+    """SELECT md5(text) AS h,
+      |  CAST(count(*) AS BIGINT) AS n_docs,
+      |  min(doc_id) AS keeper
+      |FROM documents GROUP BY h ORDER BY h LIMIT 100""".stripMargin) { (s, d) =>
+    exactDupGroups(Tables.documents(s, d)).orderBy("h").limit(100)
+  }
+
+  /** Near-duplicate pairs by exact 3-gram-shingle Jaccard.
+    *
+    * Candidate generation is a shingle equi-join (never a cartesian): only
+    * documents sharing at least one shingle meet. At 100 TB the candidate
+    * generator swaps to MinHash-LSH banding (see Dedup.minHashCandidates) —
+    * the final exact-Jaccard filter below stays the same, so results are
+    * scale-invariant for any candidate set with perfect recall at the
+    * threshold.
+    */
+  def nearDupPairs(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
+    val sh = Functions.shingles(docs)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = sh.as("x")
+      .join(sh.as("y"),
+        col("x.shingle") === col("y.shingle") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("i"), col("y.doc_id").as("j"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.as("si"), col("i") === col("si.doc_id"))
+      .join(sizes.as("sj"), col("j") === col("sj.doc_id"))
+      .select(col("i"), col("j"),
+        (col("inter") / (col("si.n") + col("sj.n") - col("inter"))).as("jac_raw"))
+      .filter(col("jac_raw") >= threshold)
+      .select(col("i"), col("j"), round(col("jac_raw"), 4).as("jac"))
+  }
+
+  val dedupNear = QueryDef(
+    "dedup_near",
+    s"""${Functions.shingleOracleCte},
+       |shd AS (SELECT DISTINCT doc_id, shingle FROM sh WHERE shingle IS NOT NULL),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY doc_id),
+       |inter AS (
+       |  SELECT x.doc_id AS i, y.doc_id AS j, count(*) AS inter
+       |  FROM shd x JOIN shd y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+       |  GROUP BY i, j
+       |)
+       |SELECT i, j, round(jac_raw, 4) AS jac FROM (
+       |  SELECT i, j, inter.inter / (si.n + sj.n - inter.inter) AS jac_raw
+       |  FROM inter
+       |  JOIN sizes si ON inter.i = si.doc_id
+       |  JOIN sizes sj ON inter.j = sj.doc_id
+       |) WHERE jac_raw >= 0.5
+       |ORDER BY i, j""".stripMargin) { (s, d) =>
+    nearDupPairs(Tables.documents(s, d)).orderBy("i", "j")
+  }
+
+  val all: Seq[QueryDef] = Seq(textStats, dedupExact, dedupNear)
+}

@@ -1,0 +1,115 @@
+package graft.swivel
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Swivel embedding-prep pipeline, re-expressed relationally
+  * (SURVEY.md §2.6; semantics follow the published Swivel prep algorithm —
+  * arXiv:1602.02215 §2 and its prep.py/fastprep companions; the reference
+  * repo `src-d/swivel-spark-prep` distributes exactly this computation on
+  * Spark).
+  *
+  * Pipeline: tokenize → frequency-ranked truncated vocab → windowed
+  * 1/d-weighted symmetric co-occurrence counts → marginals → fixed-size
+  * shard assignment. All stages are DataFrame→DataFrame and composable;
+  * the gated queries bind windowSize=10, minCount=5, shardSize=8.
+  *
+  * Determinism: co-occurrence weights are Σ_d n_d/d — the per-distance
+  * counts n_d are exact integers and the ≤windowSize-term division chain
+  * is evaluated in a fixed left-to-right order, so the resulting double is
+  * identical under ANY partitioning/aggregation order (no double-sum
+  * nondeterminism), in Spark and in the DuckDB oracle alike.
+  *
+  * Scale posture (100 TB corpus): tokenize/pair-generation is embarrassingly
+  * parallel per document; the vocab is the only global structure and is
+  * bounded by truncation (broadcast-joined, never collected); cooc cells
+  * shuffle once on (row_id, col_id); sharding is a pure projection. Hot
+  * (Zipfian) tokens skew the cooc shuffle — AQE skew-join handles it, and
+  * the groupBy key (row_id, col_id) already spreads a hot row across its
+  * column partners.
+  */
+object SwivelPrep {
+
+  /** (doc_id, pos, token) — whitespace split, 1-based position. */
+  def tokenize(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), posexplode(split(col("text"), " ")))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"), col("col").as("token"))
+
+  /** Frequency-ranked vocabulary: keep count ≥ minCount, rank by
+    * (count DESC, token ASC), truncate to the largest multiple of
+    * shardSize; ids dense in [0, vocabSize). The global rank window runs
+    * over vocab-sized data only (the same bound as the reference's
+    * collect-to-driver vocabulary).
+    */
+  def buildVocab(docs: DataFrame, minCount: Int, shardSize: Int): DataFrame = {
+    val counts = tokenize(docs).groupBy("token").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
+    val rk = counts
+      .withColumn("rn", row_number().over(Window.orderBy(col("cnt").desc, col("token"))))
+      .withColumn("total", count(lit(1)).over(Window.partitionBy()))
+    rk.filter(col("rn") <= (col("total") / shardSize).cast("long") * shardSize)
+      .select((col("rn") - 1).cast("long").as("id"), col("token"), col("cnt"))
+  }
+
+  /** Ordered in-window pairs with distance: for every in-vocab token pair
+    * in the same document with 0 < d = pos_b − pos_a ≤ windowSize, BOTH
+    * orientations (the matrix is symmetric; a self-pair (t,t,d) therefore
+    * contributes twice to cell (t,t)).
+    * Output: (row_id, col_id, dd).
+    */
+  def coocPairs(docs: DataFrame, vocab: DataFrame, windowSize: Int): DataFrame = {
+    // Out-of-vocab tokens drop at this broadcast join, BEFORE pair
+    // generation — order matters for semantics (distances are measured on
+    // original positions, but pairs only form between in-vocab tokens).
+    val t = tokenize(docs)
+      .join(broadcast(vocab.select("token", "id")), "token")
+      .select(col("doc_id"), col("pos"), col("id"))
+    val pairs = t.as("a").join(t.as("b"),
+        col("a.doc_id") === col("b.doc_id") &&
+        col("b.pos") > col("a.pos") &&
+        col("b.pos") <= col("a.pos") + windowSize)
+      .select(col("a.id").as("x"), col("b.id").as("y"),
+        (col("b.pos") - col("a.pos")).cast("int").as("dd"))
+    pairs.select(col("x").as("row_id"), col("y").as("col_id"), col("dd"))
+      .unionAll(pairs.select(col("y").as("row_id"), col("x").as("col_id"), col("dd")))
+  }
+
+  /** Fixed-order Σ_d n_d/d over the conditional per-distance counts —
+    * see the determinism note in the object scaladoc. */
+  private def weightExpr(windowSize: Int): Column =
+    (1 to windowSize).map(k => sum(when(col("dd") === k, 1L).otherwise(0L)) / lit(k.toDouble))
+      .reduceLeft(_ + _)
+
+  /** Co-occurrence cells: (row_id, col_id, weight) with weight = Σ 1/d
+    * over all in-window co-occurrences, rounded 4dp at the boundary. */
+  def cooc(docs: DataFrame, vocab: DataFrame, windowSize: Int): DataFrame =
+    coocPairs(docs, vocab, windowSize)
+      .groupBy("row_id", "col_id")
+      .agg(round(weightExpr(windowSize), 4).as("weight"))
+
+  /** Row sums of the (symmetric) co-occurrence matrix per token id —
+    * computed from the pair relation with the same fixed-order weight
+    * expression, so marginals sum the UNROUNDED cell weights. */
+  def marginals(docs: DataFrame, vocab: DataFrame, windowSize: Int): DataFrame =
+    coocPairs(docs, vocab, windowSize)
+      .groupBy(col("row_id").as("id"))
+      .agg(round(weightExpr(windowSize), 4).as("marginal"))
+
+  /** Shard assignment: row_shard = id % numShards, local index
+    * id / numShards, with numShards = vocabSize / shardSize (vocabSize is
+    * a multiple of shardSize by construction). The 1-row numShards scalar
+    * broadcasts. */
+  def shard(coocCells: DataFrame, vocab: DataFrame, shardSize: Int): DataFrame = {
+    val ns = vocab.agg((count(lit(1)) / shardSize).cast("long").as("num_shards"))
+    coocCells.crossJoin(broadcast(ns))
+      .select(
+        (col("row_id") % col("num_shards")).as("row_shard"),
+        (col("col_id") % col("num_shards")).as("col_shard"),
+        expr("row_id div num_shards").as("local_row"),
+        expr("col_id div num_shards").as("local_col"),
+        col("row_id").as("global_row"),
+        col("col_id").as("global_col"),
+        col("weight"))
+  }
+}

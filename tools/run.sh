@@ -1,0 +1,20 @@
+#!/bin/bash
+# Run a graft main class against the compiled classes + Spark jars,
+# mirroring build.sbt's forked-JVM options. Usage:
+#   tools/run.sh graft.Verify /root/testdata/sf0.001 /tmp/v001
+set -euo pipefail
+cd "$(dirname "$0")/.."
+OPENS=""
+for p in java.lang java.lang.invoke java.lang.reflect java.io java.net java.nio \
+         java.util java.util.concurrent java.util.concurrent.atomic; do
+  OPENS="$OPENS --add-opens java.base/$p=ALL-UNNAMED"
+done
+for p in sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
+  OPENS="$OPENS --add-opens java.base/$p=ALL-UNNAMED"
+done
+exec java $OPENS \
+  -Dspark.ui.enabled=false \
+  -Dspark.sql.session.timeZone=UTC \
+  -Xmx"${SPARK_DRIVER_MEM:-8g}" \
+  -cp "target/scala-2.13/classes:/opt/spark/jars/*" \
+  "$@"

@@ -1,0 +1,97 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate.
+
+Usage: python3 tools/verify_local.py <sfDir> <outDir> [query ...]
+
+Reads each query dump written by `graft.Verify` (outDir/<name>/*.parquet),
+runs the matching oracle SQL from outDir/oracle_sql.json in DuckDB over the
+sfDir parquet tables, and compares: column-name set, row count, and values
+(columns sorted by name, rows compared in emitted order, exact equality —
+mirroring a hash compare). Exit code 1 if any query mismatches.
+"""
+import sys, os, json, glob, math
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    only = set(sys.argv[3:])
+    con = duckdb.connect()
+    con.execute("SET TimeZone='UTC'")
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracles = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    n_fail = n_pass = n_skip = 0
+    for name in sorted(oracles):
+        if (not only or name in only) and not os.path.isdir(os.path.join(out_dir, name)):
+            print(f"FAIL {name}: query produced no dump (crashed in Verify?)")
+            n_fail += 1
+    for name in sorted(os.listdir(out_dir)):
+        path = os.path.join(out_dir, name)
+        if not os.path.isdir(path):
+            continue
+        if only and name not in only:
+            continue
+        files = glob.glob(os.path.join(path, "*.parquet"))
+        if not files:
+            print(f"FAIL {name}: no parquet written")
+            n_fail += 1
+            continue
+        got = con.execute(f"SELECT * FROM read_parquet({files!r})").fetchdf()
+        if name not in oracles:
+            print(f"SKIP {name}: no oracle ({len(got)} rows)")
+            n_skip += 1
+            continue
+        try:
+            exp = con.execute(oracles[name]).fetchdf()
+        except Exception as e:
+            print(f"FAIL {name}: oracle SQL error: {e}")
+            n_fail += 1
+            continue
+        ok, msg = compare(got, exp)
+        if ok:
+            print(f"PASS {name} ({len(got)} rows)")
+            n_pass += 1
+        else:
+            print(f"FAIL {name}: {msg}")
+            n_fail += 1
+    print(f"== {n_pass} pass, {n_fail} fail, {n_skip} no-oracle ==")
+    sys.exit(1 if n_fail else 0)
+
+def compare(got, exp):
+    gc, ec = sorted(got.columns), sorted(exp.columns)
+    if gc != ec:
+        return False, f"columns differ: spark={gc} oracle={ec}"
+    if len(got) != len(exp):
+        return False, f"row count differs: spark={len(got)} oracle={len(exp)}"
+    got, exp = got[gc], exp[gc]
+    for c in gc:
+        gv, ev = list(got[c]), list(exp[c])
+        for i, (a, b) in enumerate(zip(gv, ev)):
+            if not eq(a, b):
+                return False, (f"col {c} row {i}: spark={a!r} oracle={b!r}"
+                               f" (types {type(a).__name__}/{type(b).__name__})")
+    return True, ""
+
+def eq(a, b):
+    import numpy as np
+    if isinstance(a, np.ndarray) or isinstance(b, np.ndarray) \
+       or isinstance(a, list) or isinstance(b, list):
+        a = list(a) if a is not None else None
+        b = list(b) if b is not None else None
+        if a is None or b is None:
+            return a is None and b is None
+        return len(a) == len(b) and all(eq(x, y) for x, y in zip(a, b))
+    if a is None or b is None or (isinstance(a, float) and math.isnan(a)) \
+       or (isinstance(b, float) and math.isnan(b)):
+        na = a is None or (isinstance(a, float) and math.isnan(a))
+        nb = b is None or (isinstance(b, float) and math.isnan(b))
+        return na and nb
+    if isinstance(a, float) or isinstance(b, float):
+        return float(a) == float(b)  # exact — the driver hashes
+    return a == b
+
+if __name__ == "__main__":
+    main()
