@@ -14,7 +14,8 @@ object SparkEntry {
   /** All declared operators, grouped by module. */
   def defs: Seq[QueryDef] =
     Relational.all ++ Functions.all ++ Text.all ++ Similarity.all ++
-      Events.all ++ Swivel.all ++ Typed.all
+      Events.all ++ Swivel.all ++ Typed.all ++
+      Dedup.all ++ TextAnalysis.all ++ Ann.all ++ Multimodal.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

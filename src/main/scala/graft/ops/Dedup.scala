@@ -1,0 +1,147 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Scale-path deduplication operators (NORTH-STAR surface): MinHash-LSH
+  * banding, SimHash fingerprint grouping, and embedding-cosine near-dup.
+  * `dedup_exact` / `dedup_near` (shingle Jaccard) live in Text.scala.
+  */
+object Dedup {
+
+  /** Per-document MinHash signature over the distinct-shingle set:
+    * h_i = min over shingles of xxhash64("mh<i>:" ++ shingle).
+    * One combinable groupBy — at 100 TB this is a single map-side-partial
+    * shuffle keyed by doc_id, signature width k columns.
+    */
+  def minHashSignatures(sh: DataFrame, k: Int): DataFrame = {
+    val aggs = (0 until k).map(i =>
+      min(xxhash64(concat(lit(s"mh$i:"), col("shingle")))).as(s"h$i"))
+    sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH candidate pairs with k single-hash bands (r=1): documents sharing
+    * ANY of the k minhashes become candidates. Recall for a pair with
+    * Jaccard j is 1-(1-j)^k — at j=0.5, k=16: 0.99998; at j=1 it is exact.
+    * The shuffle is keyed by (band, hash): bounded bucket joins, never a
+    * cartesian — this is the 100 TB replacement for the all-pairs shingle
+    * join in `dedup_near`.
+    */
+  def minHashCandidates(sh: DataFrame, k: Int = 16): DataFrame = {
+    val sig = minHashSignatures(sh, k)
+    val bands = sig.select(col("doc_id"),
+      posexplode(array((0 until k).map(i => col(s"h$i")): _*)).as(Seq("band", "h")))
+    bands.as("x").join(bands.as("y"), Seq("band", "h"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("i"), col("y.doc_id").as("j"))
+      .distinct()
+  }
+
+  /** MinHash-LSH near-dup: LSH candidates, then the exact-Jaccard filter —
+    * same output contract as `dedup_near`, different (scalable) candidate
+    * generator. The oracle is the exact all-pairs computation; the LSH
+    * path must (and empirically does, at every SF) reach full recall at
+    * the 0.5 threshold.
+    */
+  def minHashNearDup(docs: DataFrame, k: Int = 16, threshold: Double = 0.5): DataFrame = {
+    val sh = Functions.shingles(docs)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val cand = minHashCandidates(sh, k)
+    val inter = cand
+      .join(sh.as("sx"), col("i") === col("sx.doc_id"))
+      .join(sh.as("sy"), col("j") === col("sy.doc_id") && col("sx.shingle") === col("sy.shingle"))
+      .groupBy("i", "j").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.as("si"), col("i") === col("si.doc_id"))
+      .join(sizes.as("sj"), col("j") === col("sj.doc_id"))
+      .select(col("i"), col("j"),
+        (col("inter") / (col("si.n") + col("sj.n") - col("inter"))).as("jac_raw"))
+      .filter(col("jac_raw") >= threshold)
+      .select(col("i"), col("j"), round(col("jac_raw"), 4).as("jac"))
+  }
+
+  val dedupMinhash = QueryDef(
+    "dedup_minhash",
+    // Oracle = the exact shingle-Jaccard relation (same as dedup_near):
+    // the LSH candidate generator is an optimization, not a semantics
+    // change, and has ~1 - 0.5^16 recall at the threshold.
+    s"""${Functions.shingleOracleCte},
+       |shd AS (SELECT DISTINCT doc_id, shingle FROM sh WHERE shingle IS NOT NULL),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY doc_id),
+       |inter AS (
+       |  SELECT x.doc_id AS i, y.doc_id AS j, count(*) AS inter
+       |  FROM shd x JOIN shd y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+       |  GROUP BY i, j
+       |)
+       |SELECT i, j, round(jac_raw, 4) AS jac FROM (
+       |  SELECT i, j, inter.inter / (si.n + sj.n - inter.inter) AS jac_raw
+       |  FROM inter
+       |  JOIN sizes si ON inter.i = si.doc_id
+       |  JOIN sizes sj ON inter.j = sj.doc_id
+       |) WHERE jac_raw >= 0.5
+       |ORDER BY i, j""".stripMargin) { (s, d) =>
+    minHashNearDup(Tables.documents(s, d)).orderBy("i", "j")
+  }
+
+  /** 64-bit SimHash over the token multiset: bit b of the fingerprint is
+    * set iff Σ_tokens (±1 by bit b of xxhash64(token)) > 0. One explode +
+    * one combinable groupBy — linear cost, and near-identical documents
+    * land on identical (or hamming-close) fingerprints.
+    */
+  def simHash(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("token"))
+      .withColumn("th", xxhash64(col("token")))
+    val bitSums = (0 until 64).map(b =>
+      sum(when(shiftright(col("th"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$b"))
+    val agg = toks.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+    val fp = (0 until 64).map(b =>
+      when(col(s"b$b") > 0, lit(1L << b)).otherwise(0L)).reduce(_ + _)
+    agg.select(col("doc_id"), fp.as("simhash"))
+  }
+
+  val dedupSimhash = QueryDef.noOracle("dedup_simhash") { (s, d) =>
+    // No oracle: xxhash64 is Spark-specific (DuckDB has no compatible
+    // hash). Covered by DedupSpec: identical texts → identical simhash;
+    // grouping behavior asserted on planted dups.
+    simHash(Tables.documents(s, d))
+      .groupBy("simhash")
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keeper"))
+      .orderBy("simhash")
+      .limit(200)
+  }
+
+  /** Embedding-cosine near-duplicate pairs: cos ≥ threshold, i < j.
+    * Brute-force N² here (exact baseline); the LSH/IVF bucketing in Ann
+    * is the scale path for candidate generation.
+    */
+  def embeddingNearDup(emb: DataFrame, threshold: Double): DataFrame = {
+    val v = emb.select(col("vec_id"), Similarity.vecD(col("embedding")).as("ve"))
+    val n = v.select(col("vec_id"), col("ve"), Similarity.l2norm(col("ve")).as("nrm"))
+    n.as("a").join(n.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("i"), col("b.vec_id").as("j"),
+        (Similarity.dot(col("a.ve"), col("b.ve")) / (col("a.nrm") * col("b.nrm"))).as("cos_raw"))
+      .filter(col("cos_raw") >= threshold)
+      .select(col("i"), col("j"), round(col("cos_raw"), 4).as("cos"))
+  }
+
+  val dedupEmbed = QueryDef(
+    "dedup_embed",
+    """WITH v AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+      |  FROM embeddings
+      |), n AS (
+      |  SELECT vec_id, ve, sqrt(list_dot_product(ve, ve)) AS nrm FROM v
+      |)
+      |SELECT i, j, round(cos_raw, 4) AS cos FROM (
+      |  SELECT a.vec_id AS i, b.vec_id AS j,
+      |         list_dot_product(a.ve, b.ve) / (a.nrm * b.nrm) AS cos_raw
+      |  FROM n a JOIN n b ON a.vec_id < b.vec_id
+      |) WHERE cos_raw >= 0.5
+      |ORDER BY i, j""".stripMargin) { (s, d) =>
+    embeddingNearDup(Tables.embeddings(s, d), 0.5).orderBy("i", "j")
+  }
+
+  val all: Seq[QueryDef] = Seq(dedupMinhash, dedupSimhash, dedupEmbed)
+}

@@ -1,0 +1,174 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Text-analysis operators for a training-data pipeline (NORTH-STAR):
+  * language ID, quality scoring, token counting, document fingerprinting.
+  * All pure built-in/higher-order-function pipelines — codegen-friendly,
+  * embarrassingly parallel per document, no UDFs.
+  */
+object TextAnalysis {
+
+  /** Per-language marker-token lists for the n-gram/stopword language-ID
+    * heuristic. Real corpora would use trained char-n-gram profiles; the
+    * mechanism (per-language token-hit scores + deterministic argmax) is
+    * the same.
+    */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "is", "to", "in"),
+    "de" -> Seq("der", "die", "das", "und", "nicht", "ist", "ein"),
+    "es" -> Seq("el", "la", "los", "que", "y", "es", "una"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "une", "dans"),
+    "zh" -> Seq("的", "是", "了", "在", "我", "有", "他"))
+
+  /** (doc_id, lang, predicted_lang, s_<lang>…): marker-hit counts per
+    * language + deterministic argmax (ties resolve in langMarkers order).
+    */
+  def languageId(docs: DataFrame): DataFrame = {
+    val toks = split(col("text"), " ")
+    val scored = docs.select(
+      (col("doc_id") +: col("lang") +:
+        langMarkers.map { case (l, ms) =>
+          size(filter(toks, t => t.isin(ms.map(lit): _*))).cast("long").as(s"s_$l")
+        }): _*)
+    // argmax with first-wins tie-break, as one nested CASE chain
+    val langs = langMarkers.map(_._1)
+    val pred = langs.zipWithIndex.foldRight(lit(langs.head): Column) {
+      case ((l, i), els) =>
+        val geAll = langs.drop(i + 1)
+          .map(o => col(s"s_$l") >= col(s"s_$o"))
+          .foldLeft(langs.take(i).map(o => col(s"s_$l") > col(s"s_$o"))
+            .foldLeft(lit(true): Column)(_ && _))(_ && _)
+        when(geAll, lit(l)).otherwise(els)
+    }
+    scored.withColumn("predicted_lang", pred)
+  }
+
+  val textLangid = QueryDef(
+    "text_langid", {
+      val scoreCols = langMarkers.map { case (l, ms) =>
+        val inList = ms.map(m => s"'$m'").mkString("(", ", ", ")")
+        s"CAST(len(list_filter(string_split(text, ' '), t -> t IN $inList)) AS BIGINT) AS s_$l"
+      }.mkString(",\n  ")
+      val langs = langMarkers.map(_._1)
+      val pred = langs.zipWithIndex.reverse.foldLeft(s"'${langs.head}'") {
+        case (els, (l, i)) =>
+          val conds = langs.take(i).map(o => s"s_$l > s_$o") ++
+            langs.drop(i + 1).map(o => s"s_$l >= s_$o")
+          val cond = if (conds.isEmpty) "TRUE" else conds.mkString(" AND ")
+          s"CASE WHEN $cond THEN '$l' ELSE $els END"
+      }
+      s"""SELECT doc_id, lang, $pred AS predicted_lang,
+         |  ${langs.map(l => s"s_$l").mkString(", ")}
+         |FROM (SELECT doc_id, lang,
+         |  $scoreCols
+         |  FROM documents)
+         |ORDER BY doc_id LIMIT 200""".stripMargin
+    }) { (s, d) =>
+    languageId(Tables.documents(s, d))
+      .select((Seq(col("doc_id"), col("lang"), col("predicted_lang")) ++
+        langMarkers.map { case (l, _) => col(s"s_$l") }): _*)
+      .orderBy("doc_id")
+      .limit(200)
+  }
+
+  /** Per-document quality features + composite score: token count, mean
+    * token length, long-token ratio, digit ratio. Formula is arbitrary but
+    * fixed; all arithmetic is the identical expression tree on both
+    * engines (integer counts → one double division each).
+    */
+  def qualityScore(docs: DataFrame): DataFrame = {
+    val toks = split(col("text"), " ")
+    docs.select(col("doc_id"), col("lang"),
+        length(col("text")).cast("long").as("n_chars_txt"),
+        size(toks).cast("long").as("n_tokens"),
+        size(filter(toks, t => length(t) > 6)).cast("long").as("n_long"),
+        length(regexp_replace(col("text"), "[^0-9]", "")).cast("long").as("n_digits"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        ((col("n_chars_txt") - col("n_tokens") + 1).cast("double") / col("n_tokens"))
+          .as("avg_token_len"),
+        (col("n_long").cast("double") / col("n_tokens")).as("long_ratio"),
+        (col("n_digits").cast("double") / col("n_chars_txt")).as("digit_ratio"))
+      .withColumn("quality",
+        round(least(col("n_tokens").cast("double") / 100.0, lit(1.0)) * 0.5
+          + (lit(1.0) - abs(col("avg_token_len") - 5.0) / 10.0) * 0.3
+          + (lit(1.0) - col("long_ratio")) * 0.2, 4))
+  }
+
+  val textQuality = QueryDef(
+    "text_quality",
+    """SELECT doc_id, lang, n_tokens,
+      |  avg_token_len, long_ratio, digit_ratio,
+      |  round(least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.5
+      |    + (1.0 - abs(avg_token_len - 5.0) / 10.0) * 0.3
+      |    + (1.0 - long_ratio) * 0.2, 4) AS quality
+      |FROM (
+      |  SELECT doc_id, lang, n_tokens,
+      |    CAST(n_chars_txt - n_tokens + 1 AS DOUBLE) / n_tokens AS avg_token_len,
+      |    CAST(n_long AS DOUBLE) / n_tokens AS long_ratio,
+      |    CAST(n_digits AS DOUBLE) / n_chars_txt AS digit_ratio
+      |  FROM (
+      |    SELECT doc_id, lang,
+      |      CAST(length(text) AS BIGINT) AS n_chars_txt,
+      |      CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |      CAST(len(list_filter(string_split(text, ' '), t -> length(t) > 6)) AS BIGINT) AS n_long,
+      |      CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT) AS n_digits
+      |    FROM documents)
+      |)
+      |ORDER BY doc_id LIMIT 200""".stripMargin) { (s, d) =>
+    qualityScore(Tables.documents(s, d)).orderBy("doc_id").limit(200)
+  }
+
+  /** Token counting three ways per source: whitespace tokens, regex
+    * word tokens (alnum runs), and the chars/4 BPE-count heuristic. */
+  val textTokens = QueryDef(
+    "text_tokens",
+    """SELECT source,
+      |  CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS ws_tokens,
+      |  CAST(sum(len(list_filter(regexp_split_to_array(text, '[^a-zA-Z0-9]+'), t -> t <> ''))) AS BIGINT) AS re_tokens,
+      |  CAST(sum(CAST(ceil(length(text) / 4.0) AS BIGINT)) AS BIGINT) AS est_bpe_tokens
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " ")).cast("long")).as("ws_tokens"),
+        sum(size(filter(split(col("text"), "[^a-zA-Z0-9]+"), t => t =!= "")).cast("long"))
+          .as("re_tokens"),
+        sum(ceil(length(col("text")) / 4.0)).as("est_bpe_tokens"))
+      .orderBy("source")
+  }
+
+  /** Content-defined document fingerprint: md5 over the sorted distinct
+    * 3-gram shingle hashes (an order-invariant set hash — the rolling-hash
+    * shingles are the winnowing features). Documents sharing a fingerprint
+    * have identical shingle sets.
+    */
+  def fingerprints(docs: DataFrame): DataFrame =
+    Functions.shingles(docs)
+      .select(col("doc_id"), md5(col("shingle")).as("h"))
+      .groupBy("doc_id")
+      .agg(md5(concat_ws("", array_sort(collect_list(col("h"))))).as("fp"))
+
+  val textFingerprint = QueryDef(
+    "text_fingerprint",
+    s"""${Functions.shingleOracleCte},
+       |shd AS (SELECT DISTINCT doc_id, shingle FROM sh WHERE shingle IS NOT NULL),
+       |fps AS (
+       |  SELECT doc_id, md5(string_agg(md5(shingle), '' ORDER BY md5(shingle))) AS fp
+       |  FROM shd GROUP BY doc_id
+       |)
+       |SELECT doc_id, fp,
+       |  CAST(count(*) OVER (PARTITION BY fp) AS BIGINT) AS n_same_fp
+       |FROM fps ORDER BY doc_id LIMIT 200""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    fingerprints(Tables.documents(s, d))
+      .withColumn("n_same_fp", count(lit(1)).over(Window.partitionBy("fp")))
+      .orderBy("doc_id")
+      .limit(200)
+  }
+
+  val all: Seq[QueryDef] = Seq(textLangid, textQuality, textTokens, textFingerprint)
+}
