@@ -18,6 +18,27 @@ object Events {
 
   private def eus = unix_micros(col("ts").cast("timestamp"))
 
+  /** As-of join within one event stream: for each `leftType` event, the
+    * most recent `rightType` event by the same user at/before its ts
+    * (ties at equal ts include the right event; among tied rights the max
+    * event_id wins). Implemented as the union-tag trick: one shuffle on
+    * user_id + one sort, no join. Output: left (event_id, user_id) +
+    * matched right event_id (nullable).
+    */
+  def asofJoin(events: DataFrame, leftType: String, rightType: String,
+      outCol: String): DataFrame = {
+    val tagged = events
+      .filter(col("event_type").isin(rightType, leftType))
+      .select(col("event_id"), col("user_id"), col("ts"),
+        when(col("event_type") === rightType, 0).otherwise(1).as("tag"),
+        when(col("event_type") === rightType, col("event_id")).as("r_id"))
+    val w = Window.partitionBy("user_id").orderBy("ts", "tag", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged.withColumn(outCol, last(col("r_id"), ignoreNulls = true).over(w))
+      .filter(col("tag") === 1)
+      .select(col("event_id"), col("user_id"), col(outCol))
+  }
+
   /** 30-minute-gap sessionization: gap strictly greater than the threshold
     * starts a new session (gap == 30 min exactly → same session).
     * Batch analog of `session_window($"ts", "30 minutes")`; the

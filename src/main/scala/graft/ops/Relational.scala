@@ -219,20 +219,11 @@ object Relational {
       |   ORDER BY c.ts DESC, c.event_id DESC LIMIT 1) AS click_id
       |FROM events e WHERE e.event_type = 'error'
       |ORDER BY e.event_id""".stripMargin) { (s, d) =>
-    // As-of join via the union-tag trick: one shuffle on user_id, one sort,
-    // no join at all. Clicks sort before errors at equal ts (tag 0 < 1) so
-    // "at/before" includes same-timestamp clicks; event_id ASC makes
-    // last() pick the max event_id among tied clicks.
-    val ev = Tables.events(s, d)
-      .filter(col("event_type").isin("click", "error"))
-      .select(col("event_id"), col("user_id"), col("ts"),
-        when(col("event_type") === "click", 0).otherwise(1).as("tag"),
-        when(col("event_type") === "click", col("event_id")).as("c_id"))
-    val w = Window.partitionBy("user_id").orderBy("ts", "tag", "event_id")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    ev.withColumn("click_id", last(col("c_id"), ignoreNulls = true).over(w))
-      .filter(col("tag") === 1)
-      .select("event_id", "user_id", "click_id")
+    // As-of join via the union-tag trick (Events.asofJoin): one shuffle on
+    // user_id, one sort, no join at all. Clicks sort before errors at
+    // equal ts so "at/before" includes same-timestamp clicks; event_id ASC
+    // makes last() pick the max event_id among tied clicks.
+    Events.asofJoin(Tables.events(s, d), "error", "click", "click_id")
       .orderBy("event_id")
   }
 

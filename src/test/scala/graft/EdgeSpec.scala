@@ -1,0 +1,103 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ops.{Dedup, Events, Text}
+
+/** Edge-semantics goldens: as-of ties, sessionize gap boundary, dedup
+  * keeper choice (FIXTURES.md fixture guidance). */
+class EdgeSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  private def events(rows: (Long, String, Long, String)*) =
+    rows.toDF("event_id", "tstr", "user_id", "event_type")
+      .select(col("event_id"),
+        to_timestamp(col("tstr")).cast("timestamp_ntz").as("ts"),
+        col("user_id"), col("event_type"))
+
+  test("asof: same-timestamp click counts; ties pick max event_id; no prior → null") {
+    val ev = events(
+      (1L, "2024-01-01 00:00:03", 1L, "error"),  // before any click → null
+      (2L, "2024-01-01 00:00:05", 1L, "click"),
+      (3L, "2024-01-01 00:00:10", 1L, "click"),
+      (4L, "2024-01-01 00:00:10", 1L, "error"),  // tie with click 3 → 3
+      (5L, "2024-01-01 00:00:20", 1L, "click"),
+      (6L, "2024-01-01 00:00:20", 1L, "click"),  // two clicks same ts
+      (7L, "2024-01-01 00:00:20", 1L, "error"))  // → max id = 6
+    val got = Events.asofJoin(ev, "error", "click", "click_id")
+      .orderBy("event_id")
+      .collect().map(r => (r.getLong(0), Option(r.get(2)).map(_.asInstanceOf[Long])))
+    assert(got.toSeq == Seq((1L, None), (4L, Some(3L)), (7L, Some(6L))))
+  }
+
+  test("sessionize: gap of exactly 30 min stays; strictly greater splits") {
+    val ev = events(
+      (1L, "2024-01-01 00:00:00", 1L, "click"),
+      (2L, "2024-01-01 00:30:00", 1L, "click"),  // gap == 30 min → same session
+      (3L, "2024-01-01 01:00:00.000001", 1L, "click"), // 30min+1µs → new session
+      (4L, "2024-01-01 10:00:00", 2L, "click"))  // other user interleaved
+      .withColumn("value", lit(1.0))
+    val got = Events.sessionize(ev)
+      .orderBy("user_id", "session_id")
+      .select("user_id", "session_id", "n_events")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 1L, 2L), (1L, 2L, 1L), (2L, 1L, 1L)))
+  }
+
+  test("dedup_exact: identical texts group; keeper is min doc_id") {
+    val docs = Seq(
+      (10L, "same same same"), (3L, "same same same"), (7L, "unique text here"))
+      .toDF("doc_id", "text")
+    val got = Text.exactDupGroups(docs)
+      .orderBy(desc("n_docs"))
+      .select("n_docs", "keeper").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((2L, 3L), (1L, 7L)))
+  }
+
+  test("near-dup: one-token edit scores high Jaccard; unique text pairs none") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "the quick brown fox jumps over the lazy cat today"),
+      (3L, "completely different words appear in this document body"))
+      .toDF("doc_id", "text")
+    val pairs = Text.nearDupPairs(docs, threshold = 0.3)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(pairs.map(p => (p._1, p._2)) == Seq((1L, 2L)))
+    assert(pairs.head._3 > 0.3 && pairs.head._3 < 1.0)
+  }
+
+  test("minhash LSH finds the same pairs as the exact shingle join") {
+    val docs = Seq(
+      (1L, "a b c d e f g h i j"),
+      (2L, "a b c d e f g h i k"),
+      (3L, "z y x w v u t s r q"),
+      (4L, "z y x w v u t s r q"))
+      .toDF("doc_id", "text")
+    val exact = Text.nearDupPairs(docs, 0.5).select("i", "j")
+      .as[(Long, Long)].collect().toSet
+    val lsh = Dedup.minHashNearDup(docs, k = 16, threshold = 0.5).select("i", "j")
+      .as[(Long, Long)].collect().toSet
+    assert(lsh == exact)
+    assert(exact.contains((3L, 4L))) // identical docs always recalled
+  }
+
+  test("simhash: identical texts → identical fingerprint; disjoint texts differ") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "one two three four five six"))
+      .toDF("doc_id", "text")
+    val fp = Dedup.simHash(docs).as[(Long, Long)].collect().toMap
+    assert(fp(1L) == fp(2L))
+    assert(fp(1L) != fp(3L))
+  }
+
+  test("decimal-exact sums: 0.005-style values that break double accumulation") {
+    val df = Seq.fill(1000)(0.01).toDF("v")
+    val got = df.agg(sum(col("v").cast("decimal(18,4)")).cast("double")).as[Double].head()
+    assert(got == 10.0) // double accumulation would give 9.999999999999831
+  }
+}

@@ -1,0 +1,57 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.Relational
+
+/** Plan-shape guards (SURVEY §5.2-5): cheap regressions pinning the
+  * physical-plan properties the 100 TB design depends on. */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val d = "/root/testdata/sf0.001"
+
+  private def plan(q: graft.ops.QueryDef): String =
+    q.fn(spark, d).queryExecution.executedPlan.toString
+
+  test("join_broadcast plans as BroadcastHashJoin (no shuffle of the fact side)") {
+    assert(plan(Relational.joinBroadcast).contains("BroadcastHashJoin"))
+  }
+
+  test("filter_pred pushes predicates into the parquet scan") {
+    val p = plan(Relational.filterPred)
+    assert(p.contains("PushedFilters: ["))
+    assert(p.contains("IsNotNull") || p.contains("GreaterThan") || p.contains("In("))
+  }
+
+  test("scan_project prunes to the 4 selected columns at the scan") {
+    val p = plan(Relational.scanProject)
+    assert(p.contains("ReadSchema"))
+    assert(!p.contains("l_shipdate")) // pruned column must not be read
+  }
+
+  test("sort_multi top-k plans as TakeOrderedAndProject, not a global sort") {
+    assert(plan(Relational.sortMulti).contains("TakeOrderedAndProject"))
+  }
+
+  test("agg_groupby uses two-phase hash aggregation (map-side partial)") {
+    val p = plan(Relational.aggGroupby)
+    assert("HashAggregate".r.findAllIn(p).length >= 2)
+  }
+
+  test("whole-stage codegen covers the Q1 pipeline") {
+    // AQE's plan toString omits codegen wrappers — execute, then read the
+    // formatted explain of the final adaptive plan (codegen stage ids).
+    val df = Relational.aggGroupby.fn(spark, d)
+    df.collect()
+    val formatted = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // Spark 4.1 formatted explain marks codegen spans as "[codegen id : N]"
+    assert(formatted.contains("codegen id :"))
+  }
+
+  test("join_asof plans with a single shuffle (one Exchange before the window)") {
+    val p = plan(Relational.joinAsof)
+    // union-tag trick: expect no SortMergeJoin / BroadcastHashJoin at all
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"))
+    assert(p.contains("Window") || p.contains("RunningWindowFunction"))
+  }
+}

@@ -1,0 +1,116 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.apache.spark.sql.functions._
+import graft.swivel.SwivelPrep
+import graft.ops.{Events, Text}
+
+/** ScalaCheck-generator-driven properties (SURVEY §5.2-4), sampled with
+  * fixed seeds (no scalatest-plus bridge in the offline cache; each sample
+  * runs Spark jobs, so the sample counts stay small and deterministic). */
+class PropertySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  private val corpusGen: Gen[Seq[String]] = for {
+    nDocs <- Gen.choose(1, 6)
+    docs <- Gen.listOfN(nDocs, for {
+      n <- Gen.choose(1, 20)
+      toks <- Gen.listOfN(n, Gen.oneOf("a", "b", "c", "d", "e"))
+    } yield toks.mkString(" "))
+  } yield docs
+
+  private def toDf(texts: Seq[String]) =
+    texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+
+  test("cooc is symmetric and marginals sum to total matrix weight") {
+    for (texts <- samples(corpusGen, 4)) {
+      val d = toDf(texts)
+      val vocab = SwivelPrep.buildVocab(d, minCount = 1, shardSize = 1)
+      val cells = SwivelPrep.cooc(d, vocab, windowSize = 3).cache()
+      val asMap = cells.as[(Long, Long, Double)].collect()
+        .map { case (r, c, w) => ((r, c), w) }.toMap
+      asMap.foreach { case ((r, c), w) => assert(asMap((c, r)) == w) }
+      if (asMap.nonEmpty) {
+        val totalCells = cells.agg(sum("weight")).as[Double].head()
+        val totalMarg = SwivelPrep.marginals(d, vocab, windowSize = 3)
+          .agg(sum("marginal")).as[Double].head()
+        assert(math.abs(totalCells - totalMarg) < 0.05) // 4dp rounding slack
+      }
+      cells.unpersist()
+    }
+  }
+
+  test("vocab: size is a multiple of shard_size and ids are dense") {
+    for {
+      texts <- samples(corpusGen, 3)
+      shardSize <- 1 to 3
+    } {
+      val v = SwivelPrep.buildVocab(toDf(texts), minCount = 1, shardSize = shardSize)
+      val ids = v.select("id").as[Long].collect().sorted
+      assert(ids.length % shardSize == 0)
+      assert(ids.toSeq == (0L until ids.length.toLong))
+    }
+  }
+
+  test("near-dup pairs: jaccard in (0,1], i<j") {
+    for (texts <- samples(corpusGen, 4)) {
+      val pairs = Text.nearDupPairs(toDf(texts), threshold = 0.1)
+        .as[(Long, Long, Double)].collect()
+      pairs.foreach { case (i, j, jac) =>
+        assert(i < j); assert(jac > 0.0 && jac <= 1.0)
+      }
+    }
+  }
+
+  test("sessionize: wider gap → fewer-or-equal sessions; events conserved") {
+    val gaps = Seq(60000000L, 600000000L, 3600000000L) // 1min, 10min, 1h in µs
+    val offsetsGen = Gen.listOfN(20, Gen.choose(0L, 7200L))
+    for (offsets <- samples(offsetsGen, 3); nUsers <- 1 to 2) {
+      val ev = offsets.zipWithIndex.map { case (off, i) =>
+        (i.toLong, java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime + off * 1000,
+          (i % nUsers).toLong)
+      }.toDF("event_id", "ms", "user_id")
+        .select(col("event_id"), timestamp_millis(col("ms")).cast("timestamp_ntz").as("ts"),
+          col("user_id"))
+      val counts = gaps.map { g =>
+        val s = Events.sessionize(ev, g).cache()
+        val nSess = s.count()
+        assert(s.agg(sum("n_events")).as[Long].head() == offsets.length)
+        s.unpersist()
+        nSess
+      }
+      assert(counts == counts.sorted.reverse)
+    }
+  }
+
+  test("approx_count_distinct(rsd=0.02) within 5% of exact on orders") {
+    val d = "/root/testdata/sf0.001"
+    val rows = Tables.orders(spark, d).groupBy("o_orderpriority")
+      .agg(approx_count_distinct(col("o_custkey"), 0.02).as("approx"),
+        countDistinct(col("o_custkey")).as("exact"))
+      .as[(String, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, approx, exact) =>
+      assert(math.abs(approx - exact).toDouble / exact <= 0.05)
+    }
+  }
+
+  test("set ops: union_all count adds; intersect/except match set algebra") {
+    val listGen = Gen.listOf(Gen.choose(0, 20))
+    for ((xs, ys) <- samples(listGen, 4).zip(samples(listGen, 4).reverse)) {
+      val a = xs.toDF("v"); val b = ys.toDF("v")
+      assert(a.unionAll(b).count() == xs.length + ys.length)
+      val inter = a.intersect(b).as[Int].collect().toSet
+      val exc = a.except(b).as[Int].collect().toSet
+      assert(inter == (xs.toSet & ys.toSet))
+      assert(exc == (xs.toSet -- ys.toSet))
+      assert((inter & exc).isEmpty)
+    }
+  }
+}

@@ -1,0 +1,96 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.StreamOps
+
+/** Structured Streaming truth (SURVEY §5.2-4): watermark late-row drop and
+  * session-window merging over MemoryStream replays with controlled
+  * disorder. Not oracle-checkable — these tests ARE the gate for the
+  * streaming ops.
+  */
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("tumbling watermark: on-time rows aggregate, row behind watermark is dropped") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val agg = StreamOps.tumblingCounts(
+      input.toDF().toDF("ts", "event_type", "value"), watermark = "1 hour")
+    val q = agg.writeStream.format("memory").queryName("wm_out")
+      .outputMode("append").start()
+    try {
+      // batch 1: two rows in the 10:00 window
+      input.addData((ts("2024-01-01 10:10:00"), "click", 1.0),
+        (ts("2024-01-01 10:20:00"), "click", 2.0))
+      q.processAllAvailable()
+      // batch 2: advance event time far ahead → watermark passes 11:00,
+      // the 10:00 window closes and emits
+      input.addData((ts("2024-01-01 13:00:00"), "view", 5.0))
+      q.processAllAvailable()
+      val afterClose = spark.table("wm_out")
+        .select("window_start", "event_type", "n", "sum_value")
+        .as[(java.sql.Timestamp, String, Long, Double)].collect().toSet
+      assert(afterClose == Set((ts("2024-01-01 10:00:00"), "click", 2L, 3.0)))
+      // batch 3: a late click at 10:30 — behind the ~12:00 watermark → dropped
+      input.addData((ts("2024-01-01 10:30:00"), "click", 100.0))
+      q.processAllAvailable()
+      // batch 4: advance further so anything pending would flush
+      input.addData((ts("2024-01-01 16:00:00"), "view", 1.0))
+      q.processAllAvailable()
+      val finalRows = spark.table("wm_out")
+        .as[(java.sql.Timestamp, String, Long, Double)].collect().toSet
+      // the late row produced no new/updated 10:00 window
+      assert(finalRows.count(_._1 == ts("2024-01-01 10:00:00")) == 1)
+      assert(finalRows.find(_._1 == ts("2024-01-01 10:00:00")).get._3 == 2L)
+    } finally q.stop()
+  }
+
+  test("session_window: rows within gap merge into one session, across gap split") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, Long)]
+    val sess = StreamOps.sessionCounts(
+      input.toDF().toDF("ts", "user_id").withColumn("value", lit(1.0)),
+      gap = "30 minutes", watermark = "1 hour")
+    val q = sess.writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (ts("2024-01-01 10:00:00"), 1L),
+        (ts("2024-01-01 10:20:00"), 1L),  // merges (gap 20m < 30m)
+        (ts("2024-01-01 11:30:00"), 1L),  // new session (gap 70m)
+        (ts("2024-01-01 10:05:00"), 2L))
+      q.processAllAvailable()
+      input.addData((ts("2024-01-01 15:00:00"), 9L)) // advance watermark
+      q.processAllAvailable()
+      val rows = spark.table("sess_out")
+        .select("user_id", "n_events", "t_start")
+        .as[(Long, Long, java.sql.Timestamp)].collect().toSet
+      assert(rows.contains((1L, 2L, ts("2024-01-01 10:00:00"))))
+      assert(rows.contains((1L, 1L, ts("2024-01-01 11:30:00"))))
+      assert(rows.contains((2L, 1L, ts("2024-01-01 10:05:00"))))
+    } finally q.stop()
+  }
+
+  test("sliding windows: an event lands in exactly two 1h/30min windows") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val agg = StreamOps.slidingCounts(input.toDF().toDF("ts", "event_type", "value"))
+    val q = agg.writeStream.format("memory").queryName("slide_out")
+      .outputMode("append").start()
+    try {
+      input.addData((ts("2024-01-01 10:40:00"), "click", 1.0))
+      q.processAllAvailable()
+      input.addData((ts("2024-01-01 15:00:00"), "view", 1.0)) // close windows
+      q.processAllAvailable()
+      val starts = spark.table("slide_out")
+        .filter(col("window_start") < ts("2024-01-01 12:00:00"))
+        .select("window_start").as[java.sql.Timestamp].collect().toSet
+      assert(starts == Set(ts("2024-01-01 10:00:00"), ts("2024-01-01 10:30:00")))
+    } finally q.stop()
+  }
+}
