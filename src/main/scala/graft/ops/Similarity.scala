@@ -21,9 +21,13 @@ object Similarity {
   /** float[] → double[] (exact cast; DuckDB lists compute in double). */
   def vecD(c: Column): Column = transform(c, _.cast("double"))
 
-  /** Sequential-fold dot product of two double arrays. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  /** Sequential dot product — a native codegen Expression
+    * (graft.functions.DotProduct): the same left-to-right double
+    * accumulation as `aggregate(zip_with(...))` and DuckDB's
+    * list_dot_product (bit-identical results), minus the per-element
+    * lambda interpretation that dominated the N² kNN pipelines.
+    */
+  def dot(a: Column, b: Column): Column = graft.functions.DotProduct.dot(a, b)
 
   def l2norm(a: Column): Column = sqrt(dot(a, a))
 
