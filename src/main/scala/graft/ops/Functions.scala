@@ -121,13 +121,15 @@ object Functions {
       |  CAST(min(CAST(json_extract_string(props, '$.k') AS INT)) AS INT) AS min_k,
       |  CAST(max(CAST(json_extract_string(props, '$.k') AS INT)) AS INT) AS max_k
       |FROM events GROUP BY k_mod ORDER BY k_mod""".stripMargin) { (s, d) =>
-    val k = get_json_object(col("props"), "$.k").cast("int")
+    // Parse the JSON once per row (a repeated get_json_object in each
+    // aggregate would re-parse the string 5×).
     Tables.events(s, d)
-      .groupBy((k % 10).as("k_mod"))
+      .select(get_json_object(col("props"), "$.k").cast("int").as("k"))
+      .groupBy((col("k") % 10).as("k_mod"))
       .agg(count(lit(1)).as("n"),
-        sum(k).as("sum_k"),
-        min(k).as("min_k"),
-        max(k).as("max_k"))
+        sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"))
       .orderBy("k_mod")
   }
 

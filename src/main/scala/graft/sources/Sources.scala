@@ -1,0 +1,67 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Sources and sinks (SURVEY.md §2.1).
+  *
+  * The reference ingests plain-text corpora (one document per line) and
+  * emits sharded matrix files + vocab/sums; this engine's gated source is
+  * parquet, but the library keeps the full ingest/egress surface:
+  * - text lines → (doc_id, text) corpora (the reference's own source),
+  * - csv/json passthroughs (Spark-native, schema-on-read),
+  * - plain and shard-partitioned parquet sinks.
+  */
+object Sources {
+
+  /** Read a plain-text corpus, one document per line →
+    * (doc_id BIGINT, text STRING).
+    *
+    * doc_id is unique and stable for a fixed file layout but NOT
+    * contiguous (partition-encoded, like the reference's implicit
+    * line-offset ids only matter for identity). At 100 TB this is the only
+    * id scheme that needs no global pass; use `contiguousIds = true` to
+    * pay one zipWithIndex-style exchange for dense ids when a trainer
+    * requires them.
+    */
+  def textCorpus(spark: SparkSession, path: String,
+      contiguousIds: Boolean = false): DataFrame = {
+    val lines = spark.read.text(path)
+    if (contiguousIds) {
+      import org.apache.spark.sql.expressions.Window
+      // global dense ids: acceptable only when a downstream contract
+      // demands them (single total-order pass)
+      lines.select(
+        (row_number().over(Window.orderBy(monotonically_increasing_id())) - 1)
+          .cast("long").as("doc_id"),
+        col("value").as("text"))
+    } else {
+      lines.select(monotonically_increasing_id().as("doc_id"), col("value").as("text"))
+    }
+  }
+
+  def csv(spark: SparkSession, path: String, header: Boolean = true): DataFrame =
+    spark.read.option("header", header.toString).option("inferSchema", "true").csv(path)
+
+  def jsonLines(spark: SparkSession, path: String): DataFrame =
+    spark.read.json(path)
+
+  /** Write the sharded co-occurrence matrix as parquet partitioned by
+    * (row_shard, col_shard) — the semantic equivalent of the reference's
+    * per-shard TFRecord files (format parity out of scope offline;
+    * SURVEY §2.1): one directory per shard, each holding that submatrix's
+    * COO cells. The repartition co-locates each shard before the write so
+    * a shard is one file, not one fragment per upstream task.
+    */
+  def writeShards(shards: DataFrame, dir: String): Unit =
+    shards
+      .repartition(col("row_shard"), col("col_shard"))
+      .write.mode("overwrite")
+      .partitionBy("row_shard", "col_shard")
+      .parquet(dir)
+
+  /** Write vocab / marginals as single-file parquet side outputs (driver
+    * metadata scale — mirrors row_vocab.txt / row_sums.txt). */
+  def writeSideOutput(df: DataFrame, dir: String): Unit =
+    df.coalesce(1).write.mode("overwrite").parquet(dir)
+}
