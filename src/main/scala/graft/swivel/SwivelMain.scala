@@ -1,0 +1,57 @@
+package graft.swivel
+
+import org.apache.spark.sql.SparkSession
+import graft.sources.Sources
+
+/** End-to-end Swivel-prep CLI — the spark-submit entry point mirroring the
+  * reference driver's flag surface (SURVEY.md §3.1 E1: --input,
+  * --output_dir, --shard_size, --min_count, --window_size).
+  *
+  * Reads a corpus (plain-text lines or a parquet documents table), runs
+  * tokenize → vocab → cooc → marginals → shard, and writes:
+  *   <output_dir>/shards/   parquet partitioned by (row_shard, col_shard)
+  *   <output_dir>/vocab/    (id, token, cnt)
+  *   <output_dir>/row_sums/ (id, marginal)   [= col sums; matrix symmetric]
+  */
+object SwivelMain {
+  private val usage =
+    """usage: graft.swivel.SwivelMain --input <path> --output_dir <dir>
+      |        [--input_format text|parquet] [--shard_size 4096]
+      |        [--min_count 5] [--window_size 10]""".stripMargin
+
+  def main(args: Array[String]): Unit = {
+    val opts = args.sliding(2, 2).collect {
+      case Array(k, v) if k.startsWith("--") => k.drop(2) -> v
+    }.toMap
+    val input = opts.getOrElse("input", { System.err.println(usage); sys.exit(2) })
+    val outDir = opts.getOrElse("output_dir", { System.err.println(usage); sys.exit(2) })
+    val shardSize = opts.getOrElse("shard_size", "4096").toInt
+    val minCount = opts.getOrElse("min_count", "5").toInt
+    val windowSize = opts.getOrElse("window_size", "10").toInt
+    val fmt = opts.getOrElse("input_format", "text")
+
+    val builder = SparkSession.builder()
+      .appName("swivel-prep")
+      .config("spark.sql.session.timeZone", "UTC")
+    // under spark-submit the master comes from the submit config; default
+    // to local[*] for direct java invocation
+    val spark = (if (sys.props.contains("spark.master")) builder
+                 else builder.master("local[*]")).getOrCreate()
+    try {
+      val docs = fmt match {
+        case "parquet" => spark.read.parquet(input).select("doc_id", "text")
+        case _         => Sources.textCorpus(spark, input)
+      }
+      val vocab = SwivelPrep.buildVocab(docs, minCount, shardSize)
+      // vocab is reused by cooc/marginals/shard — tiny (≤ truncated size),
+      // cache instead of recomputing the corpus-wide count per stage
+      vocab.cache()
+      val cells = SwivelPrep.cooc(docs, vocab, windowSize)
+      Sources.writeShards(SwivelPrep.shard(cells, vocab, shardSize), s"$outDir/shards")
+      Sources.writeSideOutput(vocab, s"$outDir/vocab")
+      Sources.writeSideOutput(
+        SwivelPrep.marginals(docs, vocab, windowSize), s"$outDir/row_sums")
+      println(s"swivel-prep done: vocab=${vocab.count()} cells=${cells.count()} -> $outDir")
+    } finally spark.stop()
+  }
+}
