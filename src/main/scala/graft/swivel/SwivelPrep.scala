@@ -38,18 +38,29 @@ object SwivelPrep {
 
   /** Frequency-ranked vocabulary: keep count ≥ minCount, rank by
     * (count DESC, token ASC), truncate to the largest multiple of
-    * shardSize; ids dense in [0, vocabSize). The global rank window runs
-    * over vocab-sized data only (the same bound as the reference's
-    * collect-to-driver vocabulary).
+    * shardSize; ids dense in [0, vocabSize).
+    *
+    * Ranking is a distributed range-partitioned sort + zipWithIndex — a
+    * deliberate RDD drop-down: a global `row_number()` window would pull
+    * every surviving token into ONE partition, which dies at 100 TB corpus
+    * scale (10⁷–10⁸ distinct tokens pre-truncation), while zipWithIndex
+    * assigns the identical dense ranks from per-partition offsets. Output
+    * ids are byte-identical to the window formulation ((count DESC,
+    * token ASC) is a total order).
     */
   def buildVocab(docs: DataFrame, minCount: Int, shardSize: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
     val counts = tokenize(docs).groupBy("token").agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= minCount)
-    val rk = counts
-      .withColumn("rn", row_number().over(Window.orderBy(col("cnt").desc, col("token"))))
-      .withColumn("total", count(lit(1)).over(Window.partitionBy()))
-    rk.filter(col("rn") <= (col("total") / shardSize).cast("long") * shardSize)
-      .select((col("rn") - 1).cast("long").as("id"), col("token"), col("cnt"))
+    val ranked = counts.select(col("token"), col("cnt")).as[(String, Long)].rdd
+      .sortBy({ case (t, c) => (-c, t) })
+      .zipWithIndex()
+      .map { case ((t, c), i) => (i, t, c) }
+      .toDF("id", "token", "cnt")
+    val total = counts.count()
+    val keep = (total / shardSize) * shardSize
+    ranked.filter(col("id") < keep)
   }
 
   /** Ordered in-window pairs with distance: for every in-vocab token pair
@@ -87,6 +98,31 @@ object SwivelPrep {
     coocPairs(docs, vocab, windowSize)
       .groupBy("row_id", "col_id")
       .agg(round(weightExpr(windowSize), 4).as("weight"))
+
+  /** Skew-hardened variant: Zipfian corpora make the hot tokens' cells
+    * (e.g. (the,the)) receive a large share of all pairs, so a single
+    * reducer per hot cell can bottleneck even with AQE skew handling.
+    * Two-level aggregation: salt the groupBy key with a per-row bucket,
+    * partially count per (cell, salt), then merge the integer n_d counts —
+    * exact integer sums, so the final fixed-order weight is bit-identical
+    * to `cooc`. Salting costs one extra (tiny, cell-level) shuffle; use
+    * when the corpus is known to be heavily skewed.
+    */
+  def coocSalted(docs: DataFrame, vocab: DataFrame, windowSize: Int,
+      saltBuckets: Int = 64): DataFrame = {
+    val partials = coocPairs(docs, vocab, windowSize)
+      .withColumn("salt", pmod(hash(col("row_id"), col("col_id"), monotonically_increasing_id()), lit(saltBuckets)))
+      .groupBy("row_id", "col_id", "salt")
+      .agg((1 to windowSize).map(k =>
+        sum(when(col("dd") === k, 1L).otherwise(0L)).as(s"n$k")).head,
+        (2 to windowSize).map(k =>
+          sum(when(col("dd") === k, 1L).otherwise(0L)).as(s"n$k")): _*)
+    val merged = partials.groupBy("row_id", "col_id")
+      .agg((1 to windowSize).map(k => sum(col(s"n$k")).as(s"n$k")).head,
+        (2 to windowSize).map(k => sum(col(s"n$k")).as(s"n$k")): _*)
+    val w = (1 to windowSize).map(k => col(s"n$k") / lit(k.toDouble)).reduceLeft(_ + _)
+    merged.select(col("row_id"), col("col_id"), round(w, 4).as("weight"))
+  }
 
   /** Row sums of the (symmetric) co-occurrence matrix per token id —
     * computed from the pair relation with the same fixed-order weight

@@ -62,6 +62,16 @@ class SwivelSpec extends AnyFunSuite {
     assert(pairs.toSet == Set((0L, 1L, 2), (1L, 0L, 2)))
   }
 
+  test("coocSalted produces exactly the cells of cooc (skew path is lossless)") {
+    val d = docs("a b a c a b", "b c a a", "a a a a a a")
+    val vocab = SwivelPrep.buildVocab(d, minCount = 1, shardSize = 1)
+    val plain = SwivelPrep.cooc(d, vocab, 3)
+      .orderBy("row_id", "col_id").as[(Long, Long, Double)].collect().toSeq
+    val salted = SwivelPrep.coocSalted(d, vocab, 3, saltBuckets = 4)
+      .orderBy("row_id", "col_id").as[(Long, Long, Double)].collect().toSeq
+    assert(salted == plain)
+  }
+
   test("shard: id % num_shards assignment, dense locals") {
     val d = docs("a a b b c c d d", "a b c d")
     val vocab = SwivelPrep.buildVocab(d, minCount = 1, shardSize = 2)
