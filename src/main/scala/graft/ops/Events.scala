@@ -18,6 +18,34 @@ object Events {
 
   private def eus = unix_micros(col("ts").cast("timestamp"))
 
+  /** Banded interval self-join: pairs of events per user with
+    * 0 < ts_b − ts_a ≤ maxGapUs and id_a < id_b.
+    *
+    * Instead of matching every same-user pair and filtering (per-user
+    * workload grows quadratically in events/user), each event is banded
+    * into its maxGap-sized time bucket and the probe side joins bucket b
+    * against {b, b−1}: any qualifying pair lands in one of the two bucket
+    * combinations, and each candidate set is bounded by bucket occupancy —
+    * the interval-join plan that survives dense users at 100 TB. Output:
+    * a.* ++ b.* column sets for downstream aggregation.
+    */
+  def intervalSelfJoin(events: DataFrame, maxGapUs: Long): DataFrame = {
+    val e = events.select(col("event_id"), col("user_id"), col("ts"),
+      col("event_type"), eus.as("eus"))
+      .withColumn("bucket", expr(s"eus div $maxGapUs"))
+    val a = e.alias("a")
+    val bSide = e.select(col("event_id"), col("user_id"), col("ts"),
+        col("event_type"), col("eus"),
+        explode(array(col("bucket"), col("bucket") - 1)).as("bucket"))
+      .alias("b")
+    a.join(bSide,
+        col("a.user_id") === col("b.user_id") &&
+        col("a.bucket") === col("b.bucket") &&
+        col("a.event_id") < col("b.event_id") &&
+        col("b.eus") > col("a.eus") &&
+        col("b.eus") <= col("a.eus") + maxGapUs)
+  }
+
   /** As-of join within one event stream: for each `leftType` event, the
     * most recent `rightType` event by the same user at/before its ts
     * (ties at equal ts include the right event; among tied rights the max

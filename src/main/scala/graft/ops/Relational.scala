@@ -194,18 +194,12 @@ object Relational {
       | AND a.event_id < b.event_id
       | AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 5 MINUTE
       |GROUP BY type_a, type_b ORDER BY type_a, type_b""".stripMargin) { (s, d) =>
-    // Interval join: the equi key (user_id) carries the shuffle; the range
-    // predicate is a residual filter inside the per-user match — never a
-    // cartesian product. At 100 TB this is a user_id-partitioned
-    // sort-merge join; skewed users would get AQE skew splitting.
-    val ev = Tables.events(s, d).select("event_id", "user_id", "ts", "event_type")
-    val a = ev.alias("a")
-    val b = ev.alias("b")
-    a.join(b,
-        col("a.user_id") === col("b.user_id") &&
-        col("a.event_id") < col("b.event_id") &&
-        col("b.ts") > col("a.ts") &&
-        col("b.ts") <= col("a.ts") + expr("INTERVAL 5 MINUTES"))
+    // Banded interval join (Events.intervalSelfJoin): the equi key is
+    // (user_id, time_bucket), so candidate pairs are bounded by 5-minute
+    // bucket occupancy instead of growing quadratically per user — the
+    // shape that survives dense users at 100 TB. EdgeSpec pins equality
+    // with the naive per-user range join.
+    Events.intervalSelfJoin(Tables.events(s, d), maxGapUs = 300000000L)
       .groupBy(col("a.event_type").as("type_a"), col("b.event_type").as("type_b"))
       .agg(count(lit(1)).as("n"))
       .orderBy("type_a", "type_b")

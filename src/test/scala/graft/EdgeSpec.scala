@@ -47,6 +47,23 @@ class EdgeSpec extends AnyFunSuite {
     assert(got == Seq((1L, 1L, 2L), (1L, 2L, 1L), (2L, 1L, 1L)))
   }
 
+  test("banded interval join equals the naive per-user range join") {
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+      .select("event_id", "user_id", "ts", "event_type")
+    val gap = org.apache.spark.sql.functions.expr("INTERVAL 5 MINUTES")
+    val naive = ev.alias("a").join(ev.alias("b"),
+        col("a.user_id") === col("b.user_id") &&
+        col("a.event_id") < col("b.event_id") &&
+        col("b.ts") > col("a.ts") && col("b.ts") <= col("a.ts") + gap)
+      .select(col("a.event_id").as("i"), col("b.event_id").as("j"))
+      .as[(Long, Long)].collect().toSet
+    val banded = Events.intervalSelfJoin(ev, 300000000L)
+      .select(col("a.event_id").as("i"), col("b.event_id").as("j"))
+      .as[(Long, Long)].collect().toSet
+    assert(banded == naive)
+    assert(banded.nonEmpty)
+  }
+
   test("dedup_exact: identical texts group; keeper is min doc_id") {
     val docs = Seq(
       (10L, "same same same"), (3L, "same same same"), (7L, "unique text here"))
