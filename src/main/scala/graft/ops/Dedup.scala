@@ -10,16 +10,16 @@ import graft.Tables
   */
 object Dedup {
 
-  /** Per-document MinHash signature over the distinct-shingle set:
-    * h_i = min over shingles of xxhash64("mh<i>:" ++ shingle).
-    * One combinable groupBy — at 100 TB this is a single map-side-partial
-    * shuffle keyed by doc_id, signature width k columns.
+  /** Per-document MinHash signature over the distinct-shingle set, via the
+    * one-pass TypedImperativeAggregate sketch (graft.functions.MinHashAgg):
+    * each shingle hashes once (xxhash64) and the k lane-minima accumulate
+    * in a single k-long buffer with map-side partial merge — at 100 TB the
+    * doc_id shuffle carries k·8 bytes per document, not the shingle set.
+    * Output: (doc_id, sig array<long>).
     */
-  def minHashSignatures(sh: DataFrame, k: Int): DataFrame = {
-    val aggs = (0 until k).map(i =>
-      min(xxhash64(concat(lit(s"mh$i:"), col("shingle")))).as(s"h$i"))
-    sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
-  }
+  def minHashSignatures(sh: DataFrame, k: Int): DataFrame =
+    sh.groupBy("doc_id")
+      .agg(graft.functions.MinHashAgg.sketch(xxhash64(col("shingle")), k).as("sig"))
 
   /** LSH candidate pairs with k single-hash bands (r=1): documents sharing
     * ANY of the k minhashes become candidates. Recall for a pair with
@@ -31,7 +31,7 @@ object Dedup {
   def minHashCandidates(sh: DataFrame, k: Int = 16): DataFrame = {
     val sig = minHashSignatures(sh, k)
     val bands = sig.select(col("doc_id"),
-      posexplode(array((0 until k).map(i => col(s"h$i")): _*)).as(Seq("band", "h")))
+      posexplode(col("sig")).as(Seq("band", "h")))
     bands.as("x").join(bands.as("y"), Seq("band", "h"))
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("i"), col("y.doc_id").as("j"))
