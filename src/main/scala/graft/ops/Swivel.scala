@@ -66,12 +66,18 @@ object Swivel {
     SwivelPrep.buildVocab(Tables.documents(s, d), MinCount, ShardSize).orderBy("id")
   }
 
+  /** Vocab is reused by both the broadcast id-join and the shard-count
+    * scalar — cache it (bounded: the truncated vocabulary, the same size
+    * the reference collects to the driver). */
+  private def cachedVocab(docs: org.apache.spark.sql.DataFrame) =
+    SwivelPrep.buildVocab(docs, MinCount, ShardSize).cache()
+
   val swivelCooc = QueryDef(
     "swivel_cooc",
     s"""$baseCte
        |SELECT row_id, col_id, weight FROM cells ORDER BY row_id, col_id""".stripMargin) { (s, d) =>
     val docs = Tables.documents(s, d)
-    SwivelPrep.cooc(docs, SwivelPrep.buildVocab(docs, MinCount, ShardSize), WindowSize)
+    SwivelPrep.cooc(docs, cachedVocab(docs), WindowSize)
       .orderBy("row_id", "col_id")
   }
 
@@ -81,7 +87,7 @@ object Swivel {
        |SELECT row_id AS id, round($weightSql, 4) AS marginal
        |FROM pboth GROUP BY id ORDER BY id""".stripMargin) { (s, d) =>
     val docs = Tables.documents(s, d)
-    SwivelPrep.marginals(docs, SwivelPrep.buildVocab(docs, MinCount, ShardSize), WindowSize)
+    SwivelPrep.marginals(docs, cachedVocab(docs), WindowSize)
       .orderBy("id")
   }
 
@@ -102,7 +108,7 @@ object Swivel {
     s"""$baseCte$shardCte
        |SELECT * FROM shards ORDER BY global_row, global_col""".stripMargin) { (s, d) =>
     val docs = Tables.documents(s, d)
-    val vocab = SwivelPrep.buildVocab(docs, MinCount, ShardSize)
+    val vocab = cachedVocab(docs)
     SwivelPrep.shard(SwivelPrep.cooc(docs, vocab, WindowSize), vocab, ShardSize)
       .orderBy("global_row", "global_col")
   }
@@ -114,7 +120,7 @@ object Swivel {
        |FROM shards GROUP BY row_shard, col_shard
        |ORDER BY row_shard, col_shard""".stripMargin) { (s, d) =>
     val docs = Tables.documents(s, d)
-    val vocab = SwivelPrep.buildVocab(docs, MinCount, ShardSize)
+    val vocab = cachedVocab(docs)
     SwivelPrep.shard(SwivelPrep.cooc(docs, vocab, WindowSize), vocab, ShardSize)
       .groupBy("row_shard", "col_shard")
       .agg(count(lit(1)).as("n_cells"))

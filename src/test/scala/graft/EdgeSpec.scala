@@ -64,6 +64,22 @@ class EdgeSpec extends AnyFunSuite {
     assert(banded.nonEmpty)
   }
 
+  test("sessionize boundary agrees with Spark session_window at equal gap") {
+    // Declared rule (SURVEY §5.2-3): gap == threshold stays in the
+    // session. Verified empirically: Spark's session_window ALSO merges
+    // an event arriving exactly at session end (end = last ts + gap), so
+    // the batch analog and the streaming operator share boundary
+    // semantics — this test pins that agreement.
+    import org.apache.spark.sql.functions.{session_window, count => fcount}
+    val ev = events(
+      (1L, "2024-01-01 00:00:00", 1L, "click"),
+      (2L, "2024-01-01 00:30:00", 1L, "click")) // gap exactly 30 min
+    assert(Events.sessionize(ev).count() == 1)
+    val sw = ev.groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(fcount(lit(1))).count()
+    assert(sw == 1)
+  }
+
   test("dedup_exact: identical texts group; keeper is min doc_id") {
     val docs = Seq(
       (10L, "same same same"), (3L, "same same same"), (7L, "unique text here"))
