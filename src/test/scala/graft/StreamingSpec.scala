@@ -76,6 +76,43 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("file-source streaming matches the batch analog on real events data") {
+    // readStream over the sf0.001 events parquet (nanos → NTZ conversion,
+    // as in Tables.events), complete-mode tumbling aggregation — must
+    // reproduce the batch stream_tumbling relation exactly.
+    val d = "/root/testdata/sf0.001"
+    val raw = Tables.events(spark, d) // batch read fixes the post-conversion schema
+    // FileStreamSource needs a directory — stage the single file into one
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$d/events.parquet"),
+      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    val rawSchema = spark.read
+      .option("mergeSchema", "false").parquet(s"$d/events.parquet").schema
+    val streamed = spark.readStream.schema(rawSchema).parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").cast("timestamp").as("window_start"),
+        col("event_type"), col("n"))
+    val q = streamed.writeStream.format("memory").queryName("file_out")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("file_out")
+        .orderBy("window_start", "event_type")
+        .as[(java.sql.Timestamp, String, Long)].collect().toSeq
+      val want = raw.groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start").cast("timestamp").as("window_start"),
+          col("event_type"), col("n"))
+        .orderBy("window_start", "event_type")
+        .as[(java.sql.Timestamp, String, Long)].collect().toSeq
+      assert(got == want)
+      assert(got.nonEmpty)
+    } finally q.stop()
+  }
+
   test("sliding windows: an event lands in exactly two 1h/30min windows") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(java.sql.Timestamp, String, Double)]
