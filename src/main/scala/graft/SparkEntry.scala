@@ -15,7 +15,7 @@ object SparkEntry {
   def defs: Seq[QueryDef] =
     Relational.all ++ Functions.all ++ Text.all ++ Similarity.all ++
       Events.all ++ Swivel.all ++ Typed.all ++
-      Dedup.all ++ TextAnalysis.all ++ Ann.all ++ Multimodal.all
+      Dedup.all ++ TextAnalysis.all ++ Ann.all ++ Multimodal.all ++ Extras.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,95 @@
+package graft.ops
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import Det._
+
+/** Coverage extensions added after the core inventory: statistical
+  * aggregates, window distribution functions, conditional expressions.
+  */
+object Extras {
+
+  val aggStats = QueryDef(
+    "agg_stats",
+    """SELECT l_returnflag, sd_qty, var_qty, mean_qty FROM (
+      |  SELECT l_returnflag,
+      |    sqrt((sx2 - sx * sx / n) / (n - 1)) AS sd_qty,
+      |    (sx2 - sx * sx / n) / (n - 1) AS var_qty,
+      |    sx / n AS mean_qty
+      |  FROM (
+      |    SELECT l_returnflag,
+      |      CAST(sum(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sx2,
+      |      CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sx,
+      |      count(*) AS n
+      |    FROM lineitem GROUP BY l_returnflag)
+      |) ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+    // Engines' native var_samp/stddev use different streaming algorithms
+    // (noise above 4dp at big magnitudes), so the stats come from
+    // DECIMAL-exact Σx and Σx² + the identical double expression
+    // (Σx² − (Σx)²/n)/(n−1) on both engines. The column is l_quantity
+    // (≤50, 2dp): its scaled sums stay below 2^53 at every SF, where both
+    // engines' decimal→double casts are exact — for larger magnitudes the
+    // two cast paths (single-rounding vs int128-then-scale) can differ by
+    // an ulp, which is why this query is not defined over o_totalprice.
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        sum(money(col("l_quantity")) * money(col("l_quantity")))
+          .cast("double").as("sx2"),
+        sum(money(col("l_quantity"))).cast("double").as("sx"),
+        count(lit(1)).as("n"))
+      .select(col("l_returnflag"),
+        sqrt((col("sx2") - col("sx") * col("sx") / col("n")) / (col("n") - 1)).as("sd_qty"),
+        ((col("sx2") - col("sx") * col("sx") / col("n")) / (col("n") - 1)).as("var_qty"),
+        (col("sx") / col("n")).as("mean_qty"))
+      .orderBy("l_returnflag")
+  }
+
+  val windowDistribution = QueryDef(
+    "window_distribution",
+    """SELECT o_custkey, o_orderkey,
+      |  CAST(ntile(4) OVER w AS INT) AS quartile,
+      |  round(percent_rank() OVER w, 4) AS pct_rank,
+      |  round(cume_dist() OVER w, 4) AS cume
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, d) =>
+    // percent_rank/cume_dist are ratios of identical integers → identical
+    // doubles; ntile over a total order is deterministic.
+    val w = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"),
+        ntile(4).over(w).as("quartile"),
+        round(percent_rank().over(w), 4).as("pct_rank"),
+        round(cume_dist().over(w), 4).as("cume"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  val fnConditional = QueryDef(
+    "fn_conditional",
+    """SELECT l_orderkey, l_linenumber,
+      |  CASE WHEN l_quantity < 10 THEN 'low' WHEN l_quantity < 35 THEN 'mid' ELSE 'high' END AS qty_band,
+      |  coalesce(nullif(l_returnflag, 'N'), 'none') AS flag_or_none,
+      |  CAST(greatest(l_quantity, 10.0 * l_tax * 100) AS DOUBLE) AS g,
+      |  CAST(least(l_discount, l_tax) AS DOUBLE) AS l,
+      |  CASE WHEN l_linestatus = 'O' AND l_returnflag = 'N' THEN 1 ELSE 0 END AS open_clean
+      |FROM lineitem
+      |ORDER BY l_orderkey, l_linenumber, qty_band, g, l
+      |LIMIT 100""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        when(col("l_quantity") < 10, "low")
+          .when(col("l_quantity") < 35, "mid")
+          .otherwise("high").as("qty_band"),
+        coalesce(nullif(col("l_returnflag"), lit("N")), lit("none")).as("flag_or_none"),
+        greatest(col("l_quantity"), lit(10.0) * col("l_tax") * 100).cast("double").as("g"),
+        least(col("l_discount"), col("l_tax")).cast("double").as("l"),
+        when(col("l_linestatus") === "O" && col("l_returnflag") === "N", 1)
+          .otherwise(0).as("open_clean"))
+      .orderBy("l_orderkey", "l_linenumber", "qty_band", "g", "l")
+      .limit(100)
+  }
+
+  val all: Seq[QueryDef] = Seq(aggStats, windowDistribution, fnConditional)
+}
