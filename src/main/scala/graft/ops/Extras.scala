@@ -91,5 +91,67 @@ object Extras {
       .limit(100)
   }
 
-  val all: Seq[QueryDef] = Seq(aggStats, windowDistribution, fnConditional)
+  val joinFull = QueryDef(
+    "join_full",
+    """SELECT c_custkey, c_acctbal, o_orderkey, o_totalprice
+      |FROM (SELECT * FROM customer WHERE c_acctbal > 9000) c
+      |FULL JOIN (SELECT * FROM orders WHERE o_totalprice > 400000) o
+      |  ON c.c_custkey = o.o_custkey
+      |ORDER BY c_custkey NULLS FIRST, o_orderkey NULLS FIRST
+      |LIMIT 200""".stripMargin) { (s, d) =>
+    // Filtered sides so both null shapes occur: rich customers without a
+    // huge order, huge orders from non-rich customers.
+    val c = Tables.customer(s, d).filter(col("c_acctbal") > 9000)
+    val o = Tables.orders(s, d).filter(col("o_totalprice") > 400000)
+    c.join(o, col("c_custkey") === col("o_custkey"), "full")
+      .select("c_custkey", "c_acctbal", "o_orderkey", "o_totalprice")
+      .orderBy(col("c_custkey").asc_nulls_first, col("o_orderkey").asc_nulls_first)
+      .limit(200)
+  }
+
+  val joinCross = QueryDef(
+    "join_cross",
+    """SELECT r_name, n_name FROM region CROSS JOIN nation
+      |ORDER BY r_name, n_name""".stripMargin) { (s, d) =>
+    // The one declared cartesian product — bounded by construction
+    // (5 × 25 dimension rows).
+    Tables.region(s, d).crossJoin(Tables.nation(s, d))
+      .select("r_name", "n_name")
+      .orderBy("r_name", "n_name")
+  }
+
+  val aggPivot = QueryDef(
+    "agg_pivot",
+    """SELECT o_orderpriority,
+      |  CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS F,
+      |  CAST(count(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS O,
+      |  CAST(count(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS P
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+    // pivot with an explicit value list (no extra distinct-values job);
+    // missing combinations fill 0 to match the FILTER-count oracle.
+    Tables.orders(s, d)
+      .groupBy("o_orderpriority")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .count()
+      .na.fill(0L, Seq("F", "O", "P"))
+      .orderBy("o_orderpriority")
+  }
+
+  val aggPercentile = QueryDef(
+    "agg_percentile",
+    """SELECT o_orderpriority,
+      |  list_transform(quantile_cont(o_totalprice, [0.25, 0.5, 0.95]), x -> round(x, 4)) AS price_quantiles
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+    // Exact (sort-based) percentiles with linear interpolation on both
+    // engines; 4dp round absorbs interpolation-formula ulps.
+    Tables.orders(s, d)
+      .groupBy("o_orderpriority")
+      .agg(transform(
+        expr("percentile(o_totalprice, array(0.25D, 0.5D, 0.95D))"),
+        x => round(x, 4)).as("price_quantiles"))
+      .orderBy("o_orderpriority")
+  }
+
+  val all: Seq[QueryDef] = Seq(aggStats, windowDistribution, fnConditional,
+    joinFull, joinCross, aggPivot, aggPercentile)
 }
