@@ -46,12 +46,22 @@ object Dedup {
     */
   def minHashNearDup(docs: DataFrame, k: Int = 16, threshold: Double = 0.5): DataFrame = {
     val sh = Functions.shingles(docs)
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val cand = minHashCandidates(sh, k)
+    // signatures and set sizes come out of ONE doc_id aggregation — the
+    // sketch buffer and the count ride the same shuffle
+    val sig = sh.groupBy("doc_id")
+      .agg(graft.functions.MinHashAgg.sketch(xxhash64(col("shingle")), k).as("sig"),
+        count(lit(1)).as("n"))
+    val bands = sig.select(col("doc_id"),
+      posexplode(col("sig")).as(Seq("band", "h")))
+    val cand = bands.as("x").join(bands.as("y"), Seq("band", "h"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("i"), col("y.doc_id").as("j"))
+      .distinct()
     val inter = cand
       .join(sh.as("sx"), col("i") === col("sx.doc_id"))
       .join(sh.as("sy"), col("j") === col("sy.doc_id") && col("sx.shingle") === col("sy.shingle"))
       .groupBy("i", "j").agg(count(lit(1)).as("inter"))
+    val sizes = sig.select(col("doc_id"), col("n"))
     inter
       .join(sizes.as("si"), col("i") === col("si.doc_id"))
       .join(sizes.as("sj"), col("j") === col("sj.doc_id"))
