@@ -37,8 +37,16 @@ object Tables {
   def lineitem(spark: SparkSession, sfDir: String): DataFrame  = table(spark, sfDir, "lineitem")
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     val raw = eventsRaw(spark, sfDir)
+    // ts layout depends on the writer: TIMESTAMP(NANOS) parquet arrives as
+    // a nanos BIGINT (via the legacy conf), µs-timestamp parquet arrives
+    // as a timestamp type already — normalize either to µs TIMESTAMP_NTZ.
+    val tsExpr = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz")
+      case _ => col("ts").cast("timestamp_ntz")
+    }
     raw.select(raw.columns.map {
-      case "ts" => timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz").as("ts")
+      case "ts" => tsExpr.as("ts")
       case c    => col(c)
     }.toIndexedSeq: _*)
   }
