@@ -92,5 +92,51 @@ object Text {
     nearDupPairs(Tables.documents(s, d)).orderBy("i", "j")
   }
 
-  val all: Seq[QueryDef] = Seq(textStats, dedupExact, dedupNear)
+  /** Near-dup keeper assignment: for every document appearing in a
+    * near-dup pair, the minimum doc_id among itself and its direct
+    * neighbors — the one-round min-propagation used to pick a cluster
+    * representative. The output is LINEAR in the number of near-dup
+    * documents (unlike the all-pairs relation, which is quadratic in
+    * dup-group size — see the BASELINE.md 10× study); repeated rounds
+    * would converge to full connected components.
+    */
+  def nearDupKeepers(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
+    val pairs = nearDupPairs(docs, threshold)
+    val neighbors = pairs.select(col("i").as("doc_id"), col("j").as("nb"))
+      .unionAll(pairs.select(col("j").as("doc_id"), col("i").as("nb")))
+    neighbors.groupBy("doc_id")
+      .agg(least(min(col("nb")), col("doc_id")).as("keeper"),
+        count(lit(1)).as("n_neighbors"))
+  }
+
+  val dedupKeeper = QueryDef(
+    "dedup_keeper",
+    s"""${Functions.shingleOracleCte},
+       |shd AS (SELECT DISTINCT doc_id, shingle FROM sh WHERE shingle IS NOT NULL),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY doc_id),
+       |inter AS (
+       |  SELECT x.doc_id AS i, y.doc_id AS j, count(*) AS inter
+       |  FROM shd x JOIN shd y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+       |  GROUP BY i, j
+       |),
+       |pairs AS (
+       |  SELECT i, j FROM (
+       |    SELECT i, j, inter.inter / (si.n + sj.n - inter.inter) AS jac_raw
+       |    FROM inter
+       |    JOIN sizes si ON inter.i = si.doc_id
+       |    JOIN sizes sj ON inter.j = sj.doc_id
+       |  ) WHERE jac_raw >= 0.5
+       |),
+       |nbrs AS (
+       |  SELECT i AS doc_id, j AS nb FROM pairs
+       |  UNION ALL
+       |  SELECT j AS doc_id, i AS nb FROM pairs
+       |)
+       |SELECT doc_id, least(min(nb), doc_id) AS keeper,
+       |       CAST(count(*) AS BIGINT) AS n_neighbors
+       |FROM nbrs GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+    nearDupKeepers(Tables.documents(s, d)).orderBy("doc_id")
+  }
+
+  val all: Seq[QueryDef] = Seq(textStats, dedupExact, dedupNear, dedupKeeper)
 }
