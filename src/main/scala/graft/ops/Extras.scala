@@ -152,6 +152,90 @@ object Extras {
       .orderBy("o_orderpriority")
   }
 
+  val aggCorr = QueryDef(
+    "agg_corr",
+    """SELECT l_returnflag, round(corr_qd, 4) AS corr_qd, round(covar_qd, 4) AS covar_qd FROM (
+      |  SELECT l_returnflag,
+      |    (n * sxy - sx * sy) / sqrt((n * sx2 - sx * sx) * (n * sy2 - sy * sy)) AS corr_qd,
+      |    (sxy - sx * sy / n) / (n - 1) AS covar_qd
+      |  FROM (
+      |    SELECT l_returnflag,
+      |      CAST(sum(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS sxy,
+      |      CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sx,
+      |      CAST(sum(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS sy,
+      |      CAST(sum(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sx2,
+      |      CAST(sum(CAST(l_discount AS DECIMAL(4,2)) * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS sy2,
+      |      count(*) AS n
+      |    FROM lineitem GROUP BY l_returnflag)
+      |) ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+    // Correlation/covariance from DECIMAL-exact sums over small-magnitude
+    // columns (scaled sums ≪ 2^53 at any SF — see §2.9-7), identical
+    // double expression on both engines; round4 on already-identical
+    // values.
+    val q = money(col("l_quantity")); val dc = rate(col("l_discount"))
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        sum(q * dc).cast("double").as("sxy"),
+        sum(q).cast("double").as("sx"),
+        sum(dc).cast("double").as("sy"),
+        sum(q * q).cast("double").as("sx2"),
+        sum(dc * dc).cast("double").as("sy2"),
+        count(lit(1)).as("n"))
+      .select(col("l_returnflag"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")) /
+          sqrt((col("n") * col("sx2") - col("sx") * col("sx")) *
+               (col("n") * col("sy2") - col("sy") * col("sy"))), 4).as("corr_qd"),
+        round((col("sxy") - col("sx") * col("sy") / col("n")) / (col("n") - 1), 4)
+          .as("covar_qd"))
+      .orderBy("l_returnflag")
+  }
+
+  val fnBitwise = QueryDef(
+    "fn_bitwise",
+    """SELECT o_orderkey,
+      |  o_orderkey & 255 AS k_and,
+      |  o_orderkey | 4096 AS k_or,
+      |  xor(o_orderkey, 21845) AS k_xor,
+      |  o_orderkey << 2 AS k_shl,
+      |  o_orderkey >> 3 AS k_shr
+      |FROM orders ORDER BY o_orderkey LIMIT 100""".stripMargin) { (s, d) =>
+    Tables.orders(s, d)
+      .select(col("o_orderkey"),
+        col("o_orderkey").bitwiseAND(255).as("k_and"),
+        col("o_orderkey").bitwiseOR(4096).as("k_or"),
+        col("o_orderkey").bitwiseXOR(21845).as("k_xor"),
+        shiftleft(col("o_orderkey"), 2).as("k_shl"),
+        shiftright(col("o_orderkey"), 3).as("k_shr"))
+      .orderBy("o_orderkey")
+      .limit(100)
+  }
+
+  val windowFirstLast = QueryDef(
+    "window_first_last",
+    """SELECT user_id, event_id,
+      |  first_value(event_id) OVER w AS first_ev,
+      |  last_value(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_ev,
+      |  nth_value(event_id, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_ev
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |ORDER BY user_id, event_id""".stripMargin) { (s, d) =>
+    // last_value/nth_value take the full-partition frame (the default
+    // running frame would make them row-dependent on both engines alike,
+    // but the full frame is the conventional meaning).
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"),
+        first(col("event_id")).over(w).as("first_ev"),
+        last(col("event_id")).over(full).as("last_ev"),
+        nth_value(col("event_id"), 2).over(full).as("second_ev"))
+      .orderBy("user_id", "event_id")
+  }
+
   val all: Seq[QueryDef] = Seq(aggStats, windowDistribution, fnConditional,
-    joinFull, joinCross, aggPivot, aggPercentile)
+    joinFull, joinCross, aggPivot, aggPercentile,
+    aggCorr, fnBitwise, windowFirstLast)
 }
