@@ -140,15 +140,19 @@ object Extras {
   val aggPercentile = QueryDef(
     "agg_percentile",
     """SELECT o_orderpriority,
-      |  list_transform(quantile_cont(o_totalprice, [0.25, 0.5, 0.95]), x -> round(x, 4)) AS price_quantiles
+      |  round(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+      |  round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+      |  round(quantile_cont(o_totalprice, 0.95), 4) AS p95
       |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
     // Exact (sort-based) percentiles with linear interpolation on both
-    // engines; 4dp round absorbs interpolation-formula ulps.
+    // engines; 4dp round absorbs interpolation-formula ulps. Scalar
+    // columns (not one array) so the gate's pandas diff can sort them.
     Tables.orders(s, d)
       .groupBy("o_orderpriority")
-      .agg(transform(
-        expr("percentile(o_totalprice, array(0.25D, 0.5D, 0.95D))"),
-        x => round(x, 4)).as("price_quantiles"))
+      .agg(
+        round(expr("percentile(o_totalprice, 0.25D)"), 4).as("p25"),
+        round(expr("percentile(o_totalprice, 0.5D)"), 4).as("p50"),
+        round(expr("percentile(o_totalprice, 0.95D)"), 4).as("p95"))
       .orderBy("o_orderpriority")
   }
 

@@ -97,10 +97,14 @@ object Functions {
       |  CAST(len(embedding) AS INT) AS dim,
       |  CAST(embedding[1] AS DOUBLE) AS e1,
       |  round(sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS l2_norm,
-      |  list_transform(embedding[1:4], x -> CAST(x AS DOUBLE)) AS head4
+      |  CAST(embedding[2] AS DOUBLE) AS e2,
+      |  CAST(embedding[3] AS DOUBLE) AS e3,
+      |  CAST(embedding[4] AS DOUBLE) AS e4
       |FROM embeddings ORDER BY vec_id LIMIT 100""".stripMargin) { (s, d) =>
     // Higher-order array functions; float→double casts are exact, the
-    // squared-sum is a sequential left fold on both engines.
+    // squared-sum is a sequential left fold on both engines. The array
+    // prefix is flattened to scalar columns e1..e4 so the gate's pandas
+    // diff can sort the output (it cannot order array cells).
     Tables.embeddings(s, d)
       .select(col("vec_id"),
         size(col("embedding")).as("dim"),
@@ -108,7 +112,9 @@ object Functions {
         round(sqrt(aggregate(
           transform(col("embedding"), x => x.cast("double") * x.cast("double")),
           lit(0.0), (acc, x) => acc + x)), 4).as("l2_norm"),
-        transform(slice(col("embedding"), 1, 4), x => x.cast("double")).as("head4"))
+        element_at(col("embedding"), 2).cast("double").as("e2"),
+        element_at(col("embedding"), 3).cast("double").as("e3"),
+        element_at(col("embedding"), 4).cast("double").as("e4"))
       .orderBy("vec_id")
       .limit(100)
   }
