@@ -18,13 +18,15 @@ import graft.Tables
   */
 object Ann {
 
-  /** (vec_id, ve, nrm, bucket): nearest-centroid assignment by cosine,
-    * ties → lowest centroid id. */
-  def ivfAssign(emb: DataFrame, centroidIds: Seq[Long]): DataFrame = {
-    val v = emb.select(col("vec_id"), Similarity.vecD(col("embedding")).as("ve"))
+  /** (vec_id, ve double[], nrm) — shared vector prep. */
+  def prep(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"), Similarity.vecD(col("embedding")).as("ve"))
       .select(col("vec_id"), col("ve"), Similarity.l2norm(col("ve")).as("nrm"))
-    val cents = v.filter(col("vec_id").isin(centroidIds: _*))
-      .select(col("vec_id").as("cid"), col("ve").as("cve"), col("nrm").as("cnrm"))
+
+  /** Nearest-centroid assignment by cosine against an explicit centroid
+    * relation (cid, cve, cnrm) — centroids broadcast, ties → lowest cid.
+    * Output: (vec_id, ve, nrm, bucket). */
+  def assignTo(v: DataFrame, cents: DataFrame): DataFrame = {
     val rn = Window.partitionBy("vec_id")
       .orderBy(col("ccos").desc, col("cid"))
     v.crossJoin(broadcast(cents))
@@ -35,18 +37,30 @@ object Ann {
       .select(col("vec_id"), col("ve"), col("nrm"), col("cid").as("bucket"))
   }
 
-  /** Top-k by cosine for the query vector, scanning only the nprobe
-    * buckets nearest the query. */
-  def ivfTopK(emb: DataFrame, queryId: Long, centroidIds: Seq[Long],
+  /** Centroid relation from data-vector ids (the deterministic seed). */
+  def centroidsFromIds(v: DataFrame, centroidIds: Seq[Long]): DataFrame =
+    v.filter(col("vec_id").isin(centroidIds: _*))
+      .select(col("vec_id").as("cid"), col("ve").as("cve"), col("nrm").as("cnrm"))
+
+  /** (vec_id, ve, nrm, bucket): nearest-centroid assignment by cosine,
+    * ties → lowest centroid id. */
+  def ivfAssign(emb: DataFrame, centroidIds: Seq[Long]): DataFrame = {
+    val v = prep(emb)
+    assignTo(v, centroidsFromIds(v, centroidIds))
+  }
+
+  /** Top-k by cosine for the query vector against an explicit centroid
+    * relation, scanning only the nprobe buckets nearest the query. */
+  def ivfTopKWith(emb: DataFrame, queryId: Long, cents: DataFrame,
       nprobe: Int, k: Int): DataFrame = {
-    val assigned = ivfAssign(emb, centroidIds)
-    val q = assigned.filter(col("vec_id") === queryId)
+    val v = prep(emb)
+    val assigned = assignTo(v, cents)
+    val q = v.filter(col("vec_id") === queryId)
       .select(col("ve").as("qve"), col("nrm").as("qnrm"))
     // nprobe buckets nearest the query (by centroid cosine, ties → id)
-    val probed = assigned.filter(col("vec_id").isin(centroidIds: _*))
-      .crossJoin(broadcast(q))
-      .select(col("vec_id").as("pbucket"),
-        (Similarity.dot(col("qve"), col("ve")) / (col("qnrm") * col("nrm"))).as("pcos"))
+    val probed = cents.crossJoin(broadcast(q))
+      .select(col("cid").as("pbucket"),
+        (Similarity.dot(col("qve"), col("cve")) / (col("qnrm") * col("cnrm"))).as("pcos"))
       .orderBy(col("pcos").desc, col("pbucket"))
       .limit(nprobe)
       .select("pbucket")
@@ -58,6 +72,109 @@ object Ann {
         round(Similarity.dot(col("qve"), col("ve")) / (col("qnrm") * col("nrm")), 4).as("cos"))
       .orderBy(col("cos").desc, col("vec_id"))
       .limit(k)
+  }
+
+  /** Top-k by cosine with data-vector centroids (the gated, oracle-
+    * mirrored form: centroid = the first C vectors by id). */
+  def ivfTopK(emb: DataFrame, queryId: Long, centroidIds: Seq[Long],
+      nprobe: Int, k: Int): DataFrame =
+    ivfTopKWith(emb, queryId, centroidsFromIds(prep(emb), centroidIds), nprobe, k)
+
+  /** k-means refinement of the first-C-by-id seed: `iters` Lloyd rounds,
+    * each one broadcast-assign pass + one combinable per-bucket mean
+    * (CentroidAgg partial aggregation). Centroid STATE lives on the
+    * driver between rounds (C·d doubles — the MLlib KMeans pattern; the
+    * data itself is never collected), which keeps the lineage flat
+    * instead of re-executing all prior rounds each iteration. Determinism
+    * is up to double-sum association inside the mean — suited to the
+    * recall-tested ANN path, not to hash-gated oracles (which is why the
+    * gated `sim_ann_ivf` keeps the data-vector centroid seed).
+    */
+  def kmeansCentroids(v: DataFrame, c: Int, iters: Int): DataFrame = {
+    val s = v.sparkSession
+    import s.implicits._
+    val centroid = udaf(graft.functions.CentroidAgg)
+    def toDf(cents: Seq[(Long, Array[Double])]): DataFrame =
+      broadcast(cents.toDF("cid", "cve")
+        .select(col("cid"), col("cve"), Similarity.l2norm(col("cve")).as("cnrm")))
+    var cents = v.filter(col("vec_id") < c)
+      .select(col("vec_id").as("cid"), col("ve").as("cve"))
+      .as[(Long, Array[Double])].collect().toSeq
+    var i = 0
+    while (i < iters) {
+      // empty clusters drop out (no members → no row)
+      cents = assignTo(v, toDf(cents))
+        .groupBy(col("bucket").as("cid"))
+        .agg(centroid(col("ve")).as("cve"))
+        .as[(Long, Array[Double])].collect().toSeq.sortBy(_._1)
+      i += 1
+    }
+    toDf(cents)
+  }
+
+  // ---- Hyperplane LSH: sub-quadratic candidate generation for the
+  // high-cosine regime (real near-dup corpora). On near-orthogonal data
+  // at low thresholds it degrades to ~all pairs — see Similarity's
+  // scaladoc for why the gated exact queries stay on the blocked kernel.
+
+  /** splitmix64 — deterministic pseudo-random stream for hyperplanes. */
+  private def mix64(x: Long): Long = {
+    var z = x + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /** Deterministic Rademacher (±1) hyperplane `plane` of dimension dim. */
+  private def hyperplane(seed: Long, plane: Int, dim: Int): Array[Double] =
+    Array.tabulate(dim)(cIdx =>
+      if (mix64(seed * 1000003L + plane * 131L + cIdx) < 0) -1.0 else 1.0)
+
+  /** (vec_id, band, bkey): signed-random-projection band keys. Bit r of a
+    * band's key is [dot(ve, h) >= 0] for that band's r-th hyperplane —
+    * rowsPerBand bits per band, `bands` bands. Collision probability for
+    * a pair at angle θ is (1 − θ/π)^rowsPerBand per band.
+    */
+  def lshBands(v: DataFrame, dim: Int, bands: Int, rowsPerBand: Int,
+      seed: Long = 42L): DataFrame = {
+    val bandCols = (0 until bands).map { b =>
+      val key = (0 until rowsPerBand).map { r =>
+        val h = hyperplane(seed, b * rowsPerBand + r, dim)
+        when(Similarity.dot(col("ve"), array(h.map(lit(_)): _*)) >= 0,
+          lit(1L << r)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      struct(lit(b).as("band"), key.as("bkey"))
+    }
+    v.select(col("vec_id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("vec_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+  }
+
+  /** Candidate pairs (i < j) sharing any band key — the shuffle is keyed
+    * by (band, bkey): bounded bucket joins, never all-pairs. */
+  def lshCandidates(v: DataFrame, dim: Int, bands: Int = 16,
+      rowsPerBand: Int = 8, seed: Long = 42L): DataFrame = {
+    val bk = lshBands(v, dim, bands, rowsPerBand, seed)
+    bk.as("x").join(bk.as("y"), Seq("band", "bkey"))
+      .filter(col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("i"), col("y.vec_id").as("j"))
+      .distinct()
+  }
+
+  /** LSH-bucketed embedding near-dup: banded candidates + exact-cosine
+    * refilter. Same output contract as Dedup.embeddingNearDup whenever
+    * every qualifying pair collides in some band (high-threshold regime;
+    * EdgeSpec proves equality on planted near-dups). */
+  def lshNearDup(emb: DataFrame, threshold: Double, dim: Int,
+      bands: Int = 16, rowsPerBand: Int = 8, seed: Long = 42L): DataFrame = {
+    val v = prep(emb)
+    val cand = lshCandidates(v, dim, bands, rowsPerBand, seed)
+    cand
+      .join(v.select(col("vec_id").as("i"), col("ve").as("ive"), col("nrm").as("inrm")), Seq("i"))
+      .join(v.select(col("vec_id").as("j"), col("ve").as("jve"), col("nrm").as("jnrm")), Seq("j"))
+      .select(col("i"), col("j"),
+        (Similarity.dot(col("ive"), col("jve")) / (col("inrm") * col("jnrm"))).as("cos_raw"))
+      .filter(col("cos_raw") >= threshold)
+      .select(col("i"), col("j"), round(col("cos_raw"), 4).as("cos"))
   }
 
   private val NCentroids = 8

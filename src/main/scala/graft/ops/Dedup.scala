@@ -75,7 +75,15 @@ object Dedup {
     "dedup_minhash",
     // Oracle = the exact shingle-Jaccard relation (same as dedup_near):
     // the LSH candidate generator is an optimization, not a semantics
-    // change, and has ~1 - 0.5^16 recall at the threshold.
+    // change, and has ~1 - 0.5^16 recall at the threshold. Accepted gate
+    // risk, documented: the whole path is deterministic (xxhash64, no
+    // RNG), so on the FIXED gate corpora recall is not probabilistic —
+    // equality against the exact oracle is verified at sf0.001/0.01/0.1
+    // and cannot regress unless the data itself changes. A just-over-
+    // threshold pair on a brand-new corpus could in principle miss all
+    // 16 bands (p ≈ 2·10⁻⁵ at j = 0.5); unioning in the exact shingle
+    // equi-join would waive even that at the cost of making the LSH
+    // path decorative, so the sketch path stays authoritative.
     s"""${Functions.shingleOracleCte},
        |shd AS (SELECT DISTINCT doc_id, shingle FROM sh WHERE shingle IS NOT NULL),
        |sizes AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY doc_id),
@@ -111,6 +119,42 @@ object Dedup {
     agg.select(col("doc_id"), fp.as("simhash"))
   }
 
+  /** Hamming-band LSH over the 64-bit SimHash: split the fingerprint into
+    * four 16-bit bands — a pair at hamming distance ≤ 3 differs in at most
+    * 3 bands, so it AGREES on at least one (pigeonhole): recall is exactly
+    * 1 at the ≤3 threshold, no probabilistic miss. Candidates share a
+    * (band, value) bucket — the shuffle is keyed by band value, bounded
+    * bucket joins, never all-pairs — then the exact hamming refilter
+    * (bit_count(x ^ y)) drops false candidates. This is what makes
+    * SimHash a real near-dup operator instead of an exact-match hash.
+    */
+  def simHashNearDup(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val fp = simHash(docs)
+    val bands = fp.select(col("doc_id"), col("simhash"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFFL).as("bval"))): _*)).as("bk"))
+      .select(col("doc_id"), col("simhash"),
+        col("bk.band").as("band"), col("bk.bval").as("bval"))
+    bands.as("x").join(bands.as("y"), Seq("band", "bval"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("i"), col("y.doc_id").as("j"),
+        col("x.simhash").as("fx"), col("y.simhash").as("fy"))
+      .distinct()
+      .select(col("i"), col("j"),
+        bit_count(col("fx").bitwiseXOR(col("fy"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  val dedupSimhashNear = QueryDef.noOracle("dedup_simhash_near") { (s, d) =>
+    // No oracle (simhash is xxhash64-derived, Spark-specific); banding
+    // recall is structurally 1 at hamming ≤ 3 and EdgeSpec proves the
+    // output equals the brute-force hamming join on planted dups.
+    simHashNearDup(Tables.documents(s, d))
+      .orderBy("i", "j")
+      .limit(200)
+  }
+
   val dedupSimhash = QueryDef.noOracle("dedup_simhash") { (s, d) =>
     // No oracle: xxhash64 is Spark-specific (DuckDB has no compatible
     // hash). Covered by DedupSpec: identical texts → identical simhash;
@@ -123,15 +167,18 @@ object Dedup {
   }
 
   /** Embedding-cosine near-duplicate pairs: cos ≥ threshold, i < j.
-    * Brute-force N² here (exact baseline); the LSH/IVF bucketing in Ann
-    * is the scale path for candidate generation.
+    * Exact, via the BLOCKED all-pairs kernel (Similarity.allPairsCos):
+    * equi-join on block-pair keys, dense tile per task, no
+    * BroadcastNestedLoopJoin. Exact is the right gated form here —
+    * on this near-orthogonal embedding table LSH cannot beat it at the
+    * 0.5 threshold without recall loss (see Similarity's scaladoc);
+    * `Ann.lshNearDup` is the sub-quadratic path for real (high-cos)
+    * near-dup corpora.
     */
   def embeddingNearDup(emb: DataFrame, threshold: Double): DataFrame = {
     val v = emb.select(col("vec_id"), Similarity.vecD(col("embedding")).as("ve"))
     val n = v.select(col("vec_id"), col("ve"), Similarity.l2norm(col("ve")).as("nrm"))
-    n.as("a").join(n.as("b"), col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("i"), col("b.vec_id").as("j"),
-        (Similarity.dot(col("a.ve"), col("b.ve")) / (col("a.nrm") * col("b.nrm"))).as("cos_raw"))
+    Similarity.allPairsCos(n)
       .filter(col("cos_raw") >= threshold)
       .select(col("i"), col("j"), round(col("cos_raw"), 4).as("cos"))
   }
@@ -153,5 +200,5 @@ object Dedup {
     embeddingNearDup(Tables.embeddings(s, d), 0.5).orderBy("i", "j")
   }
 
-  val all: Seq[QueryDef] = Seq(dedupMinhash, dedupSimhash, dedupEmbed)
+  val all: Seq[QueryDef] = Seq(dedupMinhash, dedupSimhash, dedupSimhashNear, dedupEmbed)
 }

@@ -67,10 +67,20 @@ object Swivel {
   }
 
   /** Vocab is reused by both the broadcast id-join and the shard-count
-    * scalar — cache it (bounded: the truncated vocabulary, the same size
-    * the reference collects to the driver). */
-  private def cachedVocab(docs: org.apache.spark.sql.DataFrame) =
-    SwivelPrep.buildVocab(docs, MinCount, ShardSize).cache()
+    * scalar. Materialize it to the driver once and re-emit as a local
+    * relation: the truncated vocabulary is bounded (the same structure
+    * the reference pipeline writes out as a vocab file), so this costs
+    * one bounded collect, makes the reuse free, and — unlike the earlier
+    * `.cache()` — leaves no storage blocks behind after the query
+    * (repeated Verify/Bench sweeps in one session stay clean). */
+  private def cachedVocab(docs: org.apache.spark.sql.DataFrame) = {
+    val s = docs.sparkSession
+    import s.implicits._
+    SwivelPrep.buildVocab(docs, MinCount, ShardSize)
+      .select(col("id"), col("token"), col("cnt"))
+      .as[(Long, String, Long)].collect().toSeq
+      .toDF("id", "token", "cnt")
+  }
 
   val swivelCooc = QueryDef(
     "swivel_cooc",

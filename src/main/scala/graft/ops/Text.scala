@@ -92,21 +92,65 @@ object Text {
     nearDupPairs(Tables.documents(s, d)).orderBy("i", "j")
   }
 
-  /** Near-dup keeper assignment: for every document appearing in a
-    * near-dup pair, the minimum doc_id among itself and its direct
-    * neighbors — the one-round min-propagation used to pick a cluster
-    * representative. The output is LINEAR in the number of near-dup
-    * documents (unlike the all-pairs relation, which is quadratic in
-    * dup-group size — see the BASELINE.md 10× study); repeated rounds
-    * would converge to full connected components.
+  /** ONE round of min-propagation: for every document in a near-dup pair,
+    * the minimum doc_id among itself and its direct neighbors. Linear
+    * output; correct cluster representative whenever components are
+    * cliques (the common near-dup case). Library form — the gated
+    * `dedup_keeper` iterates this to the connected-component fixpoint.
     */
-  def nearDupKeepers(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
+  def nearDupKeepersOneRound(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
     val pairs = nearDupPairs(docs, threshold)
     val neighbors = pairs.select(col("i").as("doc_id"), col("j").as("nb"))
       .unionAll(pairs.select(col("j").as("doc_id"), col("i").as("nb")))
     neighbors.groupBy("doc_id")
       .agg(least(min(col("nb")), col("doc_id")).as("keeper"),
         count(lit(1)).as("n_neighbors"))
+  }
+
+  /** Connected-component keeper: iterate min-label propagation over the
+    * near-dup graph to fixpoint (≤ maxRounds), so chained dups (A~B~C
+    * with A≁C) share one keeper — the true component minimum. Each round
+    * is one shuffle over the (linear) edge list; the loop converges in
+    * ≤ diameter rounds and stops early via a per-round changed-count
+    * check (the standard driver-loop shape for iterative graph passes —
+    * labels persist per round, previous round unpersisted; at 100 TB the
+    * edge list stays cached across rounds and only the label relation
+    * moves). maxRounds bounds worst-case chains; near-dup components in
+    * real corpora are shallow (dup groups are near-cliques).
+    */
+  def nearDupKeepers(docs: DataFrame, threshold: Double = 0.5,
+      maxRounds: Int = 10): DataFrame = {
+    val pairs = nearDupPairs(docs, threshold).select("i", "j")
+    val edges = pairs
+      .unionAll(pairs.select(col("j").as("i"), col("i").as("j")))
+      .toDF("src", "dst")
+      .persist()
+    // localCheckpoint (eager) per round: materializes the labels AND
+    // truncates lineage, so the plan stays one round deep instead of
+    // nesting every prior round's joins, and nothing persisted leaks
+    // into the returned DataFrame (checkpoint blocks free on GC).
+    var labels = edges.groupBy(col("src").as("doc_id"))
+      .agg(least(min(col("dst")), col("src")).as("comp"),
+        count(lit(1)).as("n_neighbors"))
+      .localCheckpoint()
+    var rounds = 0
+    var converged = false
+    while (rounds < maxRounds && !converged) {
+      val viaNeighbors = edges
+        .join(labels.select(col("doc_id").as("dst"), col("comp").as("nbComp")), "dst")
+        .select(col("src").as("doc_id"), col("nbComp").as("cand"))
+      val next = labels.select(col("doc_id"), col("comp").as("cand"))
+        .unionAll(viaNeighbors)
+        .groupBy("doc_id").agg(min(col("cand")).as("comp"))
+        .join(labels.select(col("doc_id"), col("comp").as("prev"), col("n_neighbors")), "doc_id")
+        .select(col("doc_id"), col("comp"), col("prev"), col("n_neighbors"))
+        .localCheckpoint()
+      converged = next.filter(col("comp") < col("prev")).isEmpty
+      labels = next
+      rounds += 1
+    }
+    edges.unpersist()
+    labels.select(col("doc_id"), col("comp").as("keeper"), col("n_neighbors"))
   }
 
   val dedupKeeper = QueryDef(
@@ -127,14 +171,28 @@ object Text {
        |    JOIN sizes sj ON inter.j = sj.doc_id
        |  ) WHERE jac_raw >= 0.5
        |),
-       |nbrs AS (
-       |  SELECT i AS doc_id, j AS nb FROM pairs
+       |edges AS (
+       |  SELECT i AS src, j AS dst FROM pairs
        |  UNION ALL
-       |  SELECT j AS doc_id, i AS nb FROM pairs
+       |  SELECT j AS src, i AS dst FROM pairs
+       |),
+       |deg AS (
+       |  SELECT src AS doc_id, CAST(count(*) AS BIGINT) AS n_neighbors
+       |  FROM edges GROUP BY src
+       |),
+       |reach AS (
+       |  WITH RECURSIVE r(doc_id, m) AS (
+       |    SELECT src, src FROM edges
+       |    UNION
+       |    SELECT e.src, r.m FROM edges e JOIN r ON e.dst = r.doc_id
+       |  )
+       |  SELECT doc_id, min(m) AS keeper FROM r GROUP BY doc_id
        |)
-       |SELECT doc_id, least(min(nb), doc_id) AS keeper,
-       |       CAST(count(*) AS BIGINT) AS n_neighbors
-       |FROM nbrs GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+       |SELECT deg.doc_id, keeper, n_neighbors
+       |FROM deg JOIN reach ON deg.doc_id = reach.doc_id
+       |ORDER BY deg.doc_id""".stripMargin) { (s, d) =>
+    // Oracle: transitive closure (recursive CTE) → true component minimum,
+    // matching the iterated min-propagation fixpoint.
     nearDupKeepers(Tables.documents(s, d)).orderBy("doc_id")
   }
 

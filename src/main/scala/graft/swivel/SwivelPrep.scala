@@ -48,13 +48,30 @@ object SwivelPrep {
     * ids are byte-identical to the window formulation ((count DESC,
     * token ASC) is a total order).
     */
+  /** Unsigned lexicographic byte order — the order Spark SQL's UTF8String
+    * and DuckDB's VARCHAR comparisons both use. JVM String.compareTo
+    * (UTF-16 code units) diverges from it for supplementary-plane text
+    * (emoji sort before U+E000–U+FFFF in UTF-16 but after in UTF-8), so
+    * the rank tie-break must compare UTF-8 bytes to match the oracle. */
+  private implicit val utf8Ord: Ordering[Array[Byte]] = (a, b) => {
+    var i = 0
+    var res = 0
+    val n = math.min(a.length, b.length)
+    while (res == 0 && i < n) {
+      res = (a(i) & 0xff) - (b(i) & 0xff)
+      i += 1
+    }
+    if (res != 0) res else a.length - b.length
+  }
+
   def buildVocab(docs: DataFrame, minCount: Int, shardSize: Int): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val counts = tokenize(docs).groupBy("token").agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= minCount)
     val ranked = counts.select(col("token"), col("cnt")).as[(String, Long)].rdd
-      .sortBy({ case (t, c) => (-c, t) })
+      .sortBy({ case (t, c) =>
+        (-c, t.getBytes(java.nio.charset.StandardCharsets.UTF_8)) })
       .zipWithIndex()
       .map { case ((t, c), i) => (i, t, c) }
       .toDF("id", "token", "cnt")

@@ -1,0 +1,78 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ops.{Ann, Dedup, Similarity}
+
+/** Scale-path equivalence for the embedding operators: the blocked exact
+  * all-pairs kernel vs the theta-join form, hyperplane-LSH candidates on
+  * planted near-dups, and k-means IVF recall on planted clusters. */
+class AnnSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val d = "/root/testdata/sf0.001"
+
+  test("blocked all-pairs cosine equals the theta-join brute force") {
+    val n = Ann.prep(Tables.embeddings(spark, d))
+    val brute = n.as("a").join(n.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("i"), col("b.vec_id").as("j"),
+        round(Similarity.dot(col("a.ve"), col("b.ve")) /
+          (col("a.nrm") * col("b.nrm")), 4).as("cos"))
+      .as[(Long, Long, Double)].collect().toSet
+    val blocked = Similarity.allPairsCos(n)
+      .select(col("i"), col("j"), round(col("cos_raw"), 4).as("cos"))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(blocked == brute)
+    assert(blocked.size == { val c = n.count(); (c * (c - 1) / 2).toInt })
+  }
+
+  /** Planted corpus: `clusters` base vectors, `perCluster` noisy copies
+    * each (cos vs base ≳ 0.99), plus `noise` unrelated vectors. */
+  private def planted(clusters: Int, perCluster: Int, noise: Int, dim: Int) = {
+    val rnd = new scala.util.Random(7)
+    def unit() = {
+      val v = Array.fill(dim)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => (x / n).toFloat)
+    }
+    val bases = Array.fill(clusters)(unit())
+    val rows = (for {
+      c <- 0 until clusters
+      k <- 0 until perCluster
+    } yield {
+      val jitter = unit().map(_ * 0.05f)
+      val v = bases(c).zip(jitter).map { case (a, b) => a + b }
+      ((c * perCluster + k).toLong, c, v)
+    }) ++ (0 until noise).map(i =>
+      ((clusters * perCluster + i).toLong, -1, unit()))
+    rows.toDF("vec_id", "label", "embedding")
+  }
+
+  test("hyperplane-LSH near-dup equals exact on planted near-dups, with fewer candidates") {
+    val emb = planted(clusters = 6, perCluster = 5, noise = 60, dim = 32)
+    val exact = Dedup.embeddingNearDup(emb, 0.9)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(exact.size >= 6 * 10) // every intra-cluster pair qualifies
+    val lsh = Ann.lshNearDup(emb, 0.9, dim = 32)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(lsh == exact)
+    val n = emb.count()
+    val nCand = Ann.lshCandidates(Ann.prep(emb), dim = 32).count()
+    assert(nCand < n * (n - 1) / 2 / 4) // sub-quadratic in practice
+  }
+
+  test("k-means IVF reaches recall ≥ 0.9 vs exact top-10 on planted clusters") {
+    val emb = planted(clusters = 4, perCluster = 40, noise = 0, dim = 16)
+    val cents = Ann.kmeansCentroids(Ann.prep(emb), c = 4, iters = 3)
+    val approx = Ann.ivfTopKWith(emb, queryId = 0L, cents, nprobe = 1, k = 10)
+      .select("vec_id").as[Long].collect().toSet
+    val exact = Similarity.allPairsCos(Ann.prep(emb))
+      .filter(col("i") === 0L || col("j") === 0L)
+      .select(when(col("i") === 0L, col("j")).otherwise(col("i")).as("other"),
+        col("cos_raw"))
+      .orderBy(col("cos_raw").desc, col("other"))
+      .limit(10).select("other").as[Long].collect().toSet
+    assert((approx & exact).size >= 9)
+  }
+}

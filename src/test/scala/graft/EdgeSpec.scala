@@ -128,6 +128,40 @@ class EdgeSpec extends AnyFunSuite {
     assert(fp(1L) != fp(3L))
   }
 
+  test("keeper fixpoint: a 3-chain (A~B~C, A≁C) converges to one component keeper") {
+    // jac(1,2)=7/9, jac(2,3)=6/10, jac(1,3)=5/11 < 0.5 — a genuine chain.
+    val docs = Seq(
+      (1L, "a b c d e f g h i j"),
+      (2L, "a b c d e f g h i K"),
+      (3L, "X Y c d e f g h i K"),
+      (4L, "totally unrelated tokens compose this other document body here now"))
+      .toDF("doc_id", "text")
+    val oneRound = Text.nearDupKeepersOneRound(docs)
+      .select("doc_id", "keeper").as[(Long, Long)].collect().toMap
+    assert(oneRound == Map(1L -> 1L, 2L -> 1L, 3L -> 2L)) // chain end inconsistent
+    val fixpoint = Text.nearDupKeepers(docs)
+      .select("doc_id", "keeper").as[(Long, Long)].collect().toMap
+    assert(fixpoint == Map(1L -> 1L, 2L -> 1L, 3L -> 1L)) // true component min
+  }
+
+  test("simhash hamming banding finds exactly the brute-force hamming ≤ 3 pairs") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"), // exact dup → hamming 0
+      (3L, "alpha beta gamma delta epsilon zeta eta theta iota lambda"),
+      (4L, "one two three four five six seven eight nine ten"),
+      (5L, "unrelated words entirely compose this very different text body"))
+      .toDF("doc_id", "text")
+    val fp = Dedup.simHash(docs).as[(Long, Long)].collect().toMap
+    val brute = (for {
+      (i, fi) <- fp.toSeq; (j, fj) <- fp.toSeq if i < j
+      h = java.lang.Long.bitCount(fi ^ fj) if h <= 3
+    } yield (i, j, h)).toSet
+    val got = Dedup.simHashNearDup(docs).as[(Long, Long, Int)].collect().toSet
+    assert(got == brute)
+    assert(brute.exists(_._3 == 0)) // the planted exact dup is recalled
+  }
+
   test("decimal-exact sums: 0.005-style values that break double accumulation") {
     val df = Seq.fill(1000)(0.01).toDF("v")
     val got = df.agg(sum(col("v").cast("decimal(18,4)")).cast("double")).as[Double].head()

@@ -48,6 +48,14 @@ class PlanSpec extends AnyFunSuite {
     assert(formatted.contains("codegen id :"))
   }
 
+  test("sim_knn and dedup_embed plan as blocked equi-joins (no nested-loop N² join)") {
+    for (q <- Seq(graft.ops.Similarity.simKnn, graft.ops.Dedup.dedupEmbed)) {
+      val p = plan(q)
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+        s"${q.name} still plans an unblocked N² join")
+    }
+  }
+
   test("join_asof plans with a single shuffle (one Exchange before the window)") {
     val p = plan(Relational.joinAsof)
     // union-tag trick: expect no SortMergeJoin / BroadcastHashJoin at all
