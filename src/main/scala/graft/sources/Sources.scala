@@ -28,13 +28,17 @@ object Sources {
       contiguousIds: Boolean = false): DataFrame = {
     val lines = spark.read.text(path)
     if (contiguousIds) {
-      import org.apache.spark.sql.expressions.Window
-      // global dense ids: acceptable only when a downstream contract
-      // demands them (single total-order pass)
-      lines.select(
-        (row_number().over(Window.orderBy(monotonically_increasing_id())) - 1)
-          .cast("long").as("doc_id"),
-        col("value").as("text"))
+      // Dense ids WITHOUT a single-partition global window: zipWithIndex
+      // assigns contiguous indices from per-partition offsets (one small
+      // count pass over partition sizes), preserving partition order —
+      // the same distributed ranking buildVocab uses. The order is the
+      // file/partition order, matching what the line-offset ids of the
+      // reference's text ingest imply.
+      import spark.implicits._
+      lines.select(col("value")).as[String].rdd
+        .zipWithIndex()
+        .map { case (text, i) => (i, text) }
+        .toDF("doc_id", "text")
     } else {
       lines.select(monotonically_increasing_id().as("doc_id"), col("value").as("text"))
     }
