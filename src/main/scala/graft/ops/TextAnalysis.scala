@@ -170,5 +170,89 @@ object TextAnalysis {
       .limit(200)
   }
 
-  val all: Seq[QueryDef] = Seq(textLangid, textQuality, textTokens, textFingerprint)
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val LongNumRe = "[0-9]{4,}"
+
+  /** PII scrubbing: redact emails and long digit runs, count redactions.
+    * Pure regexp built-ins (codegen, embarrassingly parallel). The
+    * patterns avoid backreferences/lookaround so Java regex (Spark) and
+    * RE2 (DuckDB) agree symbol-for-symbol; EdgeSpec carries the semantic
+    * proof on planted PII (the gate corpus contains none).
+    */
+  def piiScrub(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      size(regexp_extract_all(col("text"), lit(EmailRe), lit(0))).cast("long").as("n_emails"),
+      size(regexp_extract_all(col("text"), lit(LongNumRe), lit(0))).cast("long").as("n_longnums"),
+      substring(
+        regexp_replace(regexp_replace(col("text"), EmailRe, "<EMAIL>"),
+          LongNumRe, "<NUM>"), 1, 60).as("scrubbed60"))
+
+  val textPiiScrub = QueryDef(
+    "text_pii_scrub",
+    s"""SELECT doc_id,
+       |  CAST(len(regexp_extract_all(text, '$EmailRe')) AS BIGINT) AS n_emails,
+       |  CAST(len(regexp_extract_all(text, '$LongNumRe')) AS BIGINT) AS n_longnums,
+       |  substr(regexp_replace(regexp_replace(text, '$EmailRe', '<EMAIL>', 'g'),
+       |    '$LongNumRe', '<NUM>', 'g'), 1, 60) AS scrubbed60
+       |FROM documents ORDER BY doc_id LIMIT 200""".stripMargin) { (s, d) =>
+    piiScrub(Tables.documents(s, d)).orderBy("doc_id").limit(200)
+  }
+
+  /** Deterministic content-hash train/val split — the reproducible
+    * alternative to rand()-sampling for dataset splits: subset is a pure
+    * function of doc_id (first hex nibble of md5 ≤ 'b' → train, 12/16 =
+    * 75%), identical on any engine, any partitioning, any rerun. */
+  def hashSplit(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      when(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 1) <= "b",
+        "train").otherwise("val").as("subset"))
+
+  val sampleSplit = QueryDef(
+    "sample_split",
+    """SELECT subset, CAST(count(*) AS BIGINT) AS n_docs,
+      |  min(doc_id) AS min_id, max(doc_id) AS max_id
+      |FROM (
+      |  SELECT doc_id,
+      |    CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'b'
+      |      THEN 'train' ELSE 'val' END AS subset
+      |  FROM documents)
+      |GROUP BY subset ORDER BY subset""".stripMargin) { (s, d) =>
+    hashSplit(Tables.documents(s, d))
+      .groupBy("subset")
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("doc_id")).as("min_id"),
+        max(col("doc_id")).as("max_id"))
+      .orderBy("subset")
+  }
+
+  /** Corpus-level top-20 token bigrams (all occurrences, not per-doc
+    * distinct): one explode + one combinable groupBy — linear, and the
+    * top-k is TakeOrderedAndProject, never a global sort. */
+  val textNgrams = QueryDef(
+    "text_ngrams",
+    """WITH pos AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+      |         generate_subscripts(string_split(text, ' '), 1) AS p
+      |  FROM documents
+      |), bg AS (
+      |  SELECT tok || ' ' || lead(tok, 1) OVER (PARTITION BY doc_id ORDER BY p) AS bigram
+      |  FROM pos
+      |)
+      |SELECT bigram, CAST(count(*) AS BIGINT) AS cnt
+      |FROM bg WHERE bigram IS NOT NULL
+      |GROUP BY bigram ORDER BY cnt DESC, bigram LIMIT 20""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .select(split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(toks) - 2), i -> concat_ws(' ', toks[i], toks[i + 1]))"))
+        .as("bigram"))
+      .groupBy("bigram")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("bigram"))
+      .limit(20)
+  }
+
+  val all: Seq[QueryDef] = Seq(textLangid, textQuality, textTokens, textFingerprint,
+    textPiiScrub, sampleSplit, textNgrams)
 }

@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
-import graft.ops.{Dedup, Events, Text}
+import graft.ops.{Dedup, Events, Text, TextAnalysis}
 
 /** Edge-semantics goldens: as-of ties, sessionize gap boundary, dedup
   * keeper choice (FIXTURES.md fixture guidance). */
@@ -160,6 +160,31 @@ class EdgeSpec extends AnyFunSuite {
     val got = Dedup.simHashNearDup(docs).as[(Long, Long, Int)].collect().toSet
     assert(got == brute)
     assert(brute.exists(_._3 == 0)) // the planted exact dup is recalled
+  }
+
+  test("pii scrub redacts planted emails and long digit runs") {
+    val docs = Seq(
+      (1L, "contact john.doe@example.com or call 12345678 soon"),
+      (2L, "short 123 stays but 9876 goes"),
+      (3L, "no pii in this document at all"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.piiScrub(docs).orderBy("doc_id")
+      .as[(Long, Long, Long, String)].collect()
+    assert(got(0)._2 == 1 && got(0)._3 == 1)
+    assert(got(0)._4.contains("<EMAIL>") && got(0)._4.contains("<NUM>"))
+    assert(!got(0)._4.contains("example.com") && !got(0)._4.contains("12345678"))
+    assert(got(1)._3 == 1 && got(1)._4.contains("123 stays"))
+    assert(got(2)._2 == 0 && got(2)._3 == 0)
+  }
+
+  test("hash split is a pure function of doc_id and covers every row") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val s1 = TextAnalysis.hashSplit(docs).as[(Long, String)].collect().toMap
+    val s2 = TextAnalysis.hashSplit(docs.repartition(7)).as[(Long, String)].collect().toMap
+    assert(s1 == s2) // partitioning-invariant
+    assert(s1.size == docs.count())
+    val frac = s1.values.count(_ == "train").toDouble / s1.size
+    assert(frac > 0.6 && frac < 0.9) // ~12/16 expected
   }
 
   test("decimal-exact sums: 0.005-style values that break double accumulation") {
