@@ -136,14 +136,19 @@ object Dedup {
           shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFFL).as("bval"))): _*)).as("bk"))
       .select(col("doc_id"), col("simhash"),
         col("bk.band").as("band"), col("bk.bval").as("bval"))
+    // hamming is computed BEFORE the pair dedup and the fingerprints are
+    // dropped immediately, so the one wide shuffle (the band join) is the
+    // only time the 64-bit fingerprints move; the candidate dedup is a
+    // narrow (i, j) aggregation (hamming is functionally determined by the
+    // pair — min() just picks the one value) with the cheap exact filter
+    // pushed below it to shrink the shuffle to true near-dups.
     bands.as("x").join(bands.as("y"), Seq("band", "bval"))
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("i"), col("y.doc_id").as("j"),
-        col("x.simhash").as("fx"), col("y.simhash").as("fy"))
-      .distinct()
-      .select(col("i"), col("j"),
-        bit_count(col("fx").bitwiseXOR(col("fy"))).as("hamming"))
-      .filter(col("hamming") <= maxHamming)
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("h"))
+      .filter(col("h") <= maxHamming)
+      .groupBy("i", "j")
+      .agg(min(col("h")).as("hamming"))
   }
 
   val dedupSimhashNear = QueryDef.noOracle("dedup_simhash_near") { (s, d) =>

@@ -76,10 +76,14 @@ object Swivel {
   private def cachedVocab(docs: org.apache.spark.sql.DataFrame) = {
     val s = docs.sparkSession
     import s.implicits._
-    SwivelPrep.buildVocab(docs, MinCount, ShardSize)
-      .select(col("id"), col("token"), col("cnt"))
+    val vocab = SwivelPrep.buildVocab(docs, MinCount, ShardSize)
+    val rows = vocab.select(col("id"), col("token"), col("cnt"))
       .as[(Long, String, Long)].collect().toSeq
-      .toDF("id", "token", "cnt")
+    // buildVocab materializes via localCheckpoint; its blocks are dead
+    // weight once collected — release them so repeated Verify/Bench
+    // sweeps in one session leave no storage residue.
+    org.apache.spark.sql.graft.bridge.releaseLocalCheckpoint(vocab)
+    rows.toDF("id", "token", "cnt")
   }
 
   val swivelCooc = QueryDef(

@@ -110,13 +110,18 @@ object Text {
   /** Connected-component keeper: iterate min-label propagation over the
     * near-dup graph to fixpoint (≤ maxRounds), so chained dups (A~B~C
     * with A≁C) share one keeper — the true component minimum. Each round
-    * is one shuffle over the (linear) edge list; the loop converges in
-    * ≤ diameter rounds and stops early via a per-round changed-count
-    * check (the standard driver-loop shape for iterative graph passes —
-    * labels persist per round, previous round unpersisted; at 100 TB the
-    * edge list stays cached across rounds and only the label relation
-    * moves). maxRounds bounds worst-case chains; near-dup components in
-    * real corpora are shallow (dup groups are near-cliques).
+    * is ONE Spark job: the new label relation is lazily localCheckpoint-ed
+    * and the changed-label count is taken over it, so the same action
+    * materializes the checkpoint (lineage stays one round deep) and
+    * decides convergence — no separate isEmpty pass. The previous round's
+    * checkpoint blocks are released deterministically once the next round
+    * is down (only the final, linear label relation stays resident; at
+    * 100 TB the edge list is the cached invariant and only the label
+    * relation moves per round). maxRounds bounds worst-case chains —
+    * exceeding it without convergence THROWS rather than silently
+    * returning non-component labels (near-dup components in real corpora
+    * are near-cliques, converging in 1-2 rounds; a deep chain needs a
+    * larger maxRounds, not wrong keepers).
     */
   def nearDupKeepers(docs: DataFrame, threshold: Double = 0.5,
       maxRounds: Int = 10): DataFrame = {
@@ -125,10 +130,6 @@ object Text {
       .unionAll(pairs.select(col("j").as("i"), col("i").as("j")))
       .toDF("src", "dst")
       .persist()
-    // localCheckpoint (eager) per round: materializes the labels AND
-    // truncates lineage, so the plan stays one round deep instead of
-    // nesting every prior round's joins, and nothing persisted leaks
-    // into the returned DataFrame (checkpoint blocks free on GC).
     var labels = edges.groupBy(col("src").as("doc_id"))
       .agg(least(min(col("dst")), col("src")).as("comp"),
         count(lit(1)).as("n_neighbors"))
@@ -144,12 +145,20 @@ object Text {
         .groupBy("doc_id").agg(min(col("cand")).as("comp"))
         .join(labels.select(col("doc_id"), col("comp").as("prev"), col("n_neighbors")), "doc_id")
         .select(col("doc_id"), col("comp"), col("prev"), col("n_neighbors"))
-        .localCheckpoint()
-      converged = next.filter(col("comp") < col("prev")).isEmpty
+        .localCheckpoint(eager = false)
+      // count() computes every partition, which both materializes the lazy
+      // checkpoint and yields the convergence signal in a single job
+      converged = next.filter(col("comp") < col("prev")).count() == 0
+      org.apache.spark.sql.graft.bridge.releaseLocalCheckpoint(labels)
       labels = next
       rounds += 1
     }
     edges.unpersist()
+    if (!converged)
+      throw new IllegalStateException(
+        s"nearDupKeepers did not converge in $maxRounds rounds — component " +
+          "diameter exceeds maxRounds; raise maxRounds (labels would be " +
+          "silently non-minimal otherwise)")
     labels.select(col("doc_id"), col("comp").as("keeper"), col("n_neighbors"))
   }
 

@@ -178,20 +178,28 @@ object TextAnalysis {
     * patterns avoid backreferences/lookaround so Java regex (Spark) and
     * RE2 (DuckDB) agree symbol-for-symbol; EdgeSpec carries the semantic
     * proof on planted PII (the gate corpus contains none).
+    *
+    * The scrub is sequential — emails first, digit runs on the RESULT —
+    * and n_longnums is counted on the same email-scrubbed intermediate,
+    * so the counts state exactly what the scrub replaced (a digit run
+    * inside an email is one <EMAIL> redaction, not also a <NUM>).
     */
-  def piiScrub(docs: DataFrame): DataFrame =
+  def piiScrub(docs: DataFrame): DataFrame = {
+    val emailScrubbed = regexp_replace(col("text"), EmailRe, "<EMAIL>")
     docs.select(col("doc_id"),
       size(regexp_extract_all(col("text"), lit(EmailRe), lit(0))).cast("long").as("n_emails"),
-      size(regexp_extract_all(col("text"), lit(LongNumRe), lit(0))).cast("long").as("n_longnums"),
+      size(regexp_extract_all(emailScrubbed, lit(LongNumRe), lit(0))).cast("long").as("n_longnums"),
       substring(
-        regexp_replace(regexp_replace(col("text"), EmailRe, "<EMAIL>"),
-          LongNumRe, "<NUM>"), 1, 60).as("scrubbed60"))
+        regexp_replace(emailScrubbed, LongNumRe, "<NUM>"), 1, 60).as("scrubbed60"))
+  }
 
   val textPiiScrub = QueryDef(
     "text_pii_scrub",
     s"""SELECT doc_id,
        |  CAST(len(regexp_extract_all(text, '$EmailRe')) AS BIGINT) AS n_emails,
-       |  CAST(len(regexp_extract_all(text, '$LongNumRe')) AS BIGINT) AS n_longnums,
+       |  CAST(len(regexp_extract_all(
+       |    regexp_replace(text, '$EmailRe', '<EMAIL>', 'g'), '$LongNumRe')) AS BIGINT)
+       |    AS n_longnums,
        |  substr(regexp_replace(regexp_replace(text, '$EmailRe', '<EMAIL>', 'g'),
        |    '$LongNumRe', '<NUM>', 'g'), 1, 60) AS scrubbed60
        |FROM documents ORDER BY doc_id LIMIT 200""".stripMargin) { (s, d) =>

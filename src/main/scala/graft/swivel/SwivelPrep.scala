@@ -67,17 +67,28 @@ object SwivelPrep {
   def buildVocab(docs: DataFrame, minCount: Int, shardSize: Int): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    // The token-count relation has three consumers (the truncation count,
+    // the sortBy sample pass, the sort shuffle): persist it so the corpus
+    // is tokenized exactly ONCE — at 100 TB each extra evaluation is a
+    // full corpus scan. The returned vocab is materialized with an eager
+    // localCheckpoint (bounded by truncation — the same structure the
+    // reference writes out as a vocab file), so the counts cache can be
+    // released before returning: no unbounded storage blocks outlive the
+    // call, and the caller's DataFrame never re-executes the corpus scan.
     val counts = tokenize(docs).groupBy("token").agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= minCount)
-    val ranked = counts.select(col("token"), col("cnt")).as[(String, Long)].rdd
-      .sortBy({ case (t, c) =>
-        (-c, t.getBytes(java.nio.charset.StandardCharsets.UTF_8)) })
-      .zipWithIndex()
-      .map { case ((t, c), i) => (i, t, c) }
-      .toDF("id", "token", "cnt")
-    val total = counts.count()
-    val keep = (total / shardSize) * shardSize
-    ranked.filter(col("id") < keep)
+      .persist()
+    try {
+      val total = counts.count()
+      val keep = (total / shardSize) * shardSize
+      counts.select(col("token"), col("cnt")).as[(String, Long)].rdd
+        .sortBy({ case (t, c) =>
+          (-c, t.getBytes(java.nio.charset.StandardCharsets.UTF_8)) })
+        .zipWithIndex()
+        .collect { case ((t, c), i) if i < keep => (i, t, c) }
+        .toDF("id", "token", "cnt")
+        .localCheckpoint()
+    } finally counts.unpersist(blocking = false)
   }
 
   /** Ordered in-window pairs with distance: for every in-vocab token pair
