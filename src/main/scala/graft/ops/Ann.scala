@@ -97,9 +97,12 @@ object Ann {
     def toDf(cents: Seq[(Long, Array[Double])]): DataFrame =
       broadcast(cents.toDF("cid", "cve")
         .select(col("cid"), col("cve"), Similarity.l2norm(col("cve")).as("cnrm")))
-    var cents = v.filter(col("vec_id") < c)
+    // seed = the first c vectors in vec_id order (NOT `vec_id < c`, which
+    // silently yields fewer — or zero — seeds when low ids are absent)
+    var cents = v.orderBy(col("vec_id")).limit(c)
       .select(col("vec_id").as("cid"), col("ve").as("cve"))
       .as[(Long, Array[Double])].collect().toSeq
+    require(cents.nonEmpty, s"kmeansCentroids: input has no vectors to seed $c centroids")
     var i = 0
     while (i < iters) {
       // empty clusters drop out (no members → no row)
@@ -125,10 +128,16 @@ object Ann {
     z ^ (z >>> 31)
   }
 
-  /** Deterministic Rademacher (±1) hyperplane `plane` of dimension dim. */
-  private def hyperplane(seed: Long, plane: Int, dim: Int): Array[Double] =
-    Array.tabulate(dim)(cIdx =>
-      if (mix64(seed * 1000003L + plane * 131L + cIdx) < 0) -1.0 else 1.0)
+  /** Deterministic Rademacher (±1) hyperplane `plane` of dimension dim.
+    * The per-plane stream is seeded through its OWN mix64 pass before the
+    * component index enters, so planes never share a component stream at
+    * any dim (a linear `plane*K + cIdx` scheme overlaps once dim > K,
+    * silently correlating planes for common embedding dims like 256/768
+    * and degrading LSH recall). */
+  private def hyperplane(seed: Long, plane: Int, dim: Int): Array[Double] = {
+    val planeSeed = mix64(seed + plane)
+    Array.tabulate(dim)(cIdx => if (mix64(planeSeed + cIdx) < 0) -1.0 else 1.0)
+  }
 
   /** (vec_id, band, bkey): signed-random-projection band keys. Bit r of a
     * band's key is [dot(ve, h) >= 0] for that band's r-th hyperplane —
@@ -177,6 +186,62 @@ object Ann {
       .select(col("i"), col("j"), round(col("cos_raw"), 4).as("cos"))
   }
 
+  /** The embeddings table with a planted near-duplicate of every vector:
+    * copy vec_id + 100000 is the original shifted by +0.01 per component —
+    * cos(v, v') ≈ 0.9968 on this table, while the closest NON-planted pair
+    * sits at ≈ 0.62 (measured at every SF), so threshold 0.99 makes the
+    * exact near-dup relation exactly the planted (i, i+100000) pairs. This
+    * manufactures the high-cosine regime the LSH path is FOR (the raw
+    * table is near-orthogonal — see Similarity's scaladoc) out of the
+    * mandated input tables, deterministically on both engines.
+    */
+  def plantNearDups(emb: DataFrame, offset: Long = 100000L, eps: Double = 0.01): DataFrame = {
+    val v = emb.select(col("vec_id"), Similarity.vecD(col("embedding")).as("embedding"))
+    v.unionAll(v.select((col("vec_id") + offset).as("vec_id"),
+      transform(col("embedding"), x => x + lit(eps)).as("embedding")))
+  }
+
+  val dedupEmbedLsh = QueryDef(
+    "dedup_embed_lsh",
+    // Oracle = the exact all-pairs cosine relation at the 0.99 threshold
+    // over the planted union. The hyperplane-LSH candidate generator is an
+    // optimization, not a semantics change; like dedup_minhash, the gate
+    // pins DETERMINISTIC recall on the fixed corpora (splitmix64 planes,
+    // no RNG) — a planted pair at cos 0.9968 misses all 16 bands with
+    // p ≈ 2e-12 per fresh corpus, and equality vs exact is verified at
+    // sf0.001/0.01/0.1.
+    """WITH v0 AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+      |  FROM embeddings
+      |), u AS (
+      |  SELECT vec_id, ve FROM v0
+      |  UNION ALL
+      |  SELECT vec_id + 100000 AS vec_id, list_transform(ve, x -> x + 0.01) AS ve
+      |  FROM v0
+      |), n AS (
+      |  SELECT vec_id, ve, sqrt(list_dot_product(ve, ve)) AS nrm FROM u
+      |)
+      |SELECT i, j, round(cos_raw, 4) AS cos FROM (
+      |  SELECT a.vec_id AS i, b.vec_id AS j,
+      |         list_dot_product(a.ve, b.ve) / (a.nrm * b.nrm) AS cos_raw
+      |  FROM n a JOIN n b ON a.vec_id < b.vec_id
+      |) WHERE cos_raw >= 0.99
+      |ORDER BY i, j""".stripMargin) { (s, d) =>
+    lshNearDup(plantNearDups(Tables.embeddings(s, d)), threshold = 0.99, dim = 64)
+      .orderBy("i", "j")
+  }
+
+  val simAnnKmeans = QueryDef.noOracle("sim_ann_kmeans") { (s, d) =>
+    // No oracle: the k-means centroid means are double sums whose
+    // association order depends on partitioning, so the bucket boundaries
+    // (and thus which ties fall inside the probe set) are not
+    // hash-reproducible cross-engine. AnnSpec gates the declared key
+    // itself: recall ≥ 0.9 vs the exact top-10 on the real table.
+    val emb = Tables.embeddings(s, d)
+    val cents = kmeansCentroids(prep(emb), c = 8, iters = 3)
+    ivfTopKWith(emb, queryId = 0L, cents, nprobe = 4, k = 10)
+  }
+
   private val NCentroids = 8
   private val centroidIds: Seq[Long] = (1L to NCentroids.toLong)
 
@@ -212,5 +277,5 @@ object Ann {
     ivfTopK(Tables.embeddings(s, d), queryId = 0L, centroidIds, nprobe = 2, k = 10)
   }
 
-  val all: Seq[QueryDef] = Seq(simAnnIvf)
+  val all: Seq[QueryDef] = Seq(simAnnIvf, dedupEmbedLsh, simAnnKmeans)
 }

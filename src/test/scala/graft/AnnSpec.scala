@@ -62,6 +62,27 @@ class AnnSpec extends AnyFunSuite {
     assert(nCand < n * (n - 1) / 2 / 4) // sub-quadratic in practice
   }
 
+  test("dedup_embed_lsh (declared key): LSH pairs = exactly the planted near-dups") {
+    val got = Ann.dedupEmbedLsh.fn(spark, d)
+      .select("i", "j").as[(Long, Long)].collect().toSet
+    val nVecs = Tables.embeddings(spark, d).count()
+    val want = (0L until nVecs).map(i => (i, i + 100000L)).toSet
+    assert(got == want) // full recall at 0.99 on the planted pairs, nothing else
+  }
+
+  test("sim_ann_kmeans (declared key): recall ≥ 0.9 vs exact top-10 on the real table") {
+    val approx = Ann.simAnnKmeans.fn(spark, d)
+      .select("vec_id").as[Long].collect().toSet
+    assert(approx.size == 10)
+    val exact = Similarity.allPairsCos(Ann.prep(Tables.embeddings(spark, d)))
+      .filter(col("i") === 0L || col("j") === 0L)
+      .select(when(col("i") === 0L, col("j")).otherwise(col("i")).as("other"),
+        col("cos_raw"))
+      .orderBy(col("cos_raw").desc, col("other"))
+      .limit(10).select("other").as[Long].collect().toSet
+    assert((approx & exact).size >= 9)
+  }
+
   test("k-means IVF reaches recall ≥ 0.9 vs exact top-10 on planted clusters") {
     val emb = planted(clusters = 4, perCluster = 40, noise = 0, dim = 16)
     val cents = Ann.kmeansCentroids(Ann.prep(emb), c = 4, iters = 3)
