@@ -148,13 +148,25 @@ object Ann {
       seed: Long = 42L): DataFrame = {
     val bandCols = (0 until bands).map { b =>
       val key = (0 until rowsPerBand).map { r =>
+        // typedLit: ONE constant array literal per plane — `array(lit…)`
+        // would rebuild the 64-element array per row per plane, which
+        // dominated the whole LSH pass (measured ~4× the join cost)
         val h = hyperplane(seed, b * rowsPerBand + r, dim)
-        when(Similarity.dot(col("ve"), array(h.map(lit(_)): _*)) >= 0,
+        when(Similarity.dot(col("ve"), typedLit(h)) >= 0,
           lit(1L << r)).otherwise(lit(0L))
       }.reduce(_ + _)
       struct(lit(b).as("band"), key.as("bkey"))
     }
-    v.select(col("vec_id"), explode(array(bandCols: _*)).as("bk"))
+    // repartition BEFORE the projection, with an EXPLICIT partition count:
+    // the bands×rows dot-product tree is too large for whole-stage codegen
+    // (interpreted stage), and the input rows are tiny — AQE sizes shuffle
+    // partitions by BYTES, so a byte-coalesced exchange would funnel this
+    // compute-dense stage into one task. Pinning to defaultParallelism
+    // spreads the dots across every core; at real scale the count is the
+    // cluster's, not a constant.
+    val par = v.sparkSession.sparkContext.defaultParallelism
+    v.repartition(par, col("vec_id"))
+      .select(col("vec_id"), explode(array(bandCols: _*)).as("bk"))
       .select(col("vec_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
   }
 
@@ -162,7 +174,12 @@ object Ann {
     * by (band, bkey): bounded bucket joins, never all-pairs. */
   def lshCandidates(v: DataFrame, dim: Int, bands: Int = 16,
       rowsPerBand: Int = 8, seed: Long = 42L): DataFrame = {
+    // the explicit (band, bkey) repartition puts an Exchange between the
+    // non-codegen band projection and the self-join, so the join + pair
+    // aggregation stage stays inside whole-stage codegen (fused, they all
+    // fall back together — measured 4-6× slower end-to-end)
     val bk = lshBands(v, dim, bands, rowsPerBand, seed)
+      .repartition(col("band"), col("bkey"))
     bk.as("x").join(bk.as("y"), Seq("band", "bkey"))
       .filter(col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("i"), col("y.vec_id").as("j"))
