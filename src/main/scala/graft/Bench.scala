@@ -34,7 +34,10 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"stat":"min","queries":$qs,"sf":"$sfDir"}""")
+    // "harness" tags the methodology: round-over-round totals are only
+    // comparable when the tag matches (repeat-and-min vs the single-shot
+    // harness of rounds 1-3).
+    println(s"""{"metric":"total","value":$total,"unit":"sec","harness":"repeat-and-min-v2","reps":$reps,"stat":"min","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -146,38 +146,37 @@ object Ann {
     */
   def lshBands(v: DataFrame, dim: Int, bands: Int, rowsPerBand: Int,
       seed: Long = 42L): DataFrame = {
-    val bandCols = (0 until bands).map { b =>
-      val key = (0 until rowsPerBand).map { r =>
-        // typedLit: ONE constant array literal per plane — `array(lit…)`
-        // would rebuild the 64-element array per row per plane, which
-        // dominated the whole LSH pass (measured ~4× the join cost)
-        val h = hyperplane(seed, b * rowsPerBand + r, dim)
-        when(Similarity.dot(col("ve"), typedLit(h)) >= 0,
-          lit(1L << r)).otherwise(lit(0L))
-      }.reduce(_ + _)
-      struct(lit(b).as("band"), key.as("bkey"))
-    }
+    // ONE flat plane matrix referenced by a single compact codegen
+    // expression (LshBandKeys). The previous formulation — bands×rows
+    // unrolled DotProduct columns — blew the whole-stage-codegen size
+    // limit and ran the projection interpreted (round-4's #2 bench cost);
+    // the triple-loop expression keeps the stage codegen'd at any
+    // bands/rows/dim, with identical key values (same left-to-right
+    // accumulation, same >= 0 threshold, same splitmix64 planes).
+    val flat: Array[Double] =
+      Array.range(0, bands * rowsPerBand).flatMap(p => hyperplane(seed, p, dim))
     // repartition BEFORE the projection, with an EXPLICIT partition count:
-    // the bands×rows dot-product tree is too large for whole-stage codegen
-    // (interpreted stage), and the input rows are tiny — AQE sizes shuffle
-    // partitions by BYTES, so a byte-coalesced exchange would funnel this
-    // compute-dense stage into one task. Pinning to defaultParallelism
-    // spreads the dots across every core; at real scale the count is the
-    // cluster's, not a constant.
+    // the input rows are tiny and the projection is compute-dense
+    // (bands×rows×dim multiply-adds per row) — AQE sizes shuffle
+    // partitions by BYTES, so a byte-coalesced exchange would funnel the
+    // stage into one task. Pinning to defaultParallelism spreads it
+    // across every core; at real scale the count is the cluster's, not a
+    // constant.
     val par = v.sparkSession.sparkContext.defaultParallelism
     v.repartition(par, col("vec_id"))
-      .select(col("vec_id"), explode(array(bandCols: _*)).as("bk"))
-      .select(col("vec_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+      .select(col("vec_id"),
+        posexplode(graft.functions.LshBandKeys.bandKeys(
+          col("ve"), flat, bands, rowsPerBand, dim)).as(Seq("band", "bkey")))
   }
 
   /** Candidate pairs (i < j) sharing any band key — the shuffle is keyed
     * by (band, bkey): bounded bucket joins, never all-pairs. */
   def lshCandidates(v: DataFrame, dim: Int, bands: Int = 16,
       rowsPerBand: Int = 8, seed: Long = 42L): DataFrame = {
-    // the explicit (band, bkey) repartition puts an Exchange between the
-    // non-codegen band projection and the self-join, so the join + pair
-    // aggregation stage stays inside whole-stage codegen (fused, they all
-    // fall back together — measured 4-6× slower end-to-end)
+    // the explicit (band, bkey) repartition materializes the band keys
+    // ONCE into an Exchange that both sides of the self-join reuse —
+    // without it each alias recomputes the projection and shuffles
+    // separately
     val bk = lshBands(v, dim, bands, rowsPerBand, seed)
       .repartition(col("band"), col("bkey"))
     bk.as("x").join(bk.as("y"), Seq("band", "bkey"))
@@ -214,6 +213,12 @@ object Ann {
     */
   def plantNearDups(emb: DataFrame, offset: Long = 100000L, eps: Double = 0.01): DataFrame = {
     val v = emb.select(col("vec_id"), Similarity.vecD(col("embedding")).as("embedding"))
+    // Bounded-scalar guard (one max over a projected column): a corpus
+    // with vec_id >= offset would silently collide planted ids with real
+    // ones and corrupt the near-dup relation — fail loudly instead.
+    val mx = v.agg(max(col("vec_id"))).head
+    require(mx.isNullAt(0) || mx.getLong(0) < offset,
+      s"plantNearDups: offset $offset must exceed max vec_id ${mx.get(0)} — planted ids would collide")
     v.unionAll(v.select((col("vec_id") + offset).as("vec_id"),
       transform(col("embedding"), x => x + lit(eps)).as("embedding")))
   }

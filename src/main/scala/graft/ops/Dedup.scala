@@ -103,20 +103,66 @@ object Dedup {
   }
 
   /** 64-bit SimHash over the token multiset: bit b of the fingerprint is
-    * set iff Σ_tokens (±1 by bit b of xxhash64(token)) > 0. One explode +
+    * set iff Σ_tokens (±1 by bit b of the token hash) > 0. One explode +
     * one combinable groupBy — linear cost, and near-identical documents
     * land on identical (or hamming-close) fingerprints.
+    *
+    * The token hash is the first 16 hex chars of md5(token), split into
+    * two 32-bit halves (hi = chars 1-8, lo = chars 9-16; bit b of the
+    * 64-bit hash is bit b of lo for b < 32, bit b-32 of hi above). md5 is
+    * bit-identical in DuckDB (`dedup_exact` already relies on it), which
+    * makes the whole SimHash relation oracle-checkable — xxhash64, the
+    * previous hash, had no DuckDB analog and left these keys gated by
+    * specs alone.
     */
   def simHash(docs: DataFrame): DataFrame = {
     val toks = docs.select(col("doc_id"),
       explode(split(col("text"), " ")).as("token"))
-      .withColumn("th", xxhash64(col("token")))
-    val bitSums = (0 until 64).map(b =>
-      sum(when(shiftright(col("th"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$b"))
+      .withColumn("m", md5(col("token")))
+      .withColumn("thi", conv(substring(col("m"), 1, 8), 16, 10).cast("long"))
+      .withColumn("tlo", conv(substring(col("m"), 9, 8), 16, 10).cast("long"))
+    val bitSums = (0 until 64).map { b =>
+      val (src, sh) = if (b < 32) (col("tlo"), b) else (col("thi"), b - 32)
+      sum(when(shiftright(src, sh).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$b")
+    }
     val agg = toks.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+    // 1L << 63 is Long.MinValue: the bit-63 term is negative by two's
+    // complement, so the sum below IS the signed 64-bit fingerprint (the
+    // oracle mirrors it with an explicit negative constant — DuckDB
+    // errors on BIGINT overflow instead of wrapping).
     val fp = (0 until 64).map(b =>
       when(col(s"b$b") > 0, lit(1L << b)).otherwise(0L)).reduce(_ + _)
     agg.select(col("doc_id"), fp.as("simhash"))
+  }
+
+  /** DuckDB CTE computing the identical (doc_id, simhash) relation —
+    * shared by the dedup_simhash and dedup_simhash_near oracles. */
+  private val simHashOracleCte: String = {
+    val bitSums = (0 until 64).map { b =>
+      val (src, sh) = if (b < 32) ("tlo", b) else ("thi", b - 32)
+      s"sum(CASE WHEN ($src >> $sh) & 1 = 1 THEN 1 ELSE -1 END) AS b$b"
+    }.mkString(",\n|    ")
+    val fpTerms = (0 until 64).map { b =>
+      val w = if (b == 63) "CAST(-9223372036854775808 AS BIGINT)"
+              else s"CAST(${1L << b} AS BIGINT)"
+      s"(CASE WHEN b$b > 0 THEN $w ELSE CAST(0 AS BIGINT) END)"
+    }.mkString(" +\n|    ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+       |), th AS (
+       |  SELECT doc_id,
+       |    CAST('0x' || substr(md5(token), 1, 8) AS BIGINT) AS thi,
+       |    CAST('0x' || substr(md5(token), 9, 8) AS BIGINT) AS tlo
+       |  FROM toks
+       |), bits AS (
+       |  SELECT doc_id,
+       |    $bitSums
+       |  FROM th GROUP BY doc_id
+       |), fp AS (
+       |  SELECT doc_id,
+       |    $fpTerms AS simhash
+       |  FROM bits
+       |)""".stripMargin
   }
 
   /** Hamming-band LSH over the 64-bit SimHash: split the fingerprint into
@@ -151,19 +197,32 @@ object Dedup {
       .agg(min(col("h")).as("hamming"))
   }
 
-  val dedupSimhashNear = QueryDef.noOracle("dedup_simhash_near") { (s, d) =>
-    // No oracle (simhash is xxhash64-derived, Spark-specific); banding
-    // recall is structurally 1 at hamming ≤ 3 and EdgeSpec proves the
-    // output equals the brute-force hamming join on planted dups.
+  val dedupSimhashNear = QueryDef(
+    "dedup_simhash_near",
+    // Oracle = brute-force hamming join over the md5-derived fingerprints
+    // (fine at oracle scale; the gated Spark path stays the banded LSH
+    // join, whose recall is structurally 1 at hamming ≤ 3 — pigeonhole —
+    // so the relations are equal by construction, and EdgeSpec pins the
+    // same equality on planted dups).
+    s"""$simHashOracleCte
+       |SELECT i, j, hamming FROM (
+       |  SELECT x.doc_id AS i, y.doc_id AS j,
+       |         CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS hamming
+       |  FROM fp x JOIN fp y ON x.doc_id < y.doc_id
+       |) WHERE hamming <= 3
+       |ORDER BY i, j LIMIT 200""".stripMargin) { (s, d) =>
     simHashNearDup(Tables.documents(s, d))
+      .select(col("i"), col("j"), col("hamming").cast("long").as("hamming"))
       .orderBy("i", "j")
       .limit(200)
   }
 
-  val dedupSimhash = QueryDef.noOracle("dedup_simhash") { (s, d) =>
-    // No oracle: xxhash64 is Spark-specific (DuckDB has no compatible
-    // hash). Covered by DedupSpec: identical texts → identical simhash;
-    // grouping behavior asserted on planted dups.
+  val dedupSimhash = QueryDef(
+    "dedup_simhash",
+    s"""$simHashOracleCte
+       |SELECT simhash, CAST(count(*) AS BIGINT) AS n_docs, min(doc_id) AS keeper
+       |FROM fp GROUP BY simhash
+       |ORDER BY simhash LIMIT 200""".stripMargin) { (s, d) =>
     simHash(Tables.documents(s, d))
       .groupBy("simhash")
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keeper"))

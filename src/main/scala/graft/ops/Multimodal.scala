@@ -50,11 +50,33 @@ object Multimodal {
       }.toDF()
   }
 
-  val multimodalDecode = QueryDef.noOracle("multimodal_decode") { (s, d) =>
-    // No oracle: the decode stub's byte arithmetic is not worth mirroring
-    // in SQL — covered by MultimodalSpec (schema + determinism + planted
-    // values). Joined back to documents to prove the metadata is a
-    // first-class relational column.
+  val multimodalDecode = QueryDef(
+    "multimodal_decode",
+    // Oracle: the payload is unhex(md5(text)), so byte k of the blob IS
+    // hex chars 2k+1..2k+2 of md5(text) — DuckDB recomputes the stub's
+    // byte arithmetic from the hex string (md5 is bit-identical across
+    // engines). b % 128 == b & 0x7f and b % 3 match the stub's masks
+    // because the hex parse yields the UNSIGNED byte value (the Scala
+    // side masks its signed bytes with & 0xff / & 0x7f for the same
+    // reason). feat0: k/256.0 is an exact binary double, and both
+    // engines round half away from zero for positives, so round(·, 4)
+    // equals the stub's math.round(x * 10000) / 10000. The mapPartitions
+    // iterator stays the Spark-side decode surface — the oracle checks
+    // its OUTPUT, proving the plumbing end-to-end.
+    """WITH b AS (
+      |  SELECT doc_id, lang,
+      |    CAST('0x' || substr(md5(text), 1, 2) AS INTEGER) AS b0,
+      |    CAST('0x' || substr(md5(text), 3, 2) AS INTEGER) AS b1,
+      |    CAST('0x' || substr(md5(text), 5, 2) AS INTEGER) AS b2,
+      |    CAST('0x' || substr(md5(text), 7, 2) AS INTEGER) AS b3
+      |  FROM documents
+      |)
+      |SELECT doc_id, lang,
+      |  64 + (b0 % 128) AS width,
+      |  64 + (b1 % 128) AS height,
+      |  CASE b2 % 3 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'webp' END AS fmt,
+      |  round(b3 / 256.0, 4) AS feat0
+      |FROM b ORDER BY doc_id LIMIT 200""".stripMargin) { (s, d) =>
     implicit val spark: SparkSession = s
     val docs = Tables.documents(s, d)
     decodeStub(withPayload(docs))

@@ -95,6 +95,21 @@ object Swivel {
       .orderBy("row_id", "col_id")
   }
 
+  /** The skew-hardened two-level aggregation, gated with the IDENTICAL
+    * oracle as swivel_cooc: salting merges exact integer n_d counts, and
+    * the final weight uses the same fixed-order Σ n_d/d, so the relation
+    * is bit-identical to `cooc` by construction — the driver now verifies
+    * the Zipfian-scale path at every SF instead of a fixture-only spec.
+    */
+  val swivelCoocSalted = QueryDef(
+    "swivel_cooc_salted",
+    s"""$baseCte
+       |SELECT row_id, col_id, weight FROM cells ORDER BY row_id, col_id""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    SwivelPrep.coocSalted(docs, cachedVocab(docs), WindowSize)
+      .orderBy("row_id", "col_id")
+  }
+
   val swivelMarginals = QueryDef(
     "swivel_marginals",
     s"""$baseCte
@@ -142,5 +157,5 @@ object Swivel {
   }
 
   val all: Seq[QueryDef] = Seq(swivelTokenize, swivelVocab, swivelCooc,
-    swivelMarginals, swivelShard, swivelShardStats)
+    swivelCoocSalted, swivelMarginals, swivelShard, swivelShardStats)
 }

@@ -83,6 +83,17 @@ class AnnSpec extends AnyFunSuite {
     assert((approx & exact).size >= 9)
   }
 
+  test("plantNearDups refuses an offset that would collide with real vec_ids") {
+    val emb = Seq((0L, Array(1.0f, 0.0f)), (100001L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Ann.plantNearDups(emb) // default offset 100000 < max vec_id 100001
+    }
+    assert(e.getMessage.contains("collide"))
+    // a safe offset (strictly above the max id) is accepted
+    assert(Ann.plantNearDups(emb, offset = 200000L).count() == 4L)
+  }
+
   test("k-means IVF reaches recall ≥ 0.9 vs exact top-10 on planted clusters") {
     val emb = planted(clusters = 4, perCluster = 40, noise = 0, dim = 16)
     val cents = Ann.kmeansCentroids(Ann.prep(emb), c = 4, iters = 3)
