@@ -115,25 +115,14 @@ object Dedup {
     * previous hash, had no DuckDB analog and left these keys gated by
     * specs alone.
     */
-  def simHash(docs: DataFrame): DataFrame = {
-    val toks = docs.select(col("doc_id"),
+  def simHash(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
       explode(split(col("text"), " ")).as("token"))
       .withColumn("m", md5(col("token")))
       .withColumn("thi", conv(substring(col("m"), 1, 8), 16, 10).cast("long"))
       .withColumn("tlo", conv(substring(col("m"), 9, 8), 16, 10).cast("long"))
-    val bitSums = (0 until 64).map { b =>
-      val (src, sh) = if (b < 32) (col("tlo"), b) else (col("thi"), b - 32)
-      sum(when(shiftright(src, sh).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$b")
-    }
-    val agg = toks.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
-    // 1L << 63 is Long.MinValue: the bit-63 term is negative by two's
-    // complement, so the sum below IS the signed 64-bit fingerprint (the
-    // oracle mirrors it with an explicit negative constant — DuckDB
-    // errors on BIGINT overflow instead of wrapping).
-    val fp = (0 until 64).map(b =>
-      when(col(s"b$b") > 0, lit(1L << b)).otherwise(0L)).reduce(_ + _)
-    agg.select(col("doc_id"), fp.as("simhash"))
-  }
+      .groupBy("doc_id")
+      .agg(graft.functions.SimHashAgg.simhash(col("thi"), col("tlo")).as("simhash"))
 
   /** DuckDB CTE computing the identical (doc_id, simhash) relation —
     * shared by the dedup_simhash and dedup_simhash_near oracles. */
