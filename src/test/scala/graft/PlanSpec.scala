@@ -56,6 +56,30 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("dedup_simhash aggregates with map-side partial merge (two-phase ObjectHashAggregate)") {
+    val p = plan(graft.ops.Dedup.dedupSimhash)
+    // the SimHashAgg buffer must partial-merge before the doc_id shuffle:
+    // 256 B/group over the wire, not the token stream
+    assert("ObjectHashAggregate".r.findAllIn(p).length >= 2)
+    assert(p.contains("simhashagg") || p.contains("SimHashAgg") || p.contains("simhash"))
+  }
+
+  test("LSH band projection stays inside whole-stage codegen (LshBandKeys)") {
+    val emb = graft.Tables.embeddings(spark, d)
+    val v = graft.ops.Ann.prep(emb)
+    val df = graft.ops.Ann.lshBands(v, dim = 64, bands = 16, rowsPerBand = 8)
+    df.collect() // materialize so AQE reports the FINAL plan
+    // read only the final-plan section (the Initial Plan echo below it
+    // never carries codegen markers); WSCG shows as a "*(n) " prefix in
+    // the tree string
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    val gen = p.linesIterator.find(_.contains("Generate")).getOrElse("")
+    assert(gen.contains("lshbandkeys"), s"band projection not a single expression: $gen")
+    // the unrolled-128-column formulation this replaced ran interpreted
+    assert(gen.trim.stripPrefix("+- ").startsWith("*"),
+      s"Generate stage not codegen'd: $gen")
+  }
+
   test("join_asof plans with a single shuffle (one Exchange before the window)") {
     val p = plan(Relational.joinAsof)
     // union-tag trick: expect no SortMergeJoin / BroadcastHashJoin at all
