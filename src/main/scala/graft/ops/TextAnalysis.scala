@@ -233,6 +233,45 @@ object TextAnalysis {
       .orderBy("subset")
   }
 
+  /** Deterministic per-stratum (per-language) downsampling: a doc is kept
+    * iff the first byte of md5(lang ‖ ':' ‖ doc_id) falls below the
+    * stratum's threshold — en keeps 128/256 = 50%, every other language
+    * 64/256 = 25%. Like hashSplit, membership is a pure function of the
+    * row (no rand()): identical on any engine, partitioning, or rerun,
+    * and at 100 TB the filter evaluates streaming in the scan stage with
+    * no shuffle at all. The lang prefix decorrelates the sample from
+    * hashSplit's subsets (different hash input → independent strata).
+    */
+  def stratifiedSample(docs: DataFrame): DataFrame = {
+    val b = conv(substring(
+      md5(concat(col("lang"), lit(":"), col("doc_id").cast("string")).cast("binary")),
+      1, 2), 16, 10).cast("int")
+    val thr = when(col("lang") === "en", lit(128)).otherwise(lit(64))
+    docs.withColumn("keep", b < thr)
+  }
+
+  val sampleStratified = QueryDef(
+    "sample_stratified",
+    """WITH k AS (
+      |  SELECT lang, doc_id,
+      |    CAST('0x' || substr(md5(lang || ':' || CAST(doc_id AS VARCHAR)), 1, 2) AS INTEGER)
+      |      < (CASE WHEN lang = 'en' THEN 128 ELSE 64 END) AS keep
+      |  FROM documents
+      |)
+      |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |  min(CASE WHEN keep THEN doc_id END) AS first_kept,
+      |  max(CASE WHEN keep THEN doc_id END) AS last_kept
+      |FROM k GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
+    stratifiedSample(Tables.documents(s, d))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        min(when(col("keep"), col("doc_id"))).as("first_kept"),
+        max(when(col("keep"), col("doc_id"))).as("last_kept"))
+      .orderBy("lang")
+  }
+
   /** Corpus-level top-20 token bigrams (all occurrences, not per-doc
     * distinct): one explode + one combinable groupBy — linear, and the
     * top-k is TakeOrderedAndProject, never a global sort. */
@@ -262,5 +301,5 @@ object TextAnalysis {
   }
 
   val all: Seq[QueryDef] = Seq(textLangid, textQuality, textTokens, textFingerprint,
-    textPiiScrub, sampleSplit, textNgrams)
+    textPiiScrub, sampleSplit, sampleStratified, textNgrams)
 }

@@ -128,6 +128,37 @@ class EdgeSpec extends AnyFunSuite {
     assert(fp(1L) != fp(3L))
   }
 
+  test("SimHashAgg equals the declarative 64×sum(CASE) formulation bit-for-bit") {
+    import org.apache.spark.sql.functions._
+    // varied doc lengths + shared tokens + an empty-token case (double
+    // space) to exercise counter ties and both hash halves
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha beta  gamma"),
+      (3L, "one two three four five six seven eight nine ten"),
+      (4L, "alpha one beta two gamma three"),
+      (5L, "z"))
+      .toDF("doc_id", "text")
+    val viaAgg = Dedup.simHash(docs).as[(Long, Long)].collect().toMap
+    // the reference formulation the DuckDB oracle uses: 64 conditional
+    // ±1 sums then the signed bit recombination
+    val toks = docs.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("token"))
+      .withColumn("m", md5(col("token")))
+      .withColumn("thi", conv(substring(col("m"), 1, 8), 16, 10).cast("long"))
+      .withColumn("tlo", conv(substring(col("m"), 9, 8), 16, 10).cast("long"))
+    val bitSums = (0 until 64).map { b =>
+      val (src, sh) = if (b < 32) (col("tlo"), b) else (col("thi"), b - 32)
+      sum(when(shiftright(src, sh).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$b")
+    }
+    val fpExpr = (0 until 64).map(b =>
+      when(col(s"b$b") > 0, lit(1L << b)).otherwise(0L)).reduce(_ + _)
+    val viaSums = toks.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), fpExpr.as("simhash"))
+      .as[(Long, Long)].collect().toMap
+    assert(viaAgg == viaSums)
+  }
+
   test("keeper fixpoint: a 3-chain (A~B~C, A≁C) converges to one component keeper") {
     // jac(1,2)=7/9, jac(2,3)=6/10, jac(1,3)=5/11 < 0.5 — a genuine chain.
     val docs = Seq(
