@@ -169,5 +169,45 @@ object Events {
       .orderBy("window_start", "event_type")
   }
 
-  val all: Seq[QueryDef] = Seq(sessionizeQ, streamTumbling, streamSliding, streamWatermark)
+  val streamSession = QueryDef(
+    "stream_session",
+    // Native session_window semantics differ from `sessionize` at the
+    // boundary: an event at EXACTLY gap distance starts a new session
+    // (windows are [start, last+gap) half-open intervals, no overlap at
+    // equality), so the oracle's island condition is >= where
+    // sessionize's is >. session_end = last event + gap, via exact
+    // epoch-µs arithmetic on both engines.
+    """WITH x AS (
+      |  SELECT user_id, event_id, ts, epoch_us(ts) AS eus,
+      |         lag(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_eus
+      |  FROM events
+      |), f AS (
+      |  SELECT *, CASE WHEN prev_eus IS NULL OR eus - prev_eus >= 1800000000 THEN 1 ELSE 0 END AS new_sess
+      |  FROM x
+      |), sid AS (
+      |  SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM f
+      |)
+      |SELECT user_id, min(ts) AS session_start,
+      |       make_timestamp(max(eus) + 1800000000) AS session_end,
+      |       CAST(count(*) AS BIGINT) AS n_events
+      |FROM sid GROUP BY user_id, session_id
+      |ORDER BY user_id, session_start""".stripMargin) { (s, d) =>
+    // the batch form of the Structured Streaming
+    // `groupBy(session_window($"ts", gap))` aggregation — the streaming
+    // variant (same operator, MemoryStream source) is proven equivalent
+    // in StreamingSpec
+    Tables.events(s, d)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"))
+      .orderBy("user_id", "session_start")
+  }
+
+  val all: Seq[QueryDef] = Seq(sessionizeQ, streamTumbling, streamSliding,
+    streamWatermark, streamSession)
 }

@@ -113,6 +113,38 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming session_window equals the batch stream_session relation on real events") {
+    // the declared stream_session key claims its streaming variant is the
+    // same operator — prove it: MemoryStream replay of the sf0.001 events
+    // in one batch, complete-mode session aggregation, vs the batch key.
+    implicit val sqlCtx = spark.sqlContext
+    val d = "/root/testdata/sf0.001"
+    val rows = Tables.events(spark, d)
+      .select(col("user_id"), col("ts").cast("timestamp").as("ts"))
+      .as[(Long, java.sql.Timestamp)].collect().toSeq
+    val input = MemoryStream[(Long, java.sql.Timestamp)]
+    val streamed = input.toDF().toDF("user_id", "ts")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("n_events"))
+    val q = streamed.writeStream.format("memory").queryName("sess_out")
+      .outputMode("complete").start()
+    try {
+      input.addData(rows)
+      q.processAllAvailable()
+      val got = spark.table("sess_out")
+        .orderBy("user_id", "session_start")
+        .as[(Long, java.sql.Timestamp, Long)].collect().toSeq
+      val want = graft.ops.Events.streamSession.fn(spark, d)
+        .select(col("user_id"), col("session_start").cast("timestamp"), col("n_events"))
+        .as[(Long, java.sql.Timestamp, Long)].collect().toSeq
+      assert(got == want)
+      assert(got.nonEmpty)
+    } finally q.stop()
+  }
+
   test("sliding windows: an event lands in exactly two 1h/30min windows") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(java.sql.Timestamp, String, Double)]
