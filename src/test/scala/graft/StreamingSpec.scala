@@ -145,6 +145,45 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("flatMapGroupsWithState sessions equal batch sessionize on real events") {
+    // feed the sf0.001 events through the CUSTOM-state sessionizer in two
+    // micro-batches (split mid-stream to exercise cross-batch state),
+    // then a far-future sentinel per user to close every tail session;
+    // the closed sessions must be exactly the batch sessionize relation.
+    implicit val sqlCtx = spark.sqlContext
+    val d = "/root/testdata/sf0.001"
+    val rows = Tables.events(spark, d)
+      .select(col("user_id"),
+        unix_micros(col("ts").cast("timestamp")).as("eus"))
+      .as[(Long, Long)].collect().toSeq
+    val (b1, b2) = rows.splitAt(rows.length / 2)
+    val sentinelEus = rows.map(_._2).max + 86400000000L // +1 day closes all
+    val input = MemoryStream[(Long, Long)]
+    val q = StreamOps.statefulSessions(input.toDS())
+      .toDF("user_id", "s_eus", "e_eus", "n_events")
+      .writeStream.format("memory").queryName("fmgws_out")
+      .outputMode("append").start()
+    try {
+      input.addData(b1); q.processAllAvailable()
+      input.addData(b2); q.processAllAvailable()
+      input.addData(rows.map(_._1).distinct.map(u => (u, sentinelEus)))
+      q.processAllAvailable()
+      val got = spark.table("fmgws_out")
+        .filter(col("s_eus") < sentinelEus) // drop the sentinel sessions themselves
+        .orderBy("user_id", "s_eus")
+        .as[(Long, Long, Long, Long)].collect().toSeq
+      val want = graft.ops.Events.sessionize(Tables.events(spark, d))
+        .select(col("user_id"),
+          unix_micros(col("t_start").cast("timestamp")).as("s_eus"),
+          unix_micros(col("t_end").cast("timestamp")).as("e_eus"),
+          col("n_events"))
+        .orderBy("user_id", "s_eus")
+        .as[(Long, Long, Long, Long)].collect().toSeq
+      assert(got == want)
+      assert(got.nonEmpty)
+    } finally q.stop()
+  }
+
   test("sliding windows: an event lands in exactly two 1h/30min windows") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(java.sql.Timestamp, String, Double)]
