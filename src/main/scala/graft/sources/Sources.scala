@@ -68,4 +68,21 @@ object Sources {
     * metadata scale — mirrors row_vocab.txt / row_sums.txt). */
   def writeSideOutput(df: DataFrame, dir: String): Unit =
     df.coalesce(1).write.mode("overwrite").parquet(dir)
+
+  /** Write a BUCKETED, per-bucket-sorted parquet table — the 100 TB
+    * co-located-join layout: two fact tables bucketed on their join key
+    * with the same bucket count sort-merge join with ZERO Exchange
+    * (SourcesSpec pins the shuffle-free plan). Registered as an external
+    * table at `dir` (bucketing metadata lives in the session catalog;
+    * on a real cluster this is the shared metastore). The one-time
+    * bucket-write shuffle is the amortized price for every subsequent
+    * join/aggregation on that key.
+    */
+  def writeBucketed(df: DataFrame, table: String, dir: String,
+      buckets: Int, key: String): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, key).sortBy(key)
+      .option("path", dir)
+      .format("parquet")
+      .saveAsTable(table)
 }

@@ -54,4 +54,38 @@ class SourcesSpec extends AnyFunSuite {
     assert(spark.read.parquet(out).orderBy("id").collect().toSeq ==
       vocab.orderBy("id").collect().toSeq)
   }
+
+  test("bucketed tables sort-merge join with ZERO shuffle (co-located join)") {
+    import org.apache.spark.sql.functions.col
+    val d = "/root/testdata/sf0.001"
+    val dir1 = Files.createTempDirectory("graft_bkt_o").toString
+    val dir2 = Files.createTempDirectory("graft_bkt_c").toString
+    Sources.writeBucketed(Tables.orders(spark, d)
+      .select("o_orderkey", "o_custkey", "o_totalprice"),
+      "b_orders", dir1, buckets = 4, key = "o_custkey")
+    Sources.writeBucketed(Tables.customer(spark, d)
+      .select("c_custkey", "c_name"),
+      "b_customer", dir2, buckets = 4, key = "c_custkey")
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+    try {
+      val joined = spark.table("b_orders")
+        .join(spark.table("b_customer"),
+          col("o_custkey") === col("c_custkey"))
+      joined.collect() // materialize → final AQE plan
+      val p = joined.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      assert(p.contains("SortMergeJoin"))
+      // the whole point of the bucketed layout: both sides are already
+      // hash-distributed and sorted on the join key — no Exchange at all
+      assert(!p.contains("Exchange"), s"bucketed join still shuffles:\n$p")
+      assert(joined.count() ==
+        Tables.orders(spark, d).join(Tables.customer(spark, d),
+          col("o_custkey") === col("c_custkey")).count())
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+      spark.sql("DROP TABLE IF EXISTS b_customer")
+    }
+  }
 }
