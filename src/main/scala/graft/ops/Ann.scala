@@ -264,6 +264,50 @@ object Ann {
     ivfTopKWith(emb, queryId = 0L, cents, nprobe = 4, k = 10)
   }
 
+  /** Int8 scalar quantization of the embedding table — the memory-scale
+    * path for ANN at 100 TB (64 int8 codes vs 64 floats per vector, ~4×
+    * less shuffle/cache). Global [lo, hi] range from a bounded (2-double)
+    * min/max aggregate; code q = round((x−lo)·255/(hi−lo)),
+    * reconstruction x̂ = lo + q·(hi−lo)/255. Output per vector: the max
+    * code and the max absolute reconstruction error (4dp) — the
+    * quantizer's quality relation, hash-matched against DuckDB computing
+    * the identical IEEE expression tree (same op order, both engines
+    * round-half-away for the positive codes).
+    */
+  def quantizeError(emb: DataFrame): DataFrame = {
+    val v = emb.select(col("vec_id"), Similarity.vecD(col("embedding")).as("ve"))
+    val mm = v.select(explode(col("ve")).as("x")).agg(min("x"), max("x")).head
+    val (lo, hi) = (mm.getDouble(0), mm.getDouble(1))
+    require(hi > lo, s"quantizeError: degenerate range [$lo, $hi]")
+    val q = (x: org.apache.spark.sql.Column) =>
+      round((x - lit(lo)) * lit(255.0) / lit(hi - lo))
+    val err = (x: org.apache.spark.sql.Column) =>
+      abs(x - (lit(lo) + q(x) * lit(hi - lo) / lit(255.0)))
+    v.select(col("vec_id"),
+      array_max(transform(col("ve"), x => q(x))).cast("long").as("qmax"),
+      round(array_max(transform(col("ve"), x => err(x))), 4).as("max_qerr"))
+  }
+
+  val simQuantize = QueryDef(
+    "sim_quantize",
+    // the oracle recomputes lo/hi in SQL (min/max are order-independent)
+    // and mirrors the expression tree operation-for-operation: (x-lo)*255
+    // then /(hi-lo); reconstruction (q*(hi-lo))/255 then +lo
+    """WITH v AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+      |  FROM embeddings
+      |), mm AS (
+      |  SELECT min(x) AS lo, max(x) AS hi FROM (SELECT unnest(ve) AS x FROM v)
+      |)
+      |SELECT vec_id,
+      |  CAST(list_max(list_transform(ve, x -> round((x - lo) * 255 / (hi - lo)))) AS BIGINT) AS qmax,
+      |  round(list_max(list_transform(ve,
+      |    x -> abs(x - (lo + round((x - lo) * 255 / (hi - lo)) * (hi - lo) / 255)))), 4) AS max_qerr
+      |FROM v, mm
+      |ORDER BY vec_id""".stripMargin) { (s, d) =>
+    quantizeError(Tables.embeddings(s, d)).orderBy("vec_id")
+  }
+
   private val NCentroids = 8
   private val centroidIds: Seq[Long] = (1L to NCentroids.toLong)
 
@@ -299,5 +343,5 @@ object Ann {
     ivfTopK(Tables.embeddings(s, d), queryId = 0L, centroidIds, nprobe = 2, k = 10)
   }
 
-  val all: Seq[QueryDef] = Seq(simAnnIvf, dedupEmbedLsh, simAnnKmeans)
+  val all: Seq[QueryDef] = Seq(simAnnIvf, dedupEmbedLsh, simAnnKmeans, simQuantize)
 }
