@@ -272,6 +272,48 @@ object TextAnalysis {
       .orderBy("lang")
   }
 
+  /** Sequence packing for training batches: documents are streamed in
+    * doc_id order within `buckets` parallel streams (bucket = doc_id %
+    * buckets) and concatenated; a document's bin is the token-budget
+    * window its FIRST token falls in (bin = prefix_tokens div budget —
+    * next-fit packing with straddle, the standard pretraining concat
+    * layout). Bucketing is what makes this scale: a GLOBAL ordered
+    * prefix sum would be a single-partition window (the one Spark
+    * anti-pattern this codebase bans), while per-bucket windows are
+    * embarrassingly parallel and real packers shard exactly this way.
+    * Output: per (bucket, bin) document and token counts.
+    */
+  def packBins(docs: DataFrame, buckets: Int = 32, budget: Long = 512L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("bucket").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.select(col("doc_id"), (col("doc_id") % buckets).as("bucket"),
+      size(split(col("text"), " ")).cast("long").as("n_toks"))
+      .withColumn("cum", sum(col("n_toks")).over(w))
+      .withColumn("bin", expr(s"(cum - n_toks) div $budget"))
+      .groupBy("bucket", "bin")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
+  }
+
+  val textPack = QueryDef(
+    "text_pack",
+    """WITH t AS (
+      |  SELECT doc_id, doc_id % 32 AS bucket,
+      |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+      |  FROM documents
+      |), c AS (
+      |  SELECT *, sum(n_toks) OVER (PARTITION BY bucket ORDER BY doc_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM t
+      |)
+      |SELECT bucket, (cum - n_toks) // 512 AS bin,
+      |       CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(sum(n_toks) AS BIGINT) AS n_tokens
+      |FROM c GROUP BY bucket, bin
+      |ORDER BY bucket, bin""".stripMargin) { (s, d) =>
+    packBins(Tables.documents(s, d)).orderBy("bucket", "bin")
+  }
+
   /** Corpus-level top-20 token bigrams (all occurrences, not per-doc
     * distinct): one explode + one combinable groupBy — linear, and the
     * top-k is TakeOrderedAndProject, never a global sort. */
@@ -301,5 +343,5 @@ object TextAnalysis {
   }
 
   val all: Seq[QueryDef] = Seq(textLangid, textQuality, textTokens, textFingerprint,
-    textPiiScrub, sampleSplit, sampleStratified, textNgrams)
+    textPiiScrub, sampleSplit, sampleStratified, textPack, textNgrams)
 }
