@@ -219,7 +219,7 @@ object Ann {
     val mx = v.agg(max(col("vec_id"))).head
     require(mx.isNullAt(0) || mx.getLong(0) < offset,
       s"plantNearDups: offset $offset must exceed max vec_id ${mx.get(0)} — planted ids would collide")
-    v.unionAll(v.select((col("vec_id") + offset).as("vec_id"),
+    v.union(v.select((col("vec_id") + offset).as("vec_id"),
       transform(col("embedding"), x => x + lit(eps)).as("embedding")))
   }
 

@@ -239,7 +239,40 @@ object Extras {
       .orderBy("user_id", "event_id")
   }
 
+  /** Equi-width 20-bucket histogram of l_extendedprice with the range
+    * taken from the data — min/max ride the plan as a broadcast 1-row
+    * aggregate (no driver collect), the bucket index is pure arithmetic
+    * the scan stage evaluates streaming, and the final groupBy touches
+    * 20 groups. The oracle mirrors the IEEE expression tree
+    * operation-for-operation (floor/least are exact; min/max are
+    * order-independent), the same determinism recipe as sim_quantize.
+    */
+  val aggHistogram = QueryDef(
+    "agg_histogram",
+    """WITH v AS (
+      |  SELECT CAST(l_extendedprice AS DOUBLE) AS x FROM lineitem
+      |), mm AS (
+      |  SELECT min(x) AS lo, max(x) AS hi FROM v
+      |)
+      |SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+      |       round(lo + bucket * (hi - lo) / 20, 4) AS lo_edge
+      |FROM (
+      |  SELECT CAST(least(floor((x - lo) * 20 / (hi - lo)), 19) AS BIGINT) AS bucket, lo, hi
+      |  FROM v, mm
+      |) GROUP BY bucket, lo, hi ORDER BY bucket""".stripMargin) { (s, d) =>
+    val v = Tables.lineitem(s, d).select(col("l_extendedprice").cast("double").as("x"))
+    val mm = v.agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
+    v.crossJoin(broadcast(mm))
+      .select(least(floor((col("x") - col("lo")) * 20 / (col("hi") - col("lo"))), lit(19))
+        .cast("long").as("bucket"), col("lo"), col("hi"))
+      .groupBy("bucket", "lo", "hi")
+      .agg(count(lit(1)).as("n"))
+      .select(col("bucket"), col("n"),
+        round(col("lo") + col("bucket") * (col("hi") - col("lo")) / 20, 4).as("lo_edge"))
+      .orderBy("bucket")
+  }
+
   val all: Seq[QueryDef] = Seq(aggStats, windowDistribution, fnConditional,
     joinFull, joinCross, aggPivot, aggPercentile,
-    aggCorr, fnBitwise, windowFirstLast)
+    aggCorr, fnBitwise, windowFirstLast, aggHistogram)
 }

@@ -44,7 +44,7 @@ object Relational {
         Tables.table(s, d, t).agg(count(lit(1)).as("n"))
           .select(lit(t).as("table_name"), col("n"))
       }
-      .reduce(_.unionAll(_))
+      .reduce(_.union(_))
       .orderBy("table_name")
   }
 
@@ -440,7 +440,7 @@ object Relational {
     s"""SELECT * FROM (($autoCust) UNION ALL ($richCust)) ORDER BY c_custkey""") { (s, d) =>
     val c = Tables.customer(s, d)
     c.filter(col("c_mktsegment") === "AUTOMOBILE").select("c_custkey")
-      .unionAll(c.filter(col("c_acctbal") > 5000).select("c_custkey"))
+      .union(c.filter(col("c_acctbal") > 5000).select("c_custkey"))
       .orderBy("c_custkey")
   }
 

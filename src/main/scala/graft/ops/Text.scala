@@ -101,7 +101,7 @@ object Text {
   def nearDupKeepersOneRound(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
     val pairs = nearDupPairs(docs, threshold)
     val neighbors = pairs.select(col("i").as("doc_id"), col("j").as("nb"))
-      .unionAll(pairs.select(col("j").as("doc_id"), col("i").as("nb")))
+      .union(pairs.select(col("j").as("doc_id"), col("i").as("nb")))
     neighbors.groupBy("doc_id")
       .agg(least(min(col("nb")), col("doc_id")).as("keeper"),
         count(lit(1)).as("n_neighbors"))
@@ -127,7 +127,7 @@ object Text {
       maxRounds: Int = 10): DataFrame = {
     val pairs = nearDupPairs(docs, threshold).select("i", "j")
     val edges = pairs
-      .unionAll(pairs.select(col("j").as("i"), col("i").as("j")))
+      .union(pairs.select(col("j").as("i"), col("i").as("j")))
       .toDF("src", "dst")
       .persist()
     var labels = edges.groupBy(col("src").as("doc_id"))
@@ -141,7 +141,7 @@ object Text {
         .join(labels.select(col("doc_id").as("dst"), col("comp").as("nbComp")), "dst")
         .select(col("src").as("doc_id"), col("nbComp").as("cand"))
       val next = labels.select(col("doc_id"), col("comp").as("cand"))
-        .unionAll(viaNeighbors)
+        .union(viaNeighbors)
         .groupBy("doc_id").agg(min(col("cand")).as("comp"))
         .join(labels.select(col("doc_id"), col("comp").as("prev"), col("n_neighbors")), "doc_id")
         .select(col("doc_id"), col("comp"), col("prev"), col("n_neighbors"))

@@ -111,7 +111,7 @@ object SwivelPrep {
       .select(col("a.id").as("x"), col("b.id").as("y"),
         (col("b.pos") - col("a.pos")).cast("int").as("dd"))
     pairs.select(col("x").as("row_id"), col("y").as("col_id"), col("dd"))
-      .unionAll(pairs.select(col("y").as("row_id"), col("x").as("col_id"), col("dd")))
+      .union(pairs.select(col("y").as("row_id"), col("x").as("col_id"), col("dd")))
   }
 
   /** Fixed-order Σ_d n_d/d over the conditional per-distance counts —

@@ -105,7 +105,7 @@ class PropertySpec extends AnyFunSuite {
     val listGen = Gen.listOf(Gen.choose(0, 20))
     for ((xs, ys) <- samples(listGen, 4).zip(samples(listGen, 4).reverse)) {
       val a = xs.toDF("v"); val b = ys.toDF("v")
-      assert(a.unionAll(b).count() == xs.length + ys.length)
+      assert(a.union(b).count() == xs.length + ys.length)
       val inter = a.intersect(b).as[Int].collect().toSet
       val exc = a.except(b).as[Int].collect().toSet
       assert(inter == (xs.toSet & ys.toSet))
