@@ -272,6 +272,57 @@ object TextAnalysis {
       .orderBy("lang")
   }
 
+  /** Benchmark decontamination: drop training documents whose
+    * order-invariant content fingerprint matches any benchmark document.
+    * The benchmark here is the docs with doc_id % 97 == 0 — and the match
+    * is by CONTENT, not id (real decontamination has no id linking a
+    * benchmark to the crawl), so the training corpus is the WHOLE table
+    * and the benchmark members themselves are what the fingerprint match
+    * finds and drops (≈1% per stratum on this dup-free corpus; any
+    * crawl-side copy of a benchmark doc would be dropped the same way).
+    * The benchmark fingerprint set is small by construction, so the
+    * match is a BROADCAST join against the training stream — the 100 TB
+    * shape for exact-match decontamination (no shuffle of the corpus).
+    * One pass produces both counts: a left join + conditional sum
+    * instead of separate semi/anti joins. Docs under 3 tokens have no
+    * shingles hence no fingerprint — they cannot match and survive.
+    */
+  def decontaminate(docs: DataFrame): DataFrame = {
+    val withFp = docs.join(fingerprints(docs), Seq("doc_id"), "left")
+    val evalFps = withFp.filter(col("doc_id") % 97 === 0)
+      .filter(col("fp").isNotNull)
+      .select(col("fp").as("efp")).distinct()
+    withFp
+      .join(broadcast(evalFps), col("fp") === col("efp"), "left")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_train"),
+        sum(when(col("efp").isNotNull, 1L).otherwise(0L)).as("n_dropped"))
+      .select(col("lang"), col("n_train"), col("n_dropped"),
+        (col("n_train") - col("n_dropped")).as("n_kept"))
+  }
+
+  val textDecontaminate = QueryDef(
+    "text_decontaminate",
+    s"""${Functions.shingleOracleCte},
+       |shd AS (SELECT DISTINCT doc_id, shingle FROM sh WHERE shingle IS NOT NULL),
+       |fps AS (
+       |  SELECT doc_id, md5(string_agg(md5(shingle), '' ORDER BY md5(shingle))) AS fp
+       |  FROM shd GROUP BY doc_id
+       |), dd AS (
+       |  SELECT d.doc_id, d.lang, f.fp FROM documents d LEFT JOIN fps f USING (doc_id)
+       |), ev AS (
+       |  SELECT DISTINCT fp FROM dd WHERE doc_id % 97 = 0 AND fp IS NOT NULL
+       |), t AS (
+       |  SELECT dd.lang, CASE WHEN ev.fp IS NOT NULL THEN 1 ELSE 0 END AS dropped
+       |  FROM dd LEFT JOIN ev ON dd.fp = ev.fp
+       |)
+       |SELECT lang, CAST(count(*) AS BIGINT) AS n_train,
+       |  CAST(sum(dropped) AS BIGINT) AS n_dropped,
+       |  CAST(count(*) - sum(dropped) AS BIGINT) AS n_kept
+       |FROM t GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
+    decontaminate(Tables.documents(s, d)).orderBy("lang")
+  }
+
   /** Sequence packing for training batches: documents are streamed in
     * doc_id order within `buckets` parallel streams (bucket = doc_id %
     * buckets) and concatenated; a document's bin is the token-budget
@@ -343,5 +394,6 @@ object TextAnalysis {
   }
 
   val all: Seq[QueryDef] = Seq(textLangid, textQuality, textTokens, textFingerprint,
-    textPiiScrub, sampleSplit, sampleStratified, textPack, textNgrams)
+    textPiiScrub, sampleSplit, sampleStratified, textPack, textDecontaminate,
+    textNgrams)
 }
