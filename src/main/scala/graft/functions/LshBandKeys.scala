@@ -54,7 +54,11 @@ case class LshBandKeys(child: Expression, planes: Array[Double],
         var s = 0.0
         var c = 0
         while (c < n) { s += planes(off + c) * x.getDouble(c); c += 1 }
-        if (s >= 0) key |= (1L << r)
+        // !(s < 0), not (s >= 0): Spark SQL's `dot >= 0` — the
+        // formulation this expression replaced — evaluates NaN >= 0 as
+        // TRUE, and Java's s >= 0 is false for NaN; the negated form
+        // keeps bit-identity for NaN dots too
+        if (!(s < 0)) key |= (1L << r)
         off += dim
         r += 1
       }
@@ -86,7 +90,7 @@ case class LshBandKeys(child: Expression, planes: Array[Double],
          |    for (int $c = 0; $c < $n; $c++) {
          |      $s += $pl[$off + $c] * $a.getDouble($c);
          |    }
-         |    if ($s >= 0) $key |= (1L << $r);
+         |    if (!($s < 0)) $key |= (1L << $r);  // NaN sets the bit, as SQL NaN >= 0 does
          |    $off += $dim;
          |  }
          |  $keys[$b] = $key;

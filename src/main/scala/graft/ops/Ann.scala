@@ -212,13 +212,18 @@ object Ann {
     * mandated input tables, deterministically on both engines.
     */
   def plantNearDups(emb: DataFrame, offset: Long = 100000L, eps: Double = 0.01): DataFrame = {
-    val v = emb.select(col("vec_id"), Similarity.vecD(col("embedding")).as("embedding"))
-    // Bounded-scalar guard (one max over a projected column): a corpus
-    // with vec_id >= offset would silently collide planted ids with real
-    // ones and corrupt the near-dup relation — fail loudly instead.
-    val mx = v.agg(max(col("vec_id"))).head
-    require(mx.isNullAt(0) || mx.getLong(0) < offset,
-      s"plantNearDups: offset $offset must exceed max vec_id ${mx.get(0)} — planted ids would collide")
+    // IN-PLAN guard: a corpus with vec_id >= offset would silently
+    // collide planted ids with real ones and corrupt the near-dup
+    // relation — raise_error evaluates streaming in the scan stage (no
+    // extra job at composition time; an eager max+collect would also
+    // re-run once per timed bench rep) and fails the query loudly on
+    // the first offending row.
+    val guarded = when(col("vec_id") < offset, col("vec_id"))
+      .otherwise(raise_error(concat(
+        lit("plantNearDups: vec_id "), col("vec_id").cast("string"),
+        lit(s" >= offset $offset — planted ids would collide"))).cast("long"))
+    val v = emb.select(guarded.as("vec_id"),
+      Similarity.vecD(col("embedding")).as("embedding"))
     v.union(v.select((col("vec_id") + offset).as("vec_id"),
       transform(col("embedding"), x => x + lit(eps)).as("embedding")))
   }
@@ -276,14 +281,23 @@ object Ann {
     */
   def quantizeError(emb: DataFrame): DataFrame = {
     val v = emb.select(col("vec_id"), Similarity.vecD(col("embedding")).as("ve"))
-    val mm = v.select(explode(col("ve")).as("x")).agg(min("x"), max("x")).head
-    val (lo, hi) = (mm.getDouble(0), mm.getDouble(1))
-    require(hi > lo, s"quantizeError: degenerate range [$lo, $hi]")
+    // the [lo, hi] range rides the plan as a broadcast 1-row aggregate
+    // (no driver collect, no extra job per invocation — the same shape
+    // as agg_histogram); the degenerate hi <= lo case (constant or
+    // empty column) raises a diagnostic error in-plan instead of an
+    // opaque NaN-cast failure downstream
+    val mm = broadcast(v.select(explode(col("ve")).as("x"))
+      .agg(min(col("x")).as("lo"),
+        when(max(col("x")) > min(col("x")), max(col("x")))
+          .otherwise(raise_error(lit(
+            "quantizeError: degenerate range (hi <= lo)")).cast("double"))
+          .as("hi")))
+    val rng = col("hi") - col("lo")
     val q = (x: org.apache.spark.sql.Column) =>
-      round((x - lit(lo)) * lit(255.0) / lit(hi - lo))
+      round((x - col("lo")) * lit(255.0) / rng)
     val err = (x: org.apache.spark.sql.Column) =>
-      abs(x - (lit(lo) + q(x) * lit(hi - lo) / lit(255.0)))
-    v.select(col("vec_id"),
+      abs(x - (col("lo") + q(x) * rng / lit(255.0)))
+    v.crossJoin(mm).select(col("vec_id"),
       array_max(transform(col("ve"), x => q(x))).cast("long").as("qmax"),
       round(array_max(transform(col("ve"), x => err(x))), 4).as("max_qerr"))
   }

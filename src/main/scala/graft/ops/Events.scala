@@ -171,18 +171,20 @@ object Events {
 
   val streamSession = QueryDef(
     "stream_session",
-    // Native session_window semantics differ from `sessionize` at the
-    // boundary: an event at EXACTLY gap distance starts a new session
-    // (windows are [start, last+gap) half-open intervals, no overlap at
-    // equality), so the oracle's island condition is >= where
-    // sessionize's is >. session_end = last event + gap, via exact
-    // epoch-µs arithmetic on both engines.
+    // Native session_window agrees with `sessionize` at the boundary:
+    // an event EXACTLY gap distance after the last one still merges
+    // (verified on 4.1.2 — two events 30 min apart yield ONE session
+    // with end = last + gap), so the island condition is the same
+    // strictly-greater `>` as sessionize. The key's value is the NATIVE
+    // operator and its (session_start, session_end = last + gap,
+    // n_events) output shape; session_end via exact epoch-µs arithmetic
+    // on both engines.
     """WITH x AS (
       |  SELECT user_id, event_id, ts, epoch_us(ts) AS eus,
       |         lag(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_eus
       |  FROM events
       |), f AS (
-      |  SELECT *, CASE WHEN prev_eus IS NULL OR eus - prev_eus >= 1800000000 THEN 1 ELSE 0 END AS new_sess
+      |  SELECT *, CASE WHEN prev_eus IS NULL OR eus - prev_eus > 1800000000 THEN 1 ELSE 0 END AS new_sess
       |  FROM x
       |), sid AS (
       |  SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id

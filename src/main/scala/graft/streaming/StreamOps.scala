@@ -49,24 +49,30 @@ object StreamOps {
   type SessionState = (Long, Long, Long)
 
   /** CUSTOM-state sessionization via `flatMapGroupsWithState` — the
-    * KeyValueGroupedDataset stateful surface, for semantics
-    * `session_window` can't express (here: graft's `sessionize` boundary,
-    * where a gap of EXACTLY the threshold stays in-session — the
-    * strictly-greater rule — vs session_window's half-open >= split).
+    * KeyValueGroupedDataset stateful surface, demonstrating semantics
+    * the built-in aggregation can't give you: sessions EMIT exactly when
+    * a later event closes them (incremental output, not a re-aggregated
+    * window), with arbitrary state per key.
     *
     * Input: (user_id, epoch-µs event time). Output: CLOSED sessions
     * `(user_id, t_start, t_end, n_events)` — a session closes when a
-    * later event arrives more than `gapUs` after it, so emissions are
-    * deterministic in event time; the still-open tail session stays in
-    * the group state. State is one 3-long tuple per active user —
-    * bounded, shuffled once on user_id, the standard stateful-op shape
-    * at any scale.
+    * later event arrives more than `gapUs` after it (the same
+    * strictly-greater boundary as batch `sessionize` AND as
+    * `session_window`, which also merges at exactly gap distance); the
+    * still-open tail session stays in the group state. State is one
+    * 3-long tuple per active user — bounded, shuffled once on user_id,
+    * the standard stateful-op shape at any scale.
     *
-    * Within a micro-batch the group's events sort by event time, so
-    * batch boundaries never change WHICH sessions form — feeding the
-    * same rows in any batch split yields the same closed sessions
-    * (StreamingSpec proves equality with the batch `sessionize`
-    * relation on the real events table).
+    * Ordering contract: events sort by event time WITHIN a micro-batch,
+    * so any time-respecting batch split yields exactly the batch
+    * `sessionize` sessions (StreamingSpec proves this on the real
+    * events table). A cross-batch LATE event — older than the open
+    * session's last event — is handled without watermark machinery:
+    * if it falls inside (or within gap before) the open session's span
+    * it merges, extending the start backwards if needed; if it is older
+    * than that, its true session may already have been emitted, so it
+    * is emitted immediately as a best-effort singleton (never an
+    * inverted interval, never silently dropped).
     */
   def statefulSessions(events: Dataset[(Long, Long)],
       gapUs: Long = 1800000000L): Dataset[(Long, Long, Long, Long)] = {
@@ -82,10 +88,21 @@ object StreamOps {
             st match {
               case None => st = Some((eus, eus, 1L))
               case Some((s0, l0, n0)) =>
-                if (eus - l0 > gapUs) { // strictly greater: == gap stays
-                  out += ((uid, s0, l0, n0))
-                  st = Some((eus, eus, 1L))
-                } else st = Some((s0, eus, n0 + 1))
+                if (eus >= l0) {
+                  if (eus - l0 > gapUs) { // strictly greater: == gap stays
+                    out += ((uid, s0, l0, n0))
+                    st = Some((eus, eus, 1L))
+                  } else st = Some((s0, eus, n0 + 1))
+                } else if (eus >= s0 - gapUs) {
+                  // late but within (or adjacent to) the open session's
+                  // span: merge, extending the start backwards if needed
+                  st = Some((math.min(s0, eus), l0, n0 + 1))
+                } else {
+                  // older than anything the open session can absorb —
+                  // its session may already be emitted; best-effort
+                  // singleton rather than corrupting open state
+                  out += ((uid, eus, eus, 1L))
+                }
             }
           }
           st.foreach(state.update)

@@ -86,8 +86,10 @@ class AnnSpec extends AnyFunSuite {
   test("plantNearDups refuses an offset that would collide with real vec_ids") {
     val emb = Seq((0L, Array(1.0f, 0.0f)), (100001L, Array(0.0f, 1.0f)))
       .toDF("vec_id", "embedding")
-    val e = intercept[IllegalArgumentException] {
-      Ann.plantNearDups(emb) // default offset 100000 < max vec_id 100001
+    // the guard is IN-PLAN (raise_error in the scan-stage projection):
+    // composition stays lazy and free; the error fires on execution
+    val e = intercept[Exception] {
+      Ann.plantNearDups(emb).count() // default offset 100000 < max vec_id 100001
     }
     assert(e.getMessage.contains("collide"))
     // a safe offset (strictly above the max id) is accepted

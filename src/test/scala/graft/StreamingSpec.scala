@@ -156,6 +156,7 @@ class StreamingSpec extends AnyFunSuite {
       .select(col("user_id"),
         unix_micros(col("ts").cast("timestamp")).as("eus"))
       .as[(Long, Long)].collect().toSeq
+      .sortBy(_._2) // time-respecting batch split — the ordering contract
     val (b1, b2) = rows.splitAt(rows.length / 2)
     val sentinelEus = rows.map(_._2).max + 86400000000L // +1 day closes all
     val input = MemoryStream[(Long, Long)]
@@ -181,6 +182,30 @@ class StreamingSpec extends AnyFunSuite {
         .as[(Long, Long, Long, Long)].collect().toSeq
       assert(got == want)
       assert(got.nonEmpty)
+    } finally q.stop()
+  }
+
+  test("statefulSessions: cross-batch late events never corrupt the open session") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Long)]
+    val q = StreamOps.statefulSessions(input.toDS(), gapUs = 1800L)
+      .toDF("user_id", "s", "e", "n")
+      .writeStream.format("memory").queryName("late_out")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, 10000L)); q.processAllAvailable()
+      // batch 2: one event 1000 before the open session's span (merges,
+      // extending start backwards) and one far older (emitted as a
+      // best-effort singleton — its session may already be gone)
+      input.addData((1L, 9000L), (1L, 1L)); q.processAllAvailable()
+      // close everything with a far-future event
+      input.addData((1L, 100000L)); q.processAllAvailable()
+      val got = spark.table("late_out")
+        .filter(col("s") < 100000L).orderBy("s")
+        .as[(Long, Long, Long, Long)].collect().toSeq
+      // singleton for the very-late event; merged session (9000..10000, n=2)
+      assert(got == Seq((1L, 1L, 1L, 1L), (1L, 9000L, 10000L, 2L)))
+      got.foreach { case (_, s, e, _) => assert(s <= e) } // never inverted
     } finally q.stop()
   }
 
