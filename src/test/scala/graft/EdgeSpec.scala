@@ -128,6 +128,25 @@ class EdgeSpec extends AnyFunSuite {
     assert(fp(1L) != fp(3L))
   }
 
+  test("stream_session merges an exact-gap pair into one session (boundary pin)") {
+    // the gate corpora contain no consecutive same-user pair at EXACTLY
+    // 30 minutes, so the oracle match alone cannot pin this boundary —
+    // this fixture can: session_window merges at equal gap (verified on
+    // 4.1.2), end = last + gap
+    val ev = events(
+      (1L, "2024-01-01 00:00:00", 1L, "click"),
+      (2L, "2024-01-01 00:30:00", 1L, "click"),  // exactly gap → merges
+      (3L, "2024-01-01 01:00:00.000001", 1L, "click")) // gap+1µs → splits
+    val got = ev.groupBy(col("user_id"),
+        session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("session_window.start").cast("timestamp").as("s"), col("n"))
+      .orderBy("s")
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1))).toSeq
+    assert(got == Seq((ts("2024-01-01 00:00:00"), 2L),
+      (ts("2024-01-01 01:00:00.000001"), 1L)))
+  }
+
   test("SimHashAgg equals the declarative 64×sum(CASE) formulation bit-for-bit") {
     import org.apache.spark.sql.functions._
     // varied doc lengths + shared tokens + an empty-token case (double
