@@ -218,9 +218,12 @@ object Ann {
     // extra job at composition time; an eager max+collect would also
     // re-run once per timed bench rep) and fails the query loudly on
     // the first offending row.
+    // NULL vec_id also lands in the otherwise branch (NULL < offset is
+    // NULL, not true) — coalesce keeps the diagnostic message non-null
     val guarded = when(col("vec_id") < offset, col("vec_id"))
       .otherwise(raise_error(concat(
-        lit("plantNearDups: vec_id "), col("vec_id").cast("string"),
+        lit("plantNearDups: vec_id "),
+        coalesce(col("vec_id").cast("string"), lit("NULL")),
         lit(s" >= offset $offset — planted ids would collide"))).cast("long"))
     val v = emb.select(guarded.as("vec_id"),
       Similarity.vecD(col("embedding")).as("embedding"))
@@ -283,15 +286,12 @@ object Ann {
     val v = emb.select(col("vec_id"), Similarity.vecD(col("embedding")).as("ve"))
     // the [lo, hi] range rides the plan as a broadcast 1-row aggregate
     // (no driver collect, no extra job per invocation — the same shape
-    // as agg_histogram); the degenerate hi <= lo case (constant or
-    // empty column) raises a diagnostic error in-plan instead of an
-    // opaque NaN-cast failure downstream
+    // as agg_histogram); Det.guardedHi raises a diagnostic error on a
+    // degenerate constant column and passes an empty input through (the
+    // crossJoin's fact side is empty too → zero rows, like the oracle)
     val mm = broadcast(v.select(explode(col("ve")).as("x"))
       .agg(min(col("x")).as("lo"),
-        when(max(col("x")) > min(col("x")), max(col("x")))
-          .otherwise(raise_error(lit(
-            "quantizeError: degenerate range (hi <= lo)")).cast("double"))
-          .as("hi")))
+        graft.ops.Det.guardedHi(min(col("x")), max(col("x")), "quantizeError").as("hi")))
     val rng = col("hi") - col("lo")
     val q = (x: org.apache.spark.sql.Column) =>
       round((x - col("lo")) * lit(255.0) / rng)

@@ -261,13 +261,8 @@ object Extras {
       |  FROM v, mm
       |) GROUP BY bucket, lo, hi ORDER BY bucket""".stripMargin) { (s, d) =>
     val v = Tables.lineitem(s, d).select(col("l_extendedprice").cast("double").as("x"))
-    // degenerate hi <= lo (constant or empty column) raises a diagnostic
-    // error in-plan instead of an opaque NaN-cast failure downstream
     val mm = v.agg(min(col("x")).as("lo"),
-      when(max(col("x")) > min(col("x")), max(col("x")))
-        .otherwise(raise_error(lit(
-          "agg_histogram: degenerate range (hi <= lo)")).cast("double"))
-        .as("hi"))
+      Det.guardedHi(min(col("x")), max(col("x")), "agg_histogram").as("hi"))
     v.crossJoin(broadcast(mm))
       .select(least(floor((col("x") - col("lo")) * 20 / (col("hi") - col("lo"))), lit(19))
         .cast("long").as("bucket"), col("lo"), col("hi"))

@@ -39,4 +39,17 @@ object Det {
   /** 2dp rate in [0,1] (discount, tax). */
   def rate(c: Column): Column = c.cast(DecimalType(4, 2))
   def dbl(c: Column): Column = c.cast(DoubleType)
+
+  /** Shared in-plan guard for range-normalizing operators
+    * (agg_histogram, sim_quantize): a DEGENERATE non-empty range
+    * (hi == lo, i.e. a constant column) raises a diagnostic error
+    * instead of the opaque NaN-cast failure the division would cause
+    * downstream; an EMPTY input (null max) passes the null through —
+    * the fact side of the crossJoin is empty too, so the query returns
+    * zero rows, matching the oracle. */
+  import org.apache.spark.sql.functions.{when, raise_error, lit}
+  def guardedHi(lo: Column, hi: Column, opName: String): Column =
+    when(hi.isNotNull && !(hi > lo),
+      raise_error(lit(s"$opName: degenerate range (hi <= lo)")).cast(DoubleType))
+      .otherwise(hi)
 }

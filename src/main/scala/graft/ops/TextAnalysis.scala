@@ -289,8 +289,10 @@ object TextAnalysis {
     */
   def decontaminate(docs: DataFrame): DataFrame = {
     val withFp = docs.join(fingerprints(docs), Seq("doc_id"), "left")
-    val evalFps = withFp.filter(col("doc_id") % 97 === 0)
-      .filter(col("fp").isNotNull)
+    // fingerprint ONLY the ~1% benchmark docs (fp is per-doc, so this is
+    // exactly the benchmark fp set) — guaranteed cheap rather than
+    // hoping the optimizer pushes a filter through the full-corpus join
+    val evalFps = fingerprints(docs.filter(col("doc_id") % 97 === 0))
       .select(col("fp").as("efp")).distinct()
     withFp
       .join(broadcast(evalFps), col("fp") === col("efp"), "left")

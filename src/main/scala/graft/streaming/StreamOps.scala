@@ -67,12 +67,16 @@ object StreamOps {
     * so any time-respecting batch split yields exactly the batch
     * `sessionize` sessions (StreamingSpec proves this on the real
     * events table). A cross-batch LATE event — older than the open
-    * session's last event — is handled without watermark machinery:
-    * if it falls inside (or within gap before) the open session's span
-    * it merges, extending the start backwards if needed; if it is older
-    * than that, its true session may already have been emitted, so it
-    * is emitted immediately as a best-effort singleton (never an
-    * inverted interval, never silently dropped).
+    * session's last event — is handled BEST-EFFORT, without watermark
+    * machinery: if it falls inside (or within gap before) the open
+    * session's span it merges there, extending the start backwards if
+    * needed; if it is older than that it is emitted immediately as a
+    * singleton. Both late paths can deviate from what a batch over the
+    * full history would produce (the event's true session, or a bridge
+    * to it, may already have been emitted) — the guarantees are only
+    * that no event is silently dropped and no emitted interval is
+    * inverted. Exact batch parity for late data needs the watermarking
+    * `sessionCounts` form above.
     */
   def statefulSessions(events: Dataset[(Long, Long)],
       gapUs: Long = 1800000000L): Dataset[(Long, Long, Long, Long)] = {
