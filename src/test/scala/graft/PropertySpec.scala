@@ -113,4 +113,37 @@ class PropertySpec extends AnyFunSuite {
       assert((inter & exc).isEmpty)
     }
   }
+
+  test("stratified sample is partitioning-invariant and hits only declared strata") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    def res(parts: Int) = graft.ops.TextAnalysis
+      .stratifiedSample(docs.repartition(parts))
+      .groupBy("lang").agg(sum(when(col("keep"), 1L).otherwise(0L)).as("k"))
+      .orderBy("lang").collect().toSeq
+    assert(res(3) == res(11)) // membership is a pure row function
+    // rates land near the declared thresholds (50% en / 25% others)
+    val got = graft.ops.TextAnalysis.stratifiedSample(docs)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n"), sum(when(col("keep"), 1L).otherwise(0L)).as("k"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    got.foreach { case (lang, n, k) =>
+      val expect = if (lang == "en") 0.5 else 0.25
+      assert(math.abs(k.toDouble / n - expect) < 0.2, s"$lang: $k/$n vs $expect")
+    }
+  }
+
+  test("pack bins conserve tokens and number contiguously per bucket") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val bins = graft.ops.TextAnalysis.packBins(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val totalTokens = docs
+      .agg(sum(size(split(col("text"), " ")).cast("long"))).head.getLong(0)
+    assert(bins.map(_._4).sum == totalTokens) // every token lands in a bin
+    assert(bins.map(_._3).sum == docs.count()) // every doc lands in a bin
+    bins.groupBy(_._1).foreach { case (bucket, bs) =>
+      val ids = bs.map(_._2).sorted.toSeq
+      assert(ids == (0L until ids.length).toSeq,
+        s"bucket $bucket bins not contiguous: ${ids.mkString(",")}")
+    }
+  }
 }
