@@ -273,7 +273,56 @@ object Extras {
       .orderBy("bucket")
   }
 
+  /** Co-located bucketed join (SURVEY §2.1 sink + §2.3 join): write both
+    * fact tables bucketed + sorted on the join key via
+    * [[graft.sources.Sources.writeBucketed]], then sort-merge join them
+    * with ZERO Exchange below the join — the repeated fact-fact join
+    * layout at 100 TB, where the one-time bucket-write shuffle is
+    * amortized over every subsequent join on that key. The only shuffles
+    * in this plan are ABOVE the join (the 5-row priority aggregate and
+    * its sort); SourcesSpec pins exactly that plan shape for this key.
+    * The oracle is the same join+aggregate in DuckDB — bucketing is a
+    * physical layout, so the relation is identical.
+    */
+  val joinBucketed = QueryDef(
+    "join_bucketed",
+    """SELECT o_orderpriority,
+      |       CAST(count(*) AS BIGINT) AS n_items,
+      |       CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+      |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+    joinBucketedPlan(s, d)
+  }
+
+  /** The declared plan for `join_bucketed`, exposed so SourcesSpec can pin
+    * the zero-Exchange-below-join shape on exactly what the driver runs.
+    * Bucketed tables land in a deterministic temp location per sfDir so
+    * repeat runs (Bench reps) overwrite instead of littering.
+    */
+  def joinBucketedPlan(s: org.apache.spark.sql.SparkSession, d: String) = {
+    import graft.sources.Sources
+    val base = sys.props("java.io.tmpdir") + "/graft_bkt_" +
+      java.lang.Integer.toHexString(d.hashCode)
+    Sources.writeBucketed(Tables.orders(s, d)
+      .select("o_orderkey", "o_orderpriority"),
+      "graft_bkt_orders", base + "/orders", buckets = 8, key = "o_orderkey")
+    Sources.writeBucketed(Tables.lineitem(s, d)
+      .select("l_orderkey", "l_quantity"),
+      "graft_bkt_lineitem", base + "/lineitem", buckets = 8, key = "l_orderkey")
+    // hint("merge") pins SMJ so the plan is bucket-exercising at every SF
+    // (a broadcast join at sf0.001 would also be shuffle-free, but then the
+    // key wouldn't prove the bucketed layout carries the join).
+    s.table("graft_bkt_orders").hint("merge")
+      .join(s.table("graft_bkt_lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_items"),
+        sum(dec(col("l_quantity"))).cast("double").as("sum_qty"))
+      .orderBy("o_orderpriority")
+  }
+
   val all: Seq[QueryDef] = Seq(aggStats, windowDistribution, fnConditional,
     joinFull, joinCross, aggPivot, aggPercentile,
-    aggCorr, fnBitwise, windowFirstLast, aggHistogram)
+    aggCorr, fnBitwise, windowFirstLast, aggHistogram, joinBucketed)
 }

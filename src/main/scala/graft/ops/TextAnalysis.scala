@@ -359,7 +359,7 @@ object TextAnalysis {
       |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
       |  FROM t
       |)
-      |SELECT bucket, (cum - n_toks) // 512 AS bin,
+      |SELECT bucket, CAST((cum - n_toks) // 512 AS BIGINT) AS bin,
       |       CAST(count(*) AS BIGINT) AS n_docs,
       |       CAST(sum(n_toks) AS BIGINT) AS n_tokens
       |FROM c GROUP BY bucket, bin

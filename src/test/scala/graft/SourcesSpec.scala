@@ -88,4 +88,28 @@ class SourcesSpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS b_customer")
     }
   }
+
+  test("join_bucketed declared key: no Exchange below the SortMergeJoin") {
+    import graft.ops.Extras
+    try {
+      val df = Extras.joinBucketedPlan(spark, "/root/testdata/sf0.001")
+      df.collect() // materialize → final AQE plan
+      val p = df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      assert(p.contains("SortMergeJoin"), s"expected SMJ:\n$p")
+      // An unbucketed orders⋈lineitem SMJ needs one Exchange per side
+      // BELOW the join plus the aggregate/sort shuffles above it. The
+      // bucketed layout removes exactly the below-join pair, so the whole
+      // plan carries at most 2 Exchanges (hash agg + range sort), and the
+      // SMJ's subtree (everything printed after the join node) has none.
+      val exchanges = "Exchange".r.findAllIn(p).size
+      assert(exchanges <= 2, s"expected <=2 Exchanges (above-join only), got $exchanges:\n$p")
+      val belowJoin = p.substring(p.indexOf("SortMergeJoin"))
+      assert(!belowJoin.contains("Exchange"),
+        s"bucketed join key still shuffles below the join:\n$belowJoin")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_bkt_orders")
+      spark.sql("DROP TABLE IF EXISTS graft_bkt_lineitem")
+    }
+  }
 }

@@ -5,9 +5,12 @@ Usage: python3 tools/verify_local.py <sfDir> <outDir> [query ...]
 
 Reads each query dump written by `graft.Verify` (outDir/<name>/*.parquet),
 runs the matching oracle SQL from outDir/oracle_sql.json in DuckDB over the
-sfDir parquet tables, and compares: column-name set, row count, and values
-(columns sorted by name, rows compared in emitted order, exact equality —
-mirroring a hash compare). Exit code 1 if any query mismatches.
+sfDir parquet tables, and compares: column-name set, COLUMN TYPES (the
+oracle relation's DuckDB types vs the Spark parquet types — the driver's
+hash is type-sensitive, so a HUGEINT/DOUBLE widening that pandas would
+silently coerce must FAIL here), row count, and values (columns sorted by
+name, rows compared in emitted order, exact equality — mirroring a hash
+compare). Exit code 1 if any query mismatches.
 """
 import sys, os, json, glob, math
 import duckdb
@@ -39,18 +42,24 @@ def main():
             print(f"FAIL {name}: no parquet written")
             n_fail += 1
             continue
-        got = con.execute(f"SELECT * FROM read_parquet({files!r})").fetchdf()
+        got_rel = con.sql(f"SELECT * FROM read_parquet({files!r})")
+        got = got_rel.fetchdf()
         if name not in oracles:
             print(f"SKIP {name}: no oracle ({len(got)} rows)")
             n_skip += 1
             continue
         try:
-            exp = con.execute(oracles[name]).fetchdf()
+            exp_rel = con.sql(oracles[name])
+            exp_types = dict(zip(exp_rel.columns, [str(t) for t in exp_rel.types]))
+            exp = exp_rel.fetchdf()
         except Exception as e:
             print(f"FAIL {name}: oracle SQL error: {e}")
             n_fail += 1
             continue
-        ok, msg = compare(got, exp)
+        got_types = dict(zip(got_rel.columns, [str(t) for t in got_rel.types]))
+        ok, msg = compare_types(got_types, exp_types)
+        if ok:
+            ok, msg = compare(got, exp)
         if ok:
             print(f"PASS {name} ({len(got)} rows)")
             n_pass += 1
@@ -59,6 +68,21 @@ def main():
             n_fail += 1
     print(f"== {n_pass} pass, {n_fail} fail, {n_skip} no-oracle ==")
     sys.exit(1 if n_fail else 0)
+
+def compare_types(got_types, exp_types):
+    """Fail when the oracle's DuckDB type differs from the Spark parquet
+    type for any emitted column. This is what the driver's type-sensitive
+    hash sees BEFORE pandas coerces (e.g. HUGEINT->float64): a windowed
+    sum(BIGINT) in DuckDB widens to HUGEINT and every expression downstream
+    of it inherits the widening — the values can be equal and the hash
+    still mismatches (the round-5 text_pack failure)."""
+    for c in sorted(set(got_types) & set(exp_types)):
+        g, e = got_types[c], exp_types[c]
+        if g != e:
+            return False, (f"TYPE col {c}: spark-parquet={g} oracle={e}"
+                           " (driver hash is type-sensitive; add a CAST"
+                           " to the oracle SQL)")
+    return True, ""
 
 def compare(got, exp):
     gc, ec = sorted(got.columns), sorted(exp.columns)
