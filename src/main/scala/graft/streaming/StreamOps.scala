@@ -78,6 +78,92 @@ object StreamOps {
     * inverted. Exact batch parity for late data needs the watermarking
     * `sessionCounts` form above.
     */
+  /** Insert one event into a user's still-mutable sessions, preserving
+    * the invariant: sorted by start, pairwise separated by STRICTLY more
+    * than `gapUs` (equal-gap merges, matching batch `sessionize` and
+    * `session_window`). The event merges every session whose
+    * `[start-gap, last+gap]` envelope contains it — at most two, and the
+    * merged result keeps the invariant (it stays > gap away from every
+    * non-merged session because each constituent was).
+    */
+  private def insertEvent(sessions: List[SessionState], eus: Long,
+      gapUs: Long): List[SessionState] = {
+    val (near, far) = sessions.partition { case (s0, l0, _) =>
+      eus >= s0 - gapUs && eus <= l0 + gapUs }
+    val merged =
+      if (near.isEmpty) (eus, eus, 1L)
+      else (math.min(near.map(_._1).min, eus),
+        math.max(near.map(_._2).max, eus), near.map(_._3).sum + 1L)
+    (merged :: far).sortBy(_._1)
+  }
+
+  /** Watermark-integrated form of [[statefulSessions]]: the same
+    * custom-state sessionizer driven by a real event-time watermark
+    * (`GroupStateTimeout.EventTimeTimeout`), closing the semantic gap the
+    * best-effort form documents. Guarantee: the emitted sessions are
+    * EXACTLY batch `sessionize` over the events the watermark admitted —
+    *
+    *  - events older than the watermark are dropped DETERMINISTICALLY by
+    *    the stateful operator before they reach the merge logic (the
+    *    best-effort "very late singleton" path cannot fire);
+    *  - state holds ALL of a user's still-mutable sessions (those with
+    *    `last + gap >= watermark`), not just the newest, so an admitted
+    *    out-of-order event always lands in its true session — including
+    *    bridging two open sessions into one;
+    *  - a session is emitted exactly when the watermark passes
+    *    `last + gap` (event-time timeout or a later batch) — at that
+    *    point no admissible event can change it, so the emission is
+    *    final and needs no closing event per key.
+    *
+    * The session list is bounded by the disorder horizon: only sessions
+    * inside the trailing `watermark delay + gap` window stay in state
+    * (typically one). At 100 TB the state store therefore scales with
+    * ACTIVE users in the watermark window, not all users ever seen.
+    *
+    * Input: a DataFrame with `user_id` and event-time `ts`; the merge
+    * arithmetic runs on epoch-µs derived in-plan (`unix_micros`),
+    * identical to the batch operator.
+    */
+  def statefulSessionsWatermarked(events: DataFrame,
+      gapUs: Long = 1800000000L,
+      watermark: String = "1 hour"): Dataset[(Long, Long, Long, Long)] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("user_id"), col("ts").cast("timestamp").as("ts"),
+        unix_micros(col("ts").cast("timestamp")).as("eus"))
+      .withWatermark("ts", watermark)
+      .as[(Long, java.sql.Timestamp, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[List[SessionState], (Long, Long, Long, Long)](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, it: Iterator[(Long, java.sql.Timestamp, Long)],
+         state: GroupState[List[SessionState]]) =>
+          var sessions = state.getOption.getOrElse(Nil)
+          it.map(_._3).toSeq.sorted.foreach { eus =>
+            sessions = insertEvent(sessions, eus, gapUs)
+          }
+          // A session is final once the watermark passes last+gap: a merge
+          // needs an event <= last+gap, and every future event is >= the
+          // watermark. (getCurrentWatermarkMs is the watermark this batch
+          // filtered with, so "final" here is already safe to emit.)
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val (closed, open) = sessions.partition { case (_, l0, _) =>
+            l0 + gapUs < wmUs }
+          if (open.isEmpty) state.remove()
+          else {
+            state.update(open)
+            // wake when the earliest open session becomes final (ms API;
+            // round up, and stay strictly above the current watermark as
+            // setTimeoutTimestamp requires)
+            val nextUs = open.map { case (_, l0, _) => l0 + gapUs }.min
+            state.setTimeoutTimestamp(
+              math.max(nextUs / 1000L + 1L, state.getCurrentWatermarkMs() + 1L))
+          }
+          closed.map { case (s0, l0, n0) => (uid, s0, l0, n0) }.iterator
+      }
+  }
+
   def statefulSessions(events: Dataset[(Long, Long)],
       gapUs: Long = 1800000000L): Dataset[(Long, Long, Long, Long)] = {
     val spark = events.sparkSession

@@ -209,6 +209,117 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("statefulSessionsWatermarked: late-beyond-watermark dropped, timeout closes sessions") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, java.sql.Timestamp)]
+    val q = StreamOps.statefulSessionsWatermarked(
+      input.toDF().toDF("user_id", "ts"),
+      gapUs = 1800000000L, watermark = "1 hour")
+      .toDF("user_id", "s_eus", "e_eus", "n")
+      .writeStream.format("memory").queryName("wm_sess_out")
+      .outputMode("append").start()
+    def us(s: String) = ts(s).getTime * 1000L
+    try {
+      // batch 1: user 1 session of two events (20 min apart, gap 30 min)
+      input.addData((1L, ts("2024-01-01 10:00:00")), (1L, ts("2024-01-01 10:20:00")))
+      q.processAllAvailable()
+      // batch 2: another user far ahead → watermark rises to 12:00, which
+      // passes user 1's last+gap (10:50) → the session closes by TIMEOUT,
+      // with no closing event from user 1 (the capability the best-effort
+      // form lacks)
+      input.addData((9L, ts("2024-01-01 13:00:00")))
+      q.processAllAvailable()
+      val afterTimeout = spark.table("wm_sess_out")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(afterTimeout ==
+        Set((1L, us("2024-01-01 10:00:00"), us("2024-01-01 10:20:00"), 2L)))
+      // batch 3: user 1 event at 10:30 — inside the emitted session's gap
+      // reach but BEHIND the 12:00 watermark → deterministically dropped
+      // (the best-effort form would emit a wrong singleton)
+      input.addData((1L, ts("2024-01-01 10:30:00")))
+      q.processAllAvailable()
+      // batch 4: advance far so anything pending would flush
+      input.addData((9L, ts("2024-01-01 20:00:00")))
+      q.processAllAvailable()
+      val finalRows = spark.table("wm_sess_out")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      // no new user-1 output appeared; user 9's 13:00 session closed too
+      assert(finalRows ==
+        Set((1L, us("2024-01-01 10:00:00"), us("2024-01-01 10:20:00"), 2L),
+          (9L, us("2024-01-01 13:00:00"), us("2024-01-01 13:00:00"), 1L)))
+    } finally q.stop()
+  }
+
+  test("statefulSessionsWatermarked: admitted out-of-order event bridges two open sessions") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, java.sql.Timestamp)]
+    val q = StreamOps.statefulSessionsWatermarked(
+      input.toDF().toDF("user_id", "ts"),
+      gapUs = 1800000000L, watermark = "4 hours") // wide disorder horizon
+      .toDF("user_id", "s_eus", "e_eus", "n")
+      .writeStream.format("memory").queryName("bridge_out")
+      .outputMode("append").start()
+    def us(s: String) = ts(s).getTime * 1000L
+    try {
+      // batch 1: two sessions 50 min apart (> 30 min gap) — both stay
+      // mutable because the 4h watermark hasn't passed their end+gap
+      input.addData((1L, ts("2024-01-01 10:00:00")), (1L, ts("2024-01-01 10:50:00")))
+      q.processAllAvailable()
+      // batch 2: 10:25 arrives late but above the watermark — it is within
+      // gap of BOTH sessions, so batch semantics say ONE session 10:00..10:50
+      input.addData((1L, ts("2024-01-01 10:25:00")))
+      q.processAllAvailable()
+      // batch 3: advance the watermark past 11:20 → the bridged session closes
+      input.addData((9L, ts("2024-01-02 00:00:00")))
+      q.processAllAvailable()
+      val got = spark.table("bridge_out")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(got ==
+        Set((1L, us("2024-01-01 10:00:00"), us("2024-01-01 10:50:00"), 3L)))
+      // the single-open-session best-effort form CANNOT produce this
+      // bridge — it would have closed 10:00 on 10:50's arrival
+    } finally q.stop()
+  }
+
+  test("statefulSessionsWatermarked equals batch sessionize on real events (timeout-closed)") {
+    // replay the sf0.001 events in two time-respecting micro-batches, then
+    // advance the watermark with one sentinel on an unused user: EVERY real
+    // session must emit by timeout and equal the batch relation exactly —
+    // no per-user closing sentinels (the best-effort test needs those).
+    implicit val sqlCtx = spark.sqlContext
+    val d = "/root/testdata/sf0.001"
+    val rows = Tables.events(spark, d)
+      .select(col("user_id"), col("ts").cast("timestamp").as("ts"))
+      .as[(Long, java.sql.Timestamp)].collect().toSeq
+      .sortBy(_._2.getTime)
+    val (b1, b2) = rows.splitAt(rows.length / 2)
+    val sentinel = new java.sql.Timestamp(rows.last._2.getTime + 30L * 86400000L)
+    val input = MemoryStream[(Long, java.sql.Timestamp)]
+    val q = StreamOps.statefulSessionsWatermarked(
+      input.toDF().toDF("user_id", "ts"))
+      .toDF("user_id", "s_eus", "e_eus", "n_events")
+      .writeStream.format("memory").queryName("wm_parity_out")
+      .outputMode("append").start()
+    try {
+      input.addData(b1); q.processAllAvailable()
+      input.addData(b2); q.processAllAvailable()
+      input.addData((-1L, sentinel)); q.processAllAvailable()
+      val got = spark.table("wm_parity_out")
+        .filter(col("user_id") >= 0)
+        .orderBy("user_id", "s_eus")
+        .as[(Long, Long, Long, Long)].collect().toSeq
+      val want = graft.ops.Events.sessionize(Tables.events(spark, d))
+        .select(col("user_id"),
+          unix_micros(col("t_start").cast("timestamp")).as("s_eus"),
+          unix_micros(col("t_end").cast("timestamp")).as("e_eus"),
+          col("n_events"))
+        .orderBy("user_id", "s_eus")
+        .as[(Long, Long, Long, Long)].collect().toSeq
+      assert(got == want)
+      assert(got.nonEmpty)
+    } finally q.stop()
+  }
+
   test("sliding windows: an event lands in exactly two 1h/30min windows") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(java.sql.Timestamp, String, Double)]
