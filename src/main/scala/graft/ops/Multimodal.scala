@@ -87,5 +87,52 @@ object Multimodal {
       .limit(200)
   }
 
-  val all: Seq[QueryDef] = Seq(multimodalDecode)
+  /** One sampled frame: index within the payload, 16-bit intensity,
+    * fake 25fps timeline position. */
+  case class FrameSample(doc_id: Long, frame_idx: Int, intensity: Int, ts_ms: Int)
+
+  /** Partition-iterator FRAME-SAMPLING stub — the video analog of
+    * `decodeStub`: treat the 16-byte payload as 8 two-byte frames and
+    * emit every `stride`-th one (a real sampler would seek keyframes in
+    * the container here; the plumbing — flatMap fan-out per payload,
+    * partition-level parallelism, typed frame rows Catalyst can prune —
+    * is the part that matters at scale, where sampling fans one blob row
+    * out to many frame rows WITHOUT materializing unsampled frames).
+    */
+  def frameSampleStub(payloads: DataFrame, stride: Int = 3)(
+      implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    payloads.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, b) =>
+          (0 until 8 by stride).map { f =>
+            val intensity = ((b(2 * f) & 0xff) << 8) | (b(2 * f + 1) & 0xff)
+            FrameSample(id, f, intensity, f * 40)
+          }
+        }
+      }.toDF()
+  }
+
+  val multimodalFramesample = QueryDef(
+    "multimodal_framesample",
+    // Oracle: frame f's two payload bytes are hex chars 4f+1..4f+4 of
+    // md5(text), so the 16-bit big-endian intensity is one hex parse;
+    // the stride-3 sample of 8 frames is the fixed list [0,3,6]. All
+    // emitted columns are exact integers — no float surface at all.
+    """WITH f AS (
+      |  SELECT doc_id, unnest([0, 3, 6]) AS frame_idx, md5(text) AS h
+      |  FROM documents WHERE doc_id % 7 = 0
+      |)
+      |SELECT doc_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+      |       CAST('0x' || substr(h, 4 * frame_idx + 1, 4) AS INTEGER) AS intensity,
+      |       CAST(frame_idx * 40 AS INTEGER) AS ts_ms
+      |FROM f ORDER BY doc_id, frame_idx LIMIT 600""".stripMargin) { (s, d) =>
+    implicit val spark: SparkSession = s
+    frameSampleStub(withPayload(Tables.documents(s, d)
+      .filter(col("doc_id") % 7 === 0)))
+      .orderBy("doc_id", "frame_idx")
+      .limit(600)
+  }
+
+  val all: Seq[QueryDef] = Seq(multimodalDecode, multimodalFramesample)
 }

@@ -46,4 +46,28 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out.count() == 100)
     assert(out.select("doc_id").distinct().count() == 100)
   }
+
+  test("frame sampling: stride-3 over 8 frames yields indices 0/3/6 per payload") {
+    implicit val s = spark
+    val docs = (1L to 50L).map(i => (i, s"video $i", "en"))
+      .toDF("doc_id", "text", "lang").repartition(5)
+    val frames = Multimodal.frameSampleStub(Multimodal.withPayload(docs))
+    assert(frames.count() == 150) // 3 sampled frames per payload, no drops
+    import org.apache.spark.sql.functions.{col, collect_set}
+    val idxSets = frames.groupBy("doc_id")
+      .agg(collect_set("frame_idx").as("idx"))
+      .select("idx").collect()
+    idxSets.foreach(r => assert(r.getSeq[Int](0).toSet == Set(0, 3, 6)))
+    // intensity is the big-endian 16-bit value of the frame's two payload
+    // bytes — recompute frame 0 of one doc directly from the payload
+    val one = Multimodal.withPayload(docs.filter(col("doc_id") === 1L))
+      .select("payload").collect()(0).getAs[Array[Byte]](0)
+    val want = ((one(0) & 0xff) << 8) | (one(1) & 0xff)
+    val got = frames.filter(col("doc_id") === 1L && col("frame_idx") === 0)
+      .select("intensity").collect()(0).getInt(0)
+    assert(got == want)
+    // ts_ms is the 25fps timeline position of the SOURCE frame index
+    assert(frames.filter(col("frame_idx") === 6)
+      .select("ts_ms").distinct().collect()(0).getInt(0) == 240)
+  }
 }
