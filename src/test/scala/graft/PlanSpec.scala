@@ -86,4 +86,55 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"))
     assert(p.contains("Window") || p.contains("RunningWindowFunction"))
   }
+
+  test("AQE splits a skewed sort-merge join partition at runtime (skew=true)") {
+    // The runtime half of the skew story: swivel_cooc_salted is the
+    // DECLARED skew path (explicit salting, driver-gated); this pins the
+    // OTHER half — Spark's adaptive skew-join split, which re-plans a
+    // pathological partition without any query change. A 100 TB join
+    // with one hot key must not serialize on one reducer.
+    import org.apache.spark.sql.functions.{col, when}
+    val s = spark
+    val keep = Seq(
+      "spark.sql.adaptive.enabled",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> s.conf.getOption(k)).toMap
+    try {
+      s.conf.set("spark.sql.adaptive.enabled", "true")
+      s.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      // thresholds scaled to a test-sized table (shuffle blocks are
+      // compressed, so the hot partition is ~1 MB, not its raw 20 MB):
+      // a partition is "skewed" past 64 KB and 2x the median, split to
+      // ~16 KB targets
+      s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+      s.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      // 90% of fact rows share key 0 — one reducer would take ~9x the
+      // median partition; the payload column defeats compression enough
+      // for the size stats to see the skew
+      import org.apache.spark.sql.functions.{concat_ws, md5, lit}
+      val fact = s.range(0, 200000)
+        .select(when(col("id") % 10 =!= 0, 0L).otherwise(col("id") % 1000).as("k"),
+          md5(concat_ws("-", lit("pad"), col("id"))).as("v"))
+      val dim = s.range(0, 1000).select(col("id").as("k"), (col("id") * 2).as("w"))
+      val joined = fact.hint("merge").join(dim, "k")
+      // collect() (not count()) so the AQE final plan belongs to THIS
+      // QueryExecution — count() plans a separate query
+      assert(joined.collect().length == 200000)
+      val p = joined.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      assert(p.contains("SortMergeJoin"), s"expected SMJ:\n$p")
+      // AQE's OptimizeSkewedJoin marks the re-planned join "skew=true"
+      assert(p.contains("skew=true"),
+        s"AQE did not split the skewed partition:\n$p")
+    } finally keep.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
+  }
 }
