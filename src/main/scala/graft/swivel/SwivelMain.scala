@@ -17,7 +17,7 @@ object SwivelMain {
   private val usage =
     """usage: graft.swivel.SwivelMain --input <path> --output_dir <dir>
       |        [--input_format text|parquet] [--shard_size 4096]
-      |        [--min_count 5] [--window_size 10]""".stripMargin
+      |        [--min_count 5] [--window_size 10] [--output_format parquet|pb]""".stripMargin
 
   def main(args: Array[String]): Unit = {
     val opts = args.sliding(2, 2).collect {
@@ -29,6 +29,7 @@ object SwivelMain {
     val minCount = opts.getOrElse("min_count", "5").toInt
     val windowSize = opts.getOrElse("window_size", "10").toInt
     val fmt = opts.getOrElse("input_format", "text")
+    val outFmt = opts.getOrElse("output_format", "parquet")
 
     val builder = SparkSession.builder()
       .appName("swivel-prep")
@@ -47,7 +48,14 @@ object SwivelMain {
       // cache instead of recomputing the corpus-wide count per stage
       vocab.cache()
       val cells = SwivelPrep.cooc(docs, vocab, windowSize)
-      Sources.writeShards(SwivelPrep.shard(cells, vocab, shardSize), s"$outDir/shards")
+      val sharded = SwivelPrep.shard(cells, vocab, shardSize)
+      if (outFmt == "pb") {
+        // the reference trainer's own input format: one serialized
+        // tensorflow.Example per shard (shard-RRR-CCC.pb)
+        val vocabSize = vocab.count().toInt
+        graft.sources.TfExample.writeSwivelPbShards(sharded,
+          vocabSize / shardSize, vocabSize, s"$outDir/shards_pb")
+      } else Sources.writeShards(sharded, s"$outDir/shards")
       Sources.writeSideOutput(vocab, s"$outDir/vocab")
       Sources.writeSideOutput(
         SwivelPrep.marginals(docs, vocab, windowSize), s"$outDir/row_sums")
