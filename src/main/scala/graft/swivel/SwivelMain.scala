@@ -49,16 +49,35 @@ object SwivelMain {
       vocab.cache()
       val cells = SwivelPrep.cooc(docs, vocab, windowSize)
       val sharded = SwivelPrep.shard(cells, vocab, shardSize)
+      val marg = SwivelPrep.marginals(docs, vocab, windowSize)
       if (outFmt == "pb") {
-        // the reference trainer's own input format: one serialized
-        // tensorflow.Example per shard (shard-RRR-CCC.pb)
+        // the reference trainer's own input layout: one serialized
+        // tensorflow.Example per shard (shard-RRR-CCC.pb) plus the
+        // vocab/sums TEXT side files it loads alongside them. Vocab and
+        // sums are driver-bounded (truncated vocabulary), so a driver-side
+        // text write is the honest scale story; the matrix is symmetric,
+        // so row and col files are identical.
         val vocabSize = vocab.count().toInt
         graft.sources.TfExample.writeSwivelPbShards(sharded,
           vocabSize / shardSize, vocabSize, s"$outDir/shards_pb")
+        import org.apache.spark.sql.functions.{col, coalesce, lit}
+        import spark.implicits._
+        val tokens = vocab.orderBy("id").select("token").as[String].collect()
+        // every vocab id gets a sum line; ids with no in-window pairs are 0
+        val sums = vocab.select(col("id"))
+          .join(marg, Seq("id"), "left")
+          .select(col("id"), coalesce(col("marginal"), lit(0.0)).as("m"))
+          .orderBy("id").select("m").as[Double].collect()
+        def writeLines(name: String, lines: Iterable[String]): Unit =
+          java.nio.file.Files.write(java.nio.file.Paths.get(s"$outDir/$name"),
+            (lines.mkString("\n") + "\n").getBytes("UTF-8"))
+        writeLines("row_vocab.txt", tokens)
+        writeLines("col_vocab.txt", tokens)
+        writeLines("row_sums.txt", sums.map(_.toString))
+        writeLines("col_sums.txt", sums.map(_.toString))
       } else Sources.writeShards(sharded, s"$outDir/shards")
       Sources.writeSideOutput(vocab, s"$outDir/vocab")
-      Sources.writeSideOutput(
-        SwivelPrep.marginals(docs, vocab, windowSize), s"$outDir/row_sums")
+      Sources.writeSideOutput(marg, s"$outDir/row_sums")
       println(s"swivel-prep done: vocab=${vocab.count()} cells=${cells.count()} -> $outDir")
     } finally spark.stop()
   }
