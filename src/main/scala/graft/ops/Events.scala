@@ -210,6 +210,42 @@ object Events {
       .orderBy("user_id", "session_start")
   }
 
+  /** Trailing-1-hour per-user rolling aggregates via a TIME range frame —
+    * the event-time companion of `window_range_frame`'s numeric frame:
+    * frame membership is `eus - 3_600_000_000 <= peer_eus <= eus` on
+    * epoch-µs BIGINT, so both engines bound the frame with identical
+    * integer arithmetic (a native INTERVAL frame would re-open the
+    * timestamp-semantics surface for no gain). Same-instant rows are
+    * RANGE peers and share the frame in both engines. One shuffle on
+    * user_id; the frame scan is the standard streaming-window shape.
+    */
+  val windowTimeRange = QueryDef(
+    "window_time_range",
+    """WITH b AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS eus,
+      |         CAST(value AS DECIMAL(18,4)) AS dv
+      |  FROM events
+      |)
+      |SELECT user_id, event_id, eus,
+      |       CAST(count(*) OVER w AS BIGINT) AS n_1h,
+      |       CAST(sum(dv) OVER w AS DOUBLE) AS sum_1h
+      |FROM b
+      |WINDOW w AS (PARTITION BY user_id ORDER BY eus
+      |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+      |ORDER BY user_id, eus, event_id LIMIT 1000""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("eus")
+      .rangeBetween(-3600000000L, Window.currentRow)
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), eus.as("eus"),
+        dec(col("value")).as("dv"))
+      .select(col("user_id"), col("event_id"), col("eus"),
+        count(lit(1)).over(w).as("n_1h"),
+        sum(col("dv")).over(w).cast("double").as("sum_1h"))
+      .orderBy("user_id", "eus", "event_id")
+      .limit(1000)
+  }
+
   val all: Seq[QueryDef] = Seq(sessionizeQ, streamTumbling, streamSliding,
-    streamWatermark, streamSession)
+    streamWatermark, streamSession, windowTimeRange)
 }

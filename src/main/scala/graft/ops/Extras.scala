@@ -322,7 +322,39 @@ object Extras {
       .orderBy("o_orderpriority")
   }
 
+  /** Per-group mode (most frequent value) with a DETERMINISTIC tie-break
+    * (count DESC, then value ASC) — built from a grouped count plus a
+    * top-1 window over the GROUPED relation, never the raw rows, so the
+    * window input is the distinct-value cardinality per group (small),
+    * not the fact table. Native `mode()` aggregates leave ties
+    * engine-defined, which a hash gate cannot accept — the explicit
+    * rank is the cross-engine-deterministic formulation.
+    */
+  val aggMode = QueryDef(
+    "agg_mode",
+    """WITH c AS (
+      |  SELECT l_returnflag, CAST(l_quantity AS DOUBLE) AS v,
+      |         CAST(count(*) AS BIGINT) AS cnt
+      |  FROM lineitem GROUP BY l_returnflag, v
+      |), r AS (
+      |  SELECT *, row_number() OVER (PARTITION BY l_returnflag
+      |                               ORDER BY cnt DESC, v) AS rn
+      |  FROM c
+      |)
+      |SELECT l_returnflag, v AS mode_qty, cnt AS n_occurrences
+      |FROM r WHERE rn = 1 ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+    val c = Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"), col("l_quantity").cast("double").as("v"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("l_returnflag").orderBy(col("cnt").desc, col("v"))
+    c.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("l_returnflag"), col("v").as("mode_qty"),
+        col("cnt").as("n_occurrences"))
+      .orderBy("l_returnflag")
+  }
+
   val all: Seq[QueryDef] = Seq(aggStats, windowDistribution, fnConditional,
     joinFull, joinCross, aggPivot, aggPercentile,
-    aggCorr, fnBitwise, windowFirstLast, aggHistogram, joinBucketed)
+    aggCorr, fnBitwise, windowFirstLast, aggHistogram, joinBucketed, aggMode)
 }
