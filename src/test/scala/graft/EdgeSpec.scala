@@ -242,4 +242,23 @@ class EdgeSpec extends AnyFunSuite {
     val got = df.agg(sum(col("v").cast("decimal(18,4)")).cast("double")).as[Double].head()
     assert(got == 10.0) // double accumulation would give 9.999999999999831
   }
+
+  test("time range frame boundary pin: peers share the frame, exact-1h is inclusive") {
+    // the window_time_range oracle encodes two boundaries NO gate row
+    // exercises (verified: zero same-instant pairs and zero exact-1h
+    // pairs at all three SFs) — rule 11 says pin them. DuckDB on the
+    // same fixture gives n = 2,2,3,2 (checked empirically): same-instant
+    // rows are RANGE peers and see each other; a row exactly gap later
+    // still includes them (inclusive frame start); one µs past drops them.
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("eus")
+      .rangeBetween(-3600000000L, Window.currentRow)
+    val got = Seq((1L, 10L, 0L), (1L, 11L, 0L),
+      (1L, 12L, 3600000000L), (1L, 13L, 3600000001L))
+      .toDF("user_id", "event_id", "eus")
+      .select(col("event_id"), count(lit(1)).over(w).as("n"))
+      .orderBy("event_id")
+      .as[(Long, Long)].collect().toSeq
+    assert(got == Seq((10L, 2L), (11L, 2L), (12L, 3L), (13L, 2L)))
+  }
 }
