@@ -429,13 +429,18 @@ object TextAnalysis {
       |FROM tf JOIN dfx USING (token), nn
       |WHERE doc_id % 41 = 0 AND tf >= 2
       |ORDER BY doc_id, token""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(s, d)
     val tok = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
     val tf = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
-    val dfx = tf.groupBy("token").agg(count(lit(1)).as("df"))
     val nn = docs.agg(count(lit(1)).as("n"))
-    tf.filter(col("doc_id") % 41 === 0 && col("tf") >= 2)
-      .join(dfx, "token")
+    // df via a whole-partition window over the tf relation, NOT a
+    // tf-join-tf: the join formulation evaluates (and at scale, scans and
+    // explodes) the corpus twice — once per branch; the window computes
+    // doc frequencies in the same single pass, one shuffle on token
+    // (plan-audited: 7 Exchanges with two corpus scans → 5 with one)
+    tf.withColumn("df", count(lit(1)).over(Window.partitionBy("token")))
+      .filter(col("doc_id") % 41 === 0 && col("tf") >= 2)
       .crossJoin(broadcast(nn))
       .select(col("doc_id"), col("token"), col("tf"), col("df"),
         round(col("tf") * (log((col("n") + lit(1.0)) / (col("df") + lit(1.0))) + lit(1.0)), 4)
@@ -443,7 +448,29 @@ object TextAnalysis {
       .orderBy("doc_id", "token")
   }
 
+  /** Deterministic epoch shuffle — the training-loader reorder as a pure
+    * function of (epoch, doc_id): sort key = md5("epoch<k>:" ‖ doc_id),
+    * reproducible on any engine/partitioning/rerun and different per
+    * epoch, the same content-hash discipline as `sample_split` (rand()
+    * cannot survive a hash gate or a task retry). The gated relation is
+    * the first 100 docs of the epoch-0 order, which plans as
+    * TakeOrderedAndProject (top-k, no global sort); the full-epoch form
+    * at scale is `repartitionByRange(skey)` + within-partition sort —
+    * the standard distributed shuffle-for-training layout.
+    */
+  val sampleShuffle = QueryDef(
+    "sample_shuffle",
+    """SELECT doc_id, md5('epoch0:' || CAST(doc_id AS VARCHAR)) AS skey
+      |FROM documents
+      |ORDER BY skey, doc_id LIMIT 100""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        md5(concat(lit("epoch0:"), col("doc_id").cast("string"))).as("skey"))
+      .orderBy("skey", "doc_id")
+      .limit(100)
+  }
+
   val all: Seq[QueryDef] = Seq(textLangid, textQuality, textTokens, textFingerprint,
     textPiiScrub, sampleSplit, sampleStratified, textPack, textDecontaminate,
-    textNgrams, textTfidf)
+    textNgrams, textTfidf, sampleShuffle)
 }
