@@ -132,6 +132,44 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("tfidf: df bounded by corpus size, emitted rows honor the exact predicates") {
+    val d = "/root/testdata/sf0.001"
+    val n = graft.Tables.documents(spark, d).count()
+    val rows = graft.ops.TextAnalysis.textTfidf.fn(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (docId, tf, df, score) =>
+      assert(docId % 41 == 0 && tf >= 2)     // the exact selection predicates
+      assert(df >= 1 && df <= n)             // a doc frequency is a doc count
+      assert(score > 0)                      // smooth idf >= 1 and tf >= 2
+    }
+  }
+
+  test("sample_shuffle: a deterministic permutation prefix, stable across reruns") {
+    val d = "/root/testdata/sf0.001"
+    val a = graft.ops.TextAnalysis.sampleShuffle.fn(spark, d)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val b = graft.ops.TextAnalysis.sampleShuffle.fn(spark, d)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(a == b)                                    // rerun-stable
+    assert(a.map(_._1).distinct.length == a.length)   // no doc repeats
+    assert(a.map(_._2) == a.map(_._2).sorted)         // emitted in key order
+    // the hash order is not the id order — it actually shuffles
+    assert(a.map(_._1) != a.map(_._1).sorted)
+  }
+
+  test("agg_mode: the mode's count is the max count of its group") {
+    val d = "/root/testdata/sf0.001"
+    val li = graft.Tables.lineitem(spark, d)
+    val modes = graft.ops.Extras.aggMode.fn(spark, d)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+    val maxCounts = li.groupBy(col("l_returnflag"), col("l_quantity").cast("double"))
+      .count().groupBy("l_returnflag").agg(max("count"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(modes.nonEmpty)
+    modes.foreach { case (flag, _, cnt) => assert(cnt == maxCounts(flag)) }
+  }
+
   test("pack bins conserve tokens and number contiguously per bucket") {
     val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
     val bins = graft.ops.TextAnalysis.packBins(docs)
