@@ -179,5 +179,21 @@ object Functions {
     * the dedup oracle. */
   def shingleOracleCte: String = shingleCte
 
-  val all: Seq[QueryDef] = Seq(fnString, fnDate, fnMath, fnArray, fnJson, udtfShingles)
+  /** Cryptographic hash surface — md5 and sha256 over customer names.
+    * Both engines emit lowercase hex over the identical UTF-8 bytes, so
+    * the digests are bit-identical (md5 is already the repo's only shared
+    * hash per §2.9; sha256 extends the surface the same way). */
+  val fnHash = QueryDef(
+    "fn_hash",
+    """SELECT c_custkey, md5(c_name) AS h_md5, sha256(c_name) AS h_sha256
+      |FROM customer ORDER BY c_custkey LIMIT 200""".stripMargin) { (s, d) =>
+    Tables.customer(s, d)
+      .select(col("c_custkey"), md5(col("c_name")).as("h_md5"),
+        sha2(col("c_name"), 256).as("h_sha256"))
+      .orderBy("c_custkey")
+      .limit(200)
+  }
+
+  val all: Seq[QueryDef] = Seq(fnString, fnDate, fnMath, fnArray, fnJson,
+    udtfShingles, fnHash)
 }

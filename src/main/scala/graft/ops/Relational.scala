@@ -479,11 +479,49 @@ object Relational {
       .orderBy("c_custkey")
   }
 
+  /** Bag (ALL) semantics of intersect/except — `intersectAll`/`exceptAll`
+    * keep per-row multiplicities (min / difference of counts), a distinct
+    * relation from the set forms when duplicates exist. Exercised on
+    * order-priority rows where duplicates are the norm, so the bag/set
+    * distinction is live in the gate data, not vacuously equal.
+    */
+  val setIntersectAll = QueryDef(
+    "set_intersect_all",
+    """SELECT * FROM (
+      |SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'O'
+      |INTERSECT ALL
+      |SELECT o_orderpriority FROM orders WHERE o_totalprice > 100000)
+      |ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+    val o = Tables.orders(s, d)
+    o.filter(col("o_orderstatus") === "O").select("o_orderpriority")
+      .intersectAll(o.filter(col("o_totalprice") > 100000).select("o_orderpriority"))
+      .orderBy("o_orderpriority")
+  }
+
+  val setExceptAll = QueryDef(
+    "set_except_all",
+    // the right side is a strict subset of the left, so the bag
+    // difference is exactly the left rows failing the price predicate,
+    // with multiplicities — non-empty at every SF (an empty EXCEPT ALL
+    // result would gate nothing)
+    """SELECT * FROM (
+      |SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'O'
+      |EXCEPT ALL
+      |SELECT o_orderpriority FROM orders
+      |WHERE o_orderstatus = 'O' AND o_totalprice > 100000)
+      |ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+    val o = Tables.orders(s, d).filter(col("o_orderstatus") === "O")
+    o.select("o_orderpriority")
+      .exceptAll(o.filter(col("o_totalprice") > 100000).select("o_orderpriority"))
+      .orderBy("o_orderpriority")
+  }
+
   val all: Seq[QueryDef] = Seq(
     scanProject, scanCountStar, projectExpr, filterPred,
     joinInner, joinLeft, joinSemi, joinAnti, joinBroadcast, joinMultiway,
     joinRange, joinAsof,
     aggGroupby, aggDistinct, aggRollup, aggCube, aggGroupingSets, aggApproxDistinct,
     windowRank, windowRunning, windowLagLead, windowRangeFrame,
-    sortMulti, setUnionAll, setUnion, setIntersect, setExcept)
+    sortMulti, setUnionAll, setUnion, setIntersect, setExcept,
+    setIntersectAll, setExceptAll)
 }
