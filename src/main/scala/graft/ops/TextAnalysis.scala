@@ -470,7 +470,51 @@ object TextAnalysis {
       .limit(100)
   }
 
+  /** End-to-end corpus-cleanse PIPELINE — the composition a real
+    * training-data user runs, gated as one relation: quality filter
+    * (≥ 5 tokens) → exact dedup (min doc_id per content hash) →
+    * benchmark decontamination (drop survivors whose content hash
+    * matches any doc_id % 97 benchmark doc) → per-language survivor
+    * counts and token totals. One corpus scan feeds every stage; the
+    * dedup is one combinable groupBy on the hash; the benchmark set
+    * broadcasts into an anti-join — at 100 TB this whole pipeline is
+    * two shuffles (hash groupBy, final lang aggregate) plus a broadcast.
+    */
+  val pipelineCleanse = QueryDef(
+    "pipeline_cleanse",
+    """WITH base AS (
+      |  SELECT doc_id, lang,
+      |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+      |         md5(text) AS h
+      |  FROM documents
+      |), f AS (
+      |  SELECT * FROM base WHERE n_toks >= 5
+      |), k AS (
+      |  SELECT h, min(doc_id) AS doc_id FROM f GROUP BY h
+      |), dd AS (
+      |  SELECT f.* FROM f JOIN k USING (h, doc_id)
+      |), bench AS (
+      |  SELECT DISTINCT h FROM base WHERE doc_id % 97 = 0
+      |)
+      |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(sum(n_toks) AS BIGINT) AS n_tokens
+      |FROM dd
+      |WHERE NOT EXISTS (SELECT 1 FROM bench b WHERE b.h = dd.h)
+      |GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
+    val base = Tables.documents(s, d).select(col("doc_id"), col("lang"),
+      size(split(col("text"), " ")).cast("long").as("n_toks"),
+      md5(col("text")).as("h"))
+    val filtered = base.filter(col("n_toks") >= 5)
+    val keepers = filtered.groupBy("h").agg(min("doc_id").as("doc_id"))
+    val deduped = filtered.join(keepers, Seq("h", "doc_id"))
+    val bench = base.filter(col("doc_id") % 97 === 0).select("h").distinct()
+    deduped.join(broadcast(bench), Seq("h"), "left_anti")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
+      .orderBy("lang")
+  }
+
   val all: Seq[QueryDef] = Seq(textLangid, textQuality, textTokens, textFingerprint,
     textPiiScrub, sampleSplit, sampleStratified, textPack, textDecontaminate,
-    textNgrams, textTfidf, sampleShuffle)
+    textNgrams, textTfidf, sampleShuffle, pipelineCleanse)
 }
