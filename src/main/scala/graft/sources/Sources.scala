@@ -50,6 +50,15 @@ object Sources {
   def jsonLines(spark: SparkSession, path: String): DataFrame =
     spark.read.json(path)
 
+  /** ORC passthroughs — the other columnar format Spark bundles natively
+    * (same pushdown/pruning surface as parquet; Avro is absent from this
+    * distribution's jars, so it is deliberately NOT offered). */
+  def orc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  def writeOrc(df: DataFrame, dir: String): Unit =
+    df.write.mode("overwrite").orc(dir)
+
   /** Write the sharded co-occurrence matrix as parquet partitioned by
     * (row_shard, col_shard) — the semantic equivalent of the reference's
     * per-shard TFRecord files (format parity out of scope offline;

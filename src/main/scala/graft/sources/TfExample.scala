@@ -79,6 +79,94 @@ object TfExample {
     lenB ++ le4(crcMasked(lenB)) ++ payload ++ le4(crcMasked(payload))
   }
 
+  /** Decode a serialized Example into name -> (int64 values, float values)
+    * — the read half of the wire format, for consuming existing shard
+    * files (the reference pipeline's own output) without any protobuf
+    * dependency. Unknown/bytes features fail fast rather than skipping:
+    * a swivel shard file contains exactly int64/float lists.
+    */
+  def parseExample(bytes: Array[Byte]): Map[String, (Seq[Long], Seq[Float])] = {
+    var pos = 0
+    def varintAt(): Long = {
+      var shift = 0; var v = 0L; var more = true
+      while (more) {
+        val x = bytes(pos); pos += 1
+        v |= (x & 0x7fL) << shift; shift += 7; more = (x & 0x80) != 0
+      }
+      v
+    }
+    def delim(): (Int, Int) = { val n = varintAt().toInt; val s = pos; pos += n; (s, s + n) }
+    require(varintAt() == 0x0a, "not an Example: missing features tag")
+    val (fs, fe) = delim()
+    val out = scala.collection.mutable.LinkedHashMap.empty[String, (Seq[Long], Seq[Float])]
+    pos = fs
+    while (pos < fe) {
+      require(varintAt() == 0x0a, "bad Features entry tag")
+      val (entryStart, _) = delim()
+      pos = entryStart // descend into the entry
+      require(varintAt() == 0x0a, "bad map key tag")
+      val (ks, ke) = delim()
+      val key = new String(bytes.slice(ks, ke), "UTF-8")
+      pos = ke
+      require(varintAt() == 0x12, "bad map value tag")
+      val (vs, ve) = delim()
+      pos = vs
+      val kind = varintAt()
+      val (listStart, _) = delim()
+      pos = listStart // descend into the list message
+      require(varintAt() == 0x0a, "bad packed list tag")
+      val (ps, pe) = delim()
+      kind match {
+        case 0x1a => // Int64List
+          val vals = scala.collection.mutable.ArrayBuffer.empty[Long]
+          pos = ps
+          while (pos < pe) vals += varintAt()
+          out(key) = (vals.toSeq, Nil)
+        case 0x12 => // FloatList
+          val bb = java.nio.ByteBuffer.wrap(bytes, ps, pe - ps)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          out(key) = (Nil, (0 until (pe - ps) / 4).map(_ => bb.getFloat))
+        case k => throw new IllegalArgumentException(s"unexpected Feature kind $k")
+      }
+      pos = ve
+    }
+    out.toMap
+  }
+
+  /** Read `shard-RRR-CCC.pb` files back into the shard cell relation —
+    * the migration path for corpora already prepared by the reference:
+    * its output files become this engine's input. One Spark `binaryFile`
+    * scan; each file is decoded by the task that reads it (files are
+    * shard-sized by construction). `weight` comes back as FLOAT — the
+    * format stores float32, so the reader is honest about the precision
+    * the bytes carry.
+    */
+  def readSwivelPbShards(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    import spark.implicits._
+    val name = "shard-(\\d+)-(\\d+)\\.pb".r
+    spark.read.format("binaryFile").option("pathGlobFilter", "shard-*.pb")
+      .load(dir)
+      .select(col("path"), col("content")).as[(String, Array[Byte])]
+      .flatMap { case (path, bytes) =>
+        val base = path.substring(path.lastIndexOf('/') + 1)
+        val m = name.findFirstMatchIn(base).getOrElse(
+          throw new IllegalArgumentException(s"not a shard file: $base"))
+        val (r, c) = (m.group(1).toLong, m.group(2).toLong)
+        val f = parseExample(bytes)
+        val gRows = f("global_row")._1
+        val gCols = f("global_col")._1
+        val lr = f("sparse_local_row")._1
+        val lc = f("sparse_local_col")._1
+        val w = f("sparse_value")._2
+        lr.indices.map { i =>
+          (r, c, lr(i), lc(i), gRows(lr(i).toInt), gCols(lc(i).toInt), w(i))
+        }
+      }
+      .toDF("row_shard", "col_shard", "local_row", "local_col",
+        "global_row", "global_col", "weight")
+  }
+
   /** Write the sharded co-occurrence matrix in the reference's own output
     * format: one `shard-RRR-CCC.pb` file per (row_shard, col_shard), each a
     * serialized Example with the shard's row/col id lists and its nonzero

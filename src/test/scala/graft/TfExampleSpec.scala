@@ -111,6 +111,40 @@ class TfExampleSpec extends AnyFunSuite {
     assert(bb.getInt(12 + payload.length) == mask(c2.getValue.toInt))
   }
 
+  test("readSwivelPbShards: write -> read round-trips the shard relation at float precision") {
+    val docs = Seq((0L, "a a b b c c d d"), (1L, "a b c d a b c d"))
+      .toDF("doc_id", "text")
+    val vocab = SwivelPrep.buildVocab(docs, minCount = 1, shardSize = 2)
+    val vocabSize = vocab.count().toInt
+    val numShards = vocabSize / 2
+    val shards = SwivelPrep.shard(SwivelPrep.cooc(docs, vocab, 2), vocab, 2)
+    val dir = Files.createTempDirectory("graft_pb_rt").toString
+    TfExample.writeSwivelPbShards(shards, numShards, vocabSize, dir)
+    val back = TfExample.readSwivelPbShards(spark, dir)
+      .orderBy("row_shard", "col_shard", "local_row", "local_col")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getFloat(6)))
+      .toSeq
+    val want = shards
+      .orderBy("row_shard", "col_shard", "local_row", "local_col")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6).toFloat))
+      .toSeq
+    assert(back == want)
+    assert(back.nonEmpty)
+  }
+
+  test("orc passthroughs round-trip a table") {
+    import graft.sources.Sources
+    val df = Tables.customer(spark, "/root/testdata/sf0.001")
+      .select("c_custkey", "c_name", "c_acctbal")
+    val dir = Files.createTempDirectory("graft_orc").toString + "/t"
+    Sources.writeOrc(df, dir)
+    val back = Sources.orc(spark, dir)
+    assert(back.orderBy("c_custkey").collect().toSeq ==
+      df.orderBy("c_custkey").collect().toSeq)
+  }
+
   test("Swivel .pb shard sink: files decode back to exactly the shard relation") {
     val docs = Seq((0L, "a a b b c c d d"), (1L, "a b c d a b c d"))
       .toDF("doc_id", "text")
