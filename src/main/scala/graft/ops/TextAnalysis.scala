@@ -475,10 +475,12 @@ object TextAnalysis {
     * (≥ 5 tokens) → exact dedup (min doc_id per content hash) →
     * benchmark decontamination (drop survivors whose content hash
     * matches any doc_id % 97 benchmark doc) → per-language survivor
-    * counts and token totals. One corpus scan feeds every stage; the
-    * dedup is one combinable groupBy on the hash; the benchmark set
-    * broadcasts into an anti-join — at 100 TB this whole pipeline is
-    * two shuffles (hash groupBy, final lang aggregate) plus a broadcast.
+    * counts and token totals. Two column-pruned corpus scans (the main
+    * stream, and the ~1% benchmark branch — re-scanning beats caching
+    * the full corpus for one projected column); the dedup is one
+    * combinable groupBy on the hash; the benchmark set broadcasts into
+    * an anti-join — at 100 TB this whole pipeline is two shuffles
+    * (hash groupBy, final lang aggregate) plus a broadcast.
     */
   val pipelineCleanse = QueryDef(
     "pipeline_cleanse",
