@@ -45,10 +45,18 @@ object Bench {
     // The artifact of record must survive log-tail truncation: persist the
     // full JSON to a file the driver snapshots, and print it both first
     // (survives head capture) and last (the driver's ONE-line contract).
+    // The write target is cwd-relative by the snapshot contract — print
+    // WHERE it landed (or that it failed) so a run from the wrong
+    // directory can't leave a stale committed BENCH.json masquerading as
+    // this run's result.
     println(line)
-    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH.json"),
-      (line + "\n").getBytes("UTF-8"))
-    catch { case _: Throwable => () }
+    try {
+      val p = java.nio.file.Paths.get("BENCH.json").toAbsolutePath
+      java.nio.file.Files.write(p, (line + "\n").getBytes("UTF-8"))
+      println(s"BENCH.json written: $p")
+    } catch { case e: Throwable =>
+      System.err.println(s"BENCH.json write FAILED (stdout line is the only record): $e")
+    }
     spark.stop()
     println(line)
   }

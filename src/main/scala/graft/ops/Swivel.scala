@@ -133,11 +133,15 @@ object Swivel {
     */
   private val coocCache =
     new java.util.concurrent.ConcurrentHashMap[(org.apache.spark.sql.SparkSession, String),
-      org.apache.spark.sql.DataFrame]()
-  private def sharedCooc(s: org.apache.spark.sql.SparkSession, d: String) =
+      (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame)]()
+  /** (vocab, cooc) per (session, sfDir) — vocab rides in the same cache
+    * entry so a cold shard key derives the corpus-wide vocabulary ONCE,
+    * not once for the cache fill and again for its own shard call. */
+  private def sharedVocabCooc(s: org.apache.spark.sql.SparkSession, d: String) =
     coocCache.computeIfAbsent((s, d), { case (sess, dir) =>
       val docs = Tables.documents(sess, dir)
-      SwivelPrep.cooc(docs, cachedVocab(docs), WindowSize).localCheckpoint()
+      val vocab = cachedVocab(docs)
+      (vocab, SwivelPrep.cooc(docs, vocab, WindowSize).localCheckpoint())
     })
 
   private val shardCte =
@@ -156,8 +160,8 @@ object Swivel {
     "swivel_shard",
     s"""$baseCte$shardCte
        |SELECT * FROM shards ORDER BY global_row, global_col""".stripMargin) { (s, d) =>
-    val vocab = cachedVocab(Tables.documents(s, d))
-    SwivelPrep.shard(sharedCooc(s, d), vocab, ShardSize)
+    val (vocab, cooc) = sharedVocabCooc(s, d)
+    SwivelPrep.shard(cooc, vocab, ShardSize)
       .orderBy("global_row", "global_col")
   }
 
@@ -167,8 +171,8 @@ object Swivel {
        |SELECT row_shard, col_shard, CAST(count(*) AS BIGINT) AS n_cells
        |FROM shards GROUP BY row_shard, col_shard
        |ORDER BY row_shard, col_shard""".stripMargin) { (s, d) =>
-    val vocab = cachedVocab(Tables.documents(s, d))
-    SwivelPrep.shard(sharedCooc(s, d), vocab, ShardSize)
+    val (vocab, cooc) = sharedVocabCooc(s, d)
+    SwivelPrep.shard(cooc, vocab, ShardSize)
       .groupBy("row_shard", "col_shard")
       .agg(count(lit(1)).as("n_cells"))
       .orderBy("row_shard", "col_shard")

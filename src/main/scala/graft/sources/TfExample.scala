@@ -82,8 +82,12 @@ object TfExample {
   /** Decode a serialized Example into name -> (int64 values, float values)
     * — the read half of the wire format, for consuming existing shard
     * files (the reference pipeline's own output) without any protobuf
-    * dependency. Unknown/bytes features fail fast rather than skipping:
-    * a swivel shard file contains exactly int64/float lists.
+    * dependency. Handles what canonical encoders legally emit: an empty
+    * packed field may be OMITTED entirely (an Int64List/FloatList
+    * submessage of zero length), and a repeated packed field may arrive
+    * as MULTIPLE chunks — chunks are concatenated in order. Unknown or
+    * bytes-typed features fail fast rather than being skipped: a swivel
+    * shard file contains exactly int64/float lists.
     */
   def parseExample(bytes: Array[Byte]): Map[String, (Seq[Long], Seq[Float])] = {
     var pos = 0
@@ -102,7 +106,7 @@ object TfExample {
     pos = fs
     while (pos < fe) {
       require(varintAt() == 0x0a, "bad Features entry tag")
-      val (entryStart, _) = delim()
+      val (entryStart, entryEnd) = delim()
       pos = entryStart // descend into the entry
       require(varintAt() == 0x0a, "bad map key tag")
       val (ks, ke) = delim()
@@ -111,24 +115,33 @@ object TfExample {
       require(varintAt() == 0x12, "bad map value tag")
       val (vs, ve) = delim()
       pos = vs
-      val kind = varintAt()
-      val (listStart, _) = delim()
-      pos = listStart // descend into the list message
-      require(varintAt() == 0x0a, "bad packed list tag")
-      val (ps, pe) = delim()
-      kind match {
-        case 0x1a => // Int64List
-          val vals = scala.collection.mutable.ArrayBuffer.empty[Long]
-          pos = ps
-          while (pos < pe) vals += varintAt()
-          out(key) = (vals.toSeq, Nil)
-        case 0x12 => // FloatList
-          val bb = java.nio.ByteBuffer.wrap(bytes, ps, pe - ps)
-            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-          out(key) = (Nil, (0 until (pe - ps) / 4).map(_ => bb.getFloat))
-        case k => throw new IllegalArgumentException(s"unexpected Feature kind $k")
+      // Feature message: iterate its fields (zero or one in practice; an
+      // omitted empty list leaves the message EMPTY — vs == ve)
+      val longs = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val floats = scala.collection.mutable.ArrayBuffer.empty[Float]
+      while (pos < ve) {
+        val kind = varintAt()
+        val (ls, le) = delim()
+        pos = ls // descend into the list message; may itself be empty
+        while (pos < le) {
+          require(varintAt() == 0x0a, "bad packed list tag")
+          val (ps, pe) = delim() // one packed chunk; repeated chunks concat
+          kind match {
+            case 0x1a => // Int64List
+              pos = ps
+              while (pos < pe) longs += varintAt()
+            case 0x12 => // FloatList
+              val bb = java.nio.ByteBuffer.wrap(bytes, ps, pe - ps)
+                .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+              (0 until (pe - ps) / 4).foreach(_ => floats += bb.getFloat)
+            case k => throw new IllegalArgumentException(s"unexpected Feature kind $k")
+          }
+          pos = pe
+        }
+        pos = le
       }
-      pos = ve
+      out(key) = (longs.toSeq, floats.toSeq)
+      pos = entryEnd
     }
     out.toMap
   }
@@ -207,15 +220,32 @@ object TfExample {
           }
         }
         grouped.foreach { case (r, c, cells) =>
-          val ex = example(Seq(
-            "global_row" -> int64Feature((0 until rowsPerShard).map(k => k.toLong * numShards + r)),
-            "global_col" -> int64Feature((0 until rowsPerShard).map(k => k.toLong * numShards + c)),
-            "sparse_local_row" -> int64Feature(cells.map(_.getLong(2))),
-            "sparse_local_col" -> int64Feature(cells.map(_.getLong(3))),
-            "sparse_value" -> floatFeature(cells.map(_.getDouble(4).toFloat))))
           java.nio.file.Files.write(
-            java.nio.file.Paths.get(f"$dir/shard-$r%03d-$c%03d.pb"), ex)
+            java.nio.file.Paths.get(f"$dir/shard-$r%03d-$c%03d.pb"),
+            shardExample(r, c, numShards, rowsPerShard, cells))
         }
       }
+    // the reference layout contains ALL numShards² files — a shard with
+    // zero nonzero cells still carries its global id stripes. Such pairs
+    // never appear in the shards DataFrame, so backfill them here (each
+    // missing file is a few hundred bytes; the loop touches only the
+    // holes, usually none on a dense co-occurrence matrix)
+    val rowsPerShard = vocabSize / numShards
+    for (r <- 0L until numShards; c <- 0L until numShards) {
+      val p = java.nio.file.Paths.get(f"$dir/shard-$r%03d-$c%03d.pb")
+      if (!java.nio.file.Files.exists(p))
+        java.nio.file.Files.write(p, shardExample(r, c, numShards, rowsPerShard, Nil))
+    }
   }
+
+  /** One shard's Example: global id stripes + the (possibly empty)
+    * sparse cell lists in (local_row, local_col) order. */
+  private def shardExample(r: Long, c: Long, numShards: Int,
+      rowsPerShard: Int, cells: Seq[Row]): Array[Byte] =
+    example(Seq(
+      "global_row" -> int64Feature((0 until rowsPerShard).map(k => k.toLong * numShards + r)),
+      "global_col" -> int64Feature((0 until rowsPerShard).map(k => k.toLong * numShards + c)),
+      "sparse_local_row" -> int64Feature(cells.map(_.getLong(2))),
+      "sparse_local_col" -> int64Feature(cells.map(_.getLong(3))),
+      "sparse_value" -> floatFeature(cells.map(_.getDouble(4).toFloat))))
 }

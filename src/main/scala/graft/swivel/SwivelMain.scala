@@ -49,15 +49,26 @@ object SwivelMain {
       vocab.cache()
       val cells = SwivelPrep.cooc(docs, vocab, windowSize)
       val sharded = SwivelPrep.shard(cells, vocab, shardSize)
-      val marg = SwivelPrep.marginals(docs, vocab, windowSize)
-      if (outFmt == "pb") {
+      // materialized once: both output branches read marginals, and the
+      // pb branch reads them twice (text sums + parquet side output) —
+      // without this the most expensive stage (cooc pair derivation)
+      // would re-run per consumer
+      val marg = SwivelPrep.marginals(docs, vocab, windowSize).localCheckpoint()
+      val vocabSize = vocab.count().toInt
+      if (vocabSize == 0) {
+        // corpus smaller than one shard: vocab truncates to zero — mirror
+        // the parquet path's graceful empty output instead of crashing in
+        // the .pb writer's require
+        System.err.println(
+          s"swivel-prep: vocabulary is empty after truncation to a multiple " +
+            s"of shard_size=$shardSize — no shards to write")
+      } else if (outFmt == "pb") {
         // the reference trainer's own input layout: one serialized
         // tensorflow.Example per shard (shard-RRR-CCC.pb) plus the
         // vocab/sums TEXT side files it loads alongside them. Vocab and
         // sums are driver-bounded (truncated vocabulary), so a driver-side
         // text write is the honest scale story; the matrix is symmetric,
         // so row and col files are identical.
-        val vocabSize = vocab.count().toInt
         graft.sources.TfExample.writeSwivelPbShards(sharded,
           vocabSize / shardSize, vocabSize, s"$outDir/shards_pb")
         import org.apache.spark.sql.functions.{col, coalesce, lit}

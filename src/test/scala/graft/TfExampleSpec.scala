@@ -111,6 +111,54 @@ class TfExampleSpec extends AnyFunSuite {
     assert(bb.getInt(12 + payload.length) == mask(c2.getValue.toInt))
   }
 
+  test("decoder accepts canonical-writer variants: omitted empty field, chunked packed list") {
+    // canonical protobuf encoders OMIT an empty packed field (Feature
+    // message of zero length) and may split a repeated packed field into
+    // MULTIPLE chunks — our own encoder does neither, so build the bytes
+    // by hand from the wire spec.
+    def b(xs: Int*) = xs.map(_.toByte).toArray
+    // entry 1: key "e" -> Feature with EMPTY Int64List (field omitted):
+    //   value message is empty (len 0)
+    val emptyEntry = b(0x0a, 0x05, 0x0a, 0x01, 'e', 0x12, 0x00)
+    // entry 2: key "x" -> Int64List [1] and [300] as TWO packed chunks
+    //   list msg: 0A 01 01  0A 02 AC 02  (7 bytes); Feature: 1A 07 ...
+    val chunked = b(0x0a, 0x0e, 0x0a, 0x01, 'x', 0x12, 0x09,
+      0x1a, 0x07, 0x0a, 0x01, 0x01, 0x0a, 0x02, 0xac, 0x02)
+    val payload = emptyEntry ++ chunked
+    val ex = b(0x0a, payload.length) ++ payload
+    val parsed = graft.sources.TfExample.parseExample(ex)
+    assert(parsed("e") == ((Nil, Nil)))
+    assert(parsed("x")._1 == Seq(1L, 300L))
+  }
+
+  test("writeSwivelPbShards backfills empty shards so the full grid exists") {
+    // a 1-doc corpus where tokens 'a','b' co-occur but some shard pairs
+    // get no cells — every numShards² file must still exist and decode
+    // to its global id stripes with empty sparse lists
+    val docs = Seq((0L, "a a b")).toDF("doc_id", "text")
+    val vocab = SwivelPrep.buildVocab(docs, minCount = 1, shardSize = 1)
+    val vocabSize = vocab.count().toInt
+    val numShards = vocabSize // shardSize = 1
+    val shards = SwivelPrep.shard(SwivelPrep.cooc(docs, vocab, 2), vocab, 1)
+    val dir = Files.createTempDirectory("graft_pb_grid").toString
+    TfExample.writeSwivelPbShards(shards, numShards, vocabSize, dir)
+    val files = new java.io.File(dir).listFiles().map(_.getName).toSet
+    val expected = (for (r <- 0 until numShards; c <- 0 until numShards)
+      yield f"shard-$r%03d-$c%03d.pb").toSet
+    assert(files == expected, s"grid incomplete: ${expected -- files}")
+    // an empty shard still decodes with its stripes
+    val present = shards.select("row_shard", "col_shard").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val holes = (for (r <- 0L until numShards; c <- 0L until numShards)
+      yield (r, c)).filterNot(present)
+    holes.headOption.foreach { case (r, c) =>
+      val f = parseExample(Files.readAllBytes(
+        Paths.get(f"$dir/shard-$r%03d-$c%03d.pb")))
+      assert(f("global_row")._1.nonEmpty)
+      assert(f("sparse_local_row")._1.isEmpty)
+    }
+  }
+
   test("readSwivelPbShards: write -> read round-trips the shard relation at float precision") {
     val docs = Seq((0L, "a a b b c c d d"), (1L, "a b c d a b c d"))
       .toDF("doc_id", "text")
