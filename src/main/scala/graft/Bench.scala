@@ -43,13 +43,12 @@ object Bench {
     // harness of rounds 1-3).
     val line = s"""{"metric":"total","value":$total,"unit":"sec","harness":"repeat-and-min-v2","reps":$reps,"stat":"min","queries":$qs,"sf":"$sfDir"}"""
     // The artifact of record must survive log-tail truncation: persist the
-    // full JSON to a file the driver snapshots, and print it both first
-    // (survives head capture) and last (the driver's ONE-line contract).
-    // The write target is cwd-relative by the snapshot contract — print
-    // WHERE it landed (or that it failed) so a run from the wrong
-    // directory can't leave a stale committed BENCH.json masquerading as
-    // this run's result.
-    println(line)
+    // full JSON to a file the driver snapshots, then print the ONE stdout
+    // line last (the driver's one-line contract — exactly one "metric"
+    // match in the log; the file covers head/tail capture loss). The write
+    // target is cwd-relative by the snapshot contract — print WHERE it
+    // landed (or that it failed) so a run from the wrong directory can't
+    // leave a stale committed BENCH.json masquerading as this run's result.
     try {
       val p = java.nio.file.Paths.get("BENCH.json").toAbsolutePath
       java.nio.file.Files.write(p, (line + "\n").getBytes("UTF-8"))

@@ -137,12 +137,17 @@ object Swivel {
   /** (vocab, cooc) per (session, sfDir) — vocab rides in the same cache
     * entry so a cold shard key derives the corpus-wide vocabulary ONCE,
     * not once for the cache fill and again for its own shard call. */
-  private def sharedVocabCooc(s: org.apache.spark.sql.SparkSession, d: String) =
+  private def sharedVocabCooc(s: org.apache.spark.sql.SparkSession, d: String) = {
+    // Drop entries owned by stopped sessions first: they pin checkpoint
+    // blocks and the dead SparkSession itself for the process lifetime
+    // otherwise (test suites / long-lived drivers that cycle sessions).
+    coocCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
     coocCache.computeIfAbsent((s, d), { case (sess, dir) =>
       val docs = Tables.documents(sess, dir)
       val vocab = cachedVocab(docs)
       (vocab, SwivelPrep.cooc(docs, vocab, WindowSize).localCheckpoint())
     })
+  }
 
   private val shardCte =
     s""", nsh AS (

@@ -198,13 +198,21 @@ object TfExample {
     require(numShards > 0 && vocabSize % numShards == 0,
       s"vocabSize $vocabSize must be a multiple of numShards $numShards")
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
-    shards
+    import shards.sparkSession.implicits._
+    // Executor tasks write and REPORT the (row_shard, col_shard) pairs they
+    // owned; the driver then requires every reported file to be visible
+    // before backfilling holes. On a deployment without a filesystem shared
+    // between executors and driver, the reported shards are missing from
+    // the driver's view and this THROWS — previously the backfill would
+    // silently replace every executor-written shard with an empty
+    // stripes-only file, a complete-looking but cell-less output grid.
+    val written = shards
       .select(col("row_shard").cast("long"), col("col_shard").cast("long"),
         col("local_row").cast("long"), col("local_col").cast("long"),
         col("weight").cast("double"))
       .repartition(col("row_shard"), col("col_shard"))
       .sortWithinPartitions("row_shard", "col_shard", "local_row", "local_col")
-      .foreachPartition { it: Iterator[Row] =>
+      .mapPartitions { it: Iterator[Row] =>
         val rowsPerShard = vocabSize / numShards
         // consecutive rows share a shard after the sort — group streaming
         val grouped = new Iterator[(Long, Long, Seq[Row])] {
@@ -219,12 +227,23 @@ object TfExample {
             (r, c, cells.toSeq)
           }
         }
-        grouped.foreach { case (r, c, cells) =>
+        grouped.map { case (r, c, cells) =>
           java.nio.file.Files.write(
             java.nio.file.Paths.get(f"$dir/shard-$r%03d-$c%03d.pb"),
             shardExample(r, c, numShards, rowsPerShard, cells))
+          (r, c)
         }
       }
+      .collect() // numShards²-bounded
+    val invisible = written.filterNot { case (r, c) =>
+      java.nio.file.Files.exists(java.nio.file.Paths.get(f"$dir/shard-$r%03d-$c%03d.pb"))
+    }
+    if (invisible.nonEmpty)
+      throw new IllegalStateException(
+        s"writeSwivelPbShards: ${invisible.length} executor-written shard file(s) are not " +
+          f"visible to the driver (e.g. shard-${invisible.head._1}%03d-${invisible.head._2}%03d) — " +
+          "dir is not on a filesystem shared between executors and driver; deploy with a " +
+          "shared mount or route writes through the Hadoop FileSystem API")
     // the reference layout contains ALL numShards² files — a shard with
     // zero nonzero cells still carries its global id stripes. Such pairs
     // never appear in the shards DataFrame, so backfill them here (each

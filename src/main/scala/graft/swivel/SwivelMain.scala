@@ -84,8 +84,12 @@ object SwivelMain {
             (lines.mkString("\n") + "\n").getBytes("UTF-8"))
         writeLines("row_vocab.txt", tokens)
         writeLines("col_vocab.txt", tokens)
-        writeLines("row_sums.txt", sums.map(_.toString))
-        writeLines("col_sums.txt", sums.map(_.toString))
+        // plain-decimal, never scientific: Double.toString renders small
+        // 4dp-rounded marginals as "1.0E-4", which diverges from the
+        // reference tooling's one-plain-value-per-line sums layout. The
+        // marginals are 4dp-rounded upstream, so fixed %.4f is exact.
+        writeLines("row_sums.txt", sums.map(v => f"$v%.4f"))
+        writeLines("col_sums.txt", sums.map(v => f"$v%.4f"))
       } else Sources.writeShards(sharded, s"$outDir/shards")
       Sources.writeSideOutput(vocab, s"$outDir/vocab")
       Sources.writeSideOutput(marg, s"$outDir/row_sums")
