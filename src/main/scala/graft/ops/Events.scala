@@ -246,6 +246,106 @@ object Events {
       .limit(1000)
   }
 
+  /** Deterministic batch projection of the streaming exact-dedup surface
+    * (`StreamOps.dedupEvents` / `dropDuplicatesWithinWatermark`): first
+    * arrival wins per business key. The stream dedups on event_id (unique
+    * in this corpus), so the batch key dedups on (user_id, event_type) —
+    * a key with real duplicates — keeping the full first row by event
+    * time (ties break on event_id, the arrival order) plus the count of
+    * suppressed later rows. One shuffle on the dedup key; in streaming
+    * the same key is the state key with watermark-bounded retention.
+    */
+  val streamDedup = QueryDef(
+    "stream_dedup",
+    """WITH r AS (
+      |  SELECT user_id, event_type, event_id, ts,
+      |         row_number() OVER (PARTITION BY user_id, event_type
+      |                            ORDER BY ts, event_id) AS rn,
+      |         count(*) OVER (PARTITION BY user_id, event_type) AS n_key
+      |  FROM events
+      |)
+      |SELECT user_id, event_type, event_id, ts,
+      |       CAST(n_key - 1 AS BIGINT) AS n_suppressed
+      |FROM r WHERE rn = 1
+      |ORDER BY user_id, event_type""".stripMargin) { (s, d) =>
+    firstArrival(Tables.events(s, d)).orderBy("user_id", "event_type")
+  }
+
+  /** First arrival per (user_id, event_type) by (ts, event_id) with the
+    * suppressed-duplicate count — the batch form behind `stream_dedup`. */
+  def firstArrival(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    val wAll = Window.partitionBy("user_id", "event_type")
+    events
+      .select(col("user_id"), col("event_type"), col("event_id"), col("ts"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_suppressed", count(lit(1)).over(wAll) - 1)
+      .filter(col("rn") === 1)
+      .drop("rn")
+  }
+
+  /** Ordered conversion funnel view → click → purchase: per user, the
+    * earliest view, the earliest click STRICTLY after it, the earliest
+    * purchase strictly after that — then one row per stage with how many
+    * users reached it and the summed µs from first view. Each stage is a
+    * conditional min-aggregate joined user-to-user (all three join inputs
+    * are user-level aggregates already partitioned on user_id, so the
+    * exchanges reuse); nothing holds per-user event lists, so dense users
+    * cost nothing extra at scale. All arithmetic on epoch-µs BIGINT.
+    */
+  val eventFunnel = QueryDef(
+    "event_funnel",
+    """WITH e AS (
+      |  SELECT user_id, event_type, epoch_us(ts) AS eus FROM events
+      |), v AS (
+      |  SELECT user_id, min(eus) AS t1 FROM e WHERE event_type = 'view' GROUP BY user_id
+      |), c AS (
+      |  SELECT e.user_id, min(eus) AS t2, min(t1) AS t1
+      |  FROM e JOIN v USING (user_id)
+      |  WHERE event_type = 'click' AND eus > t1 GROUP BY e.user_id
+      |), p AS (
+      |  SELECT e.user_id, min(eus) AS t3, min(t1) AS t1
+      |  FROM e JOIN c USING (user_id)
+      |  WHERE event_type = 'purchase' AND eus > t2 GROUP BY e.user_id
+      |)
+      |SELECT * FROM (
+      |  SELECT 0 AS stage_idx, 'view' AS stage,
+      |         CAST(count(*) AS BIGINT) AS n_users,
+      |         CAST(sum(t1 - t1) AS BIGINT) AS sum_us_from_first FROM v
+      |  UNION ALL
+      |  SELECT 1, 'click', CAST(count(*) AS BIGINT),
+      |         CAST(sum(t2 - t1) AS BIGINT) FROM c
+      |  UNION ALL
+      |  SELECT 2, 'purchase', CAST(count(*) AS BIGINT),
+      |         CAST(sum(t3 - t1) AS BIGINT) FROM p
+      |) ORDER BY stage_idx""".stripMargin) { (s, d) =>
+    funnel(Tables.events(s, d), Seq("view", "click", "purchase"))
+  }
+
+  /** Ordered-funnel stage counts for an arbitrary stage sequence — the
+    * function behind `event_funnel`. Stage k counts users whose earliest
+    * stage-k event is STRICTLY after their stage-(k-1) anchor time. */
+  def funnel(events: DataFrame, stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    val e = events.select(col("user_id"), col("event_type"), eus.as("eus"))
+    // per-user anchor times, stage by stage: (user_id, t1, tk)
+    val head = e.filter(col("event_type") === stages.head)
+      .groupBy("user_id").agg(min(col("eus")).as("t1"))
+      .withColumn("tk", col("t1"))
+    val users = stages.tail.scanLeft(head) { (prev, stage) =>
+      e.filter(col("event_type") === stage)
+        .join(prev.select("user_id", "t1", "tk"), Seq("user_id"))
+        .filter(col("eus") > col("tk"))
+        .groupBy("user_id").agg(min(col("eus")).as("tk"), min(col("t1")).as("t1"))
+    }
+    users.zip(stages).zipWithIndex.map { case ((u, stage), i) =>
+      u.agg(count(lit(1)).as("n_users"),
+        sum(col("tk") - col("t1")).as("sum_us_from_first"))
+        .select(lit(i).as("stage_idx"), lit(stage).as("stage"),
+          col("n_users"), col("sum_us_from_first"))
+    }.reduce(_ unionAll _).orderBy("stage_idx")
+  }
+
   val all: Seq[QueryDef] = Seq(sessionizeQ, streamTumbling, streamSliding,
-    streamWatermark, streamSession, windowTimeRange)
+    streamWatermark, streamSession, windowTimeRange, streamDedup, eventFunnel)
 }

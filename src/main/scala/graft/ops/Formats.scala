@@ -1,0 +1,94 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+import Det._
+
+/** Gated text-format source keys (SURVEY.md §2.1, round 7): each key
+  * writes a table subset out through a Spark text-format sink, reads it
+  * back through the matching source with an EXPLICIT schema, and emits a
+  * deterministic aggregate of the round-tripped rows. The oracle computes
+  * the same aggregate from the original parquet — so the driver's hash
+  * certifies the writer+reader pair preserves every value exactly
+  * (doubles survive via shortest-repr round-trip, strings via quoting).
+  *
+  * Schema-on-read is explicit, never inferred: inference costs an extra
+  * pass at scale and can mistype columns on adversarial corpora; the
+  * library treats text formats as schema-carried-out-of-band.
+  *
+  * Files land in a deterministic temp dir per sfDir (same convention as
+  * `join_bucketed`) so Bench reps overwrite instead of littering.
+  */
+object Formats {
+
+  private def fmtDir(d: String, fmt: String): String =
+    sys.props("java.io.tmpdir") + "/graft_fmt_" +
+      java.lang.Integer.toHexString(d.hashCode) + "/" + fmt
+
+  /** CSV round-trip over customer (int64/int32/double/string columns —
+    * c_name included so quoted strings with '#' exercise the quoting
+    * path): per-segment counts + exact-decimal acctbal sums. */
+  val scanCsv = QueryDef(
+    "scan_csv",
+    """SELECT c_mktsegment,
+      |       CAST(count(*) AS BIGINT) AS n,
+      |       CAST(sum(c_custkey) AS BIGINT) AS sum_key,
+      |       CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_bal
+      |FROM customer GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin) { (s, d) =>
+    val dir = fmtDir(d, "csv")
+    Tables.customer(s, d)
+      .select("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+      .write.mode("overwrite").option("header", "true")
+      // the WRITER trims surrounding whitespace by default — disable both
+      // trims so string values round-trip byte-exact (SourcesSpec pins
+      // this on a trailing-space fixture)
+      .option("ignoreLeadingWhiteSpace", "false")
+      .option("ignoreTrailingWhiteSpace", "false")
+      .csv(dir)
+    val schema = StructType(Seq(
+      StructField("c_custkey", LongType),
+      StructField("c_name", StringType),
+      StructField("c_nationkey", IntegerType),
+      StructField("c_acctbal", DoubleType),
+      StructField("c_mktsegment", StringType)))
+    s.read.option("header", "true").schema(schema).csv(dir)
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"),
+        sum(col("c_custkey")).as("sum_key"),
+        sum(dec(col("c_acctbal"))).cast("double").as("sum_bal"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** JSON-lines round-trip over orders (status/price/key — the timestamp
+    * column stays out: JSON carries no type metadata and timestamp
+    * serialization is format-config surface, not this key's subject):
+    * per-status counts, max key, exact-decimal totalprice sums. */
+  val scanJson = QueryDef(
+    "scan_json",
+    """SELECT o_orderstatus,
+      |       CAST(count(*) AS BIGINT) AS n,
+      |       CAST(max(o_orderkey) AS BIGINT) AS max_key,
+      |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+      |FROM orders GROUP BY o_orderstatus
+      |ORDER BY o_orderstatus""".stripMargin) { (s, d) =>
+    val dir = fmtDir(d, "json")
+    Tables.orders(s, d)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      .write.mode("overwrite").json(dir)
+    val schema = StructType(Seq(
+      StructField("o_orderkey", LongType),
+      StructField("o_orderstatus", StringType),
+      StructField("o_totalprice", DoubleType)))
+    s.read.schema(schema).json(dir)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        max(col("o_orderkey")).as("max_key"),
+        sum(dec(col("o_totalprice"))).cast("double").as("sum_price"))
+      .orderBy("o_orderstatus")
+  }
+
+  val all: Seq[QueryDef] = Seq(scanCsv, scanJson)
+}

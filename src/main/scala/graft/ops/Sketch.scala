@@ -1,0 +1,175 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import Det._
+
+/** Probabilistic-filter / sketch operators (SURVEY.md §2.7b, round 7).
+  *
+  * Both operators are built from md5 — the one hash both engines compute
+  * bit-identically (§2.9) — so their probabilistic behavior (bloom false
+  * positives, CMS collision overestimates) is DETERMINISTIC and sits under
+  * the driver's hash gate, not just a statistical spec bound.
+  */
+object Sketch {
+
+  /** h-th 32-bit slice of md5(key) reduced to a table of `m` positions.
+    * Slice 0 = hex chars 1-8, slice 1 = chars 9-16 (32 bits each, so any
+    * m up to 2^32 divides evenly deterministic cross-engine). */
+  private def hashMod(key: Column, slice: Int, m: Int): Column =
+    conv(substring(md5(key.cast("string")), 1 + 8 * slice, 8), 16, 10)
+      .cast("long") % m
+
+  /** Bloom-filter semi-join reduction — the runtime-filter pattern that
+    * turns a fact-dim join at 100 TB into a pre-shuffle fact-scan filter:
+    * the small side's join keys are hashed into an m-bit bloom set (k=2
+    * md5-derived hash functions), the set broadcasts, and the fact side
+    * drops every row whose key misses either bit BEFORE any join
+    * shuffle. Output keeps fact rows that pass the filter, tagged with
+    * whether they truly match (`matched`) — false positives survive the
+    * bloom but fail the exact join, exactly as in a production runtime
+    * filter where the exact join afterwards is what guarantees
+    * correctness.
+    *
+    * The bit set is represented declaratively as a ≤m-row DISTINCT
+    * position table broadcast into two semi-joins (Spark's own
+    * InBloomFilter runtime filters compile to the same
+    * broadcast-prefilter shape); the exact join is a broadcast left
+    * join on the true key. m is a parameter so tests can force
+    * saturation/collisions on tiny fixtures.
+    */
+  def bloomSemiJoin(fact: DataFrame, factKey: String,
+      small: DataFrame, smallKey: String, m: Int): DataFrame = {
+    val bits = small.select(hashMod(col(smallKey), 0, m).as("b"))
+      .union(small.select(hashMod(col(smallKey), 1, m).as("b")))
+      .distinct() // ≤ m rows by construction — always broadcastable
+    val withH = fact
+      .withColumn("h1", hashMod(col(factKey), 0, m))
+      .withColumn("h2", hashMod(col(factKey), 1, m))
+    withH
+      .join(broadcast(bits.withColumnRenamed("b", "h1")), Seq("h1"), "left_semi")
+      .join(broadcast(bits.withColumnRenamed("b", "h2")), Seq("h2"), "left_semi")
+      .join(broadcast(small.select(col(smallKey).as("__k"))),
+        col(factKey) === col("__k"), "left")
+      .withColumn("matched", col("__k").isNotNull)
+      .drop("h1", "h2", "__k")
+  }
+
+  /** Gated key: bloom-prefilter `lineitem` against the ~1% of orders with
+    * `o_orderkey % 97 = 0` (m = 65536 bits), then the exact join. The
+    * single-row relation pins the bloom's exact candidate count — so the
+    * false-positive set itself is hash-gated, not just the final answer.
+    * At sf0.1 the small side sets ~2.9k of 65536 bits (≈4.5% fill), the
+    * per-row pass probability is fill², and every surviving non-match is
+    * a deterministic md5 collision both engines reproduce.
+    */
+  val joinBloom = QueryDef(
+    "join_bloom",
+    """WITH small AS (
+      |  SELECT o_orderkey AS k FROM orders WHERE o_orderkey % 97 = 0
+      |), bits AS (
+      |  SELECT DISTINCT CAST('0x'||substr(md5(CAST(k AS VARCHAR)),1,8) AS BIGINT) % 65536 AS b FROM small
+      |  UNION
+      |  SELECT DISTINCT CAST('0x'||substr(md5(CAST(k AS VARCHAR)),9,8) AS BIGINT) % 65536 AS b FROM small
+      |), cand AS (
+      |  SELECT l_orderkey, l_quantity
+      |  FROM lineitem
+      |  WHERE CAST('0x'||substr(md5(CAST(l_orderkey AS VARCHAR)),1,8) AS BIGINT) % 65536 IN (SELECT b FROM bits)
+      |    AND CAST('0x'||substr(md5(CAST(l_orderkey AS VARCHAR)),9,8) AS BIGINT) % 65536 IN (SELECT b FROM bits)
+      |)
+      |SELECT CAST(count(*) AS BIGINT) AS n_candidates,
+      |       CAST(count(k) AS BIGINT) AS n_matched,
+      |       CAST(sum(CASE WHEN k IS NOT NULL THEN CAST(l_quantity AS DECIMAL(18,4)) END) AS DOUBLE) AS sum_qty
+      |FROM cand LEFT JOIN small ON l_orderkey = k""".stripMargin) { (s, d) =>
+    val small = Tables.orders(s, d)
+      .filter(col("o_orderkey") % 97 === 0)
+      .select(col("o_orderkey"))
+    val cand = bloomSemiJoin(
+      Tables.lineitem(s, d).select(col("l_orderkey"), col("l_quantity")),
+      "l_orderkey", small, "o_orderkey", m = 65536)
+    cand.agg(
+      count(lit(1)).as("n_candidates"),
+      count(when(col("matched"), lit(1))).as("n_matched"),
+      sum(when(col("matched"), dec(col("l_quantity"))))
+        .cast("double").as("sum_qty"))
+  }
+
+  /** Count-min-sketch counter table over a token column: `depth` hash
+    * rows × `width` buckets, counter(r, b) = occurrences of tokens
+    * hashing to bucket b under row-salt r. The whole sketch is
+    * depth×width counters REGARDLESS of corpus size — the mergeable
+    * fixed-state shape that replaces an unbounded exact frequency map at
+    * 100 TB (partial aggregation merges sketches map-side; row salts
+    * make the depth rows independent). */
+  def cmsCounters(tokens: DataFrame, tokenCol: String,
+      depth: Int, width: Int): DataFrame =
+    tokens
+      .select(explode(array((0 until depth).map { r =>
+        struct(lit(r).as("r"),
+          hashMod(concat(lit(r.toString), lit(":"), col(tokenCol)), 0, width)
+            .as("bucket"))
+      }: _*)).as("rb"))
+      .select(col("rb.r").as("r"), col("rb.bucket").as("bucket"))
+      .groupBy("r", "bucket")
+      .agg(count(lit(1)).as("cnt"))
+
+  /** CMS point estimate per probe token: min over the depth rows of the
+    * probed counter — ≥ the exact count always (collisions only add). */
+  def cmsEstimate(counters: DataFrame, probes: DataFrame, tokenCol: String,
+      depth: Int, width: Int): DataFrame = {
+    val probed = probes.select(col("*"),
+      explode(array((0 until depth).map { r =>
+        struct(lit(r).as("r"),
+          hashMod(concat(lit(r.toString), lit(":"), col(tokenCol)), 0, width)
+            .as("bucket"))
+      }: _*)).as("rb"))
+      .select(probes.columns.map(col).toIndexedSeq :+ col("rb.r").as("r")
+        :+ col("rb.bucket").as("bucket"): _*)
+    probed
+      .join(broadcast(counters), Seq("r", "bucket")) // ≤ depth·width rows
+      .groupBy(probes.columns.map(col).toIndexedSeq: _*)
+      .agg(min(col("cnt")).as("est"))
+  }
+
+  /** Gated key: 4×512 CMS over all document token occurrences, probed at
+    * the exact top-10 tokens (count DESC, token ASC tie-break). Emits
+    * exact vs estimated counts; with 512 buckets against a larger
+    * vocabulary the estimates include real collision overestimates, and
+    * since the collisions are md5-determined both engines agree on every
+    * estimate — the sketch error itself is hash-gated. */
+  val aggSketchCms = QueryDef(
+    "agg_sketch_cms",
+    """WITH tok AS (
+      |  SELECT unnest(string_split(text, ' ')) AS token FROM documents
+      |), rs AS (SELECT unnest([0, 1, 2, 3]) AS r
+      |), rb AS (
+      |  SELECT r, CAST('0x'||substr(md5(CAST(r AS VARCHAR)||':'||token),1,8) AS BIGINT) % 512 AS bucket
+      |  FROM tok, rs
+      |), counters AS (
+      |  SELECT r, bucket, count(*) AS cnt FROM rb GROUP BY r, bucket
+      |), ex AS (
+      |  SELECT token, CAST(count(*) AS BIGINT) AS exact_n FROM tok GROUP BY token
+      |), top AS (
+      |  SELECT token, exact_n FROM ex ORDER BY exact_n DESC, token LIMIT 10
+      |), probe AS (
+      |  SELECT token, exact_n, r,
+      |         CAST('0x'||substr(md5(CAST(r AS VARCHAR)||':'||token),1,8) AS BIGINT) % 512 AS bucket
+      |  FROM top, rs
+      |)
+      |SELECT token, exact_n, CAST(min(cnt) AS BIGINT) AS est_n
+      |FROM probe JOIN counters USING (r, bucket)
+      |GROUP BY token, exact_n
+      |ORDER BY exact_n DESC, token""".stripMargin) { (s, d) =>
+    val tok = Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("token"))
+    val counters = cmsCounters(tok, "token", depth = 4, width = 512)
+    val top = tok.groupBy("token").agg(count(lit(1)).as("exact_n"))
+      .orderBy(col("exact_n").desc, col("token")).limit(10)
+    cmsEstimate(counters, top, "token", depth = 4, width = 512)
+      .select(col("token"), col("exact_n"), col("est").as("est_n"))
+      .orderBy(col("exact_n").desc, col("token"))
+  }
+
+  val all: Seq[QueryDef] = Seq(joinBloom, aggSketchCms)
+}

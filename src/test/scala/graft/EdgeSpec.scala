@@ -261,4 +261,42 @@ class EdgeSpec extends AnyFunSuite {
       .as[(Long, Long)].collect().toSeq
     assert(got == Seq((10L, 2L), (11L, 2L), (12L, 3L), (13L, 2L)))
   }
+
+  test("funnel: stage events at EXACTLY the anchor instant do not advance (strictly-after)") {
+    val ev = events(
+      // user 1: click at the same instant as the first view → stage 2 NOT reached
+      (1L, "2024-01-01 00:00:10", 1L, "view"),
+      (2L, "2024-01-01 00:00:10", 1L, "click"),
+      (3L, "2024-01-01 00:00:20", 1L, "purchase"), // can't count: no click anchor
+      // user 2: full funnel, purchase tied with click → stage 3 NOT reached
+      (4L, "2024-01-01 00:00:10", 2L, "view"),
+      (5L, "2024-01-01 00:00:11", 2L, "click"),
+      (6L, "2024-01-01 00:00:11", 2L, "purchase"),
+      // user 3: full funnel; click BEFORE the first view is ignored
+      (7L, "2024-01-01 00:00:05", 3L, "click"),
+      (8L, "2024-01-01 00:00:10", 3L, "view"),
+      (9L, "2024-01-01 00:00:12", 3L, "click"),
+      (10L, "2024-01-01 00:00:15", 3L, "purchase"))
+    val got = Events.funnel(ev, Seq("view", "click", "purchase"))
+      .select("stage", "n_users", "sum_us_from_first")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      ("view", 3L, 0L),
+      ("click", 2L, 1000000L + 2000000L), // users 2 (+1 s) and 3 (+2 s)
+      ("purchase", 1L, 5000000L)))        // user 3 only (+5 s from view)
+  }
+
+  test("firstArrival: equal-ts duplicates break on event_id; suppressed count per key") {
+    val ev = events(
+      (5L, "2024-01-01 00:00:10", 1L, "view"), // tie on ts → min event_id wins
+      (2L, "2024-01-01 00:00:10", 1L, "view"),
+      (9L, "2024-01-01 00:00:05", 1L, "view"), // earlier ts beats smaller ids
+      (1L, "2024-01-01 00:00:50", 1L, "click"),
+      (4L, "2024-01-01 00:00:55", 1L, "click"))
+    val got = Events.firstArrival(ev)
+      .select("event_type", "event_id", "n_suppressed")
+      .orderBy("event_type")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got == Seq(("click", 1L, 1L), ("view", 9L, 2L)))
+  }
 }

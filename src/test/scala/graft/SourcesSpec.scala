@@ -112,4 +112,31 @@ class SourcesSpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS graft_bkt_lineitem")
     }
   }
+
+  test("csv/json round-trip preserves quoting-hostile strings and doubles exactly") {
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    // the values the scan_csv/scan_json keys rely on surviving: doubles
+    // via shortest-repr round-trip, strings through the quoting path
+    val src = Seq(
+      (1L, "plain", 0.1),
+      (2L, "comma, inside", 0.1 + 0.2),          // 0.30000000000000004
+      (3L, "he said \"hi\"", 1.23e-11),
+      (4L, "trailing space ", -9876543.2101))
+      .toDF("k", "s", "v")
+    val schema = StructType(Seq(StructField("k", LongType),
+      StructField("s", StringType), StructField("v", DoubleType)))
+    val dir = sys.props("java.io.tmpdir") + "/graft_fmt_spec"
+    src.write.mode("overwrite").option("header", "true")
+      .option("ignoreLeadingWhiteSpace", "false")
+      .option("ignoreTrailingWhiteSpace", "false")
+      .csv(s"$dir/csv")
+    val csvBack = spark.read.option("header", "true").schema(schema).csv(s"$dir/csv")
+    assert(csvBack.except(src).isEmpty && src.except(csvBack).isEmpty,
+      "csv round-trip changed values")
+    src.write.mode("overwrite").json(s"$dir/json")
+    val jsonBack = spark.read.schema(schema).json(s"$dir/json")
+    assert(jsonBack.except(src).isEmpty && src.except(jsonBack).isEmpty,
+      "json round-trip changed values")
+  }
 }
