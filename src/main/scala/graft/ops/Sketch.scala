@@ -41,9 +41,11 @@ object Sketch {
     */
   def bloomSemiJoin(fact: DataFrame, factKey: String,
       small: DataFrame, smallKey: String, m: Int): DataFrame = {
-    val bits = small.select(hashMod(col(smallKey), 0, m).as("b"))
-      .union(small.select(hashMod(col(smallKey), 1, m).as("b")))
+    val bits = small.select(explode(array(
+        hashMod(col(smallKey), 0, m), hashMod(col(smallKey), 1, m))).as("b"))
       .distinct() // ≤ m rows by construction — always broadcastable
+      // (explode over both slices = ONE scan of the small side; a
+      // union of two projections would scan it twice)
     val withH = fact
       .withColumn("h1", hashMod(col(factKey), 0, m))
       .withColumn("h2", hashMod(col(factKey), 1, m))

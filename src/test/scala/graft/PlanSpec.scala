@@ -137,4 +137,20 @@ class PlanSpec extends AnyFunSuite {
       case (k, None) => s.conf.unset(k)
     }
   }
+
+  test("join_bloom: fact side scans once and never shuffles (broadcast runtime-filter shape)") {
+    val df = graft.ops.Sketch.joinBloom.fn(spark, d)
+    df.collect() // materialize → AQE final plan on THIS QueryExecution
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // one lineitem scan feeding two broadcast LeftSemi prefilters + the
+    // broadcast exact join — the fact side reaches the aggregate without
+    // any Exchange; the only exchanges are the small-side bits build and
+    // the single-row result collection
+    assert("lineitem\\.parquet".r.findAllIn(p).length == 1,
+      s"fact side scanned more than once:\n$p")
+    assert("LeftSemi".r.findAllIn(p).length == 2, s"expected 2 semi prefilters:\n$p")
+    val factSide = p.substring(p.indexOf("LeftSemi"))
+    assert(!factSide.split("BroadcastQueryStage")(0).contains("Exchange hashpartitioning"),
+      s"fact side shuffles before the join:\n$p")
+  }
 }
