@@ -46,6 +46,29 @@ object Events {
         col("b.eus") <= col("a.eus") + maxGapUs)
   }
 
+  /** Two-sided banded interval join: (l, r) pairs per user with
+    * 0 < r.eus − l.eus ≤ maxGapUs — the batch shape of a stream-stream
+    * interval join. Same banding argument as `intervalSelfJoin`: the left
+    * side claims its own gap-bucket and the next one, so every
+    * qualifying pair meets on an equi key and candidate sets stay
+    * bucket-occupancy-bounded at any density — never a per-user
+    * cartesian. Output: l.* (prefixed l_) ++ r.* (prefixed r_) with both
+    * eus columns.
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame, maxGapUs: Long): DataFrame = {
+    val l = left.select(col("event_id").as("l_event_id"), col("user_id"),
+        eus.as("l_eus"))
+      .withColumn("bucket",
+        explode(array(expr(s"l_eus div $maxGapUs"), expr(s"l_eus div $maxGapUs") + 1)))
+    val r = right.select(col("event_id").as("r_event_id"), col("user_id"),
+        eus.as("r_eus"))
+      .withColumn("bucket", expr(s"r_eus div $maxGapUs"))
+    l.join(r, Seq("user_id", "bucket"))
+      .filter(col("r_eus") > col("l_eus") &&
+        col("r_eus") <= col("l_eus") + maxGapUs)
+      .drop("bucket")
+  }
+
   /** As-of join within one event stream: for each `leftType` event, the
     * most recent `rightType` event by the same user at/before its ts
     * (ties at equal ts include the right event; among tied rights the max
@@ -346,6 +369,73 @@ object Events {
     }.reduce(_ unionAll _).orderBy("stage_idx")
   }
 
+  /** Batch gate for the stream-stream interval join surface: view→click
+    * pairs per user within 30 minutes (strictly-after, inclusive at the
+    * exact gap), aggregated per user. The STREAMING form of the same
+    * relation (`StreamOps.streamIntervalJoin`: two watermarked streams,
+    * time-bound join condition, bounded state) is proven equal to this
+    * batch relation in StreamingSpec; the banded batch plan is what the
+    * same pipeline costs when replayed over history.
+    */
+  val streamJoin = QueryDef(
+    "stream_join",
+    """WITH e AS (
+      |  SELECT user_id, event_type, epoch_us(ts) AS eus FROM events
+      |), p AS (
+      |  SELECT v.user_id, c.eus - v.eus AS gap_us
+      |  FROM e v JOIN e c ON v.user_id = c.user_id
+      |   AND v.event_type = 'view' AND c.event_type = 'click'
+      |   AND c.eus - v.eus > 0 AND c.eus - v.eus <= 1800000000
+      |)
+      |SELECT user_id, CAST(count(*) AS BIGINT) AS n_pairs,
+      |       CAST(min(gap_us) AS BIGINT) AS min_gap_us,
+      |       CAST(max(gap_us) AS BIGINT) AS max_gap_us
+      |FROM p GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d)
+    intervalJoin(
+      ev.filter(col("event_type") === "view"),
+      ev.filter(col("event_type") === "click"), maxGapUs = 1800000000L)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_pairs"),
+        min(col("r_eus") - col("l_eus")).as("min_gap_us"),
+        max(col("r_eus") - col("l_eus")).as("max_gap_us"))
+      .orderBy("user_id")
+  }
+
+  /** Cohort retention: users grouped by first-activity day; for each
+    * (cohort_day, day offset) the count of cohort users active that day.
+    * Day arithmetic on epoch-day BIGINT (eus div 86.4e9) so both engines
+    * bucket identically; "active" is the DISTINCT (user, day) relation,
+    * so the count is exact distinct users without a count-distinct
+    * shuffle. Two shuffles at any scale: the per-user cohort aggregate
+    * and the (cohort, offset) rollup.
+    */
+  val eventRetention = QueryDef(
+    "event_retention",
+    """WITH e AS (
+      |  SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events
+      |), cohort AS (
+      |  SELECT user_id, min(day) AS cohort_day FROM e GROUP BY user_id
+      |), active AS (
+      |  SELECT DISTINCT user_id, day FROM e
+      |)
+      |SELECT cohort_day, day - cohort_day AS offset_days,
+      |       CAST(count(*) AS BIGINT) AS n_users
+      |FROM active JOIN cohort USING (user_id)
+      |GROUP BY cohort_day, offset_days
+      |ORDER BY cohort_day, offset_days""".stripMargin) { (s, d) =>
+    val e = Tables.events(s, d)
+      .select(col("user_id"), eus.as("eus"))
+      .select(col("user_id"), expr("eus div 86400000000").as("day"))
+    val cohort = e.groupBy("user_id").agg(min(col("day")).as("cohort_day"))
+    val active = e.distinct()
+    active.join(cohort, Seq("user_id"))
+      .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("offset_days"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("cohort_day", "offset_days")
+  }
+
   val all: Seq[QueryDef] = Seq(sessionizeQ, streamTumbling, streamSliding,
-    streamWatermark, streamSession, windowTimeRange, streamDedup, eventFunnel)
+    streamWatermark, streamSession, windowTimeRange, streamDedup, eventFunnel,
+    streamJoin, eventRetention)
 }

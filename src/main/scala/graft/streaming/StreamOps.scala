@@ -59,6 +59,32 @@ object StreamOps {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-stream interval join — left events paired with right events
+    * by the same user within (0, maxGap] after them: the two-stream form
+    * of `graft.ops.Events.intervalJoin` (the `stream_join` key's batch
+    * relation). Both sides are watermarked and the join condition bounds
+    * event time on BOTH sides, so each side's buffered state is evicted
+    * once the watermark passes the interval — the condition is what
+    * makes unbounded two-stream state bounded. Output: (user_id,
+    * l_event_id, r_event_id, l_ts, r_ts) per qualifying pair.
+    */
+  def streamIntervalJoin(left: DataFrame, right: DataFrame,
+      maxGap: String = "5 minutes",
+      watermark: String = "10 minutes"): DataFrame = {
+    val l = left.select(col("event_id").as("l_event_id"),
+        col("user_id").as("l_user_id"), col("ts").as("l_ts"))
+      .withWatermark("l_ts", watermark)
+    val r = right.select(col("event_id").as("r_event_id"),
+        col("user_id").as("r_user_id"), col("ts").as("r_ts"))
+      .withWatermark("r_ts", watermark)
+    l.join(r,
+        col("l_user_id") === col("r_user_id") &&
+        col("r_ts") > col("l_ts") &&
+        col("r_ts") <= col("l_ts") + expr(s"interval $maxGap"))
+      .select(col("l_user_id").as("user_id"),
+        col("l_event_id"), col("r_event_id"), col("l_ts"), col("r_ts"))
+  }
+
   /** Open-session state per user: (session start, last event, count),
     * all epoch-µs. */
   type SessionState = (Long, Long, Long)

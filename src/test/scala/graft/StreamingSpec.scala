@@ -359,4 +359,51 @@ class StreamingSpec extends AnyFunSuite {
       assert(starts == Set(ts("2024-01-01 10:00:00"), ts("2024-01-01 10:30:00")))
     } finally q.stop()
   }
+
+  test("stream-stream interval join equals batch intervalJoin; boundary = strictly-after, exact-gap inclusive") {
+    implicit val sqlCtx = spark.sqlContext
+    // (event_id, ts, user_id) per side
+    val views = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L),
+      (2L, ts("2024-01-01 10:02:00"), 1L),
+      (3L, ts("2024-01-01 10:00:00"), 2L))
+    val clicks = Seq(
+      (11L, ts("2024-01-01 10:05:00"), 1L), // exactly 5 min after v1 → IN; 3 min after v2 → IN
+      (12L, ts("2024-01-01 10:00:00"), 1L), // equal ts as v1 → OUT (strictly-after)
+      (13L, ts("2024-01-01 10:10:30"), 1L), // > 5 min after both → OUT
+      (14L, ts("2024-01-01 10:04:00"), 2L)) // 4 min after v3 → IN
+    val expected = Set((1L, 11L), (2L, 11L), (3L, 14L))
+    // batch form — the stream_join key's relation
+    val batch = graft.ops.Events.intervalJoin(
+      views.toDF("event_id", "tsr", "user_id")
+        .select(col("event_id"), col("tsr").cast("timestamp_ntz").as("ts"), col("user_id")),
+      clicks.toDF("event_id", "tsr", "user_id")
+        .select(col("event_id"), col("tsr").cast("timestamp_ntz").as("ts"), col("user_id")),
+      maxGapUs = 300000000L)
+      .select("l_event_id", "r_event_id")
+      .as[(Long, Long)].collect().toSet
+    assert(batch == expected)
+    // streaming form: two MemoryStreams, watermarked, time-bound condition
+    val lIn = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    val rIn = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    val joined = StreamOps.streamIntervalJoin(
+      lIn.toDF().toDF("event_id", "ts", "user_id"),
+      rIn.toDF().toDF("event_id", "ts", "user_id"))
+    val q = joined.writeStream.format("memory").queryName("ssj_out")
+      .outputMode("append").start()
+    try {
+      lIn.addData(views: _*)
+      rIn.addData(clicks: _*)
+      q.processAllAvailable()
+      // advance BOTH watermarks (the join watermark is the min) → flush
+      lIn.addData((99L, ts("2024-01-01 12:00:00"), 9L))
+      rIn.addData((98L, ts("2024-01-01 12:00:00"), 8L))
+      q.processAllAvailable()
+      val streamed = spark.table("ssj_out")
+        .select("l_event_id", "r_event_id")
+        .as[(Long, Long)].collect().toSet
+      assert(streamed == expected,
+        s"stream-stream join diverged from batch: $streamed vs $expected")
+    } finally q.stop()
+  }
 }
