@@ -98,23 +98,26 @@ object Sketch {
   }
 
   /** Count-min-sketch counter table over a token column: `depth` hash
-    * rows × `width` buckets, counter(r, b) = occurrences of tokens
-    * hashing to bucket b under row-salt r. The whole sketch is
+    * rows × `buckets` per row, counter(r, b) = occurrences of tokens
+    * hashing to bucket b under hash function r. The whole sketch is
     * depth×width counters REGARDLESS of corpus size — the mergeable
     * fixed-state shape that replaces an unbounded exact frequency map at
-    * 100 TB (partial aggregation merges sketches map-side; row salts
-    * make the depth rows independent). */
+    * 100 TB (partial aggregation merges sketches map-side). The depth
+    * hash functions are the four independent 32-bit SLICES of ONE
+    * md5(token) — one hash computation per occurrence instead of depth
+    * salted ones; hashing is the dominant per-row cost at scale
+    * (depth ≤ 4 by construction: md5 has exactly four 32-bit slices). */
   def cmsCounters(tokens: DataFrame, tokenCol: String,
-      depth: Int, width: Int): DataFrame =
+      depth: Int, width: Int): DataFrame = {
+    require(depth <= 4, "depth > 4 needs more than one md5 of slices")
     tokens
       .select(explode(array((0 until depth).map { r =>
-        struct(lit(r).as("r"),
-          hashMod(concat(lit(r.toString), lit(":"), col(tokenCol)), 0, width)
-            .as("bucket"))
+        struct(lit(r).as("r"), hashMod(col(tokenCol), r, width).as("bucket"))
       }: _*)).as("rb"))
       .select(col("rb.r").as("r"), col("rb.bucket").as("bucket"))
       .groupBy("r", "bucket")
       .agg(count(lit(1)).as("cnt"))
+  }
 
   /** CMS point estimate per probe token: min over the depth rows of the
     * probed counter — ≥ the exact count always (collisions only add). */
@@ -122,9 +125,7 @@ object Sketch {
       depth: Int, width: Int): DataFrame = {
     val probed = probes.select(col("*"),
       explode(array((0 until depth).map { r =>
-        struct(lit(r).as("r"),
-          hashMod(concat(lit(r.toString), lit(":"), col(tokenCol)), 0, width)
-            .as("bucket"))
+        struct(lit(r).as("r"), hashMod(col(tokenCol), r, width).as("bucket"))
       }: _*)).as("rb"))
       .select(probes.columns.map(col).toIndexedSeq :+ col("rb.r").as("r")
         :+ col("rb.bucket").as("bucket"): _*)
@@ -134,7 +135,8 @@ object Sketch {
       .agg(min(col("cnt")).as("est"))
   }
 
-  /** Gated key: 4×512 CMS over all document token occurrences, probed at
+  /** Gated key: 4×512 CMS (the four md5 slices as hash rows) over all
+    * document token occurrences, probed at
     * the exact top-10 tokens (count DESC, token ASC tie-break). Emits
     * exact vs estimated counts; with 512 buckets against a larger
     * vocabulary the estimates include real collision overestimates, and
@@ -146,7 +148,7 @@ object Sketch {
       |  SELECT unnest(string_split(text, ' ')) AS token FROM documents
       |), rs AS (SELECT unnest([0, 1, 2, 3]) AS r
       |), rb AS (
-      |  SELECT r, CAST('0x'||substr(md5(CAST(r AS VARCHAR)||':'||token),1,8) AS BIGINT) % 512 AS bucket
+      |  SELECT r, CAST('0x'||substr(md5(token), 1 + 8*r, 8) AS BIGINT) % 512 AS bucket
       |  FROM tok, rs
       |), counters AS (
       |  SELECT r, bucket, count(*) AS cnt FROM rb GROUP BY r, bucket
@@ -156,7 +158,7 @@ object Sketch {
       |  SELECT token, exact_n FROM ex ORDER BY exact_n DESC, token LIMIT 10
       |), probe AS (
       |  SELECT token, exact_n, r,
-      |         CAST('0x'||substr(md5(CAST(r AS VARCHAR)||':'||token),1,8) AS BIGINT) % 512 AS bucket
+      |         CAST('0x'||substr(md5(token), 1 + 8*r, 8) AS BIGINT) % 512 AS bucket
       |  FROM top, rs
       |)
       |SELECT token, exact_n, CAST(min(cnt) AS BIGINT) AS est_n
