@@ -354,7 +354,76 @@ object Extras {
       .orderBy("l_returnflag")
   }
 
+  /** String aggregation with a DETERMINISTIC element order: DuckDB's
+    * `string_agg(x, ',' ORDER BY x)` vs Spark's collect_list, whose order
+    * is partition-dependent — `array_join(array_sort(...))` is the
+    * hash-gate-safe formulation (and the one any distributed engine must
+    * use: unordered concat is nondeterministic under parallelism). */
+  val aggListagg = QueryDef(
+    "agg_listagg",
+    """SELECT r_regionkey,
+      |       string_agg(n_name, ',' ORDER BY n_name) AS nations,
+      |       CAST(count(*) AS BIGINT) AS n
+      |FROM nation JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_regionkey ORDER BY r_regionkey""".stripMargin) { (s, d) =>
+    Tables.nation(s, d)
+      .join(Tables.region(s, d),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_regionkey")
+      .agg(array_join(array_sort(collect_list(col("n_name"))), ",").as("nations"),
+        count(lit(1)).as("n"))
+      .orderBy("r_regionkey")
+  }
+
+  /** Null-safe equi join (`<=>` / IS NOT DISTINCT FROM): NULL keys match
+    * each other instead of vanishing — the semantic a plain equi join
+    * cannot express. Keys are deterministically nulled (every 11th
+    * customer, nation 3) so the null-match path is live at every SF;
+    * the aggregate pins both the null-bucket and plain matches. */
+  val joinNullSafe = QueryDef(
+    "join_null_safe",
+    """WITH c AS (
+      |  SELECT c_custkey,
+      |         CASE WHEN c_custkey % 11 = 0 THEN NULL ELSE c_nationkey END AS k
+      |  FROM customer
+      |), n AS (
+      |  SELECT nullif(n_nationkey, 3) AS k, n_name FROM nation
+      |)
+      |SELECT coalesce(n_name, '<NULLKEY>') AS match_name,
+      |       CAST(count(*) AS BIGINT) AS n_matches
+      |FROM c JOIN n ON c.k IS NOT DISTINCT FROM n.k
+      |GROUP BY match_name ORDER BY match_name""".stripMargin) { (s, d) =>
+    val c = Tables.customer(s, d)
+      .select(col("c_custkey"),
+        when(col("c_custkey") % 11 === 0, lit(null)).otherwise(col("c_nationkey")).as("ck"))
+    val n = Tables.nation(s, d)
+      .select(nullif(col("n_nationkey"), lit(3)).as("nk"), col("n_name"))
+    c.join(n, col("ck") <=> col("nk"))
+      .groupBy(coalesce(col("n_name"), lit("<NULLKEY>")).as("match_name"))
+      .agg(count(lit(1)).as("n_matches"))
+      .orderBy("match_name")
+  }
+
+  /** Boolean/conditional aggregate surface: count_if, bool_and, bool_or
+    * per group — all three are plain codegen aggregates with map-side
+    * partials in both engines. */
+  val aggBool = QueryDef(
+    "agg_bool",
+    """SELECT o_orderstatus,
+      |       CAST(count_if(o_totalprice > 100000) AS BIGINT) AS n_big,
+      |       bool_and(o_totalprice > 0) AS all_positive,
+      |       bool_or(o_orderpriority = '1-URGENT') AS any_urgent
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) { (s, d) =>
+    Tables.orders(s, d)
+      .groupBy("o_orderstatus")
+      .agg(count_if(col("o_totalprice") > 100000).as("n_big"),
+        bool_and(col("o_totalprice") > 0).as("all_positive"),
+        bool_or(col("o_orderpriority") === "1-URGENT").as("any_urgent"))
+      .orderBy("o_orderstatus")
+  }
+
   val all: Seq[QueryDef] = Seq(aggStats, windowDistribution, fnConditional,
     joinFull, joinCross, aggPivot, aggPercentile,
-    aggCorr, fnBitwise, windowFirstLast, aggHistogram, joinBucketed, aggMode)
+    aggCorr, fnBitwise, windowFirstLast, aggHistogram, joinBucketed, aggMode,
+    aggListagg, joinNullSafe, aggBool)
 }

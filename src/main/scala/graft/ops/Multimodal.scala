@@ -134,5 +134,103 @@ object Multimodal {
       .limit(600)
   }
 
-  val all: Seq[QueryDef] = Seq(multimodalDecode, multimodalFramesample)
+  /** One resized thumbnail row: 4 "pixels", each the integer mean of 4
+    * consecutive payload bytes. */
+  case class Thumb(doc_id: Long, out_w: Int, out_h: Int,
+      p0: Int, p1: Int, p2: Int, p3: Int)
+
+  /** Partition-iterator RESIZE stub — the image analog of `decodeStub`:
+    * treat the 16-byte payload as a 4×4 grayscale image and box-downsample
+    * to 2×2 (each output pixel = integer mean of a 4-byte block; a real
+    * resizer would run its kernel here). Downsampling inside the decode
+    * stage is the scale property: the full-resolution pixels never leave
+    * the iterator, only the thumbnail lands in columns. */
+  def resizeStub(payloads: DataFrame)(implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    payloads.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, b) =>
+          def px(p: Int): Int =
+            (0 until 4).map(i => b(4 * p + i) & 0xff).sum / 4
+          Thumb(id, 2, 2, px(0), px(1), px(2), px(3))
+        }
+      }.toDF()
+  }
+
+  val multimodalResize = QueryDef(
+    "multimodal_resize",
+    // Oracle: output pixel p averages payload bytes 4p..4p+3 = hex chars
+    // 8p+1..8p+8 of md5(text), integer-div 4 — exact integers end-to-end.
+    {
+      val px = (0 until 4).map { p =>
+        val bytes = (0 until 4).map(i =>
+          s"CAST('0x' || substr(h, ${8 * p + 2 * i + 1}, 2) AS INTEGER)").mkString(" + ")
+        s"CAST(($bytes) // 4 AS INTEGER) AS p$p"
+      }.mkString(",\n      |       ")
+      s"""WITH b AS (
+      |  SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 5 = 0
+      |)
+      |SELECT doc_id, CAST(2 AS INTEGER) AS out_w, CAST(2 AS INTEGER) AS out_h,
+      |       $px
+      |FROM b ORDER BY doc_id LIMIT 300""".stripMargin
+    }) { (s, d) =>
+    implicit val spark: SparkSession = s
+    resizeStub(withPayload(Tables.documents(s, d).filter(col("doc_id") % 5 === 0)))
+      .orderBy("doc_id")
+      .limit(300)
+  }
+
+  /** Per-payload feature vector: byte min/max/range, total mass, and
+    * "edge energy" (sum of absolute consecutive-byte differences) — all
+    * exact integers. */
+  case class MediaFeatures(doc_id: Long, b_min: Int, b_max: Int,
+      b_range: Int, b_sum: Int, edge_energy: Int)
+
+  /** Partition-iterator FEATURE-EXTRACT stub — where a real embedding /
+    * signal-statistics model would run, batched per partition; the fake
+    * computes deterministic integer statistics over the payload bytes.
+    * Features are a fixed-width projection of an opaque blob: the blob
+    * stays in the iterator, the features land in prunable columns. */
+  def featureStub(payloads: DataFrame)(implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    payloads.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, b) =>
+          val u = b.map(_ & 0xff)
+          val edge = (1 until u.length).map(i => math.abs(u(i) - u(i - 1))).sum
+          MediaFeatures(id, u.min, u.max, u.max - u.min, u.sum, edge)
+        }
+      }.toDF()
+  }
+
+  val multimodalFeatures = QueryDef(
+    "multimodal_features",
+    // Oracle: all five statistics recomputed from the 16 md5 hex bytes
+    // with least/greatest/abs over INTEGER — no float surface.
+    {
+      val bytes = (0 until 16).map(i =>
+        s"CAST('0x' || substr(md5(text), ${2 * i + 1}, 2) AS INTEGER) AS b$i").mkString(",\n      |    ")
+      val bs = (0 until 16).map(i => s"b$i")
+      val edge = (1 until 16).map(i => s"abs(b${i} - b${i - 1})").mkString(" + ")
+      s"""WITH b AS (
+      |  SELECT doc_id,
+      |    $bytes
+      |  FROM documents WHERE doc_id % 3 = 0
+      |)
+      |SELECT doc_id,
+      |  CAST(least(${bs.mkString(", ")}) AS INTEGER) AS b_min,
+      |  CAST(greatest(${bs.mkString(", ")}) AS INTEGER) AS b_max,
+      |  CAST(greatest(${bs.mkString(", ")}) - least(${bs.mkString(", ")}) AS INTEGER) AS b_range,
+      |  CAST(${bs.mkString(" + ")} AS INTEGER) AS b_sum,
+      |  CAST($edge AS INTEGER) AS edge_energy
+      |FROM b ORDER BY doc_id LIMIT 400""".stripMargin
+    }) { (s, d) =>
+    implicit val spark: SparkSession = s
+    featureStub(withPayload(Tables.documents(s, d).filter(col("doc_id") % 3 === 0)))
+      .orderBy("doc_id")
+      .limit(400)
+  }
+
+  val all: Seq[QueryDef] = Seq(multimodalDecode, multimodalFramesample,
+    multimodalResize, multimodalFeatures)
 }
