@@ -1,0 +1,213 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import Det._
+
+/** Scale-machinery keys (SURVEY.md §2.1/§2.3/§2.4, round 7): the physical
+  * layouts and skew defenses a 100 TB deployment leans on, each gated as a
+  * declared relation so the driver's hash certifies the machinery does not
+  * change the answer.
+  *
+  * - `scan_partitioned`: hive-style partitioned layout + partition-PRUNED
+  *   read (the directory-level analog of `join_bucketed`'s bucket layout).
+  * - `join_salted`: explicit salt-exploded equi-join — the skew remedy for
+  *   a hot join key, provably identical to the plain join.
+  * - `sql_frontend`: the `spark.sql` entry point over registered views —
+  *   the same engine surface users reach without the DataFrame API.
+  * - `window_ntile` / `agg_filtered`: quantile bucketing and FILTER-clause
+  *   aggregation, both single-shuffle shapes.
+  * - `agg_approx_percentile`: sketch quantiles (no oracle — PropertySpec
+  *   gates rank error against the exact percentiles).
+  */
+object Scale {
+
+  /** Deterministic temp location per sfDir (same convention as
+    * `join_bucketed` / Formats) so Bench reps overwrite, not litter. */
+  private def partDir(d: String): String =
+    sys.props("java.io.tmpdir") + "/graft_part_" +
+      java.lang.Integer.toHexString(d.hashCode) + "/events"
+
+  /** Write events hive-partitioned by `event_type`, then read back with a
+    * partition-column predicate and aggregate. At 100 TB the pruned read
+    * touches only the 2 matching directories out of 5 — no row of any
+    * other partition is opened (SourcesSpec pins `PartitionFilters` on the
+    * scan and the pruned partition count). The repartition before the
+    * write co-locates each partition's rows so a partition is one file
+    * per task-group, not one fragment per upstream task.
+    *
+    * The oracle aggregates the same predicate over the ORIGINAL table —
+    * partitioning is physical layout only, so the relation is identical.
+    */
+  val scanPartitioned = QueryDef(
+    "scan_partitioned",
+    """SELECT event_type,
+      |       CAST(count(*) AS BIGINT) AS n,
+      |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+      |       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+      |FROM events WHERE event_type IN ('purchase', 'signup')
+      |GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+    scanPartitionedPlan(s, d)
+  }
+
+  /** The declared plan for `scan_partitioned`, exposed so SourcesSpec can
+    * pin partition pruning on exactly what the driver runs. */
+  def scanPartitionedPlan(s: SparkSession, d: String): DataFrame = {
+    Tables.events(s, d)
+      .select("event_id", "user_id", "event_type", "value")
+      .repartition(col("event_type"))
+      .write.mode("overwrite")
+      .partitionBy("event_type")
+      .parquet(partDir(d))
+    s.read.parquet(partDir(d))
+      .filter(col("event_type").isin("purchase", "signup"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(dec(col("value"))).cast("double").as("sum_value"))
+      .orderBy("event_type")
+  }
+
+  private val Salts = 8
+
+  /** Salt-exploded skew join: events (the fact, where one hot `user_id`
+    * would overwhelm a single reducer) joined to customer (the dim). The
+    * fact side gets a deterministic salt in [0, 8) derived from its own
+    * row id; the dim side is exploded ×8 so every (key, salt) pair still
+    * meets its match — the hot key's rows now spread across 8 reducers
+    * instead of one. Salt never reaches the output, so the relation is
+    * EXACTLY the plain join's, and the oracle is the plain join.
+    * (`swivel_cooc_salted` gates the aggregation analog; this key gates
+    * the join analog. AQE's runtime skew split — PlanSpec-pinned — covers
+    * sort-merge joins; explicit salting is the remedy that also works for
+    * hash aggregation layers and pre-AQE engines.)
+    */
+  val joinSalted = QueryDef(
+    "join_salted",
+    """SELECT c_mktsegment,
+      |       CAST(count(*) AS BIGINT) AS n_events,
+      |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+      |       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+      |FROM events JOIN customer ON user_id = c_custkey
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin) { (s, d) =>
+    val fact = Tables.events(s, d)
+      .select(col("user_id"), col("value"),
+        pmod(col("event_id"), lit(Salts)).as("salt"))
+    val dim = Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_mktsegment"),
+        explode(sequence(lit(0L), lit(Salts - 1L))).as("salt"))
+    // hint("shuffle_hash") keeps the join a shuffled one at every SF so
+    // the (key, salt) partitioning is actually exercised (a broadcast of
+    // the small dim would be legal but would bypass the salt machinery
+    // this key exists to certify).
+    fact.join(dim.hint("shuffle_hash"),
+        fact("user_id") === dim("c_custkey") && fact("salt") === dim("salt"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(dec(col("value"))).cast("double").as("sum_value"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** Shared SQL text for `sql_frontend` — written in the dialect
+    * intersection (standard CTE + window + join + FILTER-free aggregates)
+    * so the IDENTICAL string runs on both engines: what Spark executes is
+    * literally what DuckDB checks. */
+  private val FrontendSql =
+    """WITH rev AS (
+      |  SELECT o_custkey,
+      |         CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+      |         CAST(count(*) AS BIGINT) AS n_orders
+      |  FROM orders GROUP BY o_custkey
+      |)
+      |SELECT c_mktsegment, c_custkey, revenue, n_orders
+      |FROM (
+      |  SELECT c.c_mktsegment, c.c_custkey, r.revenue, r.n_orders,
+      |         row_number() OVER (PARTITION BY c.c_mktsegment
+      |                            ORDER BY r.revenue DESC, c.c_custkey) AS rk
+      |  FROM rev r JOIN customer c ON r.o_custkey = c.c_custkey
+      |) ranked
+      |WHERE rk <= 3
+      |ORDER BY c_mktsegment, revenue DESC, c_custkey""".stripMargin
+
+  /** The `spark.sql` front end: register the parquet tables as temp views
+    * and run a multi-feature query (CTE + aggregate + join + ranked
+    * window + top-k filter) through the SQL entry point. Catalyst plans
+    * SQL and DataFrame code identically, so everything the other keys pin
+    * (pushdown, two-phase agg, broadcast) holds here too — this key
+    * certifies the parser/analyzer surface itself. */
+  val sqlFrontend = QueryDef("sql_frontend", FrontendSql) { (s, d) =>
+    Tables.orders(s, d).createOrReplaceTempView("orders")
+    Tables.customer(s, d).createOrReplaceTempView("customer")
+    s.sql(FrontendSql)
+  }
+
+  /** ntile quantile bucketing: assign each customer an acctbal quartile
+    * within its segment. The ORDER BY carries a tiebreak column
+    * (c_custkey) so the total order — and therefore every bucket
+    * assignment — is engine-independent; both engines implement the
+    * SQL-standard ntile (first `n_rows % k` buckets take the extra row).
+    * One shuffle on the partition key; the window input is never
+    * global-sorted. */
+  val windowNtile = QueryDef(
+    "window_ntile",
+    """SELECT c_custkey, c_mktsegment,
+      |       CAST(ntile(4) OVER (PARTITION BY c_mktsegment
+      |                           ORDER BY c_acctbal, c_custkey) AS INT) AS quartile
+      |FROM customer ORDER BY c_custkey""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_mktsegment"),
+        ntile(4).over(Window.partitionBy("c_mktsegment")
+          .orderBy(col("c_acctbal"), col("c_custkey"))).as("quartile"))
+      .orderBy("c_custkey")
+  }
+
+  /** FILTER-clause aggregation: per-segment counts/sums restricted by
+    * per-aggregate predicates, all in ONE pass over the table (one
+    * two-phase hash aggregate — never one scan per predicate). Spark
+    * spells it `count_if` / `sum(CASE)`; the oracle uses the standard
+    * FILTER clause — same relation. */
+  val aggFiltered = QueryDef(
+    "agg_filtered",
+    """SELECT c_mktsegment,
+      |       CAST(count(*) FILTER (WHERE c_acctbal > 0) AS BIGINT) AS n_pos,
+      |       CAST(count(*) FILTER (WHERE c_acctbal < 0) AS BIGINT) AS n_neg,
+      |       CAST(sum(CAST(c_acctbal AS DECIMAL(18,4)))
+      |            FILTER (WHERE c_acctbal > 0) AS DOUBLE) AS sum_pos,
+      |       CAST(count(DISTINCT c_nationkey) FILTER (WHERE c_acctbal > 5000)
+      |            AS BIGINT) AS n_rich_nations
+      |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin) {
+    (s, d) =>
+      Tables.customer(s, d)
+        .groupBy("c_mktsegment")
+        .agg(
+          count_if(col("c_acctbal") > 0).as("n_pos"),
+          count_if(col("c_acctbal") < 0).as("n_neg"),
+          sum(when(col("c_acctbal") > 0, dec(col("c_acctbal"))))
+            .cast("double").as("sum_pos"),
+          countDistinct(when(col("c_acctbal") > 5000, col("c_nationkey")))
+            .as("n_rich_nations"))
+        .orderBy("c_mktsegment")
+  }
+
+  /** Sketch quantiles: approx_percentile (Greenwald-Khanna) per group at
+    * accuracy 10000 — the constant-memory path when an exact
+    * `agg_percentile` sort-based pass is too expensive at scale. No
+    * cross-engine oracle exists for the sketch (DuckDB's approx_quantile
+    * is t-digest — different algorithm, different answers); PropertySpec
+    * gates each estimate's RANK error against the exact distribution,
+    * which is the guarantee GK actually makes. */
+  val aggApproxPercentile = QueryDef.noOracle("agg_approx_percentile") { (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(percentile_approx(col("l_extendedprice"),
+        array(lit(0.5), lit(0.9), lit(0.99)), lit(10000)).as("approx_pcts"))
+      .orderBy("l_returnflag")
+  }
+
+  val all: Seq[QueryDef] = Seq(
+    scanPartitioned, joinSalted, sqlFrontend,
+    windowNtile, aggFiltered, aggApproxPercentile)
+}

@@ -153,4 +153,16 @@ class PlanSpec extends AnyFunSuite {
     assert(!factSide.split("BroadcastQueryStage")(0).contains("Exchange hashpartitioning"),
       s"fact side shuffles before the join:\n$p")
   }
+
+  test("join_salted: both sides shuffle on (key, salt) — the hot key spreads over 8 reducers") {
+    val df = graft.ops.Scale.joinSalted.fn(spark, d)
+    df.collect() // materialize → AQE final plan
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(p.contains("ShuffledHashJoin"), s"salted join must not broadcast:\n$p")
+    // each side's Exchange must hash on BOTH the join key and the salt —
+    // that two-column partitioning is the skew spread this key certifies
+    val saltedExchanges = "Exchange hashpartitioning\\([^)]*salt".r.findAllIn(p).length
+    assert(saltedExchanges == 2,
+      s"expected both join inputs partitioned by (key, salt), got $saltedExchanges:\n$p")
+  }
 }

@@ -170,6 +170,29 @@ class PropertySpec extends AnyFunSuite {
     modes.foreach { case (flag, _, cnt) => assert(cnt == maxCounts(flag)) }
   }
 
+  test("agg_approx_percentile: every estimate's rank error is within 1% of its target") {
+    val d = "/root/testdata/sf0.001"
+    val targets = Seq(0.5, 0.9, 0.99)
+    val rows = graft.ops.Scale.aggApproxPercentile.fn(spark, d)
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1))
+    assert(rows.nonEmpty)
+    val byFlag = graft.Tables.lineitem(spark, d)
+      .select(col("l_returnflag"), col("l_extendedprice"))
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sorted }
+    // Greenwald-Khanna's contract is RANK accuracy (eps = 1/10000 at this
+    // setting), not value accuracy — so gate the achieved rank of each
+    // returned value against its target quantile.
+    rows.foreach { case (flag, approx) =>
+      val sorted = byFlag(flag); val n = sorted.length
+      targets.zip(approx).foreach { case (p, v) =>
+        val rank = sorted.count(_ <= v).toDouble / n
+        assert(math.abs(rank - p) <= 0.01,
+          s"$flag p=$p: value $v has rank $rank (n=$n)")
+      }
+    }
+  }
+
   test("pack bins conserve tokens and number contiguously per bucket") {
     val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
     val bins = graft.ops.TextAnalysis.packBins(docs)

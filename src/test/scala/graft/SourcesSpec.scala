@@ -139,4 +139,26 @@ class SourcesSpec extends AnyFunSuite {
     assert(jsonBack.except(src).isEmpty && src.except(jsonBack).isEmpty,
       "json round-trip changed values")
   }
+
+  test("scan_partitioned declared key: partition-pruned to 2 of 5 directories") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val df = graft.ops.Scale.scanPartitionedPlan(spark, "/root/testdata/sf0.001")
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // the predicate must live in PartitionFilters (directory-level prune),
+    // NOT as a row-level data filter over a full scan
+    assert(p.contains("PartitionFilters") && p.contains("event_type"),
+      s"no partition filter on the scan:\n$p")
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def scans(p: SparkPlan): Seq[Long] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case s: QueryStageExec        => scans(s.plan)
+      case f: FileSourceScanExec    => Seq(f.selectedPartitions.partitionCount)
+      case other                    => other.children.flatMap(scans)
+    }
+    val counts = scans(df.queryExecution.executedPlan)
+    assert(counts == Seq(2),
+      s"expected exactly the 2 matching partitions selected, got $counts")
+  }
 }
