@@ -90,5 +90,32 @@ object Formats {
       .orderBy("o_orderstatus")
   }
 
-  val all: Seq[QueryDef] = Seq(scanCsv, scanJson)
+  /** ORC round-trip over part — the other columnar format Spark bundles
+    * natively (same pushdown/pruning surface as parquet). ORC is
+    * self-describing, so unlike csv/json the read needs no explicit
+    * schema: the key certifies the writer encodes and the reader decodes
+    * every value (int32/int64/double/string columns) exactly. DuckDB
+    * never reads ORC — the oracle aggregates the ORIGINAL parquet, which
+    * is exactly why the hash certifies the round-trip. */
+  val scanOrc = QueryDef(
+    "scan_orc",
+    """SELECT p_brand,
+      |       CAST(count(*) AS BIGINT) AS n,
+      |       CAST(sum(p_size) AS BIGINT) AS sum_size,
+      |       CAST(sum(CAST(p_retailprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+      |FROM part GROUP BY p_brand
+      |ORDER BY p_brand""".stripMargin) { (s, d) =>
+    val dir = fmtDir(d, "orc")
+    Tables.part(s, d)
+      .select("p_partkey", "p_brand", "p_size", "p_retailprice")
+      .write.mode("overwrite").orc(dir)
+    s.read.orc(dir)
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n"),
+        sum(col("p_size")).cast("long").as("sum_size"),
+        sum(dec(col("p_retailprice"))).cast("double").as("sum_price"))
+      .orderBy("p_brand")
+  }
+
+  val all: Seq[QueryDef] = Seq(scanCsv, scanJson, scanOrc)
 }

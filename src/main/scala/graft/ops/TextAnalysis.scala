@@ -516,7 +516,47 @@ object TextAnalysis {
       .orderBy("lang")
   }
 
+  /** Boilerplate/markup removal — the HTML-strip pass every web-crawl
+    * pipeline runs before dedup/quality. The synthetic corpus carries no
+    * markup, so the key first wraps each doc in a deterministic HTML
+    * shell (title/body/footer tags built from the row's own columns —
+    * the same live-at-every-SF fake-payload discipline as the multimodal
+    * stubs), then strips: remove tags, collapse whitespace, trim. Both
+    * engines run the identical patterns (`<[^>]+>`, `\s+` — RE2-safe,
+    * no backrefs); emitted counts pin how much markup was removed, the
+    * cleaned prefix pins the reconstruction. Pure codegen regexp
+    * built-ins, embarrassingly parallel — no shuffle below the top-k. */
+  val textStripMarkup = QueryDef(
+    "text_strip_markup",
+    """SELECT doc_id,
+      |  CAST(len(regexp_extract_all(
+      |    '<html><head><title>' || lang || '</title></head><body><p class="doc">'
+      |      || text || '</p><br/><footer>' || source || '</footer></body></html>',
+      |    '<[^>]+>')) AS BIGINT) AS n_tags,
+      |  CAST(length(text) AS BIGINT) AS len_text,
+      |  substr(trim(regexp_replace(regexp_replace(
+      |    '<html><head><title>' || lang || '</title></head><body><p class="doc">'
+      |      || text || '</p><br/><footer>' || source || '</footer></body></html>',
+      |    '<[^>]+>', ' ', 'g'), '\s+', ' ', 'g')), 1, 60) AS cleaned60
+      |FROM documents ORDER BY doc_id LIMIT 200""".stripMargin) { (s, d) =>
+    val html = concat(
+      lit("<html><head><title>"), col("lang"),
+      lit("</title></head><body><p class=\"doc\">"), col("text"),
+      lit("</p><br/><footer>"), col("source"),
+      lit("</footer></body></html>"))
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        size(regexp_extract_all(html, lit("<[^>]+>"), lit(0)))
+          .cast("long").as("n_tags"),
+        length(col("text")).cast("long").as("len_text"),
+        substring(trim(regexp_replace(
+          regexp_replace(html, "<[^>]+>", " "), "\\s+", " ")), 1, 60)
+          .as("cleaned60"))
+      .orderBy("doc_id")
+      .limit(200)
+  }
+
   val all: Seq[QueryDef] = Seq(textLangid, textQuality, textTokens, textFingerprint,
     textPiiScrub, sampleSplit, sampleStratified, textPack, textDecontaminate,
-    textNgrams, textTfidf, sampleShuffle, pipelineCleanse)
+    textNgrams, textTfidf, sampleShuffle, pipelineCleanse, textStripMarkup)
 }
