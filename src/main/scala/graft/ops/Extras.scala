@@ -422,8 +422,70 @@ object Extras {
       .orderBy("o_orderstatus")
   }
 
+  /** arg_min/arg_max surface (`min_by`/`max_by`): per segment the customer
+    * name at the extreme acctbal. Native min_by/max_by leave ties
+    * engine-defined, so the ordering value is made UNIQUE by construction:
+    * acctbal-in-cents (exact — 2dp stored doubles) in the high digits,
+    * custkey in the low digits, all in one BIGINT both engines compute
+    * identically. One two-phase aggregate, no window. */
+  val aggArgMinmax = QueryDef(
+    "agg_arg_minmax",
+    """SELECT c_mktsegment,
+      |  arg_max(c_name, CAST(round(c_acctbal * 100, 0) AS BIGINT) * 1000000000
+      |                  + c_custkey) AS name_max,
+      |  arg_min(c_name, CAST(round(c_acctbal * 100, 0) AS BIGINT) * 1000000000
+      |                  + c_custkey) AS name_min,
+      |  max(c_acctbal) AS bal_max,
+      |  min(c_acctbal) AS bal_min
+      |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin) {
+    (s, d) =>
+      val ord = (round(col("c_acctbal") * 100, 0).cast("long") * 1000000000L +
+        col("c_custkey")).as("ord")
+      Tables.customer(s, d)
+        .groupBy("c_mktsegment")
+        .agg(max_by(col("c_name"), ord).as("name_max"),
+          min_by(col("c_name"), ord).as("name_min"),
+          max(col("c_acctbal")).as("bal_max"),
+          min(col("c_acctbal")).as("bal_min"))
+        .orderBy("c_mktsegment")
+  }
+
+  /** Unpivot (melt) — the inverse of `agg_pivot`: a wide per-segment
+    * aggregate relation turned into long (segment, metric, value) rows
+    * via the native unpivot operator (a zero-shuffle projection+expand;
+    * the only shuffle is the upstream aggregate's). All measures cast to
+    * DOUBLE pre-melt — counts are < 2^53 so the cast is exact; the sum
+    * goes through DECIMAL first per §2.9. The oracle spells it as the
+    * dialect-portable stacked UNION ALL — same relation. */
+  val aggUnpivot = QueryDef(
+    "agg_unpivot",
+    """WITH wide AS (
+      |  SELECT c_mktsegment,
+      |         CAST(count(*) AS DOUBLE) AS n_customers,
+      |         CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_bal,
+      |         max(c_acctbal) AS max_bal
+      |  FROM customer GROUP BY c_mktsegment
+      |)
+      |SELECT c_mktsegment, metric, value FROM (
+      |  SELECT c_mktsegment, 'n_customers' AS metric, n_customers AS value FROM wide
+      |  UNION ALL
+      |  SELECT c_mktsegment, 'sum_bal', sum_bal FROM wide
+      |  UNION ALL
+      |  SELECT c_mktsegment, 'max_bal', max_bal FROM wide
+      |) ORDER BY c_mktsegment, metric""".stripMargin) { (s, d) =>
+    Tables.customer(s, d)
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).cast("double").as("n_customers"),
+        sum(dec(col("c_acctbal"))).cast("double").as("sum_bal"),
+        max(col("c_acctbal")).as("max_bal"))
+      .unpivot(Array(col("c_mktsegment")),
+        Array(col("n_customers"), col("sum_bal"), col("max_bal")),
+        "metric", "value")
+      .orderBy("c_mktsegment", "metric")
+  }
+
   val all: Seq[QueryDef] = Seq(aggStats, windowDistribution, fnConditional,
     joinFull, joinCross, aggPivot, aggPercentile,
     aggCorr, fnBitwise, windowFirstLast, aggHistogram, joinBucketed, aggMode,
-    aggListagg, joinNullSafe, aggBool)
+    aggListagg, joinNullSafe, aggBool, aggArgMinmax, aggUnpivot)
 }

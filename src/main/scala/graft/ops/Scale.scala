@@ -207,7 +207,55 @@ object Scale {
       .orderBy("l_returnflag")
   }
 
+  /** Shared SQL for `join_lateral` — a correlated LATERAL subquery (top-2
+    * orders per selected customer), the relational form of a dependent
+    * per-row subplan. Catalyst decorrelates it into a ranked-window join
+    * (DecorrelateInnerQuery + RewriteCorrelatedScalarSubquery), so the
+    * executed plan is set-at-a-time — never one subquery execution per
+    * outer row, which is the difference between this surface scaling and
+    * not. Dialect-intersection text; deterministic via the inner total
+    * order and the outer key filter. */
+  private val LateralSql =
+    """SELECT c.c_custkey, c.c_mktsegment, t.o_orderkey, t.o_totalprice
+      |FROM customer c,
+      |LATERAL (
+      |  SELECT o_orderkey, o_totalprice FROM orders o
+      |  WHERE o.o_custkey = c.c_custkey
+      |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+      |) t
+      |WHERE c.c_custkey % 100 = 0
+      |ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey""".stripMargin
+
+  val joinLateral = QueryDef("join_lateral", LateralSql) { (s, d) =>
+    Tables.orders(s, d).createOrReplaceTempView("orders")
+    Tables.customer(s, d).createOrReplaceTempView("customer")
+    s.sql(LateralSql)
+  }
+
+  /** Shared SQL for `subquery_scalar` — an uncorrelated scalar subquery
+    * threshold (orders above 1.5× the mean price — ~25% of the uniform
+    * price distribution, live at every SF; 2× would select nothing since
+    * max ≈ 2×mean). The subquery executes
+    * ONCE and broadcasts as a literal into the fact predicate (Spark:
+    * `Subquery` + `ReusedSubquery` nodes) — the set-at-a-time shape, not
+    * a per-row re-evaluation. The mean is DECIMAL-exact sum ÷ count in
+    * both engines (identical IEEE operands), so the comparison boundary
+    * is engine-independent. */
+  private val ScalarSubSql =
+    """SELECT o_orderkey, o_totalprice
+      |FROM orders
+      |WHERE o_totalprice > 1.5 * (
+      |  SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) / count(*)
+      |  FROM orders)
+      |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin
+
+  val subqueryScalar = QueryDef("subquery_scalar", ScalarSubSql) { (s, d) =>
+    Tables.orders(s, d).createOrReplaceTempView("orders")
+    s.sql(ScalarSubSql)
+  }
+
   val all: Seq[QueryDef] = Seq(
     scanPartitioned, joinSalted, sqlFrontend,
-    windowNtile, aggFiltered, aggApproxPercentile)
+    windowNtile, aggFiltered, aggApproxPercentile,
+    joinLateral, subqueryScalar)
 }

@@ -154,6 +154,25 @@ class PlanSpec extends AnyFunSuite {
       s"fact side shuffles before the join:\n$p")
   }
 
+  test("join_lateral decorrelates: WindowGroupLimit top-k + one join, never a per-row subplan") {
+    val p = plan(graft.ops.Scale.joinLateral)
+    // Catalyst rewrites the correlated LATERAL into a ranked-window join;
+    // WindowGroupLimit caps each group at k rows BEFORE the full window —
+    // the set-at-a-time shape this key certifies
+    assert(p.contains("WindowGroupLimit"), s"lateral not decorrelated to group-limit:\n$p")
+    assert(p.contains("Join"), s"expected a relational join:\n$p")
+    assert(!p.contains("CartesianProduct"), s"lateral fell back to cartesian:\n$p")
+  }
+
+  test("subquery_scalar: the threshold subquery plans once, outer stays top-k") {
+    val p = plan(graft.ops.Scale.subqueryScalar)
+    // the plan text repeats the node (expression reference + subtree),
+    // so count DISTINCT subquery ids: one threshold, computed once
+    val ids = "Subquery subquery#(\\d+)".r.findAllMatchIn(p).map(_.group(1)).toSet
+    assert(ids.size == 1, s"expected exactly one distinct scalar subquery, got $ids:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"outer should be top-k, not global sort:\n$p")
+  }
+
   test("join_salted: both sides shuffle on (key, salt) — the hot key spreads over 8 reducers") {
     val df = graft.ops.Scale.joinSalted.fn(spark, d)
     df.collect() // materialize → AQE final plan
