@@ -435,7 +435,45 @@ object Events {
       .orderBy("cohort_day", "offset_days")
   }
 
+  /** Gap-filling time-spine resample: purchase counts per 10-minute
+    * bucket over the full activity range, INCLUDING empty buckets as
+    * explicit zero rows (~20 k purchases over 43 200 buckets at sf0.1 —
+    * the gaps are live at every SF; hourly buckets would be fully covered
+    * and make the fill vacuous). The spine generates from the 1-row
+    * min/max bounds via sequence+explode — bounded by calendar time, not
+    * data volume (a year of 10-min buckets is 52 k rows at ANY corpus
+    * size), then repartitioned so the downstream join parallelizes; the
+    * counts side is one combinable aggregate. Epoch-µs integer division
+    * keeps bucket edges engine-exact. */
+  val eventsResample = QueryDef(
+    "events_resample",
+    """WITH e AS (
+      |  SELECT epoch_us(ts) // 600000000 AS bucket
+      |  FROM events WHERE event_type = 'purchase'
+      |), b AS (SELECT min(bucket) AS lo, max(bucket) AS hi FROM e),
+      |spine AS (SELECT unnest(generate_series(lo, hi)) AS bucket FROM b),
+      |c AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n FROM e GROUP BY bucket)
+      |SELECT s.bucket, make_timestamp(s.bucket * 600000000) AS bucket_start,
+      |       coalesce(c.n, 0) AS n
+      |FROM spine s LEFT JOIN c ON s.bucket = c.bucket
+      |ORDER BY s.bucket""".stripMargin) { (s, d) =>
+    val e = Tables.events(s, d)
+      .filter(col("event_type") === "purchase")
+      .select(expr("unix_micros(cast(ts as timestamp)) div 600000000").as("bucket"))
+    val bounds = e.agg(min(col("bucket")).as("lo"), max(col("bucket")).as("hi"))
+    val spine = bounds
+      .select(explode(sequence(col("lo"), col("hi"))).as("bucket"))
+      .repartition(col("bucket"))
+    val counts = e.groupBy("bucket").agg(count(lit(1)).as("n"))
+    spine.join(counts, Seq("bucket"), "left")
+      .select(col("bucket"),
+        timestamp_micros(col("bucket") * 600000000L).cast("timestamp_ntz")
+          .as("bucket_start"),
+        coalesce(col("n"), lit(0L)).as("n"))
+      .orderBy("bucket")
+  }
+
   val all: Seq[QueryDef] = Seq(sessionizeQ, streamTumbling, streamSliding,
     streamWatermark, streamSession, windowTimeRange, streamDedup, eventFunnel,
-    streamJoin, eventRetention)
+    streamJoin, eventRetention, eventsResample)
 }

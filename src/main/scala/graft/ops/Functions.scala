@@ -194,6 +194,43 @@ object Functions {
       .limit(200)
   }
 
+  /** Nested-type surface: build a nested struct (scalar + inner struct +
+    * integer array) from the row's own columns, serialize with to_json,
+    * parse back with a schema-carrying from_json, and emit fields reached
+    * through nested access (struct.field, inner.field, array index).
+    * The emitted scalars are trivially re-derivable — which is exactly
+    * the point: the oracle computes them directly from the base columns,
+    * so the driver's hash certifies Spark's construct→serialize→parse→
+    * access chain is lossless (the fn_json analog of the format
+    * round-trip keys). Integers only inside the JSON — float formatting
+    * is writer-defined and never crosses the boundary. */
+  val fnStruct = QueryDef(
+    "fn_struct",
+    """SELECT event_id,
+      |       user_id AS u,
+      |       event_type AS t,
+      |       event_id % 11 AS arr1
+      |FROM events ORDER BY event_id LIMIT 200""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("who", StructType(Seq(
+        StructField("u", LongType), StructField("t", StringType)))),
+      StructField("arr", ArrayType(LongType))))
+    val j = to_json(struct(
+      col("event_id").as("id"),
+      struct(col("user_id").as("u"), col("event_type").as("t")).as("who"),
+      array(col("event_id") % 7, col("event_id") % 11).as("arr")))
+    Tables.events(s, d)
+      .select(col("event_id"), from_json(j, schema).as("s"))
+      .select(col("event_id"),
+        col("s.who.u").as("u"),
+        col("s.who.t").as("t"),
+        element_at(col("s.arr"), 2).as("arr1"))
+      .orderBy("event_id")
+      .limit(200)
+  }
+
   val all: Seq[QueryDef] = Seq(fnString, fnDate, fnMath, fnArray, fnJson,
-    udtfShingles, fnHash)
+    udtfShingles, fnHash, fnStruct)
 }
