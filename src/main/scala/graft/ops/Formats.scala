@@ -117,5 +117,38 @@ object Formats {
       .orderBy("p_brand")
   }
 
-  val all: Seq[QueryDef] = Seq(scanCsv, scanJson, scanOrc)
+  /** XML round-trip over supplier via Spark 4's NATIVE xml datasource
+    * (row-per-element layout, explicit schema on read — same
+    * schema-out-of-band discipline as csv/json; XML inference is an
+    * extra pass at scale). Doubles survive via shortest-repr toString,
+    * strings via XML entity escaping. Oracle aggregates the original
+    * parquet, so the hash certifies the writer+reader pair. */
+  val scanXml = QueryDef(
+    "scan_xml",
+    """SELECT s_nationkey,
+      |       CAST(count(*) AS BIGINT) AS n,
+      |       CAST(sum(s_suppkey) AS BIGINT) AS sum_key,
+      |       CAST(sum(CAST(s_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_bal
+      |FROM supplier GROUP BY s_nationkey
+      |ORDER BY s_nationkey""".stripMargin) { (s, d) =>
+    val dir = fmtDir(d, "xml")
+    Tables.supplier(s, d)
+      .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+      .write.mode("overwrite")
+      .option("rootTag", "suppliers").option("rowTag", "supplier")
+      .xml(dir)
+    val schema = StructType(Seq(
+      StructField("s_suppkey", LongType),
+      StructField("s_name", StringType),
+      StructField("s_nationkey", IntegerType),
+      StructField("s_acctbal", DoubleType)))
+    s.read.option("rowTag", "supplier").schema(schema).xml(dir)
+      .groupBy("s_nationkey")
+      .agg(count(lit(1)).as("n"),
+        sum(col("s_suppkey")).as("sum_key"),
+        sum(dec(col("s_acctbal"))).cast("double").as("sum_bal"))
+      .orderBy("s_nationkey")
+  }
+
+  val all: Seq[QueryDef] = Seq(scanCsv, scanJson, scanOrc, scanXml)
 }

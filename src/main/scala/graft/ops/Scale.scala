@@ -254,8 +254,58 @@ object Scale {
     s.sql(ScalarSubSql)
   }
 
+  /** CDC merge / upsert — MERGE-statement semantics over plain tables
+    * (no transactional format in this distribution, so the upsert is the
+    * relation itself): a deterministic changeset (every 10th customer's
+    * acctbal +100, plus new rows keyed above the base range for every
+    * 500th) merged into the base — updates override matched keys,
+    * inserts append. The shape is anti-join + union (one shuffle on the
+    * key each, both combinable), NOT a full-outer-join coalesce of every
+    * column — at 100 TB the changeset is ~1% of the base and only the
+    * keys travel from the base side. Emitted per-segment totals pin both
+    * paths: sums see the +100s, counts see the inserts. */
+  val mergeUpsert = QueryDef(
+    "merge_upsert",
+    """WITH updates AS (
+      |  SELECT c_custkey, c_name, c_nationkey, c_acctbal + 100 AS c_acctbal,
+      |         c_mktsegment
+      |  FROM customer WHERE c_custkey % 10 = 0
+      |), inserts AS (
+      |  SELECT c_custkey + 10000000 AS c_custkey, 'NEW-' || c_name AS c_name,
+      |         c_nationkey, c_acctbal, c_mktsegment
+      |  FROM customer WHERE c_custkey % 500 = 0
+      |), changeset AS (
+      |  SELECT * FROM updates UNION ALL SELECT * FROM inserts
+      |), merged AS (
+      |  SELECT * FROM changeset
+      |  UNION ALL
+      |  SELECT * FROM customer
+      |  WHERE c_custkey NOT IN (SELECT c_custkey FROM changeset)
+      |)
+      |SELECT c_mktsegment,
+      |       CAST(count(*) AS BIGINT) AS n,
+      |       CAST(count(*) FILTER (WHERE c_custkey >= 10000000) AS BIGINT) AS n_new,
+      |       CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_bal
+      |FROM merged GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin) {
+    (s, d) =>
+      val base = Tables.customer(s, d)
+      val updates = base.filter(col("c_custkey") % 10 === 0)
+        .withColumn("c_acctbal", col("c_acctbal") + 100)
+      val inserts = base.filter(col("c_custkey") % 500 === 0)
+        .withColumn("c_custkey", col("c_custkey") + 10000000L)
+        .withColumn("c_name", concat(lit("NEW-"), col("c_name")))
+      val changeset = updates.unionByName(inserts)
+      val merged = changeset.unionByName(
+        base.join(changeset.select("c_custkey"), Seq("c_custkey"), "left_anti"))
+      merged.groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"),
+          count_if(col("c_custkey") >= 10000000L).as("n_new"),
+          sum(dec(col("c_acctbal"))).cast("double").as("sum_bal"))
+        .orderBy("c_mktsegment")
+  }
+
   val all: Seq[QueryDef] = Seq(
     scanPartitioned, joinSalted, sqlFrontend,
     windowNtile, aggFiltered, aggApproxPercentile,
-    joinLateral, subqueryScalar)
+    joinLateral, subqueryScalar, mergeUpsert)
 }

@@ -205,5 +205,47 @@ object Text {
     nearDupKeepers(Tables.documents(s, d)).orderBy("doc_id")
   }
 
-  val all: Seq[QueryDef] = Seq(textStats, dedupExact, dedupNear, dedupKeeper)
+  /** Edit-distance refilter of the near-dup candidates — the
+    * character-level verification pass a fuzzy-dedup pipeline runs after
+    * shingle blocking (catches rewordings Jaccard scores high but edit
+    * distance exposes, and vice versa). Levenshtein is O(len²) per pair,
+    * so it NEVER runs all-pairs: only the shingle-blocked candidate set
+    * (linear-ish, equi-join generated) reaches it — the same
+    * candidates-then-exact-check shape as dedup_minhash/dedup_embed_lsh.
+    * Both engines implement textbook unit-cost Levenshtein; the corpus is
+    * ASCII so code-unit vs codepoint semantics cannot diverge. */
+  val textEditdist = QueryDef(
+    "text_editdist",
+    s"""${graft.ops.Functions.shingleOracleCte},
+       |shd AS (SELECT DISTINCT doc_id, shingle FROM sh WHERE shingle IS NOT NULL),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY doc_id),
+       |inter AS (
+       |  SELECT x.doc_id AS i, y.doc_id AS j, count(*) AS inter
+       |  FROM shd x JOIN shd y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+       |  GROUP BY i, j
+       |), cand AS (
+       |  SELECT i, j
+       |  FROM inter
+       |  JOIN sizes si ON inter.i = si.doc_id
+       |  JOIN sizes sj ON inter.j = sj.doc_id
+       |  WHERE inter.inter / (si.n + sj.n - inter.inter) >= 0.5
+       |)
+       |SELECT c.i, c.j,
+       |       CAST(levenshtein(a.text, b.text) AS BIGINT) AS editdist
+       |FROM cand c
+       |JOIN documents a ON c.i = a.doc_id
+       |JOIN documents b ON c.j = b.doc_id
+       |ORDER BY c.i, c.j""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val texts = docs.select(col("doc_id"), col("text"))
+    nearDupPairs(docs).select("i", "j")
+      .join(texts.as("a"), col("i") === col("a.doc_id"))
+      .join(texts.as("b"), col("j") === col("b.doc_id"))
+      .select(col("i"), col("j"),
+        levenshtein(col("a.text"), col("b.text")).cast("long").as("editdist"))
+      .orderBy("i", "j")
+  }
+
+  val all: Seq[QueryDef] = Seq(textStats, dedupExact, dedupNear, dedupKeeper,
+    textEditdist)
 }
