@@ -179,6 +179,13 @@ object Functions {
     * the dedup oracle. */
   def shingleOracleCte: String = shingleCte
 
+  /** Same shingle CTE over an arbitrary (doc_id, text) relation name —
+    * for oracles that block on a derived corpus (e.g. the exact-dedup
+    * keeper set) instead of the raw documents table. Starts mid-WITH:
+    * callers open the WITH and define `rel` first. */
+  def shingleOracleCteOver(rel: String): String =
+    shingleCte.replace("WITH pos AS", "pos AS").replace("FROM documents", s"FROM $rel")
+
   /** Cryptographic hash surface — md5 and sha256 over customer names.
     * Both engines emit lowercase hex over the identical UTF-8 bytes, so
     * the digests are bit-identical (md5 is already the repo's only shared

@@ -255,6 +255,54 @@ object Text {
       .orderBy("i", "j")
   }
 
+  /** The LINEAR-scale sibling of `text_editdist` (the dedup_embed →
+    * dedup_embed_lsh precedent): exact dedup to keeper representatives
+    * FIRST, then shingle-block and edit-distance-verify over UNIQUE texts
+    * only. On a dup-heavy corpus this is the difference between quadratic
+    * and linear: the 10× replicated table collapses back to the sf0.1
+    * unique-text set before the self-join, so candidate volume is bounded
+    * by distinct content, not copy count. Every surviving pair has
+    * differing texts by construction — the kernel always does real work. */
+  val textEditdistDedup = QueryDef(
+    "text_editdist_dedup",
+    s"""WITH k AS (
+       |  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+       |), kd AS (
+       |  SELECT d.doc_id, d.text FROM documents d JOIN k ON d.doc_id = k.doc_id
+       |), ${graft.ops.Functions.shingleOracleCteOver("kd")},
+       |shd AS (SELECT DISTINCT doc_id, shingle FROM sh WHERE shingle IS NOT NULL),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY doc_id),
+       |inter AS (
+       |  SELECT x.doc_id AS i, y.doc_id AS j, count(*) AS inter
+       |  FROM shd x JOIN shd y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+       |  GROUP BY i, j
+       |), cand AS (
+       |  SELECT i, j
+       |  FROM inter
+       |  JOIN sizes si ON inter.i = si.doc_id
+       |  JOIN sizes sj ON inter.j = sj.doc_id
+       |  WHERE inter.inter / (si.n + sj.n - inter.inter) >= 0.5
+       |)
+       |SELECT c.i, c.j,
+       |       CAST(levenshtein(a.text, b.text) AS BIGINT) AS editdist
+       |FROM cand c
+       |JOIN kd a ON c.i = a.doc_id
+       |JOIN kd b ON c.j = b.doc_id
+       |ORDER BY c.i, c.j""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val keepers = docs
+      .groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id")
+    val kd = docs.join(keepers, Seq("doc_id")).select("doc_id", "text")
+    nearDupPairs(kd).select("i", "j")
+      .join(kd.as("a"), col("i") === col("a.doc_id"))
+      .join(kd.as("b"), col("j") === col("b.doc_id"))
+      .select(col("i"), col("j"),
+        levenshtein(col("a.text"), col("b.text")).cast("long").as("editdist"))
+      .orderBy("i", "j")
+  }
+
   val all: Seq[QueryDef] = Seq(textStats, dedupExact, dedupNear, dedupKeeper,
-    textEditdist)
+    textEditdist, textEditdistDedup)
 }
