@@ -484,8 +484,39 @@ object Extras {
       .orderBy("c_mktsegment", "metric")
   }
 
+  /** grouping() flags over a rollup — the disambiguation surface the
+    * plain rollup key cannot carry: a NULL group key and a rollup total
+    * row are indistinguishable in the value columns alone; grouping()=1
+    * marks the synthesized totals. The portable grouping id is computed
+    * as 2·g1+g2 (both engines agree on grouping(); native grouping_id
+    * bit order is engine-defined and never crosses the boundary). */
+  val aggGroupingId = QueryDef(
+    "agg_grouping_id",
+    """SELECT l_returnflag, l_linestatus,
+      |       CAST(grouping(l_returnflag) AS INT) AS g_flag,
+      |       CAST(grouping(l_linestatus) AS INT) AS g_status,
+      |       CAST(2 * grouping(l_returnflag) + grouping(l_linestatus) AS INT) AS gid,
+      |       CAST(count(*) AS BIGINT) AS n,
+      |       CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+      |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+      |ORDER BY g_flag, g_status, l_returnflag, l_linestatus""".stripMargin) {
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(grouping(col("l_returnflag")).cast("int").as("g_flag"),
+          grouping(col("l_linestatus")).cast("int").as("g_status"),
+          (grouping(col("l_returnflag")).cast("int") * 2 +
+            grouping(col("l_linestatus")).cast("int")).as("gid"),
+          count(lit(1)).as("n"),
+          sum(dec(col("l_quantity"))).cast("double").as("sum_qty"))
+        .select(col("l_returnflag"), col("l_linestatus"), col("g_flag"),
+          col("g_status"), col("gid"), col("n"), col("sum_qty"))
+        .orderBy(col("g_flag"), col("g_status"),
+          col("l_returnflag"), col("l_linestatus"))
+  }
+
   val all: Seq[QueryDef] = Seq(aggStats, windowDistribution, fnConditional,
     joinFull, joinCross, aggPivot, aggPercentile,
     aggCorr, fnBitwise, windowFirstLast, aggHistogram, joinBucketed, aggMode,
-    aggListagg, joinNullSafe, aggBool, aggArgMinmax, aggUnpivot)
+    aggListagg, joinNullSafe, aggBool, aggArgMinmax, aggUnpivot, aggGroupingId)
 }
