@@ -193,6 +193,65 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("events_resample: the gap-fill is live (zero buckets exist) and conserves events") {
+    val d = "/root/testdata/sf0.001"
+    val rows = graft.ops.Events.eventsResample.fn(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(rows.exists(_._2 == 0L), "no empty bucket — the fill never fired")
+    assert(rows.map(_._2).sum ==
+      graft.Tables.events(spark, d).filter(col("event_type") === "purchase").count(),
+      "spine counts must conserve the purchase total")
+    val buckets = rows.map(_._1)
+    assert(buckets.toSeq == (buckets.min to buckets.max).toSeq,
+      "spine must be contiguous from min to max bucket")
+  }
+
+  test("window_ntile: per-segment quartile sizes differ by at most 1 and respect the order") {
+    val d = "/root/testdata/sf0.001"
+    val rows = graft.ops.Scale.windowNtile.fn(spark, d).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    val bal = graft.Tables.customer(spark, d)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    rows.groupBy(_._2).foreach { case (_, seg) =>
+      val sizes = seg.groupBy(_._3).view.mapValues(_.length).values
+      assert(sizes.max - sizes.min <= 1, "ntile sizes must differ by <=1")
+      // every quartile-2 member's (bal, key) must sort >= every quartile-1 max
+      val byQ = seg.groupBy(_._3).view
+        .mapValues(_.map(t => (bal(t._1), t._1)).max).toMap
+      (1 until 4).foreach { q =>
+        if (byQ.contains(q) && byQ.contains(q + 1)) {
+          val lowMax = byQ(q)
+          val hiMin = seg.filter(_._3 == q + 1).map(t => (bal(t._1), t._1)).min
+          assert(Ordering[(Double, Long)].lteq(lowMax, hiMin),
+            s"quartile $q overlaps quartile ${q + 1}")
+        }
+      }
+    }
+  }
+
+  test("merge_upsert: inserts live, and the balance delta is exactly 100 per updated row") {
+    val d = "/root/testdata/sf0.001"
+    val merged = graft.ops.Scale.mergeUpsert.fn(spark, d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(merged.map(_._3).sum > 0, "no inserted rows — the insert path never fired")
+    val base = graft.Tables.customer(spark, d)
+    val nBase = base.count()
+    val nUpd = base.filter(col("c_custkey") % 10 === 0).count()
+    val nIns = base.filter(col("c_custkey") % 500 === 0).count()
+    assert(merged.map(_._2).sum == nBase + nIns, "merged count = base + inserts")
+    assert(nUpd > 0 && nIns > 0)
+    // exact-decimal check: merged sum - (base sum + inserted-copy sum) = 100 * updates
+    val dec18 = (c: org.apache.spark.sql.Column) =>
+      c.cast(org.apache.spark.sql.types.DecimalType(18, 4))
+    val baseSum = base.agg(sum(dec18(col("c_acctbal")))).head.getDecimal(0)
+    val insSum = base.filter(col("c_custkey") % 500 === 0)
+      .agg(sum(dec18(col("c_acctbal")))).head.getDecimal(0)
+    val mergedSum = BigDecimal(merged.map(t => BigDecimal(t._4)).sum.toString)
+    assert((mergedSum - BigDecimal(baseSum) - BigDecimal(insSum))
+      .compare(BigDecimal(100) * nUpd) == 0,
+      "balance delta must be exactly 100 per updated row")
+  }
+
   test("pack bins conserve tokens and number contiguously per bucket") {
     val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
     val bins = graft.ops.TextAnalysis.packBins(docs)
