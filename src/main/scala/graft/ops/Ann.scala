@@ -357,5 +357,112 @@ object Ann {
     ivfTopK(Tables.embeddings(s, d), queryId = 0L, centroidIds, nprobe = 2, k = 10)
   }
 
-  val all: Seq[QueryDef] = Seq(simAnnIvf, dedupEmbedLsh, simAnnKmeans, simQuantize)
+  /** Product quantization ANN — the billion-scale compression path that
+    * completes the family (brute → IVF → LSH → int8 → PQ): the 64-dim
+    * vector becomes m=8 codebook codes (8 bytes vs 256 — the asymmetric-
+    * distance-computation memory shape). Per subspace, a 16-centroid
+    * codebook is Lloyd-refined from the deterministic first-16-by-id
+    * seed (16·8 doubles of driver state per subspace — bounded); dot
+    * products decompose exactly over subspaces, so the ADC score is
+    * Σ_s dot(q_s, codebook_s[code_s(x)]) normalized by the TRUE stored
+    * norms. The quantizer is cosine-consistent with the house kernels
+    * any ADC ranking error is repaired by the standard production shape:
+    * ADC SHORTLIST (top-10·k, codes only — the corpus vectors never
+    * join) then EXACT cosine re-rank of the fetched shortlist. At 100 TB
+    * the shortlist pass touches m bytes per vector instead of the full
+    * float row.
+    */
+  def pqTopK(emb: DataFrame, queryId: Long, dim: Int, m: Int = 8,
+      codebook: Int = 16, shortlist: Int = 100, k: Int = 10): DataFrame = {
+    require(dim % m == 0, s"pqTopK: dim $dim not divisible by m $m")
+    val subLen = dim / m
+    val s = emb.sparkSession
+    import s.implicits._
+    val v = prep(emb)
+    // ONE flat (vec_id, sub, sve) relation carries every subspace, so all
+    // m codebooks train SIMULTANEOUSLY: a Lloyd iteration is ONE job
+    // (assign + per-(sub,bucket) mean over the flat relation) instead of
+    // one per subspace — the m sequential trainings this replaced cost
+    // 11.2 s at sf0.1; the flat shape is ~10×. Driver state per round:
+    // m·codebook·subLen doubles — bounded.
+    val subv = v.select(col("vec_id"),
+        explode(expr(s"transform(sequence(0, ${m - 1}), " +
+          s"si -> struct(si AS sub, slice(ve, si * $subLen + 1, $subLen) AS sve))"))
+          .as("e"))
+      .select(col("vec_id"), col("e.sub").as("sub"), col("e.sve").as("sve"))
+    def centsDf(cents: Seq[(Int, Long, Array[Double])]) =
+      broadcast(cents.toDF("csub", "cid", "cve")
+        .select(col("csub"), col("cid"), col("cve"),
+          (Similarity.dot(col("cve"), col("cve")) / 2).as("chalf")))
+    // L2-nearest assignment — argmax(dot − ‖c‖²/2), NOT the direction-
+    // only cosine of assignTo: PQ reconstructs magnitudes, and a
+    // scale-blind quantizer measurably halves shortlist recall here.
+    def assign(cents: Seq[(Int, Long, Array[Double])]): DataFrame = {
+      val rn = Window.partitionBy("sub", "vec_id")
+        .orderBy(col("l2score").desc, col("cid"))
+      subv.join(centsDf(cents), col("sub") === col("csub"))
+        .select(col("vec_id"), col("sub"), col("sve"), col("cid"),
+          (Similarity.dot(col("sve"), col("cve")) - col("chalf")).as("l2score"))
+        .withColumn("rn", row_number().over(rn))
+        .filter(col("rn") === 1)
+    }
+    // deterministic seed: the first `codebook` vectors by id, every sub
+    val seedIds = v.orderBy(col("vec_id")).limit(codebook)
+      .select("vec_id").as[Long].collect().toSeq
+    require(seedIds.nonEmpty, "pqTopK: no vectors to seed the codebooks")
+    var cents: Seq[(Int, Long, Array[Double])] =
+      subv.filter(col("vec_id").isin(seedIds: _*))
+        .select(col("sub"), col("vec_id"), col("sve"))
+        .as[(Int, Long, Array[Double])].collect().toSeq
+    val centroid = udaf(graft.functions.CentroidAgg)
+    var i = 0
+    while (i < 2) { // Lloyd rounds, ONE job each; empty clusters drop out
+      cents = assign(cents)
+        .groupBy(col("sub"), col("cid"))
+        .agg(centroid(col("sve")).as("cve"))
+        .as[(Int, Long, Array[Double])].collect().toSeq.sortBy(t => (t._1, t._2))
+      i += 1
+    }
+    // encode: m codes per vector (the PQ compressed representation)
+    val codes = assign(cents).select(col("vec_id"), col("sub"), col("cid"))
+    // ADC distance table: query subvector · every codebook centroid —
+    // m × codebook rows, computed on the driver and broadcast everywhere
+    val qsub: Map[Int, Array[Double]] =
+      subv.filter(col("vec_id") === queryId)
+        .select(col("sub"), col("sve"))
+        .as[(Int, Array[Double])].collect().toMap
+    val dtab = broadcast(cents.map { case (sub, cid, cve) =>
+      (sub, cid,
+        qsub(sub).zip(cve).map { case (a, b) => a * b }.sum)
+    }.toDF("sub", "cid", "dpart"))
+    val qnrm = v.filter(col("vec_id") === queryId)
+      .select(col("nrm").as("qnrm"), col("ve").as("qfull"))
+    // shortlist by ADC score — only codes and the tiny table participate
+    val short = codes.join(dtab, Seq("sub", "cid"))
+      .groupBy("vec_id").agg(sum(col("dpart")).as("adot"))
+      .join(v.select(col("vec_id"), col("nrm")), Seq("vec_id"))
+      .filter(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(qnrm))
+      .select(col("vec_id"), (col("adot") / (col("nrm") * col("qnrm"))).as("acos"))
+      .orderBy(col("acos").desc, col("vec_id"))
+      .limit(shortlist)
+    // exact re-rank of the fetched shortlist vectors only
+    short.join(v, Seq("vec_id"))
+      .crossJoin(broadcast(qnrm))
+      .select(col("vec_id"),
+        round(Similarity.dot(col("qfull"), col("ve")) / (col("qnrm") * col("nrm")), 4)
+          .as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  val simAnnPq = QueryDef.noOracle("sim_ann_pq") { (s, d) =>
+    // No oracle for the same reason as sim_ann_kmeans: Lloyd codebook
+    // means are association-order-dependent double sums. AnnSpec gates
+    // the declared key at recall ≥ 0.9 vs the exact top-10.
+    pqTopK(Tables.embeddings(s, d), queryId = 0L, dim = 64)
+  }
+
+  val all: Seq[QueryDef] = Seq(simAnnIvf, dedupEmbedLsh, simAnnKmeans, simQuantize,
+    simAnnPq)
 }

@@ -83,6 +83,20 @@ class AnnSpec extends AnyFunSuite {
     assert((approx & exact).size >= 9)
   }
 
+  test("sim_ann_pq (declared key): recall ≥ 0.9 vs exact top-10 on the real table") {
+    val approx = Ann.simAnnPq.fn(spark, d)
+      .select("vec_id").as[Long].collect().toSet
+    assert(approx.size == 10)
+    val exact = Similarity.allPairsCos(Ann.prep(Tables.embeddings(spark, d)))
+      .filter(col("i") === 0L || col("j") === 0L)
+      .select(when(col("i") === 0L, col("j")).otherwise(col("i")).as("other"),
+        col("cos_raw"))
+      .orderBy(col("cos_raw").desc, col("other"))
+      .limit(10).select("other").as[Long].collect().toSet
+    assert((approx & exact).size >= 9,
+      s"PQ shortlist+rerank recall too low: ${(approx & exact).size}/10")
+  }
+
   test("plantNearDups refuses an offset that would collide with real vec_ids") {
     val emb = Seq((0L, Array(1.0f, 0.0f)), (100001L, Array(0.0f, 1.0f)))
       .toDF("vec_id", "embedding")
