@@ -515,8 +515,40 @@ object Extras {
           col("l_returnflag"), col("l_linestatus"))
   }
 
+  /** Bounded sliding ROWS frame — the centered moving average (3
+    * PRECEDING..3 FOLLOWING), the one frame shape no other window key
+    * exercises (running = unbounded-preceding, first/last = unbounded
+    * both ways, range/time = value-bounded). The frame is row-counted
+    * over a TOTAL order (ts, event_id — unique), so frame membership is
+    * engine-exact; the average is DECIMAL-exact sum ÷ frame count, both
+    * engines dividing identical IEEE operands. Edge rows keep their
+    * truncated frames (n_win < 7 pins the boundary semantics). */
+  val windowMoving = QueryDef(
+    "window_moving",
+    """SELECT user_id, event_id,
+      |       CAST(count(*) OVER w AS BIGINT) AS n_win,
+      |       CAST(sum(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE)
+      |         / count(*) OVER w AS mov_avg
+      |FROM events WHERE user_id % 10 = 0
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+      |             ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+      |ORDER BY user_id, event_id""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-3, 3)
+    Tables.events(s, d)
+      .filter(col("user_id") % 10 === 0)
+      .select(col("user_id"), col("event_id"),
+        count(lit(1)).over(w).as("n_win"),
+        (sum(dec(col("value"))).over(w).cast("double") /
+          count(lit(1)).over(w)).as("mov_avg"))
+      .orderBy("user_id", "event_id")
+  }
+
   val all: Seq[QueryDef] = Seq(aggStats, windowDistribution, fnConditional,
     joinFull, joinCross, aggPivot, aggPercentile,
     aggCorr, fnBitwise, windowFirstLast, aggHistogram, joinBucketed, aggMode,
-    aggListagg, joinNullSafe, aggBool, aggArgMinmax, aggUnpivot, aggGroupingId)
+    aggListagg, joinNullSafe, aggBool, aggArgMinmax, aggUnpivot, aggGroupingId,
+    windowMoving)
 }
