@@ -238,6 +238,63 @@ object Functions {
       .limit(200)
   }
 
+  /** VARIANT surface (Spark 4's semi-structured type — the schema-on-
+    * read path for ragged JSON at scale: parse once to the binary
+    * variant encoding, then typed path extraction without re-parsing).
+    * Same live-payload discipline as fn_struct: a nested JSON document
+    * is built from the row's own columns, parsed with parse_json, and
+    * read back through variant_get typed paths (nested object, array
+    * index). The oracle re-derives the emitted scalars from the base
+    * columns — the hash certifies build→parse→extract is lossless. */
+  val fnVariant = QueryDef(
+    "fn_variant",
+    """SELECT event_id,
+      |       user_id AS u,
+      |       event_type AS t,
+      |       event_id % 13 AS arr0
+      |FROM events ORDER BY event_id LIMIT 200""".stripMargin) { (s, d) =>
+    val j = concat(
+      lit("""{"who": {"u": """), col("user_id"),
+      lit(""", "t": """"), col("event_type"),
+      lit(""""}, "arr": ["""), col("event_id") % 13,
+      lit(""", 0]}"""))
+    Tables.events(s, d)
+      .select(col("event_id"), parse_json(j).as("v"))
+      .select(col("event_id"),
+        variant_get(col("v"), "$.who.u", "long").as("u"),
+        variant_get(col("v"), "$.who.t", "string").as("t"),
+        variant_get(col("v"), "$.arr[0]", "long").as("arr0"))
+      .orderBy("event_id")
+      .limit(200)
+  }
+
+  /** MapType surface: map construction (map_from_arrays), key lookup
+    * (element_at), cardinality, and a DETERMINISTIC key listing
+    * (array_join of sorted keys — map iteration order is engine-defined
+    * and never crosses the boundary; the sort makes it total). Emitted
+    * columns are scalars/strings the oracle re-derives directly. */
+  val fnMap = QueryDef(
+    "fn_map",
+    """SELECT event_id,
+      |       event_type AS type_val,
+      |       CAST(user_id AS VARCHAR) AS user_val,
+      |       2 AS n_keys,
+      |       'type,user' AS keys_sorted
+      |FROM events ORDER BY event_id LIMIT 200""".stripMargin) { (s, d) =>
+    val m = map_from_arrays(
+      array(lit("type"), lit("user")),
+      array(col("event_type"), col("user_id").cast("string")))
+    Tables.events(s, d)
+      .select(col("event_id"), m.as("m"))
+      .select(col("event_id"),
+        element_at(col("m"), "type").as("type_val"),
+        element_at(col("m"), "user").as("user_val"),
+        size(col("m")).as("n_keys"),
+        array_join(array_sort(map_keys(col("m"))), ",").as("keys_sorted"))
+      .orderBy("event_id")
+      .limit(200)
+  }
+
   val all: Seq[QueryDef] = Seq(fnString, fnDate, fnMath, fnArray, fnJson,
-    udtfShingles, fnHash, fnStruct)
+    udtfShingles, fnHash, fnStruct, fnVariant, fnMap)
 }
