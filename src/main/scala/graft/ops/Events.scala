@@ -445,6 +445,24 @@ object Events {
     * size), then repartitioned so the downstream join parallelizes; the
     * counts side is one combinable aggregate. Epoch-µs integer division
     * keeps bucket edges engine-exact. */
+  /** Library form of the gap-filling spine: per `bucketUs` bucket the
+    * event count over [min, max] activity, empty buckets as zeros. */
+  def resampleBuckets(ev: DataFrame, bucketUs: Long): DataFrame = {
+    val e = ev.select(
+      expr(s"unix_micros(cast(ts as timestamp)) div $bucketUs").as("bucket"))
+    val bounds = e.agg(min(col("bucket")).as("lo"), max(col("bucket")).as("hi"))
+    val spine = bounds
+      .select(explode(sequence(col("lo"), col("hi"))).as("bucket"))
+      .repartition(col("bucket"))
+    val counts = e.groupBy("bucket").agg(count(lit(1)).as("n"))
+    spine.join(counts, Seq("bucket"), "left")
+      .select(col("bucket"),
+        timestamp_micros(col("bucket") * bucketUs).cast("timestamp_ntz")
+          .as("bucket_start"),
+        coalesce(col("n"), lit(0L)).as("n"))
+      .orderBy("bucket")
+  }
+
   val eventsResample = QueryDef(
     "events_resample",
     """WITH e AS (
@@ -457,20 +475,9 @@ object Events {
       |       coalesce(c.n, 0) AS n
       |FROM spine s LEFT JOIN c ON s.bucket = c.bucket
       |ORDER BY s.bucket""".stripMargin) { (s, d) =>
-    val e = Tables.events(s, d)
-      .filter(col("event_type") === "purchase")
-      .select(expr("unix_micros(cast(ts as timestamp)) div 600000000").as("bucket"))
-    val bounds = e.agg(min(col("bucket")).as("lo"), max(col("bucket")).as("hi"))
-    val spine = bounds
-      .select(explode(sequence(col("lo"), col("hi"))).as("bucket"))
-      .repartition(col("bucket"))
-    val counts = e.groupBy("bucket").agg(count(lit(1)).as("n"))
-    spine.join(counts, Seq("bucket"), "left")
-      .select(col("bucket"),
-        timestamp_micros(col("bucket") * 600000000L).cast("timestamp_ntz")
-          .as("bucket_start"),
-        coalesce(col("n"), lit(0L)).as("n"))
-      .orderBy("bucket")
+    resampleBuckets(
+      Tables.events(s, d).filter(col("event_type") === "purchase"),
+      bucketUs = 600000000L)
   }
 
   val all: Seq[QueryDef] = Seq(sessionizeQ, streamTumbling, streamSliding,

@@ -215,7 +215,7 @@ object Scale {
     * outer row, which is the difference between this surface scaling and
     * not. Dialect-intersection text; deterministic via the inner total
     * order and the outer key filter. */
-  private val LateralSql =
+  private[graft] val LateralSql =
     """SELECT c.c_custkey, c.c_mktsegment, t.o_orderkey, t.o_totalprice
       |FROM customer c,
       |LATERAL (
@@ -241,7 +241,7 @@ object Scale {
     * a per-row re-evaluation. The mean is DECIMAL-exact sum ÷ count in
     * both engines (identical IEEE operands), so the comparison boundary
     * is engine-independent. */
-  private val ScalarSubSql =
+  private[graft] val ScalarSubSql =
     """SELECT o_orderkey, o_totalprice
       |FROM orders
       |WHERE o_totalprice > 1.5 * (

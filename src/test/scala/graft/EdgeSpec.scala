@@ -299,4 +299,43 @@ class EdgeSpec extends AnyFunSuite {
       .as[(String, Long, Long)].collect().toSeq
     assert(got == Seq(("click", 1L, 1L), ("view", 9L, 2L)))
   }
+
+  test("join_lateral: top-2 per customer, price tie broken by orderkey, no-order customer absent") {
+    Seq((100L, "A", 10.0), (200L, "A", 10.0), (300L, "B", 0.0))
+      .toDF("c_custkey", "c_mktsegment", "c_acctbal")
+      .createOrReplaceTempView("customer")
+    // c100: three orders, top price tied between keys 1 and 2 → keep 1;
+    // c200: one order; c300: zero orders → excluded by the inner lateral
+    Seq((1L, 100L, 50.0), (2L, 100L, 50.0), (3L, 100L, 40.0), (4L, 200L, 9.0))
+      .toDF("o_orderkey", "o_custkey", "o_totalprice")
+      .createOrReplaceTempView("orders")
+    val got = spark.sql(graft.ops.Scale.LateralSql)
+      .as[(Long, String, Long, Double)].collect().toSeq
+    assert(got == Seq(
+      (100L, "A", 1L, 50.0), (100L, "A", 2L, 50.0), // tie → both, keyed order
+      (200L, "A", 4L, 9.0)))
+  }
+
+  test("subquery_scalar: a price exactly at 1.5x the mean is excluded (strict >)") {
+    // sum 1000 over 5 rows → mean exactly 200, threshold exactly 300:
+    // the 300.0 row sits ON the boundary (excluded), 301.0 clears it
+    Seq((1L, 100.0), (2L, 200.0), (3L, 300.0), (4L, 301.0), (5L, 99.0))
+      .toDF("o_orderkey", "o_totalprice")
+      .createOrReplaceTempView("orders")
+    val got = spark.sql(graft.ops.Scale.ScalarSubSql)
+      .as[(Long, Double)].collect().toSeq
+    assert(got == Seq((4L, 301.0)), s"strict-> boundary violated: $got")
+  }
+
+  test("resampleBuckets: an edge-exact event opens its bucket; interior gaps emit zeros") {
+    val ev = events(
+      (1L, "2024-01-01 00:00:00", 1L, "purchase"),  // exactly bucket 0 edge
+      (2L, "2024-01-01 00:09:59.999999", 1L, "purchase"), // last µs of bucket 0
+      (3L, "2024-01-01 00:30:00", 1L, "purchase"))  // bucket 3 edge; 1-2 empty
+    val base = java.time.LocalDateTime.of(2024, 1, 1, 0, 0)
+      .toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L / 600000000L
+    val got = Events.resampleBuckets(ev, 600000000L)
+      .select("bucket", "n").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((base, 2L), (base + 1, 0L), (base + 2, 0L), (base + 3, 1L)))
+  }
 }
