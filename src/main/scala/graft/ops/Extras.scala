@@ -546,9 +546,72 @@ object Extras {
       .orderBy("user_id", "event_id")
   }
 
+  /** Linear-regression aggregates (the regr_slope/intercept/r2 surface)
+    * — but NOT via the native regr_* functions, whose running double
+    * sums are association-order-dependent and can never hash-match. The
+    * hash-safe formulation converts both 2dp inputs to INTEGER CENTS,
+    * aggregates the five moment sums exactly at DECIMAL scale 0, casts
+    * each to DOUBLE at the boundary, and evaluates the closed-form
+    * slope/intercept/r² on those identical IEEE operands with the
+    * identical operation tree. Scale 0 is load-bearing: a fractional
+    * DECIMAL above 2^53 double-rounds in DuckDB's cast (int128→double,
+    * then ÷10^scale) but single-rounds in Java's — a measured one-ulp
+    * operand split on Σy² that scale-0 integers cannot produce (both
+    * engines correctly-round one integer). Slope is scale-free (the
+    * cents factors cancel); intercept is de-scaled by 100 in the same
+    * double tree. One two-phase hash aggregate; 5 numbers per group. */
+  val aggRegression = QueryDef(
+    "agg_regression",
+    """WITH c AS (
+      |  SELECT l_returnflag,
+      |         CAST(round(l_quantity * 100, 0) AS BIGINT) AS xc,
+      |         CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS yc
+      |  FROM lineitem
+      |), m AS (
+      |  SELECT l_returnflag,
+      |         CAST(count(*) AS DOUBLE) AS n,
+      |         CAST(sum(CAST(xc AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+      |         CAST(sum(CAST(yc AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+      |         CAST(sum(CAST(xc * yc AS DECIMAL(38,0))) AS DOUBLE) AS sxy,
+      |         CAST(sum(CAST(xc * xc AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
+      |         CAST(sum(CAST(yc * yc AS DECIMAL(38,0))) AS DOUBLE) AS syy
+      |  FROM c GROUP BY l_returnflag
+      |)
+      |SELECT l_returnflag,
+      |       CAST(n AS BIGINT) AS n,
+      |       (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+      |       (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n / 100 AS intercept,
+      |       ((n * sxy - sx * sy) * (n * sxy - sx * sy))
+      |         / ((n * sxx - sx * sx) * (n * syy - sy * sy)) AS r2
+      |FROM m ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+    val dec0 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val base = Tables.lineitem(s, d)
+      .select(col("l_returnflag"),
+        round(col("l_quantity") * 100, 0).cast("long").as("xc"),
+        round(col("l_extendedprice") * 100, 0).cast("long").as("yc"))
+    val m = base
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).cast("double").as("n"),
+        sum(col("xc").cast(dec0)).cast("double").as("sx"),
+        sum(col("yc").cast(dec0)).cast("double").as("sy"),
+        sum((col("xc") * col("yc")).cast(dec0)).cast("double").as("sxy"),
+        sum((col("xc") * col("xc")).cast(dec0)).cast("double").as("sxx"),
+        sum((col("yc") * col("yc")).cast(dec0)).cast("double").as("syy"))
+    val num = col("n") * col("sxy") - col("sx") * col("sy")
+    val den = col("n") * col("sxx") - col("sx") * col("sx")
+    val slope = num / den
+    m.select(col("l_returnflag"),
+        col("n").cast("long").as("n"),
+        slope.as("slope"),
+        ((col("sy") - slope * col("sx")) / col("n") / 100).as("intercept"),
+        (num * num / (den * (col("n") * col("syy") - col("sy") * col("sy"))))
+          .as("r2"))
+      .orderBy("l_returnflag")
+  }
+
   val all: Seq[QueryDef] = Seq(aggStats, windowDistribution, fnConditional,
     joinFull, joinCross, aggPivot, aggPercentile,
     aggCorr, fnBitwise, windowFirstLast, aggHistogram, joinBucketed, aggMode,
     aggListagg, joinNullSafe, aggBool, aggArgMinmax, aggUnpivot, aggGroupingId,
-    windowMoving)
+    windowMoving, aggRegression)
 }
