@@ -304,8 +304,72 @@ object Scale {
         .orderBy("c_mktsegment")
   }
 
+  /** Shared SQL for `subquery_in` — the IN-subquery form of the semi
+    * join: Catalyst rewrites it to a LeftSemi plan (RewritePredicate-
+    * Subquery), so the parser surface and the `join_semi` DataFrame
+    * surface converge on the same physical shape — this key certifies
+    * the rewrite path itself. Customers with an above-threshold order,
+    * per segment. */
+  private[graft] val InSubSql =
+    """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n
+      |FROM customer
+      |WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  val subqueryIn = QueryDef("subquery_in", InSubSql) { (s, d) =>
+    Tables.orders(s, d).createOrReplaceTempView("orders")
+    Tables.customer(s, d).createOrReplaceTempView("customer")
+    s.sql(InSubSql)
+  }
+
+  /** Explicit NULL ordering — a real cross-engine trap: Spark's default
+    * is NULLS FIRST for ASC, DuckDB's is NULLS LAST, so any sort over a
+    * nullable key silently diverges unless the direction is spelled out.
+    * The key deterministically nulls a stripe (every 7th customer) and
+    * emits one ascending NULLS LAST and one descending NULLS FIRST
+    * ordering rank — both explicit in both engines. */
+  val sortNulls = QueryDef(
+    "sort_nulls",
+    """SELECT c_custkey,
+      |       CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_nationkey END AS k,
+      |       CAST(row_number() OVER (ORDER BY
+      |         CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_nationkey END
+      |           ASC NULLS LAST, c_custkey) AS BIGINT) AS rk_last,
+      |       CAST(row_number() OVER (ORDER BY
+      |         CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_nationkey END
+      |           DESC NULLS FIRST, c_custkey) AS BIGINT) AS rk_first
+      |FROM customer ORDER BY c_custkey LIMIT 300""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val k = when(col("c_custkey") % 7 === 0, lit(null)).otherwise(col("c_nationkey"))
+    Tables.customer(s, d)
+      .select(col("c_custkey"), k.as("k"))
+      .select(col("c_custkey"), col("k"),
+        row_number().over(Window.orderBy(col("k").asc_nulls_last, col("c_custkey")))
+          .cast("long").as("rk_last"),
+        row_number().over(Window.orderBy(col("k").desc_nulls_first, col("c_custkey")))
+          .cast("long").as("rk_first"))
+      .orderBy("c_custkey")
+      .limit(300)
+  }
+
+  /** LIMIT/OFFSET pagination over a total order — page 3 of the price
+    * ranking. Spark plans the combined form as a single ordered-limit
+    * (CollectLimit with offset), never a global sort + driver skip. */
+  val sortOffset = QueryDef(
+    "sort_offset",
+    """SELECT o_orderkey, o_totalprice
+      |FROM orders ORDER BY o_totalprice DESC, o_orderkey
+      |LIMIT 50 OFFSET 100""".stripMargin) { (s, d) =>
+    Tables.orders(s, d)
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .select("o_orderkey", "o_totalprice")
+      .offset(100)
+      .limit(50)
+  }
+
   val all: Seq[QueryDef] = Seq(
     scanPartitioned, joinSalted, sqlFrontend,
     windowNtile, aggFiltered, aggApproxPercentile,
-    joinLateral, subqueryScalar, mergeUpsert)
+    joinLateral, subqueryScalar, mergeUpsert,
+    subqueryIn, sortNulls, sortOffset)
 }
