@@ -327,7 +327,11 @@ object Scale {
     * nullable key silently diverges unless the direction is spelled out.
     * The key deterministically nulls a stripe (every 7th customer) and
     * emits one ascending NULLS LAST and one descending NULLS FIRST
-    * ordering rank — both explicit in both engines. */
+    * ordering rank — both explicit in both engines. The ranked input is
+    * BOUNDED first (c_custkey ≤ 2100 — a constant-size slice at any SF),
+    * because the global rank window is single-partition by nature: the
+    * scale discipline is "bound the input", the same rule as the
+    * bounded-collect exceptions, not "global-window the corpus". */
   val sortNulls = QueryDef(
     "sort_nulls",
     """SELECT c_custkey,
@@ -338,10 +342,12 @@ object Scale {
       |       CAST(row_number() OVER (ORDER BY
       |         CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_nationkey END
       |           DESC NULLS FIRST, c_custkey) AS BIGINT) AS rk_first
-      |FROM customer ORDER BY c_custkey LIMIT 300""".stripMargin) { (s, d) =>
+      |FROM customer WHERE c_custkey <= 2100
+      |ORDER BY c_custkey LIMIT 300""".stripMargin) { (s, d) =>
     import org.apache.spark.sql.expressions.Window
     val k = when(col("c_custkey") % 7 === 0, lit(null)).otherwise(col("c_nationkey"))
     Tables.customer(s, d)
+      .filter(col("c_custkey") <= 2100)
       .select(col("c_custkey"), k.as("k"))
       .select(col("c_custkey"), col("k"),
         row_number().over(Window.orderBy(col("k").asc_nulls_last, col("c_custkey")))
