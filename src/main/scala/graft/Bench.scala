@@ -31,24 +31,31 @@ object Bench {
       }
       name -> times.min
     }
-    // Millisecond precision: full-precision doubles tripled the line length
-    // and the round-5 artifact of record truncated mid-line, losing the ~14
-    // alphabetically-first keys. Sub-ms digits are pure noise at these scales.
-    def ms(v: Double): Double = math.rint(v * 1000) / 1000
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + ms(v) }
+    // Centisecond precision: the round-7 artifact of record truncated
+    // mid-line at 133 keys even at ms precision (47 keys lost from the
+    // driver's tail window). 10 ms resolution halves the fractional
+    // digits — sub-10ms deltas are pure noise at these scales — and the
+    // line now prints FIRST (below) so head-capture keeps it even if the
+    // tail window is still too small.
+    def cs(v: Double): Double = math.rint(v * 100) / 100
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + cs(v) }
       .mkString("{", ",", "}")
-    val total = ms(results.map(_._2).sum)
+    val total = cs(results.map(_._2).sum)
     // "harness" tags the methodology: round-over-round totals are only
     // comparable when the tag matches (repeat-and-min vs the single-shot
     // harness of rounds 1-3).
     val line = s"""{"metric":"total","value":$total,"unit":"sec","harness":"repeat-and-min-v2","reps":$reps,"stat":"min","queries":$qs,"sf":"$sfDir"}"""
-    // The artifact of record must survive log-tail truncation: persist the
-    // full JSON to a file the driver snapshots, then print the ONE stdout
-    // line last (the driver's one-line contract — exactly one "metric"
-    // match in the log; the file covers head/tail capture loss). The write
-    // target is cwd-relative by the snapshot contract — print WHERE it
-    // landed (or that it failed) so a run from the wrong directory can't
-    // leave a stale committed BENCH.json masquerading as this run's result.
+    // The ONE "metric" stdout line prints FIRST, the moment it exists:
+    // the driver's artifact window lost the line's head in r5 (tail-only
+    // capture) and its tail in r7 — printing the line before any other
+    // post-run output maximizes what any truncation window keeps, and
+    // there is still exactly one "metric" match in the log.
+    println(line)
+    // Belt-and-braces: persist the same JSON to a file the driver
+    // snapshots (covers any stdout capture loss). The write target is
+    // cwd-relative by the snapshot contract — print WHERE it landed (or
+    // that it failed) so a run from the wrong directory can't leave a
+    // stale committed BENCH.json masquerading as this run's result.
     try {
       val p = java.nio.file.Paths.get("BENCH.json").toAbsolutePath
       java.nio.file.Files.write(p, (line + "\n").getBytes("UTF-8"))
@@ -57,6 +64,5 @@ object Bench {
       System.err.println(s"BENCH.json write FAILED (stdout line is the only record): $e")
     }
     spark.stop()
-    println(line)
   }
 }

@@ -431,6 +431,8 @@ object Ann {
       subv.filter(col("vec_id") === queryId)
         .select(col("sub"), col("sve"))
         .as[(Int, Array[Double])].collect().toMap
+    require(qsub.size == m,
+      s"pqTopK: query $queryId not found (got ${qsub.size} of $m subvectors)")
     val dtab = broadcast(cents.map { case (sub, cid, cve) =>
       (sub, cid,
         qsub(sub).zip(cve).map { case (a, b) => a * b }.sum)

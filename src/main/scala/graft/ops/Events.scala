@@ -18,6 +18,18 @@ object Events {
 
   private def eus = unix_micros(col("ts").cast("timestamp"))
 
+  /** Floor division on BIGINT, in exact integer arithmetic: Spark's `div`
+    * truncates toward zero while DuckDB's `//` floors, so bucket ids built
+    * with `div` diverge for pre-1970 timestamps. `x - pmod(x, y)` is an
+    * exact multiple of y (pmod is nonnegative for y > 0), so the trailing
+    * `div` is exact floor division — all BIGINT, no double rounding at
+    * any magnitude. (The interval-join bands keep plain `div`: banding is
+    * correct for any consistent gap-width bucketing, floor or trunc.)
+    * Takes the operand as a SQL expression string because integer `div`
+    * only exists in the SQL surface, not the Column API. */
+  private[ops] def floorDiv(x: String, y: Long) =
+    expr(s"(($x) - pmod(($x), ${y}L)) div ${y}L")
+
   /** Banded interval self-join: pairs of events per user with
     * 0 < ts_b − ts_a ≤ maxGapUs and id_a < id_b.
     *
@@ -426,7 +438,7 @@ object Events {
       |ORDER BY cohort_day, offset_days""".stripMargin) { (s, d) =>
     val e = Tables.events(s, d)
       .select(col("user_id"), eus.as("eus"))
-      .select(col("user_id"), expr("eus div 86400000000").as("day"))
+      .select(col("user_id"), floorDiv("eus", 86400000000L).as("day"))
     val cohort = e.groupBy("user_id").agg(min(col("day")).as("cohort_day"))
     val active = e.distinct()
     active.join(cohort, Seq("user_id"))
@@ -449,7 +461,7 @@ object Events {
     * event count over [min, max] activity, empty buckets as zeros. */
   def resampleBuckets(ev: DataFrame, bucketUs: Long): DataFrame = {
     val e = ev.select(
-      expr(s"unix_micros(cast(ts as timestamp)) div $bucketUs").as("bucket"))
+      floorDiv("unix_micros(cast(ts as timestamp))", bucketUs).as("bucket"))
     val bounds = e.agg(min(col("bucket")).as("lo"), max(col("bucket")).as("hi"))
     val spine = bounds
       .select(explode(sequence(col("lo"), col("hi"))).as("bucket"))

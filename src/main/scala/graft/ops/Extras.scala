@@ -427,20 +427,31 @@ object Extras {
     * engine-defined, so the ordering value is made UNIQUE by construction:
     * acctbal-in-cents (exact — 2dp stored doubles) in the high digits,
     * custkey in the low digits, all in one BIGINT both engines compute
-    * identically. One two-phase aggregate, no window. */
+    * identically. The multiplier is 10^12, which keeps the packing
+    * order-preserving for custkeys up to 10^12 (the documented 100 TB
+    * range is ~1.5e10) while cents ≤ 10^6 keeps the product < 10^18 —
+    * inside BIGINT; the in-plan assert_true trips if a future corpus
+    * breaks the bound instead of silently reintroducing ties. One
+    * two-phase aggregate, no window. */
   val aggArgMinmax = QueryDef(
     "agg_arg_minmax",
     """SELECT c_mktsegment,
-      |  arg_max(c_name, CAST(round(c_acctbal * 100, 0) AS BIGINT) * 1000000000
+      |  arg_max(c_name, CAST(round(c_acctbal * 100, 0) AS BIGINT) * 1000000000000
       |                  + c_custkey) AS name_max,
-      |  arg_min(c_name, CAST(round(c_acctbal * 100, 0) AS BIGINT) * 1000000000
+      |  arg_min(c_name, CAST(round(c_acctbal * 100, 0) AS BIGINT) * 1000000000000
       |                  + c_custkey) AS name_min,
       |  max(c_acctbal) AS bal_max,
       |  min(c_acctbal) AS bal_min
       |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin) {
     (s, d) =>
-      val ord = (round(col("c_acctbal") * 100, 0).cast("long") * 1000000000L +
-        col("c_custkey")).as("ord")
+      // assert_true evaluates inside the packing expression (not a
+      // separate prunable column), so the custkey bound is checked on
+      // every row the aggregate actually consumes — no extra job.
+      val guarded = when(assert_true(col("c_custkey") < 1000000000000L,
+        lit("agg_arg_minmax: c_custkey >= 10^12 breaks the ordering pack")).isNull,
+        col("c_custkey"))
+      val ord = (round(col("c_acctbal") * 100, 0).cast("long") * 1000000000000L +
+        guarded).as("ord")
       Tables.customer(s, d)
         .groupBy("c_mktsegment")
         .agg(max_by(col("c_name"), ord).as("name_max"),

@@ -198,12 +198,22 @@ object Scale {
     * cross-engine oracle exists for the sketch (DuckDB's approx_quantile
     * is t-digest — different algorithm, different answers); PropertySpec
     * gates each estimate's RANK error against the exact distribution,
-    * which is the guarantee GK actually makes. */
+    * which is the guarantee GK actually makes.
+    *
+    * The three quantiles are projected into three SCALAR DOUBLE columns
+    * (they are exact data values the sketch returns — no rounding): the
+    * driver's comparator sorts every output column, and an ARRAY column
+    * is unsortable on the pandas side (round-7 lesson; the local
+    * verifier now rejects non-scalar outputs outright). */
   val aggApproxPercentile = QueryDef.noOracle("agg_approx_percentile") { (s, d) =>
     Tables.lineitem(s, d)
       .groupBy("l_returnflag")
       .agg(percentile_approx(col("l_extendedprice"),
         array(lit(0.5), lit(0.9), lit(0.99)), lit(10000)).as("approx_pcts"))
+      .select(col("l_returnflag"),
+        element_at(col("approx_pcts"), 1).as("p50"),
+        element_at(col("approx_pcts"), 2).as("p90"),
+        element_at(col("approx_pcts"), 3).as("p99"))
       .orderBy("l_returnflag")
   }
 
@@ -289,6 +299,14 @@ object Scale {
       |FROM merged GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin) {
     (s, d) =>
       val base = Tables.customer(s, d)
+      // Insert keys live at base+10M; if a scale factor ever pushes real
+      // custkeys to that range the anti-join would silently eat base rows
+      // (both engines drifting identically — the gate would keep passing
+      // while the upsert semantics changed). Guard with a bounded 1-value
+      // max (footer-stats cheap, same class as sim_quantize's min/max).
+      val maxKey = base.agg(max("c_custkey")).first().getLong(0)
+      require(maxKey < 10000000L,
+        s"merge_upsert: base c_custkey max $maxKey collides with the 10M insert-key offset")
       val updates = base.filter(col("c_custkey") % 10 === 0)
         .withColumn("c_acctbal", col("c_acctbal") + 100)
       val inserts = base.filter(col("c_custkey") % 500 === 0)

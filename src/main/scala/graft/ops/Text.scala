@@ -237,19 +237,20 @@ object Text {
        |JOIN documents b ON c.j = b.doc_id
        |ORDER BY c.i, c.j""".stripMargin) { (s, d) =>
     val docs = Tables.documents(s, d)
-    val texts = docs.select(col("doc_id"), col("text"),
-      md5(col("text")).as("h"))
-    // Exact-duplicate short-circuit: equal md5 ⟺ identical text ⟺
-    // distance 0, so the O(len²) kernel runs ONLY on genuinely differing
-    // candidates. On a dup-heavy corpus the candidate set is dominated by
-    // exact copies (measured 11.6× runtime growth at 10× without this —
-    // each identical pair paid the full quadratic compare for a
-    // guaranteed 0); the relation is unchanged.
+    val texts = docs.select(col("doc_id"), col("text"))
+    // Exact-duplicate short-circuit: identical text ⟺ distance 0, so the
+    // O(len²) kernel runs ONLY on genuinely differing candidates. On a
+    // dup-heavy corpus the candidate set is dominated by exact copies
+    // (measured 11.6× runtime growth at 10× without this — each identical
+    // pair paid the full quadratic compare for a guaranteed 0). The guard
+    // compares the texts themselves (O(len), short-circuits on the first
+    // differing byte) rather than md5 — same win, no collision assumption
+    // equating hash with identity (round-8 advice).
     nearDupPairs(docs).select("i", "j")
       .join(texts.as("a"), col("i") === col("a.doc_id"))
       .join(texts.as("b"), col("j") === col("b.doc_id"))
       .select(col("i"), col("j"),
-        when(col("a.h") === col("b.h"), lit(0L))
+        when(col("a.text") === col("b.text"), lit(0L))
           .otherwise(levenshtein(col("a.text"), col("b.text")).cast("long"))
           .as("editdist"))
       .orderBy("i", "j")

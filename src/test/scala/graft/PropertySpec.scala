@@ -174,7 +174,7 @@ class PropertySpec extends AnyFunSuite {
     val d = "/root/testdata/sf0.001"
     val targets = Seq(0.5, 0.9, 0.99)
     val rows = graft.ops.Scale.aggApproxPercentile.fn(spark, d)
-      .collect().map(r => r.getString(0) -> r.getSeq[Double](1))
+      .collect().map(r => r.getString(0) -> Seq(r.getDouble(1), r.getDouble(2), r.getDouble(3)))
     assert(rows.nonEmpty)
     val byFlag = graft.Tables.lineitem(spark, d)
       .select(col("l_returnflag"), col("l_extendedprice"))

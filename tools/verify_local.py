@@ -43,6 +43,18 @@ def main():
             n_fail += 1
             continue
         got_rel = con.sql(f"SELECT * FROM read_parquet({files!r})")
+        bad = nonscalar_cols(got_rel)
+        if bad and name not in NONSCALAR_OK:
+            # The driver's comparator sorts every output column in pandas;
+            # an array/struct/map column is unhashable there and crashes
+            # the harness BEFORE it records any evidence (round-7
+            # agg_approx_percentile). This gate runs for no-oracle keys
+            # too — exactly the class the round-7 local sweep missed.
+            print(f"FAIL {name}: non-scalar output column(s) {bad}"
+                  " (driver comparator cannot sort arrays; project to"
+                  " scalar columns)")
+            n_fail += 1
+            continue
         got = got_rel.fetchdf()
         if name not in oracles:
             print(f"SKIP {name}: no oracle ({len(got)} rows)")
@@ -68,6 +80,19 @@ def main():
             n_fail += 1
     print(f"== {n_pass} pass, {n_fail} fail, {n_skip} no-oracle ==")
     sys.exit(1 if n_fail else 0)
+
+# Keys explicitly allowed to emit nested columns (none today — keep empty
+# unless the driver's comparator ever learns to sort them).
+NONSCALAR_OK = set()
+
+def nonscalar_cols(rel):
+    """Column names whose DuckDB type is nested (LIST '[]', STRUCT, MAP,
+    UNION) — unsortable in the driver's pandas comparator."""
+    bad = []
+    for c, t in zip(rel.columns, [str(t) for t in rel.types]):
+        if "[]" in t or t.startswith(("STRUCT", "MAP", "UNION", "LIST")):
+            bad.append(f"{c}:{t}")
+    return bad
 
 def compare_types(got_types, exp_types):
     """Fail when the oracle's DuckDB type differs from the Spark parquet
