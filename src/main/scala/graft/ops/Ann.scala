@@ -115,6 +115,62 @@ object Ann {
     toDf(cents)
   }
 
+  /** Hash-stable Lloyd refinement (round 8, the agg_regression integer-
+    * moments pattern applied to k-means): the centroid UPDATE accumulates
+    * per-dimension INTEGER sums of milli-quantized components
+    * (q = round(x·1000) as BIGINT) instead of double sums, so the
+    * aggregation is exact at any partitioning and the rebuilt centroid
+    * component (s / 1000.0) / n is two correctly-rounded IEEE divisions
+    * on identical operands in both engines. Assignment keeps the RAW
+    * vectors (cosine rank vs the exact-derived centroids — the same
+    * left-to-right dot fold `sim_ann_ivf` already hash-gates), so the
+    * only approximation the quantization introduces is in WHERE the
+    * centroids sit (≤0.5e-3 per component per round — far below the
+    * bucket-boundary scale), not in what the query measures. This is
+    * what converts `sim_ann_kmeans` from a recall-gated no-oracle key to
+    * a fully hash-gated one: every Lloyd round is reproducible SQL.
+    * Driver state per round: c·dim mean components + the flat
+    * (cid, sub, mean) collect is c·dim rows — same bounded-state shape
+    * as `kmeansCentroids`. */
+  def kmeansCentroidsQuantized(v: DataFrame, c: Int, iters: Int): DataFrame = {
+    val s = v.sparkSession
+    import s.implicits._
+    // flat (vec_id, sub, q) relation: one row per vector component,
+    // q exact integer — the PQ flat-relation trick, reused
+    val qv = v.select(col("vec_id"), posexplode(col("ve")))
+      .select(col("vec_id"), col("pos").as("sub"),
+        round(col("col") * 1000).cast("long").as("q"))
+    def toDf(cents: Seq[(Long, Array[Double])]): DataFrame =
+      broadcast(cents.toDF("cid", "cve")
+        .select(col("cid"), col("cve"), Similarity.l2norm(col("cve")).as("cnrm")))
+    var cents = v.orderBy(col("vec_id")).limit(c)
+      .select(col("vec_id").as("cid"), col("ve").as("cve"))
+      .as[(Long, Array[Double])].collect().toSeq
+    require(cents.nonEmpty,
+      s"kmeansCentroidsQuantized: input has no vectors to seed $c centroids")
+    var i = 0
+    while (i < iters) {
+      val assigned = assignTo(v, toDf(cents))
+        .select(col("vec_id"), col("bucket").as("cid"))
+      // exact integer sums per (cluster, dimension); the mean components
+      // derive on the driver from c·dim bounded rows (empty clusters
+      // drop out — no member rows, no group)
+      val flat = assigned.join(qv, Seq("vec_id"))
+        .groupBy("cid", "sub")
+        .agg(sum(col("q")).as("s"), count(lit(1)).as("n"))
+        .select(col("cid"), col("sub"),
+          (col("s").cast("double") / lit(1000.0) / col("n")).as("m"))
+        .as[(Long, Int, Double)].collect()
+      cents = flat.groupBy(_._1).map { case (cid, rows) =>
+        val arr = new Array[Double](rows.map(_._2).max + 1)
+        rows.foreach { case (_, sub, m) => arr(sub) = m }
+        (cid, arr)
+      }.toSeq.sortBy(_._1)
+      i += 1
+    }
+    toDf(cents)
+  }
+
   // ---- Hyperplane LSH: sub-quadratic candidate generation for the
   // high-cosine regime (real near-dup corpora). On near-orthogonal data
   // at low thresholds it degrades to ~all pairs — see Similarity's
@@ -261,14 +317,59 @@ object Ann {
       .orderBy("i", "j")
   }
 
-  val simAnnKmeans = QueryDef.noOracle("sim_ann_kmeans") { (s, d) =>
-    // No oracle: the k-means centroid means are double sums whose
-    // association order depends on partitioning, so the bucket boundaries
-    // (and thus which ties fall inside the probe set) are not
-    // hash-reproducible cross-engine. AnnSpec gates the declared key
-    // itself: recall ≥ 0.9 vs the exact top-10 on the real table.
+  /** One Lloyd round of the oracle: assignment rank under the previous
+    * centroids, exact integer per-dim sums, rebuilt mean components. */
+  private def kmeansRoundCte(r: Int): String =
+    s"""a$r AS (SELECT vec_id, cid FROM (
+       |  SELECT v.vec_id, c.cid, row_number() OVER (PARTITION BY v.vec_id
+       |    ORDER BY list_dot_product(v.ve, c.cve) / (v.nrm * c.cnrm) DESC, c.cid) AS rn
+       |  FROM v, c${r - 1} c) WHERE rn = 1),
+       |s$r AS (SELECT a.cid, q.sub, CAST(sum(q.q) AS BIGINT) AS s,
+       |               CAST(count(*) AS BIGINT) AS n
+       |  FROM a$r a JOIN qv q USING (vec_id) GROUP BY a.cid, q.sub),
+       |c$r AS (SELECT cid, cve, sqrt(list_dot_product(cve, cve)) AS cnrm FROM (
+       |  SELECT cid, list(CAST(s AS DOUBLE) / 1000.0 / n ORDER BY sub) AS cve
+       |  FROM s$r GROUP BY cid))""".stripMargin
+
+  val simAnnKmeans = QueryDef(
+    "sim_ann_kmeans",
+    // Oracle-backed since round 8 (was no-oracle through r7): the Lloyd
+    // UPDATE is exact integer sums of milli-quantized components, so
+    // DuckDB replays all 3 rounds bit-identically — see
+    // kmeansCentroidsQuantized. The 3 unrolled rounds below are the whole
+    // algorithm: assignment rank (the sim_ann_ivf expression), integer
+    // moment sums, correctly-rounded mean rebuild.
+    s"""WITH v0 AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+       |  FROM embeddings
+       |), v AS (
+       |  SELECT vec_id, ve, sqrt(list_dot_product(ve, ve)) AS nrm FROM v0
+       |), qv AS (
+       |  SELECT vec_id, CAST(generate_subscripts(ve, 1) AS INT) AS sub,
+       |         CAST(round(unnest(ve) * 1000) AS BIGINT) AS q
+       |  FROM v
+       |), c0 AS (
+       |  SELECT vec_id AS cid, ve AS cve, nrm AS cnrm FROM v
+       |  WHERE vec_id IN (SELECT vec_id FROM v ORDER BY vec_id LIMIT 8)
+       |),
+       |${kmeansRoundCte(1)},
+       |${kmeansRoundCte(2)},
+       |${kmeansRoundCte(3)},
+       |af AS (SELECT vec_id, cid FROM (
+       |  SELECT v.vec_id, c.cid, row_number() OVER (PARTITION BY v.vec_id
+       |    ORDER BY list_dot_product(v.ve, c.cve) / (v.nrm * c.cnrm) DESC, c.cid) AS rn
+       |  FROM v, c3 c) WHERE rn = 1),
+       |q0 AS (SELECT ve AS qve, nrm AS qnrm FROM v WHERE vec_id = 0),
+       |probed AS (
+       |  SELECT cid AS pbucket FROM c3, q0
+       |  ORDER BY list_dot_product(qve, cve) / (qnrm * cnrm) DESC, cid
+       |  LIMIT 4)
+       |SELECT af.vec_id, round(list_dot_product(qve, v.ve) / (qnrm * v.nrm), 4) AS cos
+       |FROM af JOIN probed ON af.cid = pbucket JOIN v ON af.vec_id = v.vec_id, q0
+       |WHERE af.vec_id <> 0
+       |ORDER BY cos DESC, af.vec_id LIMIT 10""".stripMargin) { (s, d) =>
     val emb = Tables.embeddings(s, d)
-    val cents = kmeansCentroids(prep(emb), c = 8, iters = 3)
+    val cents = kmeansCentroidsQuantized(prep(emb), c = 8, iters = 3)
     ivfTopKWith(emb, queryId = 0L, cents, nprobe = 4, k = 10)
   }
 

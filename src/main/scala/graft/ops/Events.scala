@@ -102,6 +102,37 @@ object Events {
       .select(col("event_id"), col("user_id"), col(outCol))
   }
 
+  /** Forward as-of join with tolerance — the mirror of `asofJoin` and the
+    * other half of the asof semantics event pipelines use ("the first
+    * click AT/AFTER this impression, within 10 minutes"): for each left
+    * event the EARLIEST right event of the same user with
+    * r.ts ∈ [l.ts, l.ts + tolerance] (ties at equal ts include the right
+    * event; among tied rights the MIN event_id wins — "first"). Same
+    * union-tag machinery, reflected: lefts tag 0 so equal-ts rights sort
+    * after them, and `first(ignoreNulls)` over the CURRENT ROW →
+    * UNBOUNDED FOLLOWING frame picks the next right in (ts, event_id)
+    * order — one shuffle on user_id + one sort, no join at any scale.
+    * The tolerance applies as a post-predicate on the matched right's
+    * epoch-µs (carried through the same frame), nulling out matches
+    * beyond the horizon. */
+  def asofJoinFwd(events: DataFrame, leftType: String, rightType: String,
+      outCol: String, toleranceUs: Long): DataFrame = {
+    val tagged = events
+      .filter(col("event_type").isin(rightType, leftType))
+      .select(col("event_id"), col("user_id"), col("ts"), eus.as("eus"),
+        when(col("event_type") === rightType, 1).otherwise(0).as("tag"),
+        when(col("event_type") === rightType, col("event_id")).as("r_id"),
+        when(col("event_type") === rightType, eus).as("r_eus"))
+    val w = Window.partitionBy("user_id").orderBy("ts", "tag", "event_id")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    tagged
+      .withColumn("nxt_id", first(col("r_id"), ignoreNulls = true).over(w))
+      .withColumn("nxt_eus", first(col("r_eus"), ignoreNulls = true).over(w))
+      .filter(col("tag") === 0)
+      .select(col("event_id"), col("user_id"),
+        when(col("nxt_eus") <= col("eus") + toleranceUs, col("nxt_id")).as(outCol))
+  }
+
   /** 30-minute-gap sessionization: gap strictly greater than the threshold
     * starts a new session (gap == 30 min exactly → same session).
     * Batch analog of `session_window($"ts", "30 minutes")`; the

@@ -221,6 +221,27 @@ object Relational {
       .orderBy("event_id")
   }
 
+  /** The forward direction + tolerance (round 8) — completes the asof
+    * surface: for each error, the FIRST click at/after it within 10
+    * minutes (the "next recovery action" shape real event pipelines ask
+    * for). Same union-tag machinery as `join_asof`, reflected — errors
+    * sort before equal-ts clicks and `first(ignoreNulls)` scans the
+    * FOLLOWING frame; the 10-minute horizon nulls out matches beyond it,
+    * keeping the null bucket live at every SF. */
+  val joinAsofFwd = QueryDef(
+    "join_asof_fwd",
+    """SELECT e.event_id, e.user_id,
+      |  (SELECT c.event_id FROM events c
+      |   WHERE c.user_id = e.user_id AND c.event_type = 'click'
+      |     AND c.ts >= e.ts AND epoch_us(c.ts) <= epoch_us(e.ts) + 600000000
+      |   ORDER BY c.ts, c.event_id LIMIT 1) AS click_id
+      |FROM events e WHERE e.event_type = 'error'
+      |ORDER BY e.event_id""".stripMargin) { (s, d) =>
+    Events.asofJoinFwd(Tables.events(s, d), "error", "click", "click_id",
+        toleranceUs = 600000000L)
+      .orderBy("event_id")
+  }
+
   // ---------------------------------------------------------------- §2.4
   val aggGroupby = QueryDef(
     "agg_groupby",
@@ -519,7 +540,7 @@ object Relational {
   val all: Seq[QueryDef] = Seq(
     scanProject, scanCountStar, projectExpr, filterPred,
     joinInner, joinLeft, joinSemi, joinAnti, joinBroadcast, joinMultiway,
-    joinRange, joinAsof,
+    joinRange, joinAsof, joinAsofFwd,
     aggGroupby, aggDistinct, aggRollup, aggCube, aggGroupingSets, aggApproxDistinct,
     windowRank, windowRunning, windowLagLead, windowRangeFrame,
     sortMulti, setUnionAll, setUnion, setIntersect, setExcept,

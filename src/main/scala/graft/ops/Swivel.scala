@@ -183,6 +183,48 @@ object Swivel {
       .orderBy("row_shard", "col_shard")
   }
 
+  /** The `.pb` shard sink + source under the driver's hash — the ONE
+    * reference surface (its own `shard-RRR-CCC.pb` tensorflow.Example
+    * output format) that until round 8 had only golden-byte specs: write
+    * the sharded cooc matrix through `TfExample.writeSwivelPbShards`,
+    * read the files back via `readSwivelPbShards` (one `binaryFile`
+    * scan), and emit the cell relation — the same promotion csv/json/orc/
+    * xml/bucketed/partitioned sinks got in r6/r7, completing the format
+    * surface. The oracle is `swivel_shard`'s SQL with ONE honest change:
+    * the wire format stores float32 (`sparse_value` is a FloatList), so
+    * both engines quantize the 4dp weight double→FLOAT — the same
+    * round-to-nearest-even cast on the same double yields identical bits,
+    * and the emitted FLOAT column certifies exactly the precision the
+    * bytes carry. Empty shards exist as stripe-only files but contribute
+    * no cells, so the read-back relation is exactly `shards`. */
+  val swivelShardPb = QueryDef(
+    "swivel_shard_pb",
+    s"""$baseCte$shardCte
+       |SELECT row_shard, col_shard, local_row, local_col,
+       |       global_row, global_col, CAST(weight AS FLOAT) AS weight
+       |FROM shards ORDER BY global_row, global_col""".stripMargin) { (s, d) =>
+    val (vocab, cooc) = sharedVocabCooc(s, d)
+    val vocabSize = vocab.count().toInt
+    val numShards = vocabSize / ShardSize
+    val shards = SwivelPrep.shard(cooc, vocab, ShardSize)
+    // deterministic temp dir per sfDir (join_bucketed/scan_csv convention),
+    // wiped first so a stale grid from an older vocab can't leak files
+    // into the pathGlobFilter scan
+    val dir = sys.props("java.io.tmpdir") + "/graft_pb_" +
+      java.lang.Integer.toHexString(d.hashCode)
+    val p = java.nio.file.Paths.get(dir)
+    if (java.nio.file.Files.isDirectory(p)) {
+      val old = java.nio.file.Files.list(p)
+      try old.forEach(f => java.nio.file.Files.delete(f)) finally old.close()
+    }
+    graft.sources.TfExample.writeSwivelPbShards(shards, numShards, vocabSize, dir)
+    graft.sources.TfExample.readSwivelPbShards(s, dir)
+      .select("row_shard", "col_shard", "local_row", "local_col",
+        "global_row", "global_col", "weight")
+      .orderBy("global_row", "global_col")
+  }
+
   val all: Seq[QueryDef] = Seq(swivelTokenize, swivelVocab, swivelCooc,
-    swivelCoocSalted, swivelMarginals, swivelShard, swivelShardStats)
+    swivelCoocSalted, swivelMarginals, swivelShard, swivelShardStats,
+    swivelShardPb)
 }
