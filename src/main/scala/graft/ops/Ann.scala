@@ -515,13 +515,28 @@ object Ann {
       subv.filter(col("vec_id").isin(seedIds: _*))
         .select(col("sub"), col("vec_id"), col("sve"))
         .as[(Int, Long, Array[Double])].collect().toSeq
-    val centroid = udaf(graft.functions.CentroidAgg)
+    // flat quantized per-component relation (vec_id, sub, j, q) — the
+    // hash-stable Lloyd update (kmeansCentroidsQuantized pattern, round
+    // 8): codebook means rebuild from exact INTEGER sums of
+    // milli-quantized components, so every round is reproducible SQL
+    // instead of an association-order-dependent double sum.
+    val qsubv = subv.select(col("vec_id"), col("sub"), posexplode(col("sve")))
+      .select(col("vec_id"), col("sub"), col("pos").as("j"),
+        round(col("col") * 1000).cast("long").as("q"))
     var i = 0
     while (i < 2) { // Lloyd rounds, ONE job each; empty clusters drop out
-      cents = assign(cents)
-        .groupBy(col("sub"), col("cid"))
-        .agg(centroid(col("sve")).as("cve"))
-        .as[(Int, Long, Array[Double])].collect().toSeq.sortBy(t => (t._1, t._2))
+      val flat = assign(cents).select("vec_id", "sub", "cid")
+        .join(qsubv, Seq("vec_id", "sub"))
+        .groupBy("sub", "cid", "j")
+        .agg(sum(col("q")).as("s"), count(lit(1)).as("n"))
+        .select(col("sub"), col("cid"), col("j"),
+          (col("s").cast("double") / lit(1000.0) / col("n")).as("mean"))
+        .as[(Int, Long, Int, Double)].collect() // m·codebook·subLen rows
+      cents = flat.groupBy(t => (t._1, t._2)).map { case ((sub, cid), rows) =>
+        val arr = new Array[Double](rows.map(_._3).max + 1)
+        rows.foreach { case (_, _, j, mv) => arr(j) = mv }
+        (sub, cid, arr)
+      }.toSeq.sortBy(t => (t._1, t._2))
       i += 1
     }
     // encode: m codes per vector (the PQ compressed representation)
@@ -540,9 +555,18 @@ object Ann {
     }.toDF("sub", "cid", "dpart"))
     val qnrm = v.filter(col("vec_id") === queryId)
       .select(col("nrm").as("qnrm"), col("ve").as("qfull"))
-    // shortlist by ADC score — only codes and the tiny table participate
+    // shortlist by ADC score — only codes and the tiny table participate.
+    // The m per-subspace parts add in a FIXED left-to-right chain (one
+    // conditional sum per subspace — each picks exactly one row — then
+    // d0+d1+…+d(m−1)), not a groupBy sum whose association order depends
+    // on row arrival: with the quantized codebooks this makes the whole
+    // ADC score reproducible cross-engine (round 8).
+    val dcols = (0 until m).map(i =>
+      sum(when(col("sub") === i, col("dpart"))).as(s"d$i"))
+    val adot = (0 until m).map(i => col(s"d$i")).reduceLeft(_ + _)
     val short = codes.join(dtab, Seq("sub", "cid"))
-      .groupBy("vec_id").agg(sum(col("dpart")).as("adot"))
+      .groupBy("vec_id").agg(dcols.head, dcols.tail: _*)
+      .select(col("vec_id"), adot.as("adot"))
       .join(v.select(col("vec_id"), col("nrm")), Seq("vec_id"))
       .filter(col("vec_id") =!= queryId)
       .crossJoin(broadcast(qnrm))
@@ -559,10 +583,78 @@ object Ann {
       .limit(k)
   }
 
-  val simAnnPq = QueryDef.noOracle("sim_ann_pq") { (s, d) =>
-    // No oracle for the same reason as sim_ann_kmeans: Lloyd codebook
-    // means are association-order-dependent double sums. AnnSpec gates
-    // the declared key at recall ≥ 0.9 vs the exact top-10.
+  /** One PQ Lloyd round of the oracle: L2-nearest assignment rank per
+    * (subspace, vector), exact integer per-component sums, rebuilt mean
+    * codebooks with their half-norms. */
+  private def pqRoundCte(r: Int): String =
+    s"""pa$r AS (SELECT vec_id, sub, cid FROM (
+       |  SELECT s.vec_id, s.sub, c.cid, row_number() OVER (PARTITION BY s.sub, s.vec_id
+       |    ORDER BY list_dot_product(s.sve, c.cve) - c.chalf DESC, c.cid) AS rn
+       |  FROM sv s JOIN pc${r - 1} c ON s.sub = c.sub) WHERE rn = 1),
+       |ps$r AS (SELECT a.sub, a.cid, q.j, CAST(sum(q.q) AS BIGINT) AS s,
+       |                CAST(count(*) AS BIGINT) AS n
+       |  FROM pa$r a JOIN qsv q ON a.vec_id = q.vec_id AND a.sub = q.sub
+       |  GROUP BY a.sub, a.cid, q.j),
+       |pc$r AS (SELECT sub, cid, cve, list_dot_product(cve, cve) / 2 AS chalf FROM (
+       |  SELECT sub, cid, list(CAST(s AS DOUBLE) / 1000.0 / n ORDER BY j) AS cve
+       |  FROM ps$r GROUP BY sub, cid))""".stripMargin
+
+  val simAnnPq = QueryDef(
+    "sim_ann_pq",
+    // Oracle-backed since round 8 (was no-oracle through r7), by the same
+    // two moves as sim_ann_kmeans plus one: (1) Lloyd codebook means
+    // rebuild from exact integer sums of milli-quantized components, so
+    // both 2 training rounds replay bit-identically; (2) the ADC score
+    // adds its m=8 per-subspace parts in a FIXED left-to-right chain
+    // (d0+d1+…+d7 below — conditional one-row sums, not an
+    // association-order-dependent aggregate). Everything else was already
+    // deterministic: L2 assignment rank, the driver-computed distance
+    // table (a left fold = list_dot_product), the exact-cosine re-rank.
+    s"""WITH v0 AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+       |  FROM embeddings
+       |), v AS (
+       |  SELECT vec_id, ve, sqrt(list_dot_product(ve, ve)) AS nrm FROM v0
+       |), sv AS (
+       |  SELECT vec_id, CAST(t.sub AS INT) AS sub,
+       |         list_slice(ve, t.sub * 8 + 1, t.sub * 8 + 8) AS sve
+       |  FROM v, (SELECT unnest(generate_series(0, 7)) AS sub) t
+       |), qsv AS (
+       |  SELECT vec_id, sub, CAST(generate_subscripts(sve, 1) AS INT) AS j,
+       |         CAST(round(unnest(sve) * 1000) AS BIGINT) AS q
+       |  FROM sv
+       |), pc0 AS (
+       |  SELECT sub, vec_id AS cid, sve AS cve, list_dot_product(sve, sve) / 2 AS chalf
+       |  FROM sv WHERE vec_id IN (SELECT vec_id FROM v ORDER BY vec_id LIMIT 16)
+       |),
+       |${pqRoundCte(1)},
+       |${pqRoundCte(2)},
+       |codes AS (SELECT vec_id, sub, cid FROM (
+       |  SELECT s.vec_id, s.sub, c.cid, row_number() OVER (PARTITION BY s.sub, s.vec_id
+       |    ORDER BY list_dot_product(s.sve, c.cve) - c.chalf DESC, c.cid) AS rn
+       |  FROM sv s JOIN pc2 c ON s.sub = c.sub) WHERE rn = 1),
+       |qs AS (SELECT sub, sve AS qsve FROM sv WHERE vec_id = 0),
+       |dtab AS (SELECT c.sub, c.cid, list_dot_product(q.qsve, c.cve) AS dpart
+       |  FROM pc2 c JOIN qs q ON c.sub = q.sub),
+       |q0 AS (SELECT ve AS qve, nrm AS qnrm FROM v WHERE vec_id = 0),
+       |adc AS (SELECT vec_id,
+       |    sum(CASE WHEN sub = 0 THEN dpart END) AS d0,
+       |    sum(CASE WHEN sub = 1 THEN dpart END) AS d1,
+       |    sum(CASE WHEN sub = 2 THEN dpart END) AS d2,
+       |    sum(CASE WHEN sub = 3 THEN dpart END) AS d3,
+       |    sum(CASE WHEN sub = 4 THEN dpart END) AS d4,
+       |    sum(CASE WHEN sub = 5 THEN dpart END) AS d5,
+       |    sum(CASE WHEN sub = 6 THEN dpart END) AS d6,
+       |    sum(CASE WHEN sub = 7 THEN dpart END) AS d7
+       |  FROM codes JOIN dtab USING (sub, cid) GROUP BY vec_id),
+       |short AS (SELECT a.vec_id,
+       |    (d0 + d1 + d2 + d3 + d4 + d5 + d6 + d7) / (v.nrm * q0.qnrm) AS acos
+       |  FROM adc a JOIN v ON a.vec_id = v.vec_id, q0
+       |  WHERE a.vec_id <> 0
+       |  ORDER BY acos DESC, a.vec_id LIMIT 100)
+       |SELECT s.vec_id, round(list_dot_product(q0.qve, v.ve) / (q0.qnrm * v.nrm), 4) AS cos
+       |FROM short s JOIN v ON s.vec_id = v.vec_id, q0
+       |ORDER BY cos DESC, s.vec_id LIMIT 10""".stripMargin) { (s, d) =>
     pqTopK(Tables.embeddings(s, d), queryId = 0L, dim = 64)
   }
 
