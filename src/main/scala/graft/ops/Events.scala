@@ -523,7 +523,125 @@ object Events {
       bucketUs = 600000000L)
   }
 
+  /** Gaps-and-islands: maximal runs of consecutive same-type events per
+    * user (value-based runs — the complement of time-gap sessionization:
+    * `sessionize` breaks on silence, this breaks on the value changing).
+    * The classic two-row_number difference — `rn(user) − rn(user, type)`
+    * is constant exactly within a run — then one aggregate per island.
+    *
+    * Scale: ONE shuffle on user_id serves everything downstream —
+    * HashPartitioning(user_id) satisfies the (user_id, event_type)
+    * window's clustering (subset rule) and the island groupBy's, so the
+    * plan is shuffle → sort → two window passes → partial+final agg with
+    * no further exchange. Order (eus, event_id) is total per user, so
+    * island ids are engine-independent. */
+  def gapsIslands(events: DataFrame): DataFrame = {
+    val e = events.select(col("event_id"), col("user_id"),
+      col("event_type"), eus.as("eus"))
+    val wAll = Window.partitionBy("user_id").orderBy("eus", "event_id")
+    val wTyp = Window.partitionBy("user_id", "event_type")
+      .orderBy("eus", "event_id")
+    e.withColumn("grp",
+        row_number().over(wAll) - row_number().over(wTyp))
+      .groupBy("user_id", "event_type", "grp")
+      .agg(min(col("eus")).as("t_start_us"), max(col("eus")).as("t_end_us"),
+        count(lit(1)).as("n_events"), min(col("event_id")).as("first_event_id"))
+      .select(col("user_id"), col("event_type"), col("t_start_us"),
+        col("t_end_us"), col("n_events"), col("first_event_id"))
+      .orderBy("user_id", "t_start_us", "first_event_id")
+  }
+
+  val windowGapsIslands = QueryDef(
+    "window_gaps_islands",
+    """WITH e AS (
+      |  SELECT event_id, user_id, event_type, epoch_us(ts) AS eus FROM events
+      |), g AS (
+      |  SELECT *,
+      |         row_number() OVER (PARTITION BY user_id ORDER BY eus, event_id)
+      |       - row_number() OVER (PARTITION BY user_id, event_type
+      |                            ORDER BY eus, event_id) AS grp
+      |  FROM e
+      |)
+      |SELECT user_id, event_type,
+      |       CAST(min(eus) AS BIGINT) AS t_start_us,
+      |       CAST(max(eus) AS BIGINT) AS t_end_us,
+      |       CAST(count(*) AS BIGINT) AS n_events,
+      |       CAST(min(event_id) AS BIGINT) AS first_event_id
+      |FROM g GROUP BY user_id, event_type, grp
+      |ORDER BY user_id, t_start_us, first_event_id""".stripMargin) { (s, d) =>
+    gapsIslands(Tables.events(s, d))
+  }
+
+  /** Linear multi-touch attribution: every purchase's value is split
+    * equally across ALL of that user's clicks in the preceding lookback
+    * window (strictly before the purchase, within 7 days), and each click
+    * accumulates its credit — the many-to-many windowed credit assignment
+    * marketing pipelines run, where `join_asof` is the single-touch
+    * (last-click-takes-all) special case.
+    *
+    * Determinism: credit is computed in integer MICRO-CENTS with floor
+    * division (`value_cents * 10^6 div n_touch` — both engines floor on
+    * nonnegative operands), so the per-click sums are exact BIGINTs; no
+    * double division ever happens.
+    *
+    * Scale: candidates come from the same gap-bucket banding as
+    * `intervalJoin` (clicks claim bucket b and b+1 at lookback width, so
+    * every qualifying pair meets on an equi key — never a per-user
+    * cartesian); n_touch is a window over purchase_id (a shuffle, but on
+    * the already-filtered pair relation); the final rollup shuffles on
+    * click_id. Three keyed shuffles, each over data bounded by the pair
+    * relation — the shape that survives dense users. */
+  def linearAttribution(events: DataFrame, lookbackUs: Long): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), eus.as("c_eus"))
+      .withColumn("bucket", explode(array(
+        expr(s"c_eus div $lookbackUs"), expr(s"c_eus div $lookbackUs") + 1)))
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        eus.as("p_eus"),
+        round(col("value") * 100, 0).cast("long").as("value_cents"))
+      .withColumn("bucket", expr(s"p_eus div $lookbackUs"))
+    val pairs = clicks.join(purchases, Seq("user_id", "bucket"))
+      .filter(col("p_eus") > col("c_eus") &&
+        col("p_eus") <= col("c_eus") + lookbackUs)
+      .drop("bucket")
+    val wP = Window.partitionBy("purchase_id")
+    pairs.withColumn("n_touch", count(lit(1)).over(wP))
+      .withColumn("credit", expr("(value_cents * 1000000L) div n_touch"))
+      .groupBy("click_id", "user_id")
+      .agg(count(lit(1)).as("n_purchases"),
+        sum(col("credit")).as("credit_microcents"))
+      .orderBy("click_id")
+  }
+
+  val eventAttribution = QueryDef(
+    "event_attribution",
+    """WITH c AS (
+      |  SELECT event_id AS click_id, user_id, epoch_us(ts) AS c_eus
+      |  FROM events WHERE event_type = 'click'
+      |), p AS (
+      |  SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS p_eus,
+      |         CAST(round(value * 100, 0) AS BIGINT) AS value_cents
+      |  FROM events WHERE event_type = 'purchase'
+      |), pairs AS (
+      |  SELECT c.click_id, c.user_id, p.purchase_id, p.value_cents
+      |  FROM c JOIN p ON c.user_id = p.user_id
+      |   AND p.p_eus > c.c_eus AND p.p_eus <= c.c_eus + 604800000000
+      |), t AS (
+      |  SELECT *, count(*) OVER (PARTITION BY purchase_id) AS n_touch
+      |  FROM pairs
+      |)
+      |SELECT click_id, user_id,
+      |       CAST(count(*) AS BIGINT) AS n_purchases,
+      |       CAST(sum((value_cents * 1000000) // n_touch) AS BIGINT)
+      |         AS credit_microcents
+      |FROM t GROUP BY click_id, user_id
+      |ORDER BY click_id""".stripMargin) { (s, d) =>
+    linearAttribution(Tables.events(s, d), lookbackUs = 604800000000L)
+  }
+
   val all: Seq[QueryDef] = Seq(sessionizeQ, streamTumbling, streamSliding,
     streamWatermark, streamSession, windowTimeRange, streamDedup, eventFunnel,
-    streamJoin, eventRetention, eventsResample)
+    streamJoin, eventRetention, eventsResample, windowGapsIslands,
+    eventAttribution)
 }

@@ -556,7 +556,112 @@ object TextAnalysis {
       .limit(200)
   }
 
+  /** Per-document repetition signals — the Gopher-style repetition
+    * filters pretraining pipelines cut on (repeated boilerplate is the
+    * top corpus pathology MinHash misses inside a single doc):
+    * duplicate-token fraction (tokens belonging to a type occurring > 1
+    * time in the doc) and top-bigram coverage (occurrences of the doc's
+    * most frequent bigram over all its bigrams). Both ratios in integer
+    * PPM (×10^6 floor division) — exact BIGINTs, no double division.
+    *
+    * Scale: both branches shuffle on a doc_id-prefixed key, so the
+    * per-doc rollups reuse the same partitioning (subset rule, no second
+    * exchange per branch); everything is combinable partial aggregation.
+    * Docs with < 2 tokens have no bigram and drop from the relation on
+    * both sides (inner join). */
+  def repetitionSignals(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"), split(col("text"), " ").as("a"))
+      .filter(size(col("a")) >= 2)
+    val tf = toks.select(col("doc_id"), explode(col("a")).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("cnt"))
+    val perDoc = tf.groupBy("doc_id").agg(
+      sum(col("cnt")).as("n_tokens"),
+      sum(when(col("cnt") > 1, col("cnt")).otherwise(0L)).as("n_dup"))
+    val bgc = toks.select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(a) - 2), i -> concat_ws(' ', a[i], a[i + 1]))"))
+        .as("bigram"))
+      .groupBy("doc_id", "bigram").agg(count(lit(1)).as("cnt"))
+    val perDocBg = bgc.groupBy("doc_id")
+      .agg(max(col("cnt")).as("top_cnt"), sum(col("cnt")).as("n_bigrams"))
+    perDoc.join(perDocBg, Seq("doc_id"))
+      .select(col("doc_id"), col("n_tokens"),
+        expr("(n_dup * 1000000L) div n_tokens").as("dup_tok_ppm"),
+        expr("(top_cnt * 1000000L) div n_bigrams").as("top_bigram_ppm"))
+      .orderBy("doc_id")
+  }
+
+  val textRepetition = QueryDef(
+    "text_repetition",
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+      |), tf AS (
+      |  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS cnt
+      |  FROM tok GROUP BY doc_id, tok
+      |), d AS (
+      |  SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+      |         CAST(sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS BIGINT) AS n_dup
+      |  FROM tf GROUP BY doc_id
+      |), pos AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+      |         generate_subscripts(string_split(text, ' '), 1) AS p
+      |  FROM documents WHERE len(string_split(text, ' ')) >= 2
+      |), bgc AS (
+      |  SELECT doc_id, bigram, CAST(count(*) AS BIGINT) AS cnt FROM (
+      |    SELECT doc_id,
+      |           tok || ' ' || lead(tok, 1) OVER (PARTITION BY doc_id ORDER BY p)
+      |             AS bigram
+      |    FROM pos)
+      |  WHERE bigram IS NOT NULL GROUP BY doc_id, bigram
+      |), b AS (
+      |  SELECT doc_id, CAST(max(cnt) AS BIGINT) AS top_cnt,
+      |         CAST(sum(cnt) AS BIGINT) AS n_bigrams
+      |  FROM bgc GROUP BY doc_id
+      |)
+      |SELECT d.doc_id, d.n_tokens,
+      |       CAST((n_dup * 1000000) // n_tokens AS BIGINT) AS dup_tok_ppm,
+      |       CAST((top_cnt * 1000000) // n_bigrams AS BIGINT) AS top_bigram_ppm
+      |FROM d JOIN b USING (doc_id)
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    repetitionSignals(Tables.documents(s, d))
+  }
+
+  /** Deterministic WEIGHTED Bernoulli sampling — importance sampling for
+    * training-data mixes (sample long docs proportionally more), with the
+    * same no-rand() discipline as `sample_split`: keep a doc iff the
+    * md5-derived 32-bit uniform of its id clears the weight threshold,
+    * i.e. u32 · max_w < w · 2^32, ALL IN EXACT INTEGERS (u32 < 2^32,
+    * max_w ≤ 10^6 keeps the products < 2^53 — no double ever enters the
+    * predicate, so the kept SET is engine-exact, not just the hash).
+    * Membership is a pure function of doc_id: stable across engines,
+    * partitioning, reruns, and task retries.
+    *
+    * Scale: the max-weight side is a 1-row broadcast; the filter then
+    * evaluates streaming in the scan stage — no shuffle at all. */
+  def weightedSample(docs: DataFrame): DataFrame = {
+    val u32 = conv(substring(
+      md5(concat(lit("wsample:"), col("doc_id").cast("string")).cast("binary")),
+      1, 8), 16, 10).cast("long")
+    val mx = docs.agg(max(col("n_chars")).as("max_chars"))
+    docs.crossJoin(broadcast(mx))
+      .filter(u32 * col("max_chars") < col("n_chars") * lit(4294967296L))
+      .select(col("doc_id"), col("n_chars"))
+      .orderBy("doc_id")
+  }
+
+  val sampleWeighted = QueryDef(
+    "sample_weighted",
+    """WITH mx AS (SELECT max(n_chars) AS max_chars FROM documents)
+      |SELECT doc_id, n_chars
+      |FROM documents, mx
+      |WHERE CAST('0x' || substr(md5('wsample:' || CAST(doc_id AS VARCHAR)), 1, 8)
+      |        AS BIGINT) * max_chars
+      |      < n_chars * 4294967296
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    weightedSample(Tables.documents(s, d))
+  }
+
   val all: Seq[QueryDef] = Seq(textLangid, textQuality, textTokens, textFingerprint,
     textPiiScrub, sampleSplit, sampleStratified, textPack, textDecontaminate,
-    textNgrams, textTfidf, sampleShuffle, pipelineCleanse, textStripMarkup)
+    textNgrams, textTfidf, sampleShuffle, pipelineCleanse, textStripMarkup,
+    textRepetition, sampleWeighted)
 }

@@ -338,4 +338,76 @@ class EdgeSpec extends AnyFunSuite {
       .select("bucket", "n").as[(Long, Long)].collect().toSeq
     assert(got == Seq((base, 2L), (base + 1, 0L), (base + 2, 0L), (base + 3, 1L)))
   }
+
+  test("gapsIslands: runs split on type change; equal-ts order breaks on event_id") {
+    val ev = events(
+      (1L, "2024-01-01 00:00:00", 1L, "view"),
+      (2L, "2024-01-01 00:00:10", 1L, "view"),   // run of 2 views
+      (3L, "2024-01-01 00:00:20", 1L, "click"),  // type change → new island
+      (4L, "2024-01-01 00:00:30", 1L, "view"),   // back to view → THIRD island
+      (5L, "2024-01-01 00:00:40", 2L, "view"),   // other user independent
+      (6L, "2024-01-01 00:00:50", 1L, "view"),   // equal ts as 7; id 6 first …
+      (7L, "2024-01-01 00:00:50", 1L, "click"))  // … so view joins island, click splits
+    val got = Events.gapsIslands(ev)
+      .select("user_id", "event_type", "n_events", "first_event_id")
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, "view", 2L, 1L), (1L, "click", 1L, 3L), (1L, "view", 2L, 4L),
+      (1L, "click", 1L, 7L), (2L, "view", 1L, 5L)))
+  }
+
+  test("linearAttribution: equal split with floor; strict-before and 7d horizon") {
+    val ev = Seq(
+      // user 1: two clicks then a 100.01 purchase → 50.005 each, floored
+      (1L, "2024-01-01 00:00:00", 1L, "click", 0.0),
+      (2L, "2024-01-01 00:00:10", 1L, "click", 0.0),
+      (3L, "2024-01-01 00:00:20", 1L, "purchase", 100.01),
+      // click AT the purchase instant: p_eus > c_eus is strict → excluded
+      (4L, "2024-01-01 00:00:20", 1L, "click", 0.0),
+      // user 2: click exactly 7 days before → inclusive horizon
+      (5L, "2024-01-01 00:00:00", 2L, "click", 0.0),
+      (6L, "2024-01-08 00:00:00", 2L, "purchase", 10.0),
+      // user 3: click 7 days + 1 µs before → outside
+      (7L, "2024-01-01 00:00:00.000000", 3L, "click", 0.0),
+      (8L, "2024-01-08 00:00:00.000001", 3L, "purchase", 10.0))
+      .toDF("event_id", "tstr", "user_id", "event_type", "value")
+      .select(col("event_id"),
+        to_timestamp(col("tstr")).cast("timestamp_ntz").as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+    val got = Events.linearAttribution(ev, lookbackUs = 604800000000L)
+      .select("click_id", "n_purchases", "credit_microcents")
+      .as[(Long, Long, Long)].collect().toSeq
+    // 100.01 → 10001 cents → 10001e6 µc div 2 = 5000500000 each (exact here)
+    assert(got == Seq(
+      (1L, 1L, 5000500000L), (2L, 1L, 5000500000L), (5L, 1L, 1000000000L)))
+  }
+
+  test("repetitionSignals: known ppm on tiny docs; 1-token doc drops") {
+    val docs = Seq(
+      (1L, "a a b"),      // dup toks 2/3; bigrams {a a, a b} top 1/2
+      (2L, "x y z"),      // all unique → dup 0; bigrams all distinct → 1/2
+      (3L, "w w w w"),    // all dup 4/4; bigram "w w" ×3 of 3 → 10^6
+      (4L, "solo"))       // no bigram → dropped
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.repetitionSignals(docs)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, 3L, 666666L, 500000L),
+      (2L, 3L, 0L, 500000L),
+      (3L, 4L, 1000000L, 1000000L)))
+  }
+
+  test("weightedSample: max-weight rows always kept; zero weight never; pure fn") {
+    val docs = (1L to 400L).map(i =>
+      (i, if (i % 7 == 0) 0L else if (i % 3 == 0) 500L else 500L - i))
+      .toDF("doc_id", "n_chars")
+    val kept = TextAnalysis.weightedSample(docs)
+      .as[(Long, Long)].collect().toSeq
+    // weight == max ⇒ u32·max < max·2^32 ⇔ u32 < 2^32 — unconditionally kept
+    assert((1L to 400L).filter(_ % 7 != 0).filter(_ % 3 == 0)
+      .forall(i => kept.contains((i, 500L))))
+    assert(kept.forall(_._2 > 0), "zero-weight row sampled")
+    val again = TextAnalysis.weightedSample(docs).as[(Long, Long)].collect().toSeq
+    assert(kept == again, "sample not deterministic")
+  }
 }
