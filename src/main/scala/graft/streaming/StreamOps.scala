@@ -240,4 +240,26 @@ object StreamOps {
           out.iterator
       }
   }
+
+  /** Idempotent exactly-once parquet sink for `foreachBatch` — the
+    * sinks/recovery surface of Structured Streaming: every microbatch
+    * lands in its own `batch_id=` partition via DYNAMIC partition
+    * overwrite, so a batch replayed after a crash BETWEEN the sink write
+    * and the checkpoint's offset commit overwrites its own partition
+    * instead of appending a duplicate. Idempotence (batch_id keying), not
+    * a transaction, is what upgrades foreachBatch's at-least-once replay
+    * to exactly-once landed data — the standard recipe for any
+    * non-transactional sink. StreamingSpec drives the actual crash:
+    * write happens, commit doesn't, restart replays, result is exact.
+    *
+    * At scale the per-batch write is a normal distributed parquet job;
+    * dynamic overwrite touches only the replayed batch's partition, never
+    * the table. */
+  def parquetBatchWriter(outDir: String): (DataFrame, Long) => Unit =
+    (batch: DataFrame, batchId: Long) =>
+      batch.withColumn("batch_id", lit(batchId))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(outDir)
 }
