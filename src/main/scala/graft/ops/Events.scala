@@ -640,8 +640,49 @@ object Events {
     linearAttribution(Tables.events(s, d), lookbackUs = 604800000000L)
   }
 
+  /** Top-20 user journey trigrams — path mining over the per-user event
+    * sequence (the "common paths" product-analytics op): each user's
+    * events in (ts, event_id) order yield sliding event-type 3-grams via
+    * two leads over ONE window (same shuffle + sort on user_id), then a
+    * combinable global count and a top-k that plans as
+    * TakeOrderedAndProject — no global sort at any corpus size. Path
+    * space is bounded by |event_type|³, so the final aggregate state is
+    * tiny regardless of row count. Ties at equal count break on path. */
+  def topPaths(events: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("eus", "event_id")
+    events.select(col("user_id"), col("event_type"), eus.as("eus"),
+        col("event_id"))
+      .select(col("event_type").as("e1"),
+        lead(col("event_type"), 1).over(w).as("e2"),
+        lead(col("event_type"), 2).over(w).as("e3"))
+      .filter(col("e3").isNotNull)
+      .select(concat_ws(">", col("e1"), col("e2"), col("e3")).as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path"))
+      .limit(k)
+  }
+
+  val eventPaths = QueryDef(
+    "event_paths",
+    """WITH e AS (
+      |  SELECT user_id, event_type, epoch_us(ts) AS eus, event_id FROM events
+      |), t AS (
+      |  SELECT event_type AS e1,
+      |         lead(event_type, 1) OVER (PARTITION BY user_id
+      |                                   ORDER BY eus, event_id) AS e2,
+      |         lead(event_type, 2) OVER (PARTITION BY user_id
+      |                                   ORDER BY eus, event_id) AS e3
+      |  FROM e
+      |)
+      |SELECT e1 || '>' || e2 || '>' || e3 AS path,
+      |       CAST(count(*) AS BIGINT) AS n
+      |FROM t WHERE e3 IS NOT NULL
+      |GROUP BY path ORDER BY n DESC, path LIMIT 20""".stripMargin) { (s, d) =>
+    topPaths(Tables.events(s, d), k = 20)
+  }
+
   val all: Seq[QueryDef] = Seq(sessionizeQ, streamTumbling, streamSliding,
     streamWatermark, streamSession, windowTimeRange, streamDedup, eventFunnel,
     streamJoin, eventRetention, eventsResample, windowGapsIslands,
-    eventAttribution)
+    eventAttribution, eventPaths)
 }

@@ -133,5 +133,73 @@ object Similarity {
       .limit(100)
   }
 
-  val all: Seq[QueryDef] = Seq(simKnn, simSearch, multimodalJoin)
+  /** ColBERT-style late-interaction (MaxSim) retrieval — the multi-vector
+    * generalization of `sim_search`: the query is a SET of vectors (the 8
+    * lowest-id label-0 embeddings), each candidate group (label) is a set,
+    * and the score is Σ_q max_d cos(q, d). Per-q maxes are pure selection
+    * (engine-safe on bit-identical cosines); the cross-q SUM would be an
+    * association-order-dependent double aggregate, so it is pivoted into
+    * 8 columns and added in one FIXED left-to-right chain — the
+    * `sim_ann_pq` ADC discipline.
+    *
+    * Scale: the query set is a ≤8-row broadcast; candidates stream
+    * through the scan side (one cos per (vector, q) — 8·N FLOP rows, no
+    * self-join); the (label, qi) max and label pivot are combinable
+    * aggregates over a |labels|·8-row state. */
+  def maxSim(emb: DataFrame, queryLabel: Int, nq: Int): DataFrame = {
+    val n = emb
+    val wq = org.apache.spark.sql.expressions.Window
+      .orderBy("q_id") // ≤nq rows post-limit: trivial window
+    val q = n.filter(col("label") === queryLabel)
+      .select(col("vec_id").as("q_id"), col("ve").as("qve"),
+        col("nrm").as("qnrm"))
+      .orderBy("q_id").limit(nq)
+      .withColumn("qi", row_number().over(wq) - 1)
+    val qb = broadcast(q)
+    val pairs = n.join(qb, col("vec_id") === col("q_id"), "left_anti")
+      .crossJoin(qb)
+      .select(col("label"), col("qi"),
+        (dot(col("qve"), col("ve")) / (col("qnrm") * col("nrm"))).as("c"))
+    val mx = pairs.groupBy("label", "qi").agg(max(col("c")).as("m"))
+    val pivCols = (0 until nq).map(i =>
+      max(when(col("qi") === i, col("m"))).as(s"m$i"))
+    val piv = mx.groupBy("label").agg(pivCols.head, pivCols.tail: _*)
+    val chain = (1 until nq).foldLeft(col("m0")) { (acc, i) => acc + col(s"m$i") }
+    piv.select(col("label"), round(chain, 4).as("maxsim"))
+      .orderBy(col("maxsim").desc, col("label"))
+      .limit(10)
+  }
+
+  val simMaxSim = QueryDef(
+    "sim_maxsim",
+    s"""$vecCte, q AS (
+       |  SELECT vec_id AS q_id, ve AS qve, nrm AS qnrm,
+       |         row_number() OVER (ORDER BY vec_id) - 1 AS qi
+       |  FROM (SELECT * FROM n WHERE label = 0 ORDER BY vec_id LIMIT 8)
+       |), pairs AS (
+       |  SELECT d.label, q.qi,
+       |         list_dot_product(q.qve, d.ve) / (q.qnrm * d.nrm) AS c
+       |  FROM n d, q WHERE d.vec_id NOT IN (SELECT q_id FROM q)
+       |), mx AS (
+       |  SELECT label, qi, max(c) AS m FROM pairs GROUP BY label, qi
+       |), p AS (
+       |  SELECT label,
+       |         max(CASE WHEN qi = 0 THEN m END) AS m0,
+       |         max(CASE WHEN qi = 1 THEN m END) AS m1,
+       |         max(CASE WHEN qi = 2 THEN m END) AS m2,
+       |         max(CASE WHEN qi = 3 THEN m END) AS m3,
+       |         max(CASE WHEN qi = 4 THEN m END) AS m4,
+       |         max(CASE WHEN qi = 5 THEN m END) AS m5,
+       |         max(CASE WHEN qi = 6 THEN m END) AS m6,
+       |         max(CASE WHEN qi = 7 THEN m END) AS m7
+       |  FROM mx GROUP BY label
+       |)
+       |SELECT label,
+       |       round(((((((m0 + m1) + m2) + m3) + m4) + m5) + m6) + m7, 4)
+       |         AS maxsim
+       |FROM p ORDER BY maxsim DESC, label LIMIT 10""".stripMargin) { (s, d) =>
+    maxSim(vecs(s, d), queryLabel = 0, nq = 8)
+  }
+
+  val all: Seq[QueryDef] = Seq(simKnn, simSearch, multimodalJoin, simMaxSim)
 }

@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
-import graft.ops.{Dedup, Events, Text, TextAnalysis}
+import graft.ops.{Dedup, Events, Similarity, Text, TextAnalysis}
 
 /** Edge-semantics goldens: as-of ties, sessionize gap boundary, dedup
   * keeper choice (FIXTURES.md fixture guidance). */
@@ -409,5 +409,35 @@ class EdgeSpec extends AnyFunSuite {
     assert(kept.forall(_._2 > 0), "zero-weight row sampled")
     val again = TextAnalysis.weightedSample(docs).as[(Long, Long)].collect().toSeq
     assert(kept == again, "sample not deterministic")
+  }
+
+  test("topPaths: overlapping trigrams counted; cross-user isolation; tie → path order") {
+    val ev = events(
+      (1L, "2024-01-01 00:00:00", 1L, "view"),
+      (2L, "2024-01-01 00:00:01", 1L, "click"),
+      (3L, "2024-01-01 00:00:02", 1L, "view"),
+      (4L, "2024-01-01 00:00:03", 1L, "click"),   // v>c>v, c>v>c
+      (5L, "2024-01-01 00:00:00", 2L, "view"),
+      (6L, "2024-01-01 00:00:01", 2L, "click"),
+      (7L, "2024-01-01 00:00:02", 2L, "view"))    // v>c>v again (no cross-user)
+    val got = Events.topPaths(ev, k = 5)
+      .as[(String, Long)].collect().toSeq
+    assert(got == Seq(("view>click>view", 2L), ("click>view>click", 1L)))
+  }
+
+  test("maxSim: identical group scores nq; orthogonal group scores 0") {
+    // 4-dim: query = 2 unit basis vectors (label 0); label 1 repeats them,
+    // label 2 is orthogonal to both
+    val rows = Seq(
+      (0L, 0, Seq(1.0, 0.0, 0.0, 0.0)), (1L, 0, Seq(0.0, 1.0, 0.0, 0.0)),
+      (10L, 1, Seq(1.0, 0.0, 0.0, 0.0)), (11L, 1, Seq(0.0, 1.0, 0.0, 0.0)),
+      (20L, 2, Seq(0.0, 0.0, 1.0, 0.0)), (21L, 2, Seq(0.0, 0.0, 0.0, 1.0)))
+    val emb = rows.toDF("vec_id", "label", "ve")
+      .withColumn("nrm", sqrt(graft.functions.DotProduct.dot(col("ve"), col("ve"))))
+    val got = Similarity.maxSim(emb, queryLabel = 0, nq = 2)
+      .as[(Int, Double)].collect().toMap
+    // label 0's remaining vectors: none (both consumed as the query) — so
+    // label 0 is absent; label 1 matches the query exactly, label 2 never
+    assert(got == Map(1 -> 2.0, 2 -> 0.0))
   }
 }
