@@ -184,4 +184,38 @@ class PlanSpec extends AnyFunSuite {
     assert(saltedExchanges == 2,
       s"expected both join inputs partitioned by (key, salt), got $saltedExchanges:\n$p")
   }
+
+  private def hashExchanges(p: String): Int =
+    "Exchange hashpartitioning".r.findAllIn(p).length
+
+  test("window_gaps_islands: ONE user_id shuffle serves both windows and the island agg") {
+    val p = plan(graft.ops.Events.windowGapsIslands)
+    // HashPartitioning(user_id) satisfies the (user_id, event_type) window
+    // and the (user_id, event_type, grp) groupBy by the subset rule — any
+    // second hash exchange means that co-partitioning broke
+    assert(hashExchanges(p) == 1, s"expected exactly 1 hash exchange:\n$p")
+  }
+
+  test("event_paths: top-k plans as TakeOrderedAndProject over two keyed shuffles") {
+    val p = plan(graft.ops.Events.eventPaths)
+    assert(p.contains("TakeOrderedAndProject"), s"top-20 must not global-sort:\n$p")
+    assert(hashExchanges(p) == 2, // user_id window + path count
+      s"expected exactly 2 hash exchanges:\n$p")
+  }
+
+  test("sample_weighted: the data path never shuffles (scan-stage filter)") {
+    val p = plan(graft.ops.TextAnalysis.sampleWeighted)
+    // only the 1-row max agg (SinglePartition) and the ordered-output range
+    // exchange are allowed — a hash exchange means the filter left the scan
+    assert(hashExchanges(p) == 0, s"expected no hash exchange:\n$p")
+    assert(p.contains("BroadcastExchange"), s"max side must broadcast:\n$p")
+  }
+
+  test("sim_maxsim: query set broadcasts; candidates never cartesian-join") {
+    val p = plan(graft.ops.Similarity.simMaxSim)
+    assert(!p.contains("CartesianProduct"), s"fell back to cartesian:\n$p")
+    // the 8-row query side must be the broadcast build side of both the
+    // anti-join (query exclusion) and the pair expansion
+    assert("BroadcastExchange".r.findAllIn(p).length >= 2, p)
+  }
 }
