@@ -681,8 +681,69 @@ object Events {
     topPaths(Tables.events(s, d), k = 20)
   }
 
+  /** Rate-anomaly detection over the gap-filled 10-minute spine: a bucket
+    * is anomalous when its event count deviates from the trailing
+    * 6-bucket (1-hour) history by more than 3 sigma. The z-score test is
+    * algebraically cleared of division so it is ALL-INTEGER —
+    * z² > 9  ⇔  (n·x − s)² > 9·(n·ss − s²) with s/ss the trailing sum and
+    * sum-of-squares — no double arithmetic anywhere, so the flagged SET
+    * is engine-exact (the standard z-test, not an approximation of it).
+    * Building on the resample spine means silent-outage buckets (count 0
+    * after a busy hour) flag exactly like spikes.
+    *
+    * Scale: the spine is calendar-bounded; the trailing stats are one
+    * ROWS-frame window over the bucket order (single range partition of
+    * a 52 k-row/year relation at ANY corpus size — the window input is
+    * spine-sized, never event-sized). Buckets without 6 full history rows
+    * are not scored. */
+  def rateAnomalies(ev: DataFrame, bucketUs: Long, trail: Int): DataFrame = {
+    val spine = resampleBuckets(ev, bucketUs).select(col("bucket"), col("n"))
+    val w = Window.orderBy("bucket").rowsBetween(-trail, -1)
+    spine
+      .withColumn("hist", count(lit(1)).over(w))
+      .withColumn("s", sum(col("n")).over(w))
+      .withColumn("ss", sum(col("n") * col("n")).over(w))
+      .filter(col("hist") === trail)
+      .withColumn("znum",
+        (lit(trail) * col("n") - col("s")) * (lit(trail) * col("n") - col("s")))
+      .withColumn("zden", lit(trail) * col("ss") - col("s") * col("s"))
+      .filter(col("znum") > lit(9L) * col("zden"))
+      .select(col("bucket"), col("n"), col("s").as("trail_sum"),
+        col("znum").as("z2_num"), col("zden").as("z2_den"))
+      .orderBy("bucket")
+  }
+
+  val eventAnomaly = QueryDef(
+    "event_anomaly",
+    """WITH e AS (
+      |  SELECT epoch_us(ts) // 600000000 AS bucket
+      |  FROM events WHERE event_type = 'purchase'
+      |), b AS (SELECT min(bucket) AS lo, max(bucket) AS hi FROM e),
+      |spine AS (SELECT unnest(generate_series(lo, hi)) AS bucket FROM b),
+      |c AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n FROM e GROUP BY bucket),
+      |s AS (
+      |  SELECT sp.bucket, coalesce(c.n, 0) AS n
+      |  FROM spine sp LEFT JOIN c ON sp.bucket = c.bucket
+      |), t AS (
+      |  SELECT bucket, n,
+      |         count(*) OVER w AS hist,
+      |         CAST(sum(n) OVER w AS BIGINT) AS s,
+      |         CAST(sum(n * n) OVER w AS BIGINT) AS ss
+      |  FROM s WINDOW w AS (ORDER BY bucket ROWS BETWEEN 6 PRECEDING
+      |                      AND 1 PRECEDING)
+      |)
+      |SELECT bucket, n, s AS trail_sum,
+      |       CAST((6 * n - s) * (6 * n - s) AS BIGINT) AS z2_num,
+      |       CAST(6 * ss - s * s AS BIGINT) AS z2_den
+      |FROM t WHERE hist = 6 AND (6 * n - s) * (6 * n - s) > 9 * (6 * ss - s * s)
+      |ORDER BY bucket""".stripMargin) { (s, d) =>
+    rateAnomalies(
+      Tables.events(s, d).filter(col("event_type") === "purchase"),
+      bucketUs = 600000000L, trail = 6)
+  }
+
   val all: Seq[QueryDef] = Seq(sessionizeQ, streamTumbling, streamSliding,
     streamWatermark, streamSession, windowTimeRange, streamDedup, eventFunnel,
     streamJoin, eventRetention, eventsResample, windowGapsIslands,
-    eventAttribution, eventPaths)
+    eventAttribution, eventPaths, eventAnomaly)
 }

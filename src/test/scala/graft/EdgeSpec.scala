@@ -425,6 +425,24 @@ class EdgeSpec extends AnyFunSuite {
     assert(got == Seq(("view>click>view", 2L), ("click>view>click", 1L)))
   }
 
+  test("rateAnomalies: exact 3-sigma boundary excluded (strict >); spike past it flags") {
+    // 10-min bucket counts b0..b7 = [2,2,2,0,0,0,4,6] (b3-b5 are spine
+    // zeros). b6's trailing history [2,2,2,0,0,0]: s=6, ss=12, zden=36,
+    // znum=(6*4-6)^2=324 == 9*zden → exactly 3 sigma → NOT anomalous.
+    // b7's history [2,2,0,0,0,4]: s=8, ss=24, zden=80, znum=(6*6-8)^2=784
+    // > 720 → anomalous. b0-b5 have <6 history rows → unscored.
+    val counts = Seq(0 -> 2, 1 -> 2, 2 -> 2, 6 -> 4, 7 -> 6)
+    val rows = for {
+      (b, n) <- counts
+      i <- 0 until n
+    } yield (b * 100L + i, s"2024-01-01 0${b / 6}:${b % 6}0:00", 1L, "purchase")
+    val ev = events(rows: _*)
+    val got = Events.rateAnomalies(ev, bucketUs = 600000000L, trail = 6)
+      .select("n", "trail_sum", "z2_num", "z2_den")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((6L, 8L, 784L, 80L)))
+  }
+
   test("maxSim: identical group scores nq; orthogonal group scores 0") {
     // 4-dim: query = 2 unit basis vectors (label 0); label 1 repeats them,
     // label 2 is orthogonal to both
