@@ -742,8 +742,78 @@ object Events {
       bucketUs = 600000000L, trail = 6)
   }
 
+  /** Interval-OVERLAP join — the third member of the interval family
+    * (`join_range` joins value ranges, `intervalJoin` joins points within
+    * a gap; this joins SPANS that intersect): pairs of intervals with
+    * a.s ≤ b.e AND b.s ≤ a.e (inclusive — touching endpoints overlap).
+    *
+    * Scale shape: each interval explodes to the band buckets its span
+    * covers (bounded by span/band + 1), candidates meet on the bucket
+    * equi key, and each qualifying pair is kept exactly ONCE — in the
+    * first bucket both occupy, bucket == max(bucket(a.s), bucket(b.s)),
+    * which for an overlapping pair always lies inside both spans (the
+    * max of starts is ≤ the min of ends). No distinct, no cartesian;
+    * candidate sets are bounded by per-bucket occupancy at any N. */
+  def overlapJoin(intervals: DataFrame, bandUs: Long): DataFrame = {
+    def side(p: String) = intervals.select(
+      col("user_id").as(s"${p}_user"), col("session_id").as(s"${p}_sid"),
+      col("s_eus").as(s"${p}_s"), col("e_eus").as(s"${p}_e"))
+    val a = side("a").withColumn("bucket",
+      explode(expr(s"sequence(a_s div $bandUs, a_e div $bandUs)")))
+    val b = side("b").withColumn("bucket",
+      explode(expr(s"sequence(b_s div $bandUs, b_e div $bandUs)")))
+    a.join(b, Seq("bucket"))
+      .filter(col("a_user") < col("b_user") &&
+        col("a_s") <= col("b_e") && col("b_s") <= col("a_e") &&
+        col("bucket") === greatest(expr(s"a_s div $bandUs"),
+          expr(s"b_s div $bandUs")))
+      .drop("bucket")
+  }
+
+  val joinOverlap = QueryDef(
+    "join_overlap",
+    """WITH x AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS eus,
+      |         lag(epoch_us(ts), 1) OVER (PARTITION BY user_id
+      |                                    ORDER BY ts, event_id) AS prev_eus
+      |  FROM events
+      |), f AS (
+      |  SELECT *, CASE WHEN prev_eus IS NULL OR eus - prev_eus > 1800000000
+      |                 THEN 1 ELSE 0 END AS new_sess
+      |  FROM x
+      |), sid AS (
+      |  SELECT *, sum(new_sess) OVER (PARTITION BY user_id
+      |            ORDER BY eus, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM f
+      |), sess AS (
+      |  SELECT user_id, session_id, min(eus) AS s_eus, max(eus) AS e_eus
+      |  FROM sid GROUP BY user_id, session_id
+      |)
+      |SELECT a.user_id AS a_user, b.user_id AS b_user,
+      |       CAST(count(*) AS BIGINT) AS n_overlaps,
+      |       CAST(sum(least(a.e_eus, b.e_eus) - greatest(a.s_eus, b.s_eus))
+      |         AS BIGINT) AS overlap_us
+      |FROM sess a JOIN sess b ON a.user_id < b.user_id
+      |  AND a.s_eus <= b.e_eus AND b.s_eus <= a.e_eus
+      |GROUP BY a_user, b_user
+      |ORDER BY a_user, b_user""".stripMargin) { (s, d) =>
+    // concurrent-session analysis: which user pairs are active at the
+    // same time, and for how long — sessions as the interval relation
+    val sess = sessionize(Tables.events(s, d))
+      .select(col("user_id"), col("session_id"),
+        unix_micros(col("t_start").cast("timestamp")).as("s_eus"),
+        unix_micros(col("t_end").cast("timestamp")).as("e_eus"))
+    overlapJoin(sess, bandUs = 3600000000L)
+      .groupBy(col("a_user"), col("b_user"))
+      .agg(count(lit(1)).as("n_overlaps"),
+        sum(least(col("a_e"), col("b_e")) - greatest(col("a_s"), col("b_s")))
+          .as("overlap_us"))
+      .orderBy("a_user", "b_user")
+  }
+
   val all: Seq[QueryDef] = Seq(sessionizeQ, streamTumbling, streamSliding,
     streamWatermark, streamSession, windowTimeRange, streamDedup, eventFunnel,
     streamJoin, eventRetention, eventsResample, windowGapsIslands,
-    eventAttribution, eventPaths, eventAnomaly)
+    eventAttribution, eventPaths, eventAnomaly, joinOverlap)
 }

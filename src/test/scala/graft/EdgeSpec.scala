@@ -443,6 +443,28 @@ class EdgeSpec extends AnyFunSuite {
     assert(got == Seq((6L, 8L, 784L, 80L)))
   }
 
+  test("overlapJoin: equals naive theta-join; touch-overlap inclusive; multi-band pair kept once") {
+    // band = 100 µs. Spans chosen to cross several bands (dedup stress),
+    // touch exactly (inclusive boundary), nest, and miss by 1 µs.
+    val iv = Seq(
+      (1L, 1L, 0L, 350L),     // crosses bands 0-3
+      (2L, 1L, 150L, 600L),   // overlaps user 1 across bands 1-3 → ONE row
+      (3L, 1L, 350L, 360L),   // touches user 1's end exactly → overlap 0 µs
+      (4L, 1L, 351L, 400L),   // misses user 1 by 1 µs (but overlaps 2, 3)
+      (5L, 1L, 700L, 700L))   // point interval, disjoint from all
+      .toDF("user_id", "session_id", "s_eus", "e_eus")
+    val got = Events.overlapJoin(iv, bandUs = 100L)
+      .select("a_user", "b_user")
+      .as[(Long, Long)].collect().toSeq.sorted
+    val naive = iv.as("a").crossJoin(iv.as("b"))
+      .filter(col("a.user_id") < col("b.user_id") &&
+        col("a.s_eus") <= col("b.e_eus") && col("b.s_eus") <= col("a.e_eus"))
+      .select(col("a.user_id"), col("b.user_id"))
+      .as[(Long, Long)].collect().toSeq.sorted
+    assert(got == naive, s"banded $got != naive $naive")
+    assert(got == Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L)))
+  }
+
   test("maxSim: identical group scores nq; orthogonal group scores 0") {
     // 4-dim: query = 2 unit basis vectors (label 0); label 1 repeats them,
     // label 2 is orthogonal to both
