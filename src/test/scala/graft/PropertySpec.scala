@@ -266,4 +266,49 @@ class PropertySpec extends AnyFunSuite {
         s"bucket $bucket bins not contiguous: ${ids.mkString(",")}")
     }
   }
+
+  test("gapsIslands partitions the event set: island sizes sum to the row count") {
+    val ev = graft.Tables.events(spark, "/root/testdata/sf0.001")
+    val islands = Events.gapsIslands(ev)
+    val sums = islands.agg(
+      sum(col("n_events")).cast("long"),
+      count(lit(1))).head
+    assert(sums.getLong(0) == ev.count(), "islands must cover every event exactly once")
+    // islands are maximal: consecutive islands of one user never share a type
+    val bad = islands
+      .withColumn("prev_type", lag(col("event_type"), 1).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+          .orderBy("t_start_us", "first_event_id")))
+      .filter(col("prev_type") === col("event_type")).count()
+    assert(bad == 0, s"$bad adjacent same-type islands — runs not maximal")
+  }
+
+  test("linearAttribution conserves credit up to per-purchase floor loss") {
+    val ev = graft.Tables.events(spark, "/root/testdata/sf0.001")
+    val attr = Events.linearAttribution(ev, lookbackUs = 604800000000L)
+    val credited = attr.agg(sum(col("credit_microcents")).cast("long")).head.getLong(0)
+    // attributed purchases = purchases with >= 1 click strictly before
+    // within 7 days; their exact value in micro-cents bounds the credit:
+    // floor division loses < n_touch micro-cents per purchase
+    val pairs = Events.intervalJoin(
+      ev.filter(col("event_type") === "click"),
+      ev.filter(col("event_type") === "purchase"), maxGapUs = 604800000000L)
+    val attributed = pairs.select(col("r_event_id")).distinct()
+    val valueMc = ev.filter(col("event_type") === "purchase")
+      .join(attributed, col("event_id") === col("r_event_id"))
+      .agg(sum(round(col("value") * 100, 0).cast("long") * 1000000L).cast("long"))
+      .head.getLong(0)
+    val nPairs = pairs.count()
+    assert(credited <= valueMc, "credit exceeds attributed purchase value")
+    assert(credited > valueMc - nPairs, "floor loss exceeded one micro-cent per pair")
+  }
+
+  test("repetitionSignals ppm values stay in range; top bigram is never zero") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val r = graft.ops.TextAnalysis.repetitionSignals(docs)
+    val bad = r.filter(
+      col("dup_tok_ppm") < 0 || col("dup_tok_ppm") > 1000000 ||
+      col("top_bigram_ppm") <= 0 || col("top_bigram_ppm") > 1000000).count()
+    assert(bad == 0)
+  }
 }
