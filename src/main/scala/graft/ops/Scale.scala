@@ -391,9 +391,68 @@ object Scale {
       .limit(50)
   }
 
+  /** SCD type-2 versioned merge — the history-keeping counterpart of
+    * `merge_upsert` (which keeps only the latest row): every change to a
+    * key APPENDS a version, and each version carries its validity
+    * interval [valid_from, valid_to) with valid_to = the next version's
+    * timestamp (NULL while current) — the lakehouse dimension-history
+    * shape. Two deterministic change rounds are derived from the base
+    * relation (the merge_upsert convention); the history is one window
+    * (`lead` over version ts per key) on the unioned versions.
+    *
+    * Balance arithmetic stays exact: +100/+200 on the stored 2dp double
+    * is the identical IEEE operation on identical operands in both
+    * engines (§2.9 rule 10), and the emitted raw double never drives
+    * ordering.
+    *
+    * Scale: the union is change-volume-sized, the window shuffles once on
+    * the key, and only keys WITH history reach the output — base rows
+    * that never changed are filtered in the scan stage. */
+  val mergeScd2 = QueryDef(
+    "merge_scd2",
+    """WITH v0 AS (
+      |  SELECT c_custkey, c_acctbal, CAST(0 AS BIGINT) AS ver_ts
+      |  FROM customer WHERE c_custkey % 10 = 0
+      |), v1 AS (
+      |  SELECT c_custkey, c_acctbal + 100 AS c_acctbal, CAST(1 AS BIGINT) AS ver_ts
+      |  FROM customer WHERE c_custkey % 10 = 0
+      |), v2 AS (
+      |  SELECT c_custkey, c_acctbal + 200 AS c_acctbal, CAST(2 AS BIGINT) AS ver_ts
+      |  FROM customer WHERE c_custkey % 20 = 0
+      |), hist AS (
+      |  SELECT * FROM v0 UNION ALL SELECT * FROM v1 UNION ALL SELECT * FROM v2
+      |)
+      |SELECT c_custkey, ver_ts AS valid_from,
+      |       lead(ver_ts, 1) OVER (PARTITION BY c_custkey ORDER BY ver_ts)
+      |         AS valid_to,
+      |       c_acctbal,
+      |       lead(ver_ts, 1) OVER (PARTITION BY c_custkey ORDER BY ver_ts)
+      |         IS NULL AS is_current
+      |FROM hist
+      |ORDER BY c_custkey, valid_from""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val base = Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_acctbal"))
+    val v0 = base.filter(col("c_custkey") % 10 === 0)
+      .withColumn("ver_ts", lit(0L))
+    val v1 = base.filter(col("c_custkey") % 10 === 0)
+      .withColumn("c_acctbal", col("c_acctbal") + 100)
+      .withColumn("ver_ts", lit(1L))
+    val v2 = base.filter(col("c_custkey") % 20 === 0)
+      .withColumn("c_acctbal", col("c_acctbal") + 200)
+      .withColumn("ver_ts", lit(2L))
+    val w = Window.partitionBy("c_custkey").orderBy("ver_ts")
+    v0.unionByName(v1).unionByName(v2)
+      .withColumn("valid_to", lead(col("ver_ts"), 1).over(w))
+      .select(col("c_custkey"), col("ver_ts").as("valid_from"),
+        col("valid_to"), col("c_acctbal"),
+        col("valid_to").isNull.as("is_current"))
+      .orderBy("c_custkey", "valid_from")
+  }
+
   val all: Seq[QueryDef] = Seq(
     scanPartitioned, joinSalted, sqlFrontend,
     windowNtile, aggFiltered, aggApproxPercentile,
     joinLateral, subqueryScalar, mergeUpsert,
-    subqueryIn, sortNulls, sortOffset)
+    subqueryIn, sortNulls, sortOffset, mergeScd2)
 }

@@ -303,6 +303,25 @@ class PropertySpec extends AnyFunSuite {
     assert(credited > valueMc - nPairs, "floor loss exceeded one micro-cent per pair")
   }
 
+  test("merge_scd2: intervals chain gaplessly and exactly one version is current per key") {
+    val rows = graft.ops.Scale.mergeScd2.fn(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)), r.getBoolean(4)))
+    rows.groupBy(_._1).foreach { case (key, vs) =>
+      val sorted = vs.sortBy(_._2).toSeq
+      assert(sorted.count(_._4) == 1, s"key $key: not exactly one current version")
+      assert(sorted.last._4 && sorted.last._3.isEmpty,
+        s"key $key: current version must be last with open valid_to")
+      sorted.sliding(2).foreach {
+        case Seq(a, b) => assert(a._3.contains(b._2),
+          s"key $key: valid_to ${a._3} != next valid_from ${b._2} (gap/overlap)")
+        case _ => ()
+      }
+      // %20 keys saw both change rounds (3 versions), the rest one (2)
+      assert(sorted.length == (if (key % 20 == 0) 3 else 2), s"key $key: ${sorted.length} versions")
+    }
+  }
+
   test("repetitionSignals ppm values stay in range; top bigram is never zero") {
     val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
     val r = graft.ops.TextAnalysis.repetitionSignals(docs)
