@@ -85,6 +85,32 @@ object StreamOps {
         col("l_event_id"), col("r_event_id"), col("l_ts"), col("r_ts"))
   }
 
+  /** LEFT OUTER stream-stream interval join — the unmatched-detection
+    * form of `streamIntervalJoin` ("views that never got a click"): a
+    * left row that finds no right partner cannot emit immediately (its
+    * match window is still open); it emits WITH NULLS only once the
+    * watermark passes the end of its interval and the engine can prove no
+    * partner will arrive. Same time-bound condition, so both buffers
+    * evict; the null-row latency is the disorder horizon — the inherent
+    * cost of proving absence on an unbounded stream. */
+  def streamIntervalJoinOuter(left: DataFrame, right: DataFrame,
+      maxGap: String = "5 minutes",
+      watermark: String = "10 minutes"): DataFrame = {
+    val l = left.select(col("event_id").as("l_event_id"),
+        col("user_id").as("l_user_id"), col("ts").as("l_ts"))
+      .withWatermark("l_ts", watermark)
+    val r = right.select(col("event_id").as("r_event_id"),
+        col("user_id").as("r_user_id"), col("ts").as("r_ts"))
+      .withWatermark("r_ts", watermark)
+    l.join(r,
+        col("l_user_id") === col("r_user_id") &&
+        col("r_ts") > col("l_ts") &&
+        col("r_ts") <= col("l_ts") + expr(s"interval $maxGap"),
+        "left_outer")
+      .select(col("l_user_id").as("user_id"),
+        col("l_event_id"), col("r_event_id"), col("l_ts"), col("r_ts"))
+  }
+
   /** Open-session state per user: (session start, last event, count),
     * all epoch-µs. */
   type SessionState = (Long, Long, Long)

@@ -407,6 +407,39 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("left-outer interval join: matched pair emits; unmatched view emits NULLS only after watermark proves absence") {
+    implicit val sqlCtx = spark.sqlContext
+    val lIn = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    val rIn = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    val joined = StreamOps.streamIntervalJoinOuter(
+      lIn.toDF().toDF("event_id", "ts", "user_id"),
+      rIn.toDF().toDF("event_id", "ts", "user_id"))
+    val q = joined.writeStream.format("memory").queryName("ssoj_out")
+      .outputMode("append").start()
+    try {
+      // view 1 gets a click inside 5 min; view 2 never gets one
+      lIn.addData((1L, ts("2024-01-01 10:00:00"), 1L),
+        (2L, ts("2024-01-01 10:00:00"), 2L))
+      rIn.addData((10L, ts("2024-01-01 10:03:00"), 1L))
+      q.processAllAvailable()
+      def rows() = spark.table("ssoj_out")
+        .select("l_event_id", "r_event_id")
+        .collect().map(r => (r.getLong(0), Option(r.get(1)))).toSet
+      // the unmatched view 2 must NOT have emitted yet — its match window
+      // is still open and absence is unproven
+      assert(rows() == Set((1L, Some(10L))), s"premature null emit: ${rows()}")
+      // advance BOTH watermarks far past view 2's window → null row lands
+      lIn.addData((98L, ts("2024-01-01 12:00:00"), 9L))
+      rIn.addData((99L, ts("2024-01-01 12:00:00"), 8L))
+      q.processAllAvailable()
+      lIn.addData((96L, ts("2024-01-01 14:00:00"), 9L))
+      rIn.addData((97L, ts("2024-01-01 14:00:00"), 8L))
+      q.processAllAvailable()
+      assert(rows().contains((2L, None)),
+        s"watermark passed but unmatched left row never emitted: ${rows()}")
+    } finally q.stop()
+  }
+
   test("foreachBatch parquet sink: batch crashed after write, before commit, replays exactly once") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_sink").toString
