@@ -92,6 +92,58 @@ object Text {
     nearDupPairs(Tables.documents(s, d)).orderBy("i", "j")
   }
 
+  /** Asymmetric CONTAINMENT dedup — the subset-duplication measure
+    * symmetric Jaccard dilutes away: cont(A→B) = |sh(A)∩sh(B)| / |sh(A)|
+    * is 1.0 when A's shingles all appear in B (a quote or boilerplate
+    * block inside a larger doc scores jac ≈ |A|/|B| ≈ 0 but cont = 1).
+    * Emits each candidate pair whose LARGER direction clears the
+    * threshold, tagged with the contained (more-covered) doc — the row a
+    * cleanse pipeline drops. Same shingle equi-join candidate generation
+    * as `nearDupPairs` (never cartesian; quadratic only in the output on
+    * dup-heavy corpora, by contract). */
+  def containmentPairs(docs: DataFrame, threshold: Double): DataFrame = {
+    val sh = Functions.shingles(docs)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = sh.as("x")
+      .join(sh.as("y"),
+        col("x.shingle") === col("y.shingle") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("i"), col("y.doc_id").as("j"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.as("si"), col("i") === col("si.doc_id"))
+      .join(sizes.as("sj"), col("j") === col("sj.doc_id"))
+      .select(col("i"), col("j"),
+        (col("inter") / col("si.n")).as("cont_i"),
+        (col("inter") / col("sj.n")).as("cont_j"))
+      .filter(greatest(col("cont_i"), col("cont_j")) >= threshold)
+      .select(col("i"), col("j"),
+        round(greatest(col("cont_i"), col("cont_j")), 4).as("cont"),
+        when(col("cont_i") >= col("cont_j"), col("i")).otherwise(col("j"))
+          .as("contained"))
+  }
+
+  val dedupContainment = QueryDef(
+    "dedup_containment",
+    s"""${Functions.shingleOracleCte},
+       |shd AS (SELECT DISTINCT doc_id, shingle FROM sh WHERE shingle IS NOT NULL),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY doc_id),
+       |inter AS (
+       |  SELECT x.doc_id AS i, y.doc_id AS j, count(*) AS inter
+       |  FROM shd x JOIN shd y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+       |  GROUP BY i, j
+       |), c AS (
+       |  SELECT i, j, inter.inter / si.n AS cont_i, inter.inter / sj.n AS cont_j
+       |  FROM inter
+       |  JOIN sizes si ON inter.i = si.doc_id
+       |  JOIN sizes sj ON inter.j = sj.doc_id
+       |)
+       |SELECT i, j, round(greatest(cont_i, cont_j), 4) AS cont,
+       |       CASE WHEN cont_i >= cont_j THEN i ELSE j END AS contained
+       |FROM c WHERE greatest(cont_i, cont_j) >= 0.8
+       |ORDER BY i, j""".stripMargin) { (s, d) =>
+    containmentPairs(Tables.documents(s, d), threshold = 0.8).orderBy("i", "j")
+  }
+
   /** ONE round of min-propagation: for every document in a near-dup pair,
     * the minimum doc_id among itself and its direct neighbors. Linear
     * output; correct cluster representative whenever components are
@@ -305,5 +357,5 @@ object Text {
   }
 
   val all: Seq[QueryDef] = Seq(textStats, dedupExact, dedupNear, dedupKeeper,
-    textEditdist, textEditdistDedup)
+    textEditdist, textEditdistDedup, dedupContainment)
 }

@@ -465,6 +465,24 @@ class EdgeSpec extends AnyFunSuite {
     assert(got == Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L)))
   }
 
+  test("containmentPairs: a doc inside a larger doc scores cont 1.0 where jaccard dilutes") {
+    // doc 2 = doc 1's text embedded in much more material: every shingle
+    // of 1 appears in 2 → cont = 1.0, while jaccard is far below 0.5
+    // (dedup_near would MISS this pair at its threshold)
+    val quote = "alpha beta gamma delta epsilon zeta"
+    val filler = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      (1L, quote),
+      (2L, s"$filler $quote"),
+      (3L, "unrelated words only here")).toDF("doc_id", "text")
+    val got = Text.containmentPairs(docs, threshold = 0.8)
+      .select("i", "j", "cont", "contained")
+      .as[(Long, Long, Double, Long)].collect().toSeq
+    assert(got == Seq((1L, 2L, 1.0, 1L)), s"containment missed the planted subset: $got")
+    val jac = Text.nearDupPairs(docs, threshold = 0.5).count()
+    assert(jac == 0, "jaccard at 0.5 should dilute away the subset pair")
+  }
+
   test("maxSim: identical group scores nq; orthogonal group scores 0") {
     // 4-dim: query = 2 unit basis vectors (label 0); label 1 repeats them,
     // label 2 is orthogonal to both
