@@ -16,7 +16,8 @@ object SparkEntry {
     Relational.all ++ Functions.all ++ Text.all ++ Similarity.all ++
       Events.all ++ Swivel.all ++ Typed.all ++
       Dedup.all ++ TextAnalysis.all ++ Ann.all ++ Multimodal.all ++
-      Extras.all ++ Sketch.all ++ Formats.all ++ Scale.all
+      Extras.all ++ Sketch.all ++ Formats.all ++ Scale.all ++
+      Pipelines.all ++ Graph.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

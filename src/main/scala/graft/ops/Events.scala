@@ -812,8 +812,80 @@ object Events {
       .orderBy("a_user", "b_user")
   }
 
+  /** Deterministic temp root for the streaming-sink pipeline (the
+    * join_bucketed convention); wiped at the start of every run so the
+    * checkpoint's batch ids restart from 0 and reps stay independent. */
+  private def sinkDir(d: String): String =
+    sys.props("java.io.tmpdir") + "/graft_ssink_" +
+      java.lang.Integer.toHexString(d.hashCode)
+
+  private def deleteTree(root: String): Unit = {
+    val p = java.nio.file.Paths.get(root)
+    if (java.nio.file.Files.exists(p)) {
+      val walk = java.nio.file.Files.walk(p)
+      try
+        walk.sorted(java.util.Comparator.reverseOrder())
+          .forEach(f => java.nio.file.Files.delete(f))
+      finally walk.close()
+    }
+  }
+
+  /** End-to-end streaming INGESTION under the driver's hash — the one
+    * streaming surface the other `stream_*` keys (whose gated relations
+    * are the batch forms, with streaming equivalence proven in
+    * StreamingSpec) leave outside the gate: an actual running
+    * StructuredStreaming query, file source → transform → idempotent
+    * foreachBatch parquet sink → landed table.
+    *
+    * The staged input is split into 3 files and consumed with
+    * `maxFilesPerTrigger=1`, so the query really executes 3 microbatches
+    * through the checkpoint path. The sink lands RAW filtered rows (no
+    * aggregate), which makes the landed relation independent of batch
+    * slicing — whatever order the file source picks, the read-back
+    * aggregate is the batch answer, which is exactly the exactly-once
+    * claim the key certifies (the crash-replay half is proven in
+    * StreamingSpec on the same `parquetBatchWriter`).
+    *
+    * At scale this is the standard landing pipeline: each microbatch is a
+    * distributed parquet job into its own `batch_id=` partition; the
+    * read-back aggregate shuffles once on user_id. */
+  val streamFileSink = QueryDef(
+    "stream_file_sink",
+    """SELECT user_id, CAST(count(*) AS BIGINT) AS n_purchases,
+      |       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+      |FROM events WHERE event_type = 'purchase'
+      |GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
+    val root = sinkDir(d)
+    deleteTree(root)
+    Tables.events(s, d)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .withColumn("g", pmod(col("event_id"), lit(3)))
+      .repartition(col("g"))
+      .write.partitionBy("g").parquet(root + "/in")
+    // recursiveFileLookup skips partition discovery, so the stream sees
+    // exactly the staged data columns (g lives only in directory names)
+    val schema = s.read.option("recursiveFileLookup", "true")
+      .parquet(root + "/in").schema
+    val q = s.readStream.schema(schema)
+      .option("recursiveFileLookup", "true")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(root + "/in")
+      .filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "value")
+      .writeStream
+      .option("checkpointLocation", root + "/ckpt")
+      .foreachBatch(graft.streaming.StreamOps.parquetBatchWriter(root + "/out"))
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    s.read.parquet(root + "/out")
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_purchases"),
+        sum(dec(col("value"))).cast("double").as("sum_value"))
+      .orderBy("user_id")
+  }
+
   val all: Seq[QueryDef] = Seq(sessionizeQ, streamTumbling, streamSliding,
     streamWatermark, streamSession, windowTimeRange, streamDedup, eventFunnel,
     streamJoin, eventRetention, eventsResample, windowGapsIslands,
-    eventAttribution, eventPaths, eventAnomaly, joinOverlap)
+    eventAttribution, eventPaths, eventAnomaly, joinOverlap, streamFileSink)
 }

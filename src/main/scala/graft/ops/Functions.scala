@@ -295,6 +295,36 @@ object Functions {
       .limit(200)
   }
 
+  /** Regular-expression surface: extract / count / replace-all / match
+    * predicate over the documents text. Patterns stay in the Java∩RE2
+    * intersection (literal classes, alternation, `\b` ASCII word
+    * boundaries — no backreferences or lookaround, which RE2 lacks), so
+    * both engines compile the same language; the corpus is lowercase
+    * ASCII words, so `\b` semantics cannot diverge on Unicode edge cases.
+    * Dialect deltas handled per §2.9: Spark `regexp_replace` replaces ALL
+    * matches — DuckDB needs the explicit `'g'` flag; Spark `rlike` and
+    * DuckDB `regexp_matches` are both partial-match. All expressions are
+    * codegen'd scan-stage projections — no UDF, no shuffle beyond the
+    * ordered output. */
+  val fnRegex = QueryDef(
+    "fn_regex",
+    """SELECT doc_id,
+      |  regexp_extract(text, '\b([a-z]{6,})\b', 1) AS first_long,
+      |  CAST(len(regexp_extract_all(text, '\bta[a-z]+\b')) AS BIGINT) AS n_ta,
+      |  substr(regexp_replace(text, '\b(table|row)\b', '<T>', 'g'), 1, 40) AS repl40,
+      |  regexp_matches(text, 'stream [a-z]+ fast') AS has_seq
+      |FROM documents ORDER BY doc_id LIMIT 200""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        regexp_extract(col("text"), "\\b([a-z]{6,})\\b", 1).as("first_long"),
+        regexp_count(col("text"), lit("\\bta[a-z]+\\b")).cast("long").as("n_ta"),
+        substring(regexp_replace(col("text"), "\\b(table|row)\\b", "<T>"), 1, 40)
+          .as("repl40"),
+        col("text").rlike("stream [a-z]+ fast").as("has_seq"))
+      .orderBy("doc_id")
+      .limit(200)
+  }
+
   val all: Seq[QueryDef] = Seq(fnString, fnDate, fnMath, fnArray, fnJson,
-    udtfShingles, fnHash, fnStruct, fnVariant, fnMap)
+    udtfShingles, fnHash, fnStruct, fnVariant, fnMap, fnRegex)
 }

@@ -1,0 +1,99 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import Det._
+
+/** Full analytic pipelines over the star schema (SURVEY.md §2.7b, round
+  * 8): multi-join, filter-heavy, top-k query shapes a reference user runs
+  * as whole reports — each one exercises the planner end to end
+  * (pushdown into every scan, join ordering, partial aggregation,
+  * TakeOrderedAndProject) rather than a single operator in isolation.
+  *
+  * Scale discipline: every filter is written on the base table so it
+  * reaches the parquet scan; the big⋈big joins shuffle on their keys and
+  * the plan carries no broadcast HINT on unbounded dims — AQE picks
+  * broadcast at test SFs and sort-merge at 100 TB from runtime sizes,
+  * which is the adaptive-correct call on a dim that is only "small"
+  * locally. Top-k is always ORDER BY + LIMIT → TakeOrderedAndProject
+  * (per-partition heaps, never a global sort).
+  */
+object Pipelines {
+
+  /** TPC-H Q3 shape (shipping-priority report): urgent revenue from
+    * BUILDING-segment customers — orders placed before the cutoff with
+    * lineitems still shipping after it, top-10 open orders by outstanding
+    * revenue. Three scan-stage filters prune before any join; revenue is
+    * the §2.9 exact-DECIMAL product summed then cast; the double revenue
+    * never decides the top-k alone (l_orderkey tie-break). */
+  val pipelineTpchQ3 = QueryDef(
+    "pipeline_tpch_q3",
+    """SELECT l_orderkey,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+      |  o_orderdate, o_orderpriority
+      |FROM customer
+      |JOIN orders   ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1998-01-01'
+      |  AND l_shipdate  > TIMESTAMP '1998-01-01'
+      |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      |ORDER BY revenue DESC, l_orderkey
+      |LIMIT 10""".stripMargin) { (s, d) =>
+    val cust = Tables.customer(s, d)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey")
+    val ord = Tables.orders(s, d)
+      .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp_ntz"))
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    val li = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") > lit("1998-01-01").cast("timestamp_ntz"))
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    cust.join(ord, col("c_custkey") === col("o_custkey"))
+      .join(li, col("o_orderkey") === col("l_orderkey"))
+      .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+      .agg(sum(money(col("l_extendedprice")) * (lit(1) - rate(col("l_discount"))))
+        .cast("double").as("revenue"))
+      .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q18 shape (large-volume orders): orders whose total quantity
+    * clears a HAVING threshold, joined BACK outward to orders + customer
+    * — the aggregate-then-rejoin pipeline (the aggregate output is a
+    * first-class join input, not a report leaf). The HAVING compares in
+    * exact DECIMAL on both engines; only the selective survivors reach
+    * the join, so the join input is threshold-bounded at any corpus
+    * size. */
+  val pipelineTpchQ18 = QueryDef(
+    "pipeline_tpch_q18",
+    """WITH big AS (
+      |  SELECT l_orderkey,
+      |         CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS total_qty
+      |  FROM lineitem GROUP BY l_orderkey
+      |  HAVING sum(CAST(l_quantity AS DECIMAL(18,4))) > 250
+      |)
+      |SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice, total_qty
+      |FROM big
+      |JOIN orders   ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |ORDER BY total_qty DESC, o_orderkey
+      |LIMIT 20""".stripMargin) { (s, d) =>
+    val big = Tables.lineitem(s, d)
+      .select("l_orderkey", "l_quantity")
+      .groupBy("l_orderkey")
+      .agg(sum(dec(col("l_quantity"))).as("tq"))
+      .filter(col("tq") > 250)
+      .select(col("l_orderkey"), col("tq").cast("double").as("total_qty"))
+    big.join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .select("c_custkey", "c_name", "o_orderkey", "o_orderdate",
+        "o_totalprice", "total_qty")
+      .orderBy(col("total_qty").desc, col("o_orderkey"))
+      .limit(20)
+  }
+
+  val all: Seq[QueryDef] = Seq(pipelineTpchQ3, pipelineTpchQ18)
+}

@@ -450,9 +450,100 @@ object Scale {
       .orderBy("c_custkey", "valid_from")
   }
 
+  /** Deterministic temp root for the DPP layout (partDir convention). */
+  private def dppDir(d: String): String =
+    sys.props("java.io.tmpdir") + "/graft_dpp_" +
+      java.lang.Integer.toHexString(d.hashCode)
+
+  /** Dynamic partition pruning — the RUNTIME analog of
+    * `scan_partitioned`'s static prune: the fact table is laid out
+    * hive-partitioned on the join key, the dim side carries a filter the
+    * planner cannot fold into a static partition predicate (`category`
+    * lives only in the dim), and Catalyst's PartitionPruning rule turns
+    * the broadcast join's build side into a `dynamicpruningexpression`
+    * partition filter on the fact scan — at 100 TB the fact read opens
+    * only the 2 of 5 directories whose keys survive the dim filter,
+    * decided at run time, for free off the already-built broadcast
+    * (reuseBroadcastOnly). SourcesSpec pins the dynamic filter on the
+    * scan and the runtime partition count.
+    *
+    * The oracle joins the same dim relation (distinct event types +
+    * derived category) against the ORIGINAL table — the partitioned
+    * layout is physical only, so the relation is identical. */
+  val joinDpp = QueryDef(
+    "join_dpp",
+    """WITH dim AS (
+      |  SELECT DISTINCT event_type,
+      |         CASE WHEN event_type IN ('click', 'view') THEN 'engagement'
+      |              ELSE 'conversion' END AS category
+      |  FROM events
+      |)
+      |SELECT e.event_type, CAST(count(*) AS BIGINT) AS n,
+      |       CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users,
+      |       CAST(sum(CAST(e.value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+      |FROM events e JOIN dim ON e.event_type = dim.event_type
+      |WHERE dim.category = 'engagement'
+      |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin) { (s, d) =>
+    joinDppPlan(s, d)
+  }
+
+  /** The declared plan for `join_dpp`, exposed so SourcesSpec can pin the
+    * dynamic pruning on exactly what the driver runs. */
+  def joinDppPlan(s: SparkSession, d: String): DataFrame = {
+    val root = dppDir(d)
+    Tables.events(s, d)
+      .select("event_id", "user_id", "event_type", "value")
+      .repartition(col("event_type"))
+      .write.mode("overwrite")
+      .partitionBy("event_type")
+      .parquet(root + "/events")
+    Tables.events(s, d).select("event_type").distinct()
+      .withColumn("category",
+        when(col("event_type").isin("click", "view"), "engagement")
+          .otherwise("conversion"))
+      .write.mode("overwrite").parquet(root + "/dim")
+    val fact = s.read.parquet(root + "/events")
+    val dim = s.read.parquet(root + "/dim")
+      .filter(col("category") === "engagement")
+    fact.join(broadcast(dim), "event_type")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(dec(col("value"))).cast("double").as("sum_value"))
+      .orderBy("event_type")
+  }
+
+  /** Shared SQL for `subquery_exists` — correlated EXISTS / NOT EXISTS,
+    * the predicate-subquery forms `subquery_in` does not reach: the
+    * EXISTS branch correlates on a NON-equi comparison against the outer
+    * row's own column (an order bigger than 40× the customer's balance),
+    * which no IN-list can express. Catalyst's RewritePredicateSubquery
+    * decorrelates both branches into one LeftSemi and one LeftAnti join —
+    * never a per-outer-row subplan — so the pair costs two joins at any
+    * scale (PlanSpec pins the join types). `c_acctbal * 40` is the
+    * identical IEEE double op on the identical stored operand in both
+    * engines (§2.9 rule 10). */
+  private[graft] val ExistsSql =
+    """SELECT c_custkey, c_mktsegment, c_acctbal
+      |FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders o
+      |              WHERE o.o_custkey = c.c_custkey
+      |                AND o.o_totalprice > c.c_acctbal * 40)
+      |  AND NOT EXISTS (SELECT 1 FROM orders o
+      |                  WHERE o.o_custkey = c.c_custkey
+      |                    AND o.o_orderstatus = 'P')
+      |ORDER BY c_custkey""".stripMargin
+
+  val subqueryExists = QueryDef("subquery_exists", ExistsSql) { (s, d) =>
+    Tables.orders(s, d).createOrReplaceTempView("orders")
+    Tables.customer(s, d).createOrReplaceTempView("customer")
+    s.sql(ExistsSql)
+  }
+
   val all: Seq[QueryDef] = Seq(
     scanPartitioned, joinSalted, sqlFrontend,
     windowNtile, aggFiltered, aggApproxPercentile,
     joinLateral, subqueryScalar, mergeUpsert,
-    subqueryIn, sortNulls, sortOffset, mergeScd2)
+    subqueryIn, sortNulls, sortOffset, mergeScd2,
+    joinDpp, subqueryExists)
 }

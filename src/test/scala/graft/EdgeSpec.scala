@@ -498,4 +498,28 @@ class EdgeSpec extends AnyFunSuite {
     // label 0 is absent; label 1 matches the query exactly, label 2 never
     assert(got == Map(1 -> 2.0, 2 -> 0.0))
   }
+
+  test("pagerank: exact integer ranks on a hand-computed 3-node path graph") {
+    // path graph 1–2–3, symmetric edges; deg(1)=deg(3)=1, deg(2)=2.
+    // r0 = 1e6 each; hand-unrolled micro-rank updates with truncating div:
+    //   r1: ends 150000+85*(1000000 div 2) div 100 = 575000; mid 1850000
+    //   r2: ends 936250; mid 1127500
+    //   r3: ends 150000+(85*(1127500 div 2)) div 100 = 629187; mid 1741625
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L)).toDF("u", "v")
+    val got = graft.ops.Graph.pagerankIterate(edges, 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 629187L, 2L -> 1741625L, 3L -> 629187L), s"got $got")
+    // conservation sanity: total mass stays within floor-loss of 3e6
+    assert(got.values.sum <= 3000000L)
+  }
+
+  test("supplierEdges: co-occurrence is symmetric, self-pair-free, distinct") {
+    val li = Seq((1L, 10L), (1L, 20L), (1L, 20L), (2L, 20L), (3L, 30L))
+      .toDF("l_orderkey", "l_suppkey")
+    val got = graft.ops.Graph.supplierEdges(li)
+      .as[(Long, Long)].collect().toSet
+    // order 1 links 10 and 20 both ways (once, despite the dup lineitem);
+    // order 2 is a single-supplier order → no edge; 30 is isolated
+    assert(got == Set((10L, 20L), (20L, 10L)))
+  }
 }

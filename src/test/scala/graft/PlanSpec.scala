@@ -218,4 +218,29 @@ class PlanSpec extends AnyFunSuite {
     // anti-join (query exclusion) and the pair expansion
     assert("BroadcastExchange".r.findAllIn(p).length >= 2, p)
   }
+
+  test("subquery_exists: EXISTS/NOT EXISTS decorrelate to LeftSemi + LeftAnti joins") {
+    val p = plan(graft.ops.Scale.subqueryExists)
+    // RewritePredicateSubquery must turn both correlated branches into
+    // joins — a per-outer-row subplan would show as no semi/anti join
+    assert(p.contains("LeftSemi"), s"EXISTS did not decorrelate:\n$p")
+    assert(p.contains("LeftAnti"), s"NOT EXISTS did not decorrelate:\n$p")
+  }
+
+  test("pipeline_tpch_q3: filters reach every scan; top-10 is TakeOrderedAndProject") {
+    val p = plan(graft.ops.Pipelines.pipelineTpchQ3)
+    assert(p.contains("TakeOrderedAndProject"), s"top-k fell to a global sort:\n$p")
+    // the segment filter must be pushed into the customer parquet scan,
+    // not evaluated post-join
+    assert(p.contains("EqualTo(c_mktsegment,BUILDING)"),
+      s"segment filter not pushed to the scan:\n$p")
+    assert(p.contains("GreaterThan(l_shipdate"),
+      s"shipdate filter not pushed to the scan:\n$p")
+  }
+
+  test("pipeline_tpch_q18: HAVING filters between partial and re-join; top-k ordered-limit") {
+    val p = plan(graft.ops.Pipelines.pipelineTpchQ18)
+    assert(p.contains("TakeOrderedAndProject"), s"top-k fell to a global sort:\n$p")
+    assert(p.contains("HashAggregate"), p)
+  }
 }

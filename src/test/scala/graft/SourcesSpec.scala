@@ -161,4 +161,27 @@ class SourcesSpec extends AnyFunSuite {
     assert(counts == Seq(2),
       s"expected exactly the 2 matching partitions selected, got $counts")
   }
+
+  test("join_dpp declared key: RUNTIME dynamic partition pruning reads 2 of 5 directories") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val df = graft.ops.Scale.joinDppPlan(spark, "/root/testdata/sf0.001")
+    df.collect()
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case s: QueryStageExec        => scans(s.plan)
+      case f: FileSourceScanExec    => Seq(f)
+      case other                    => other.children.flatMap(scans)
+    }
+    val all = scans(df.queryExecution.executedPlan)
+    // the fact scan must carry a dynamicpruningexpression partition filter
+    // (no static predicate on event_type exists anywhere in the query —
+    // the prune can only come from the dim side at run time)
+    val fact = all.filter(_.toString.contains("dynamicpruning"))
+    assert(fact.nonEmpty,
+      s"no dynamicpruningexpression on any scan:\n${df.queryExecution.executedPlan}")
+    val n = fact.head.metrics("numPartitions").value
+    assert(n == 2, s"expected the 2 surviving partitions read at runtime, got $n")
+  }
 }
