@@ -857,8 +857,10 @@ object Events {
       |GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
     val root = sinkDir(d)
     deleteTree(root)
+    // stage only the columns the pipeline touches (scan-stage pruning
+    // applies to the staging write like any other query)
     Tables.events(s, d)
-      .select("event_id", "ts", "user_id", "event_type", "value")
+      .select("event_id", "user_id", "event_type", "value")
       .withColumn("g", pmod(col("event_id"), lit(3)))
       .repartition(col("g"))
       .write.partitionBy("g").parquet(root + "/in")
