@@ -886,8 +886,53 @@ object Events {
       .orderBy("user_id")
   }
 
+  /** First-order Markov transition model over per-user event-type
+    * sequences — the normalized counterpart of `event_paths` (which mines
+    * raw top-k trigrams): for every (src → dst) transition the count and
+    * its probability within src's outgoing distribution, in integer PPM
+    * (floor division — the event_attribution micro-unit discipline, so
+    * the relation is BIGINT-exact in both engines; `div` trunc ≡ `//`
+    * floor on these non-negative counts).
+    *
+    * Scale: one user_id shuffle + sort feeds the lead window (the
+    * event_paths shape); transition counts are combinable partial aggs
+    * into an |event_type|²-bounded state, and the row-count totals join
+    * is over that bounded relation — nothing downstream of the window
+    * scales with the corpus. */
+  val eventMarkov = QueryDef(
+    "event_markov",
+    """WITH seq AS (
+      |  SELECT user_id, event_type,
+      |         lead(event_type) OVER (PARTITION BY user_id
+      |                                ORDER BY ts, event_id) AS next_type
+      |  FROM events
+      |), cnt AS (
+      |  SELECT event_type AS src, next_type AS dst, CAST(count(*) AS BIGINT) AS n
+      |  FROM seq WHERE next_type IS NOT NULL GROUP BY src, dst
+      |), tot AS (
+      |  SELECT src, CAST(sum(n) AS BIGINT) AS t FROM cnt GROUP BY src
+      |)
+      |SELECT c.src, c.dst, c.n, CAST((1000000 * c.n) // t.t AS BIGINT) AS p_ppm
+      |FROM cnt c JOIN tot t ON c.src = t.src
+      |ORDER BY c.src, c.dst""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val cnt = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("src"), col("next_type").as("dst"))
+      .agg(count(lit(1)).as("n"))
+    val tot = cnt.groupBy(col("src").as("t_src"))
+      .agg(sum(col("n")).as("t"))
+    cnt.join(tot, col("src") === col("t_src"))
+      .select(col("src"), col("dst"), col("n"),
+        expr("(1000000 * n) div t").as("p_ppm"))
+      .orderBy("src", "dst")
+  }
+
   val all: Seq[QueryDef] = Seq(sessionizeQ, streamTumbling, streamSliding,
     streamWatermark, streamSession, windowTimeRange, streamDedup, eventFunnel,
     streamJoin, eventRetention, eventsResample, windowGapsIslands,
-    eventAttribution, eventPaths, eventAnomaly, joinOverlap, streamFileSink)
+    eventAttribution, eventPaths, eventAnomaly, joinOverlap, streamFileSink,
+    eventMarkov)
 }

@@ -201,5 +201,128 @@ object Similarity {
     maxSim(vecs(s, d), queryLabel = 0, nq = 8)
   }
 
-  val all: Seq[QueryDef] = Seq(simKnn, simSearch, multimodalJoin, simMaxSim)
+  /** One MMR selection step as a SQL template (the pagerank/Lloyd
+    * unrolled-round pattern): score every unselected candidate by
+    * 0.7·rel − 0.3·(max cosine to the selected set), take the argmax
+    * with a vec_id tie-break. */
+  private val MmrStep =
+    """mK AS (
+      |  SELECT c.vec_id, c.rel, max(p.cos) AS mx
+      |  FROM cand c JOIN pcd p ON p.a = c.vec_id
+      |    AND p.b IN (SELECT vec_id FROM selJ)
+      |  WHERE c.vec_id NOT IN (SELECT vec_id FROM selJ)
+      |  GROUP BY c.vec_id, c.rel
+      |), sK AS (
+      |  SELECT vec_id, rel, K AS step FROM mK
+      |  ORDER BY 0.7 * rel - 0.3 * mx DESC, vec_id LIMIT 1
+      |), selK AS (
+      |  SELECT vec_id FROM selJ UNION ALL SELECT vec_id FROM sK
+      |)""".stripMargin
+
+  private def mmrStep(k: Int): String =
+    MmrStep.replace("mK", s"m$k").replace("sK", s"s$k")
+      .replace("selK", s"sel$k").replace("selJ", s"sel${k - 1}")
+      .replace(" K AS step", s" $k AS step")
+
+  /** The greedy MMR core over a bounded candidate shortlist of
+    * (vec_id, vector, norm, rel): pick `k`, each maximizing
+    * 0.7·rel − 0.3·(max cos to the picked set), vec_id tie-break.
+    * Pairwise cosines use the SAME left-fold accumulation as the
+    * distributed DotProduct / DuckDB's list_dot_product, so every score
+    * is bit-identical to the oracle's replay. Exposed for EdgeSpec's
+    * planted-diversity pin. */
+  private[graft] def mmrGreedy(rows: Array[(Long, Array[Double], Double, Double)],
+      k: Int): Vector[(Long, Double)] = {
+    def dotSeq(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i) * b(i); i += 1 }
+      acc
+    }
+    val byId = rows.map(r => r._1 -> r).toMap
+    def cosOf(x: Long, y: Long): Double = {
+      val (_, xv, xn, _) = byId(x); val (_, yv, yn, _) = byId(y)
+      dotSeq(xv, yv) / (xn * yn)
+    }
+    var selected = Vector(
+      rows.map(r => (r._1, r._4)).sortBy { case (id, rel) => (-rel, id) }.head)
+    for (_ <- 2 to k) {
+      val pick = rows.iterator
+        .filterNot(r => selected.exists(_._1 == r._1))
+        .map { r =>
+          val mx = selected.map(sel => cosOf(r._1, sel._1)).max
+          (r._1, r._4, 0.7 * r._4 - 0.3 * mx)
+        }
+        .toSeq.sortBy { case (id, _, score) => (-score, id) }.head
+      selected :+= ((pick._1, pick._2))
+    }
+    selected
+  }
+
+  /** Maximal-marginal-relevance rerank — the diversity-selection stage a
+    * training-data pipeline runs AFTER retrieval (near-duplicate
+    * retrieved items waste the data budget; MMR trades relevance against
+    * redundancy): from the top-50 cosine candidates of `sim_search`'s
+    * query, greedily pick 5, each maximizing 0.7·rel − 0.3·(max cos to
+    * the already-picked set), vec_id tie-break.
+    *
+    * Scale split: candidate RETRIEVAL is the distributed part (broadcast
+    * 1-row query, scan-side cosines, TakeOrderedAndProject top-50 — the
+    * sim_search shape at any corpus size). The greedy selection itself is
+    * inherently sequential over the 50-row shortlist, so it runs on the
+    * driver over BOUNDED collects (50 rel rows + 50 vectors → 1225
+    * pairwise cosines, the pqTopK bounded-collect class); each pairwise
+    * dot is the same left-fold accumulation as the distributed
+    * DotProduct, so every score is bit-identical to the oracle's
+    * list_dot_product replay. The oracle unrolls the 4 greedy steps as
+    * CTE rounds (the sim_ann_kmeans pattern). */
+  val simRerankMmr = QueryDef(
+    "sim_rerank_mmr",
+    s"""$vecCte,
+       |q AS (SELECT ve, nrm FROM n WHERE vec_id = 0),
+       |cand AS (
+       |  SELECT b.vec_id, b.ve, b.nrm,
+       |         list_dot_product(q.ve, b.ve) / (q.nrm * b.nrm) AS rel
+       |  FROM n b, q WHERE b.vec_id <> 0
+       |  ORDER BY rel DESC, b.vec_id LIMIT 50
+       |), pcd AS (
+       |  SELECT a.vec_id AS a, b.vec_id AS b,
+       |         list_dot_product(a.ve, b.ve) / (a.nrm * b.nrm) AS cos
+       |  FROM cand a JOIN cand b ON a.vec_id <> b.vec_id
+       |), s1 AS (
+       |  SELECT vec_id, rel, 1 AS step FROM cand ORDER BY rel DESC, vec_id LIMIT 1
+       |), sel1 AS (SELECT vec_id FROM s1),
+       |${mmrStep(2)},
+       |${mmrStep(3)},
+       |${mmrStep(4)},
+       |${mmrStep(5)}
+       |SELECT CAST(step AS INT) AS step, vec_id, round(rel, 4) AS rel
+       |FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2
+       |      UNION ALL SELECT * FROM s3 UNION ALL SELECT * FROM s4
+       |      UNION ALL SELECT * FROM s5)
+       |ORDER BY step""".stripMargin) { (s, d) =>
+    val n = vecs(s, d)
+    val q = n.filter(col("vec_id") === 0)
+      .select(col("ve").as("qve"), col("nrm").as("qnrm"))
+    val cand = n.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("ve"), col("nrm"),
+        (dot(col("qve"), col("ve")) / (col("qnrm") * col("nrm"))).as("rel"))
+      .orderBy(col("rel").desc, col("vec_id"))
+      .limit(50)
+    // bounded collect (50 rows): the greedy stage's working set
+    val rows = cand.collect().map { r =>
+      (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2), r.getDouble(3))
+    }
+    val selected = mmrGreedy(rows, k = 5)
+    import s.implicits._
+    selected.zipWithIndex
+      .map { case ((id, rel), ix) => (ix + 1, id, rel) }
+      .toDF("step", "vec_id", "rel_raw")
+      // Spark round ≡ DuckDB round (the established 4dp boundary rule) —
+      // never a hand-rolled rint on the driver
+      .select(col("step"), col("vec_id"), round(col("rel_raw"), 4).as("rel"))
+  }
+
+  val all: Seq[QueryDef] = Seq(simKnn, simSearch, multimodalJoin, simMaxSim,
+    simRerankMmr)
 }

@@ -513,6 +513,54 @@ class EdgeSpec extends AnyFunSuite {
     assert(got.values.sum <= 3000000L)
   }
 
+  test("mmrGreedy: redundancy penalty demotes the near-duplicate of the first pick") {
+    // query-relevance order: 1 (rel .95), 2 (rel .94, near-identical to 1),
+    // 3 (rel .60, orthogonal to both). Pure top-k would pick (1, 2);
+    // MMR at λ=0.7 must pick the diverse 3 at step 2:
+    //   score(2) = .7·.94 − .3·cos(2,1)≈1  ≈ .358
+    //   score(3) = .7·.60 − .3·0           = .42
+    val rows: Array[(Long, Array[Double], Double, Double)] = Array(
+      (1L, Array(1.0, 0.0), 1.0, 0.95),
+      (2L, Array(0.999, 0.0447), 1.0, 0.94),
+      (3L, Array(0.0, 1.0), 1.0, 0.60))
+    val got = graft.ops.Similarity.mmrGreedy(rows, k = 3).map(_._1)
+    assert(got == Vector(1L, 3L, 2L), s"got $got")
+  }
+
+  test("mmrGreedy: ties break on vec_id; k=1 is pure argmax-rel") {
+    val e = Array(1.0, 0.0)
+    val rows: Array[(Long, Array[Double], Double, Double)] = Array(
+      (7L, e, 1.0, 0.9), (5L, e, 1.0, 0.9), (9L, e, 1.0, 0.2))
+    assert(graft.ops.Similarity.mmrGreedy(rows, 1).map(_._1) == Vector(5L))
+    // identical vectors → identical scores at step 2: lower id wins
+    assert(graft.ops.Similarity.mmrGreedy(rows, 2).map(_._1) == Vector(5L, 7L))
+  }
+
+  test("eventMarkov relation: PPM floor division and per-src normalization on a tiny log") {
+    val ev = Seq(
+      (1L, "2024-01-01 10:00:00", 1L, "view"),
+      (2L, "2024-01-01 10:01:00", 1L, "view"),
+      (3L, "2024-01-01 10:02:00", 1L, "click"),
+      (4L, "2024-01-01 10:00:00", 2L, "view"),
+      (5L, "2024-01-01 10:03:00", 2L, "purchase"))
+      .toDF("event_id", "tstr", "user_id", "event_type")
+      .withColumn("ts", col("tstr").cast("timestamp_ntz")).drop("tstr")
+    // transitions: u1 view→view, view→click; u2 view→purchase
+    // src=view totals 3: view→view 1 (333333), view→click 1, view→purchase 1
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val cnt = ev.withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("src"), col("next_type").as("dst"))
+      .agg(count(lit(1)).as("n"))
+    val tot = cnt.groupBy(col("src").as("t_src")).agg(sum(col("n")).as("t"))
+    val got = cnt.join(tot, col("src") === col("t_src"))
+      .select(col("src"), col("dst"), expr("(1000000 * n) div t").as("p_ppm"))
+      .as[(String, String, Long)].collect().toSet
+    assert(got == Set(("view", "view", 333333L), ("view", "click", 333333L),
+      ("view", "purchase", 333333L)), s"got $got")
+  }
+
   test("supplierEdges: co-occurrence is symmetric, self-pair-free, distinct") {
     val li = Seq((1L, 10L), (1L, 20L), (1L, 20L), (2L, 20L), (3L, 30L))
       .toDF("l_orderkey", "l_suppkey")
