@@ -930,9 +930,57 @@ object Events {
       .orderBy("src", "dst")
   }
 
+  /** LEFT OUTER interval join — the unmatched-detection form of
+    * `stream_join` ("views that never got a click inside 30 minutes"):
+    * per user the view count, qualifying pair count, and the number of
+    * views with NO click in their window. The batch relation behind
+    * `StreamOps.streamIntervalJoinOuter`, whose streaming form
+    * (null rows emitted only once the watermark proves absence) is
+    * driven in StreamingSpec on the same condition shape.
+    *
+    * Plan: the inner pair side reuses the banded `intervalJoin`
+    * (gap-bucket equi candidates, never per-user cartesian); outer-ness
+    * is recovered as counts — matched views from the pair relation,
+    * unmatched as n_views − n_matched — so no null rows are ever
+    * materialized and every aggregate is combinable. Three user_id-keyed
+    * shuffles, all bounded by the view/pair relations at any scale. */
+  val streamJoinOuter = QueryDef(
+    "stream_join_outer",
+    """WITH e AS (
+      |  SELECT user_id, event_type, event_id, epoch_us(ts) AS eus FROM events
+      |), v AS (
+      |  SELECT user_id, event_id, eus FROM e WHERE event_type = 'view'
+      |), c AS (
+      |  SELECT user_id, event_id, eus FROM e WHERE event_type = 'click'
+      |), j AS (
+      |  SELECT v.user_id, v.event_id AS view_id, c.event_id AS click_id
+      |  FROM v LEFT JOIN c ON v.user_id = c.user_id
+      |    AND c.eus - v.eus > 0 AND c.eus - v.eus <= 1800000000
+      |)
+      |SELECT user_id,
+      |  CAST(count(DISTINCT view_id) AS BIGINT) AS n_views,
+      |  CAST(count(click_id) AS BIGINT) AS n_pairs,
+      |  CAST(count(DISTINCT CASE WHEN click_id IS NULL THEN view_id END) AS BIGINT)
+      |    AS n_unmatched
+      |FROM j GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d)
+    val v = ev.filter(col("event_type") === "view")
+    val pairs = intervalJoin(v, ev.filter(col("event_type") === "click"),
+      maxGapUs = 1800000000L)
+    val perPairs = pairs.groupBy("user_id")
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("l_event_id")).as("n_matched"))
+    v.groupBy("user_id").agg(count(lit(1)).as("n_views"))
+      .join(perPairs, Seq("user_id"), "left")
+      .select(col("user_id"), col("n_views"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        (col("n_views") - coalesce(col("n_matched"), lit(0L))).as("n_unmatched"))
+      .orderBy("user_id")
+  }
+
   val all: Seq[QueryDef] = Seq(sessionizeQ, streamTumbling, streamSliding,
     streamWatermark, streamSession, windowTimeRange, streamDedup, eventFunnel,
     streamJoin, eventRetention, eventsResample, windowGapsIslands,
     eventAttribution, eventPaths, eventAnomaly, joinOverlap, streamFileSink,
-    eventMarkov)
+    eventMarkov, streamJoinOuter)
 }

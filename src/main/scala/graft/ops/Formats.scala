@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.Tables
@@ -150,5 +150,52 @@ object Formats {
       .orderBy("s_nationkey")
   }
 
-  val all: Seq[QueryDef] = Seq(scanCsv, scanJson, scanOrc, scanXml)
+  /** Small-file compaction — the table-maintenance job every long-lived
+    * 100 TB deployment runs (streaming ingestion and per-batch sinks
+    * fragment tables into thousands of small files; scan cost is then
+    * dominated by file open/footer overhead, not bytes): deliberately
+    * fragment events into 64 small files, compact with `coalesce` — the
+    * no-shuffle narrow repack (each output file concatenates whole input
+    * partitions; a `repartition` would pay a full shuffle for nothing) —
+    * and aggregate from the compacted layout. SourcesSpec pins the file
+    * counts (64 → 4) and that the compaction plan has no Exchange.
+    *
+    * The oracle aggregates the ORIGINAL table: compaction is physical
+    * layout only, so the relation must be bit-identical. */
+  val maintenanceCompact = QueryDef(
+    "maintenance_compact",
+    """SELECT event_type,
+      |       CAST(count(*) AS BIGINT) AS n,
+      |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+      |       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+    compactPlan(s, d)
+  }
+
+  /** The declared plan for `maintenance_compact`, exposed so SourcesSpec
+    * can pin the layout facts on exactly what the driver runs. */
+  def compactPlan(s: SparkSession, d: String): DataFrame = {
+    val root = fmtDir(d, "compact")
+    graft.Tables.events(s, d)
+      .select("event_id", "user_id", "event_type", "value")
+      .repartition(64)
+      .write.mode("overwrite").parquet(root + "/fragmented")
+    compactWrite(s, root)
+    s.read.parquet(root + "/compacted")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(Det.dec(col("value"))).cast("double").as("sum_value"))
+      .orderBy("event_type")
+  }
+
+  /** The compaction job itself: 64 fragments → 4 files, NO shuffle. */
+  def compactWrite(s: SparkSession, root: String): DataFrame = {
+    val df = s.read.parquet(root + "/fragmented").coalesce(4)
+    df.write.mode("overwrite").parquet(root + "/compacted")
+    df
+  }
+
+  val all: Seq[QueryDef] = Seq(scanCsv, scanJson, scanOrc, scanXml,
+    maintenanceCompact)
 }

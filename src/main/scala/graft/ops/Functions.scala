@@ -325,6 +325,38 @@ object Functions {
       .limit(200)
   }
 
+  /** Interval/calendar arithmetic — the datetime surface `fn_date`'s
+    * field extraction does not reach: interval addition/subtraction,
+    * date-boundary day differences, month-end, clamped month addition,
+    * ISO week truncation. Dialect parities relied on (each spot-checked):
+    * both engines clamp month addition at month ends (Jan 31 + 1 mo →
+    * Feb 29 in 2024), truncate weeks to Monday, and subtract DATEs as
+    * whole days. All pure scan-stage projections on the NTZ timestamp —
+    * exact integer/calendar ops, no floats anywhere. */
+  val fnDatetime = QueryDef(
+    "fn_datetime",
+    """SELECT event_id,
+      |  ts + INTERVAL 90 DAY AS ts_plus_90d,
+      |  ts - INTERVAL 36 HOUR AS ts_minus_36h,
+      |  CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS days_since,
+      |  last_day(CAST(ts AS DATE)) AS month_end,
+      |  CAST(CAST(ts AS DATE) + INTERVAL 1 MONTH AS DATE) AS plus_month,
+      |  date_trunc('week', ts) AS week_start
+      |FROM events ORDER BY event_id LIMIT 200""".stripMargin) { (s, d) =>
+    Tables.events(s, d)
+      .select(col("event_id"),
+        (col("ts") + expr("INTERVAL 90 DAY")).as("ts_plus_90d"),
+        (col("ts") - expr("INTERVAL 36 HOUR")).as("ts_minus_36h"),
+        datediff(col("ts").cast("date"), lit("2024-01-01").cast("date"))
+          .cast("long").as("days_since"),
+        last_day(col("ts").cast("date")).as("month_end"),
+        add_months(col("ts").cast("date"), 1).as("plus_month"),
+        // DuckDB's week-truncate lands on DATE (midnight Monday) — match it
+        date_trunc("week", col("ts")).cast("date").as("week_start"))
+      .orderBy("event_id")
+      .limit(200)
+  }
+
   val all: Seq[QueryDef] = Seq(fnString, fnDate, fnMath, fnArray, fnJson,
-    udtfShingles, fnHash, fnStruct, fnVariant, fnMap, fnRegex)
+    udtfShingles, fnHash, fnStruct, fnVariant, fnMap, fnRegex, fnDatetime)
 }

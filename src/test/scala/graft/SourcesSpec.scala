@@ -162,6 +162,26 @@ class SourcesSpec extends AnyFunSuite {
       s"expected exactly the 2 matching partitions selected, got $counts")
   }
 
+  test("maintenance_compact: 64 fragments -> 4 files, relation preserved, no shuffle") {
+    val d = "/root/testdata/sf0.001"
+    graft.ops.Formats.compactPlan(spark, d).collect()
+    val root = sys.props("java.io.tmpdir") + "/graft_fmt_" +
+      java.lang.Integer.toHexString(d.hashCode) + "/compact"
+    def parquets(p: String) =
+      new java.io.File(p).listFiles.count(_.getName.endsWith(".parquet"))
+    assert(parquets(s"$root/fragmented") == 64,
+      "fragmentation stage must produce 64 small files")
+    assert(parquets(s"$root/compacted") == 4,
+      "compaction must land exactly the 4 coalesced files")
+    val frag = spark.read.parquet(s"$root/fragmented")
+    val comp = spark.read.parquet(s"$root/compacted")
+    assert(frag.count() == comp.count(), "compaction changed the row count")
+    // coalesce is a narrow repack: the compaction job must carry NO Exchange
+    val plan = graft.ops.Formats.compactWrite(spark, root)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"compaction shuffled:\n$plan")
+  }
+
   test("join_dpp declared key: RUNTIME dynamic partition pruning reads 2 of 5 directories") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     val df = graft.ops.Scale.joinDppPlan(spark, "/root/testdata/sf0.001")
