@@ -357,6 +357,52 @@ object Functions {
       .limit(200)
   }
 
+  /** URL parsing — the component extraction every crawl/referrer pipeline
+    * runs at the scan stage. The corpus carries no URL column, so each
+    * row first BUILDS one deterministically from its own fields (the
+    * text_strip_markup fake-payload discipline), then Spark's native
+    * `parse_url` expression takes it apart: HOST / PATH / QUERY plus
+    * keyed query-parameter extraction. DuckDB has no parse_url, so the
+    * oracle derives the identical components from the same source
+    * columns directly — the hash gate therefore certifies that parse_url
+    * exactly INVERTS the construction (and with it RFC component
+    * boundaries: host ends at '/', path at '?', parameters split on
+    * '&'/'='). Grouped rollup keeps host-cardinality output; min(path)/
+    * min(query) witnesses pin the row-level strings, not just counts. */
+  val fnUrl = QueryDef(
+    "fn_url",
+    """WITH u AS (
+      |  SELECT doc_id,
+      |         source || '.example.com' AS host,
+      |         '/' || lang || '/doc-' || CAST(doc_id AS VARCHAR) AS path,
+      |         'ref=' || CAST(doc_id % 7 AS VARCHAR)
+      |           || '&p=' || CAST(n_chars % 13 AS VARCHAR) AS query,
+      |         CAST(doc_id % 7 AS VARCHAR) AS ref
+      |  FROM documents
+      |)
+      |SELECT host, ref,
+      |       CAST(count(*) AS BIGINT) AS n_docs,
+      |       min(path) AS min_path,
+      |       min(query) AS min_query
+      |FROM u GROUP BY host, ref
+      |ORDER BY host, ref""".stripMargin) { (s, d) =>
+    val url = concat(lit("https://"), col("source"), lit(".example.com/"),
+      col("lang"), lit("/doc-"), col("doc_id").cast("string"),
+      lit("?ref="), (col("doc_id") % 7).cast("string"),
+      lit("&p="), (col("n_chars") % 13).cast("string"))
+    Tables.documents(s, d)
+      .select(parse_url(url, lit("HOST")).as("host"),
+        parse_url(url, lit("PATH")).as("path"),
+        parse_url(url, lit("QUERY")).as("query"),
+        parse_url(url, lit("QUERY"), lit("ref")).as("ref"))
+      .groupBy("host", "ref")
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("path")).as("min_path"),
+        min(col("query")).as("min_query"))
+      .orderBy("host", "ref")
+  }
+
   val all: Seq[QueryDef] = Seq(fnString, fnDate, fnMath, fnArray, fnJson,
-    udtfShingles, fnHash, fnStruct, fnVariant, fnMap, fnRegex, fnDatetime)
+    udtfShingles, fnHash, fnStruct, fnVariant, fnMap, fnRegex, fnDatetime,
+    fnUrl)
 }

@@ -540,10 +540,56 @@ object Scale {
     s.sql(ExistsSql)
   }
 
+  /** Zone-map construction + pruning audit — the data-skipping statistics
+    * job behind every lakehouse OPTIMIZE/ANALYZE: for a date-clustered
+    * layout (zone = 90-day l_shipdate range — the per-file min/max proxy;
+    * real deployments key zones by file, which no cross-engine oracle can
+    * name), one combinable pass collects per-zone row counts and min/max
+    * of the cluster and a secondary column, then a representative
+    * predicate (Q3 1996) is evaluated AGAINST THE STATS ALONE: `skippable`
+    * marks zones whose [min, max] is disjoint from the predicate range —
+    * the zones a stats-aware scan never opens. Zone count is
+    * calendar-bounded (~28 for the 7-year table) at ANY corpus size; the
+    * single shuffle carries 6 counters per zone. Day arithmetic is exact
+    * integer (`div` trunc ≡ `//` floor on the non-negative post-1970
+    * epoch days).
+    */
+  val maintenanceZonemap = QueryDef(
+    "maintenance_zonemap",
+    """WITH z AS (
+      |  SELECT (CAST(l_shipdate AS DATE) - DATE '1970-01-01') // 90 AS zone,
+      |         CAST(l_shipdate AS DATE) AS ship, l_orderkey
+      |  FROM lineitem
+      |), zm AS (
+      |  SELECT zone, CAST(count(*) AS BIGINT) AS n_rows,
+      |         min(ship) AS min_ship, max(ship) AS max_ship,
+      |         CAST(min(l_orderkey) AS BIGINT) AS min_okey,
+      |         CAST(max(l_orderkey) AS BIGINT) AS max_okey
+      |  FROM z GROUP BY zone
+      |)
+      |SELECT zone, n_rows, min_ship, max_ship, min_okey, max_okey,
+      |       (max_ship < DATE '1996-07-01' OR min_ship > DATE '1996-09-30')
+      |         AS skippable
+      |FROM zm ORDER BY zone""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .select(expr("datediff(CAST(l_shipdate AS DATE), DATE '1970-01-01') div 90")
+          .as("zone"),
+        col("l_shipdate").cast("date").as("ship"), col("l_orderkey"))
+      .groupBy("zone")
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("ship")).as("min_ship"), max(col("ship")).as("max_ship"),
+        min(col("l_orderkey")).as("min_okey"),
+        max(col("l_orderkey")).as("max_okey"))
+      .withColumn("skippable",
+        col("max_ship") < lit("1996-07-01").cast("date") ||
+          col("min_ship") > lit("1996-09-30").cast("date"))
+      .orderBy("zone")
+  }
+
   val all: Seq[QueryDef] = Seq(
     scanPartitioned, joinSalted, sqlFrontend,
     windowNtile, aggFiltered, aggApproxPercentile,
     joinLateral, subqueryScalar, mergeUpsert,
     subqueryIn, sortNulls, sortOffset, mergeScd2,
-    joinDpp, subqueryExists)
+    joinDpp, subqueryExists, maintenanceZonemap)
 }

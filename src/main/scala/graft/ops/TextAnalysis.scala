@@ -660,8 +660,51 @@ object TextAnalysis {
     weightedSample(Tables.documents(s, d))
   }
 
+  /** Token-rarity document scoring — the corpus-level gibberish/OCR-noise
+    * signal `text_quality`'s per-doc shape ratios cannot see: a document
+    * whose tokens are individually well-formed but globally RARE (typos,
+    * OCR confusions, machine-generated junk) scores low on mean document
+    * frequency. Per doc, over its DISTINCT whitespace tokens: the sum of
+    * each token's corpus document frequency and the mean in integer PPM
+    * floor division (BIGINT-exact, `div` trunc ≡ `//` floor on
+    * non-negative counts — the event_markov discipline). The df is a
+    * whole-partition count window over the distinct (doc_id, token)
+    * relation, NOT a df-table join back — one token shuffle computes df
+    * AND carries the rows (the text_tfidf plan lesson); the per-doc
+    * rollup is the only other shuffle. Output = the 20 rarest docs.
+    */
+  val textRarity = QueryDef(
+    "text_rarity",
+    """WITH tok AS (
+      |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
+      |  FROM documents
+      |), dfw AS (
+      |  SELECT doc_id, CAST(count(*) OVER (PARTITION BY token) AS BIGINT) AS df
+      |  FROM tok
+      |), per AS (
+      |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+      |         CAST(sum(df) AS BIGINT) AS sum_df
+      |  FROM dfw GROUP BY doc_id
+      |)
+      |SELECT doc_id, n_tok, sum_df,
+      |       CAST(sum_df * 1000000 // n_tok AS BIGINT) AS avg_df_ppm
+      |FROM per
+      |ORDER BY avg_df_ppm, doc_id LIMIT 20""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .distinct()
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("token")))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tok"), sum(col("df")).as("sum_df"))
+      .select(col("doc_id"), col("n_tok"), col("sum_df"),
+        expr("(sum_df * 1000000) div n_tok").as("avg_df_ppm"))
+      .orderBy(col("avg_df_ppm"), col("doc_id"))
+      .limit(20)
+  }
+
   val all: Seq[QueryDef] = Seq(textLangid, textQuality, textTokens, textFingerprint,
     textPiiScrub, sampleSplit, sampleStratified, textPack, textDecontaminate,
     textNgrams, textTfidf, sampleShuffle, pipelineCleanse, textStripMarkup,
-    textRepetition, sampleWeighted)
+    textRepetition, sampleWeighted, textRarity)
 }

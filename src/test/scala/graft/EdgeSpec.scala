@@ -499,6 +499,27 @@ class EdgeSpec extends AnyFunSuite {
     assert(got == Map(1 -> 2.0, 2 -> 0.0))
   }
 
+  test("triangleCounts: K4-minus-an-edge — two triangles, per-node shares") {
+    // edges {1-2, 1-3, 2-3, 2-4, 3-4}: triangles {1,2,3} and {2,3,4}.
+    // nodes 2 and 3 sit in both; 1 and 4 in one each.
+    val und = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L))
+    val sym = (und ++ und.map(_.swap)).toDF("u", "v")
+    val got = graft.ops.Graph.triangleCounts(sym)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 1L), s"got $got")
+  }
+
+  test("triangleCounts: star graph has no triangles; orientation points at the hub") {
+    val und = Seq((1L, 2L), (1L, 3L), (1L, 4L))
+    val sym = (und ++ und.map(_.swap)).toDF("u", "v")
+    assert(graft.ops.Graph.triangleCounts(sym).count() == 0)
+    // deg(hub 1) = 3, leaves = 1 → every oriented edge starts at a leaf,
+    // so the degree-3 hub never pays the wedge join
+    val ed = graft.ops.Graph.orientByDegree(sym)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(ed == Set((2L, 1L, 3L), (3L, 1L, 3L), (4L, 1L, 3L)), s"got $ed")
+  }
+
   test("pagerank: exact integer ranks on a hand-computed 3-node path graph") {
     // path graph 1–2–3, symmetric edges; deg(1)=deg(3)=1, deg(2)=2.
     // r0 = 1e6 each; hand-unrolled micro-rank updates with truncating div:

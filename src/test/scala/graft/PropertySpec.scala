@@ -145,6 +145,44 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("zonemap: zones partition the table and skippable zones truly miss the predicate") {
+    val d = "/root/testdata/sf0.001"
+    val zm = graft.ops.Scale.maintenanceZonemap.fn(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getDate(2).toString, r.getDate(3).toString, r.getBoolean(6)))
+    val li = Tables.lineitem(spark, d)
+    assert(zm.map(_._2).sum == li.count()) // every row in exactly one zone
+    // a zone the stats mark skippable must contain ZERO predicate rows —
+    // the data-skipping soundness guarantee
+    val hitZones = li
+      .filter(col("l_shipdate").cast("date")
+        .between(lit("1996-07-01"), lit("1996-09-30")))
+      .select(expr("datediff(CAST(l_shipdate AS DATE), DATE '1970-01-01') div 90"))
+      .as[Long].collect().toSet
+    zm.foreach { case (zone, _, mn, mx, skip) =>
+      assert(mn <= mx)
+      if (skip) assert(!hitZones.contains(zone), s"zone $zone skipped but has rows")
+    }
+    // and the predicate window itself must be non-degenerate at this SF
+    assert(zm.exists(_._5) && zm.exists(!_._5))
+  }
+
+  test("text_rarity: ppm mean bounded by corpus size; singleton-token docs are rarest") {
+    val d = "/root/testdata/sf0.001"
+    val n = graft.Tables.documents(spark, d).count()
+    val rows = graft.ops.TextAnalysis.textRarity.fn(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, nTok, sumDf, ppm) =>
+      assert(nTok >= 1 && sumDf >= nTok)      // each df >= 1
+      assert(ppm >= 1000000L)                 // mean df >= 1 in ppm
+      assert(ppm <= n * 1000000L)             // mean df <= corpus size
+      assert(ppm == sumDf * 1000000L / nTok)  // the exact floor division
+    }
+    // emitted in rarity order
+    assert(rows.map(_._4).toSeq == rows.map(_._4).toSeq.sorted)
+  }
+
   test("sample_shuffle: a deterministic permutation prefix, stable across reruns") {
     val d = "/root/testdata/sf0.001"
     val a = graft.ops.TextAnalysis.sampleShuffle.fn(spark, d)
