@@ -259,5 +259,116 @@ object Graph {
     trianglesPlan(s, d)
   }
 
-  val all: Seq[QueryDef] = Seq(graphPagerank, graphTriangles)
+  /** Connected components by ALTERNATING large-star / small-star edge
+    * rewriting (the MapReduce CC algorithm of Kiveris et al., "Connected
+    * Components in MapReduce and Beyond" — public algorithm): each round
+    * rewrites the edge set so every node hooks onto the minimum of its
+    * neighborhood, converging to a forest of depth-1 stars rooted at each
+    * component's minimum id in O(log n) rounds REGARDLESS of graph
+    * diameter — the property plain label propagation (`dedup_keeper`,
+    * diameter-bounded rounds) lacks, and the reason this is the 100 TB
+    * shape for path-heavy graphs. No per-node neighbor lists are ever
+    * collected: each phase is a groupBy-min plus an equi-join emit, so a
+    * degree-10^6 hub costs one combinable aggregate, never a 10^6-element
+    * collect_list buffer.
+    *
+    * Input: canonical undirected pairs (lo < hi), distinct. Output: the
+    * converged star edges (root, member) — member ∈ component(root),
+    * root = min id of the component, root itself not listed as a member.
+    * Convergence is detected STRUCTURALLY (the edge set is a star forest:
+    * every member has exactly one root and no root is itself a member) —
+    * the actual postcondition, cheaper and stronger than set-equality
+    * with the previous round. Exceeding maxRounds THROWS (the
+    * nearDupKeepers discipline: never silently return non-components).
+    */
+  def altStarComponents(pairs0: DataFrame, maxRounds: Int = 20): DataFrame = {
+    import org.apache.spark.sql.graft.bridge.releaseLocalCheckpoint
+    var e = pairs0.select(col("lo"), col("hi")).distinct().localCheckpoint()
+    var rounds = 0
+    var star = false
+    while (rounds < maxRounds && !star) {
+      // large-star: every node's strictly-greater neighbors hook onto the
+      // min of its closed neighborhood
+      val sym = e.select(col("lo").as("u"), col("hi").as("v"))
+        .union(e.select(col("hi").as("u"), col("lo").as("v")))
+      val mins = sym.groupBy("u").agg(min("v").as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      val ls = sym.filter(col("v") > col("u")).join(mins, "u")
+        .select(col("m").as("lo"), col("v").as("hi")).distinct() // m <= u < v
+      // small-star: every node and its smaller neighbors hook onto the
+      // min of the smaller neighborhood
+      val sym2 = ls.select(col("lo").as("u"), col("hi").as("v"))
+        .union(ls.select(col("hi").as("u"), col("lo").as("v")))
+      val smaller = sym2.filter(col("v") < col("u"))
+      val mins2 = smaller.groupBy("u").agg(min("v").as("m"))
+      val next = smaller.join(mins2, "u").filter(col("v") =!= col("m"))
+        .select(col("m").as("lo"), col("v").as("hi"))
+        .union(mins2.select(col("m").as("lo"), col("u").as("hi")))
+        .distinct()
+        .localCheckpoint(eager = false)
+      // star-forest test — the first action also materializes the lazy
+      // checkpoint (nearDupKeepers' one-job-does-both pattern)
+      val a = next.agg(count(lit(1)), count_distinct(col("hi"))).first()
+      val oneRootEach = a.getLong(0) == a.getLong(1)
+      star = oneRootEach && next
+        .join(next.select(col("hi").as("lo")).distinct(), Seq("lo"), "left_semi")
+        .isEmpty
+      releaseLocalCheckpoint(e)
+      e = next
+      rounds += 1
+    }
+    if (!star) throw new IllegalStateException(
+      s"altStarComponents did not converge in $maxRounds rounds — " +
+        "raise maxRounds (output would be non-star edges otherwise)")
+    e
+  }
+
+  /** Gated key: component sizes of the part co-purchase graph — parts
+    * bought together in ≥ 2 distinct orders ("repeat affinity", which
+    * keeps the graph sparse where raw co-occurrence is near-complete).
+    * The pair build meets on l_orderkey (bounded by per-order item count
+    * — linear in the fact table), the multiplicity filter is one
+    * combinable count on the pair key, and the star edges land per-round
+    * shuffles keyed on single node ids.
+    */
+  val graphComponents = QueryDef(
+    "graph_components",
+    """WITH RECURSIVE pr AS (
+      |  SELECT DISTINCT a.l_orderkey AS ok, a.l_partkey AS u, b.l_partkey AS v
+      |  FROM lineitem a JOIN lineitem b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |), p2 AS (
+      |  SELECT u, v FROM pr GROUP BY u, v HAVING count(*) >= 2
+      |), e0 AS (
+      |  SELECT u, v FROM p2 UNION ALL SELECT v, u FROM p2
+      |), nodes AS (
+      |  SELECT DISTINCT u AS n FROM e0
+      |), r AS (
+      |  SELECT n AS node, n AS lbl FROM nodes
+      |  UNION
+      |  SELECT e0.v, r.lbl FROM r JOIN e0 ON e0.u = r.node WHERE r.lbl < e0.v
+      |), comp AS (
+      |  SELECT node, min(lbl) AS root FROM r GROUP BY node
+      |)
+      |SELECT root, CAST(count(*) AS BIGINT) AS size
+      |FROM comp GROUP BY root
+      |ORDER BY size DESC, root LIMIT 15""".stripMargin) { (s, d) =>
+    val li = Tables.lineitem(s, d).select("l_orderkey", "l_partkey")
+    val a = li.toDF("ok", "u")
+    val b = li.toDF("ok", "v")
+    val pairs = a.join(b, Seq("ok"))
+      .filter(col("u") < col("v"))
+      .distinct()
+      .groupBy(col("u").as("lo"), col("v").as("hi"))
+      .agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2)
+      .select("lo", "hi")
+    altStarComponents(pairs)
+      .groupBy(col("lo").as("root"))
+      .agg((count(lit(1)) + 1).as("size")) // members + the root itself
+      .orderBy(col("size").desc, col("root"))
+      .limit(15)
+  }
+
+  val all: Seq[QueryDef] = Seq(graphPagerank, graphTriangles, graphComponents)
 }

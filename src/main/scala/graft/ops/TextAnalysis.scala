@@ -703,8 +703,61 @@ object TextAnalysis {
       .limit(20)
   }
 
+  /** Data-MIX construction — the mixture-sampling pass that assembles a
+    * training corpus from per-source/language weights (the missing piece
+    * between `sample_stratified`'s fixed rates and `sample_weighted`'s
+    * per-row weights): each language gets a kept-doc BUDGET of
+    * weight × 60; languages over budget are hash-downsampled to it,
+    * languages under budget keep everything (both branches live at every
+    * SF — en always samples, zh's ×15 upweight always caps). The keep
+    * rule is `u32(md5('mix:' ‖ doc_id)) < floor(w·60·2^32 / n_lang)` —
+    * the per-lang threshold is ONE exact integer computed on the
+    * |langs|-row count relation (all products < 2^52), so membership is a
+    * pure row function both engines evaluate identically (the
+    * sample_split discipline: no rand(), retry-safe). Plan: one
+    * combinable count pass, the tiny threshold table broadcast back, the
+    * hash filter in the scan stage, one final lang rollup — two keyed
+    * shuffles on `lang` at any corpus size.
+    */
+  val sampleMix = QueryDef(
+    "sample_mix",
+    """WITH counts AS (
+      |  SELECT lang, CAST(count(*) AS BIGINT) AS n,
+      |         CASE lang WHEN 'en' THEN 1 WHEN 'de' THEN 3 WHEN 'es' THEN 2
+      |                   WHEN 'fr' THEN 2 WHEN 'zh' THEN 15 ELSE 1 END AS wt
+      |  FROM documents GROUP BY lang
+      |), thr AS (
+      |  SELECT lang, (wt * 60 * 4294967296) // n AS t FROM counts
+      |), k AS (
+      |  SELECT d.lang, d.n_chars,
+      |         CAST('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 8)
+      |           AS BIGINT) < t AS keep
+      |  FROM documents d JOIN thr ON d.lang = thr.lang
+      |)
+      |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |       CAST(sum(CASE WHEN keep THEN n_chars END) AS BIGINT) AS kept_chars
+      |FROM k GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val wt = when(col("lang") === "en", 1L).when(col("lang") === "de", 3L)
+      .when(col("lang") === "es", 2L).when(col("lang") === "fr", 2L)
+      .when(col("lang") === "zh", 15L).otherwise(1L)
+    val thresholds = docs.groupBy("lang").agg(count(lit(1)).as("n"))
+      .withColumn("wt", wt)
+      .select(col("lang"), expr("(wt * 60 * 4294967296) div n").as("t"))
+    val h = conv(substring(md5(concat(lit("mix:"), col("doc_id").cast("string"))),
+      1, 8), 16, 10).cast("long")
+    docs.join(broadcast(thresholds), "lang")
+      .withColumn("keep", h < col("t"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("keep"), col("n_chars"))).as("kept_chars"))
+      .orderBy("lang")
+  }
+
   val all: Seq[QueryDef] = Seq(textLangid, textQuality, textTokens, textFingerprint,
     textPiiScrub, sampleSplit, sampleStratified, textPack, textDecontaminate,
     textNgrams, textTfidf, sampleShuffle, pipelineCleanse, textStripMarkup,
-    textRepetition, sampleWeighted, textRarity)
+    textRepetition, sampleWeighted, textRarity, sampleMix)
 }

@@ -520,6 +520,25 @@ class EdgeSpec extends AnyFunSuite {
     assert(ed == Set((2L, 1L, 3L), (3L, 1L, 3L), (4L, 1L, 3L)), s"got $ed")
   }
 
+  test("altStarComponents: long path collapses to one star at the min") {
+    // a diameter-7 path is the case plain label propagation needs 7 rounds
+    // for; alternating stars must still converge (in O(log n)) and root
+    // every node at the component minimum
+    val pairs = (1L to 7L).map(i => (i, i + 1)).toDF("lo", "hi")
+    val got = graft.ops.Graph.altStarComponents(pairs)
+      .as[(Long, Long)].collect().toSet
+    assert(got == (2L to 8L).map(m => (1L, m)).toSet, s"got $got")
+  }
+
+  test("altStarComponents: disjoint components keep separate roots") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (1L, 3L), // triangle at 1
+      (10L, 11L), (11L, 12L)) // path at 10
+      .toDF("lo", "hi")
+    val got = graft.ops.Graph.altStarComponents(pairs)
+      .as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L), (1L, 3L), (10L, 11L), (10L, 12L)), s"got $got")
+  }
+
   test("pagerank: exact integer ranks on a hand-computed 3-node path graph") {
     // path graph 1–2–3, symmetric edges; deg(1)=deg(3)=1, deg(2)=2.
     // r0 = 1e6 each; hand-unrolled micro-rank updates with truncating div:

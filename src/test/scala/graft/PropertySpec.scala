@@ -183,6 +183,27 @@ class PropertySpec extends AnyFunSuite {
     assert(rows.map(_._4).toSeq == rows.map(_._4).toSeq.sorted)
   }
 
+  test("sample_mix: over-budget langs sample near target, under-budget keep all") {
+    val d = "/root/testdata/sf0.001"
+    val rows = graft.ops.TextAnalysis.sampleMix.fn(spark, d)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val weights = Map("en" -> 1L, "de" -> 3L, "es" -> 2L, "fr" -> 2L, "zh" -> 15L)
+    rows.foreach { case (lang, n, kept) =>
+      val budget = weights(lang) * 60
+      assert(kept <= n)
+      if (n <= budget) assert(kept == n, s"$lang under budget must keep all")
+      else {
+        // hash-Bernoulli at rate budget/n: expect within 4 sigma of target
+        val sigma = math.sqrt(budget.toDouble * (1 - budget.toDouble / n))
+        assert(math.abs(kept - budget) <= 4 * sigma + 1,
+          s"$lang kept $kept vs budget $budget (n=$n)")
+      }
+    }
+    // the fixture exercises BOTH branches
+    assert(rows.exists { case (l, n, _) => n <= weights(l) * 60 })
+    assert(rows.exists { case (l, n, _) => n > weights(l) * 60 })
+  }
+
   test("sample_shuffle: a deterministic permutation prefix, stable across reruns") {
     val d = "/root/testdata/sf0.001"
     val a = graft.ops.TextAnalysis.sampleShuffle.fn(spark, d)
