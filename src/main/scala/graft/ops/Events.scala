@@ -978,9 +978,114 @@ object Events {
       .orderBy("user_id")
   }
 
+  /** RFM segmentation — the recency/frequency/monetary user scoring every
+    * growth/CRM pipeline derives from the event stream: per user, days
+    * since last purchase (vs the fixed 2024-02-01 anchor — corpus is
+    * January 2024), purchase count, and exact-DECIMAL spend; each
+    * dimension scored 1-3 by fixed thresholds and users rolled up per
+    * (r, f, m) cell. ONE combinable per-user aggregate (3 counters), a
+    * scan-stage score projection, and a ≤27-cell rollup — two keyed
+    * shuffles at any corpus size, state bounded by users then by cells.
+    * Thresholds live on integer day counts and BIGINT cents (spend
+    * scored on the exact DECIMAL sum ×100 — no double compare).
+    */
+  val eventRfm = QueryDef(
+    "event_rfm",
+    """WITH p AS (
+      |  SELECT user_id, CAST(ts AS DATE) AS d, value
+      |  FROM events WHERE event_type = 'purchase'
+      |), u AS (
+      |  SELECT user_id,
+      |    DATE '2024-02-01' - max(d) AS rec_days,
+      |    CAST(count(*) AS BIGINT) AS freq,
+      |    CAST(sum(CAST(value AS DECIMAL(18,4))) * 100 AS BIGINT) AS cents
+      |  FROM p GROUP BY user_id
+      |), s AS (
+      |  SELECT user_id,
+      |    CASE WHEN rec_days <= 7 THEN 3 WHEN rec_days <= 14 THEN 2 ELSE 1 END AS r,
+      |    CASE WHEN freq >= 15 THEN 3 WHEN freq >= 8 THEN 2 ELSE 1 END AS f,
+      |    CASE WHEN cents >= 150000 THEN 3 WHEN cents >= 75000 THEN 2 ELSE 1 END AS m,
+      |    cents
+      |  FROM u
+      |)
+      |SELECT r, f, m, CAST(count(*) AS BIGINT) AS n_users,
+      |       CAST(sum(cents) AS BIGINT) AS seg_cents
+      |FROM s GROUP BY r, f, m ORDER BY r, f, m""".stripMargin) { (s, d) =>
+    val perUser = Tables.events(s, d)
+      .filter(col("event_type") === "purchase")
+      .groupBy("user_id")
+      .agg(
+        datediff(lit("2024-02-01").cast("date"), max(col("ts").cast("date")))
+          .as("rec_days"),
+        count(lit(1)).as("freq"),
+        (sum(dec(col("value"))) * 100).cast("long").as("cents"))
+    perUser
+      .select(
+        when(col("rec_days") <= 7, 3).when(col("rec_days") <= 14, 2)
+          .otherwise(1).as("r"),
+        when(col("freq") >= 15, 3).when(col("freq") >= 8, 2)
+          .otherwise(1).as("f"),
+        when(col("cents") >= 150000L, 3).when(col("cents") >= 75000L, 2)
+          .otherwise(1).as("m"),
+        col("cents"))
+      .groupBy("r", "f", "m")
+      .agg(count(lit(1)).as("n_users"), sum(col("cents")).as("seg_cents"))
+      .orderBy("r", "f", "m")
+  }
+
+  /** Sequence-pattern matching over per-user event streams —
+    * MATCH_RECOGNIZE-lite: each user's (ts, event_id)-ordered event-type
+    * initials collapse to ONE string, and row-pattern predicates become
+    * plain regexes over it ('v[cv]*p' = a view leading through
+    * clicks/views to a purchase; 'ee' = consecutive errors; '^s' =
+    * signup-first user). The complement of `event_paths` (fixed-length
+    * trigrams) and `event_funnel` (fixed stage order with arbitrary
+    * gaps): patterns here express ADJACENCY and repetition. One user_id
+    * shuffle builds the sequences (per-user state bounded by that user's
+    * activity — the sessionize bound, not corpus-sized); the pattern
+    * flags are scan-stage regexes over the sequence relation and the
+    * final rollup is one combinable row. Patterns sit in the Java∩RE2
+    * intersection (fn_regex discipline); initials are distinct across
+    * the 5 event types, so the encoding is lossless.
+    */
+  val eventSeqMatch = QueryDef(
+    "event_seq_match",
+    """WITH seqs AS (
+      |  SELECT user_id,
+      |         string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id)
+      |           AS seq
+      |  FROM events GROUP BY user_id
+      |)
+      |SELECT CAST(count(*) AS BIGINT) AS n_users,
+      |  CAST(sum(CASE WHEN regexp_matches(seq, 'v[cv]*p') THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_browse_buy,
+      |  CAST(sum(CASE WHEN regexp_matches(seq, 'ee') THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_double_err,
+      |  CAST(sum(CASE WHEN regexp_matches(seq, '^s') THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_signup_first,
+      |  CAST(sum(length(seq)) AS BIGINT) AS n_events
+      |FROM seqs""".stripMargin) { (s, d) =>
+    val seqs = Tables.events(s, d)
+      .select(col("user_id"),
+        struct(col("ts"), col("event_id"),
+          substring(col("event_type"), 1, 1).as("i")).as("st"))
+      .groupBy("user_id")
+      .agg(concat_ws("",
+        transform(array_sort(collect_list(col("st"))), x => x.getField("i")))
+        .as("seq"))
+    seqs.agg(
+      count(lit(1)).as("n_users"),
+      sum(when(col("seq").rlike("v[cv]*p"), 1L).otherwise(0L))
+        .as("n_browse_buy"),
+      sum(when(col("seq").rlike("ee"), 1L).otherwise(0L)).as("n_double_err"),
+      sum(when(col("seq").rlike("^s"), 1L).otherwise(0L))
+        .as("n_signup_first"),
+      sum(length(col("seq")).cast("long")).as("n_events"))
+  }
+
   val all: Seq[QueryDef] = Seq(sessionizeQ, streamTumbling, streamSliding,
     streamWatermark, streamSession, windowTimeRange, streamDedup, eventFunnel,
     streamJoin, eventRetention, eventsResample, windowGapsIslands,
     eventAttribution, eventPaths, eventAnomaly, joinOverlap, streamFileSink,
-    eventMarkov, streamJoinOuter)
+    eventMarkov, streamJoinOuter, eventRfm, eventSeqMatch)
 }

@@ -450,6 +450,98 @@ object Scale {
       .orderBy("c_custkey", "valid_from")
   }
 
+  /** POINT-IN-TIME join against the SCD2 dimension history — the
+    * temporal-correctness join behind every feature store and
+    * leakage-free training set: each fact row must see the dimension
+    * version that was valid AT ITS OWN timestamp, not today's row
+    * (`merge_scd2` builds the history; this key consumes it). The
+    * dimension history here is date-anchored: base balance effective
+    * 1996-01-01 for every 10th customer, +100 effective 1997-01-01 for
+    * the same keys, +200 effective 1998-01-01 for every 20th — so
+    * pre-1996 orders genuinely precede ALL history (the null branch is
+    * live at every SF) and each later order straddles a different
+    * version.
+    *
+    * The plan is the join_asof union-tag machinery generalized to a
+    * versioned dimension: version rows (tag 0) and probe rows (tag 1)
+    * union into one (key, date, tag) relation, ONE shuffle on the key
+    * sorts it, and `last(..., ignoreNulls)` over the running frame picks
+    * each probe's governing version — no join operator at all, and no
+    * interval-containment theta join (whose banding would shuffle the
+    * fact twice). Equal dates sort version-first, so `valid_from` is
+    * inclusive exactly as the oracle's `>=` bound; the next version row
+    * supersedes automatically, which IS the `< valid_to` bound for a
+    * gaplessly chained history (PropertySpec pins that chaining on
+    * merge_scd2). Exact DECIMAL sums; +100/+200 on the stored 2dp double
+    * is the identical IEEE op both engines compute (§2.9 rule 10).
+    */
+  val joinPit = QueryDef(
+    "join_pit",
+    """WITH keys AS (
+      |  SELECT c_custkey, c_acctbal FROM customer WHERE c_custkey % 10 = 0
+      |), hist AS (
+      |  SELECT c_custkey, DATE '1996-01-01' AS valid_from, c_acctbal FROM keys
+      |  UNION ALL
+      |  SELECT c_custkey, DATE '1997-01-01', c_acctbal + 100 FROM keys
+      |  UNION ALL
+      |  SELECT c_custkey, DATE '1998-01-01', c_acctbal + 200
+      |  FROM keys WHERE c_custkey % 20 = 0
+      |), h AS (
+      |  SELECT c_custkey, valid_from, c_acctbal,
+      |         lead(valid_from, 1) OVER
+      |           (PARTITION BY c_custkey ORDER BY valid_from) AS valid_to
+      |  FROM hist
+      |), probe AS (
+      |  SELECT o_custkey, CAST(o_orderdate AS DATE) AS odate, o_totalprice
+      |  FROM orders WHERE o_custkey % 10 = 0
+      |)
+      |SELECT coalesce(h.valid_from, DATE '1900-01-01') AS valid_from,
+      |       CAST(count(*) AS BIGINT) AS n_orders,
+      |       CAST(sum(CAST(h.c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_bal,
+      |       CAST(sum(CAST(p.o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+      |FROM probe p
+      |LEFT JOIN h ON p.o_custkey = h.c_custkey
+      |  AND p.odate >= h.valid_from
+      |  AND (h.valid_to IS NULL OR p.odate < h.valid_to)
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val keys = Tables.customer(s, d)
+      .filter(col("c_custkey") % 10 === 0)
+      .select(col("c_custkey").as("k"), col("c_acctbal"))
+    val hist = keys
+      .select(col("k"), lit("1996-01-01").cast("date").as("dt"),
+        col("c_acctbal").as("bal"))
+      .unionByName(keys.select(col("k"),
+        lit("1997-01-01").cast("date").as("dt"),
+        (col("c_acctbal") + 100).as("bal")))
+      .unionByName(keys.filter(col("k") % 20 === 0).select(col("k"),
+        lit("1998-01-01").cast("date").as("dt"),
+        (col("c_acctbal") + 200).as("bal")))
+      .select(col("k"), col("dt"), lit(0).as("tag"), col("bal"),
+        col("dt").as("vfrom"), lit(null).cast("double").as("price"))
+    val probe = Tables.orders(s, d)
+      .filter(col("o_custkey") % 10 === 0)
+      .select(col("o_custkey").as("k"),
+        col("o_orderdate").cast("date").as("dt"), lit(1).as("tag"),
+        lit(null).cast("double").as("bal"),
+        lit(null).cast("date").as("vfrom"), col("o_totalprice").as("price"))
+    val w = Window.partitionBy("k").orderBy("dt", "tag")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hist.unionByName(probe)
+      .select(col("k"), col("tag"), col("price"),
+        last(col("bal"), ignoreNulls = true).over(w).as("bal_at"),
+        last(col("vfrom"), ignoreNulls = true).over(w).as("valid_from"))
+      .filter(col("tag") === 1)
+      .withColumn("valid_from",
+        coalesce(col("valid_from"), lit("1900-01-01").cast("date")))
+      .groupBy("valid_from")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(dec(col("bal_at"))).cast("double").as("sum_bal"),
+        sum(dec(col("price"))).cast("double").as("sum_price"))
+      .orderBy("valid_from")
+  }
+
   /** Deterministic temp root for the DPP layout (partDir convention). */
   private def dppDir(d: String): String =
     sys.props("java.io.tmpdir") + "/graft_dpp_" +
@@ -591,5 +683,5 @@ object Scale {
     windowNtile, aggFiltered, aggApproxPercentile,
     joinLateral, subqueryScalar, mergeUpsert,
     subqueryIn, sortNulls, sortOffset, mergeScd2,
-    joinDpp, subqueryExists, maintenanceZonemap)
+    joinDpp, subqueryExists, maintenanceZonemap, joinPit)
 }
