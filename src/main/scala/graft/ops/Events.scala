@@ -815,9 +815,7 @@ object Events {
   /** Deterministic temp root for the streaming-sink pipeline (the
     * join_bucketed convention); wiped at the start of every run so the
     * checkpoint's batch ids restart from 0 and reps stay independent. */
-  private def sinkDir(d: String): String =
-    sys.props("java.io.tmpdir") + "/graft_ssink_" +
-      java.lang.Integer.toHexString(d.hashCode)
+  private def sinkDir(d: String): String = QueryDef.tmpRoot("ssink", d)
 
   private def deleteTree(root: String): Unit = {
     val p = java.nio.file.Paths.get(root)
@@ -879,7 +877,16 @@ object Events {
       .foreachBatch(graft.streaming.StreamOps.parquetBatchWriter(root + "/out"))
       .start()
     try q.processAllAvailable() finally q.stop()
-    s.read.parquet(root + "/out")
+    // Degenerate-input guard (round-8 advice): with zero qualifying rows
+    // no batch ever lands under /out, so read-back would fail
+    // path-not-found; return the same empty relation instead.
+    val landed =
+      if (new java.io.File(root + "/out").exists()) s.read.parquet(root + "/out")
+      else s.createDataFrame(
+        s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(schema.fields.filter(f =>
+          Seq("event_id", "user_id", "value").contains(f.name))))
+    landed
       .groupBy("user_id")
       .agg(count(lit(1)).as("n_purchases"),
         sum(dec(col("value"))).cast("double").as("sum_value"))
@@ -998,7 +1005,8 @@ object Events {
       |  SELECT user_id,
       |    DATE '2024-02-01' - max(d) AS rec_days,
       |    CAST(count(*) AS BIGINT) AS freq,
-      |    CAST(sum(CAST(value AS DECIMAL(18,4))) * 100 AS BIGINT) AS cents
+      |    CAST(sum(CAST(floor(CAST(value AS DECIMAL(18,4)) * 100) AS BIGINT))
+      |      AS BIGINT) AS cents
       |  FROM p GROUP BY user_id
       |), s AS (
       |  SELECT user_id,
@@ -1018,7 +1026,11 @@ object Events {
         datediff(lit("2024-02-01").cast("date"), max(col("ts").cast("date")))
           .as("rec_days"),
         count(lit(1)).as("freq"),
-        (sum(dec(col("value"))) * 100).cast("long").as("cents"))
+        // integer cents PER ROW via explicit floor on the exact decimal,
+        // identical on both engines (round-8 advice: a bare decimal→long
+        // cast truncates toward zero in Spark but rounds in DuckDB — they
+        // agreed only because 2-dp values make sum×100 integral)
+        sum(floor(dec(col("value")) * 100).cast("long")).as("cents"))
     perUser
       .select(
         when(col("rec_days") <= 7, 3).when(col("rec_days") <= 14, 2)

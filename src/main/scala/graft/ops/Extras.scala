@@ -302,8 +302,7 @@ object Extras {
     */
   def joinBucketedPlan(s: org.apache.spark.sql.SparkSession, d: String) = {
     import graft.sources.Sources
-    val base = sys.props("java.io.tmpdir") + "/graft_bkt_" +
-      java.lang.Integer.toHexString(d.hashCode)
+    val base = QueryDef.tmpRoot("bkt", d)
     Sources.writeBucketed(Tables.orders(s, d)
       .select("o_orderkey", "o_orderpriority"),
       "graft_bkt_orders", base + "/orders", buckets = 8, key = "o_orderkey")

@@ -24,8 +24,7 @@ import Det._
 object Formats {
 
   private def fmtDir(d: String, fmt: String): String =
-    sys.props("java.io.tmpdir") + "/graft_fmt_" +
-      java.lang.Integer.toHexString(d.hashCode) + "/" + fmt
+    QueryDef.tmpRoot("fmt", d) + "/" + fmt
 
   /** CSV round-trip over customer (int64/int32/double/string columns —
     * c_name included so quoted strings with '#' exercise the quoting

@@ -19,9 +19,7 @@ import graft.Tables
 object Graph {
 
   /** Deterministic temp root (join_bucketed / join_dpp convention). */
-  private def prDir(d: String): String =
-    sys.props("java.io.tmpdir") + "/graft_pr_" +
-      java.lang.Integer.toHexString(d.hashCode)
+  private def prDir(d: String): String = QueryDef.tmpRoot("pr", d)
 
   /** Directed co-occurrence edges: supplier u → v iff both appear in the
     * same order (u ≠ v). The self-join meets on l_orderkey, so candidate
@@ -170,8 +168,15 @@ object Graph {
     * equi on BOTH endpoints. Each triangle is found exactly once and
     * explodes to its three member nodes for the rollup.
     */
-  def triangleCounts(e0: DataFrame): DataFrame = {
-    val ed = orientByDegree(e0)
+  def triangleCounts(e0: DataFrame): DataFrame =
+    wedgeTriangles(orientByDegree(e0))
+
+  /** The wedge-join core over an ALREADY-ORIENTED (x, y, yd) edge
+    * relation — the single source of truth for the wedge order predicate
+    * and closing-join shape, called by both `triangleCounts` (in-memory
+    * orientation) and `trianglesPlan` (parquet-landed orientation) so the
+    * two paths cannot drift if the tie-break rule changes. */
+  def wedgeTriangles(ed: DataFrame): DataFrame = {
     val a = ed.select(col("x"), col("y").as("y1"), col("yd").as("yd1"))
     val b = ed.select(col("x"), col("y").as("y2"), col("yd").as("yd2"))
     val c = ed.select(col("x").as("cx"), col("y").as("cy"))
@@ -203,17 +208,7 @@ object Graph {
       .drop("o_orderkey")
     orientByDegree(supplierEdges(li))
       .write.mode("overwrite").parquet(root + "/edges")
-    val ed = s.read.parquet(root + "/edges")
-    val a = ed.select(col("x"), col("y").as("y1"), col("yd").as("yd1"))
-    val b = ed.select(col("x"), col("y").as("y2"), col("yd").as("yd2"))
-    val c = ed.select(col("x").as("cx"), col("y").as("cy"))
-    a.join(b, Seq("x"))
-      .filter(col("yd1") < col("yd2") ||
-        (col("yd1") === col("yd2") && col("y1") < col("y2")))
-      .join(c, col("y1") === col("cx") && col("y2") === col("cy"))
-      .select(explode(array(col("x"), col("y1"), col("y2"))).as("node"))
-      .groupBy("node")
-      .agg(count(lit(1)).as("n_tri"))
+    wedgeTriangles(s.read.parquet(root + "/edges"))
       .orderBy(col("n_tri").desc, col("node"))
       .limit(15)
   }
@@ -306,13 +301,26 @@ object Graph {
         .union(mins2.select(col("m").as("lo"), col("u").as("hi")))
         .distinct()
         .localCheckpoint(eager = false)
-      // star-forest test — the first action also materializes the lazy
-      // checkpoint (nearDupKeepers' one-job-does-both pattern)
-      val a = next.agg(count(lit(1)), count_distinct(col("hi"))).first()
-      val oneRootEach = a.getLong(0) == a.getLong(1)
-      star = oneRootEach && next
-        .join(next.select(col("hi").as("lo")).distinct(), Seq("lo"), "left_semi")
-        .isEmpty
+      // star-forest test in ONE job (round-9: was an aggregate plus a
+      // left-semi isEmpty — two actions per round on the suite's heaviest
+      // key): tag each endpoint with its role, then per-id role sums
+      // decide both conditions at once — star ⟺ no member has two roots
+      // (every hi appears once) AND no root is itself a member (no id
+      // carries both roles). The same action materializes the lazy
+      // checkpoint (nearDupKeepers' one-job-does-both pattern).
+      val roles = next.select(col("hi").as("id"),
+          lit(1L).as("asMember"), lit(0L).as("asRoot"))
+        .union(next.select(col("lo").as("id"),
+          lit(0L).as("asMember"), lit(1L).as("asRoot")))
+      val v = roles.groupBy("id")
+        .agg(sum(col("asMember")).as("m"), sum(col("asRoot")).as("r"))
+        .agg(
+          sum(when(col("m") > 1, 1L).otherwise(0L)).as("multiRoot"),
+          sum(when(col("m") > 0 && col("r") > 0, 1L).otherwise(0L)).as("rootIsMember"))
+        .first()
+      // empty edge set (no rows → null sums) is vacuously a star forest
+      star = (v.isNullAt(0) || v.getLong(0) == 0L) &&
+        (v.isNullAt(1) || v.getLong(1) == 0L)
       releaseLocalCheckpoint(e)
       e = next
       rounds += 1

@@ -19,6 +19,20 @@ object QueryDef {
     QueryDef(name, fn, Some(oracle))
   def noOracle(name: String)(fn: (SparkSession, String) => DataFrame): QueryDef =
     QueryDef(name, fn, None)
+
+  /** Shared temp root for operators that stage files (bucketed tables,
+    * landed edge relations, streaming checkpoints/sinks). Two collision
+    * classes are closed here (round-9 advice): the root embeds the JVM's
+    * pid so two CONCURRENT drivers over the same dataset cannot wipe each
+    * other's checkpoints mid-run, and it embeds the sanitized dataset
+    * path itself (not a 32-bit hash of it) so two distinct datasets can
+    * never map to one directory. Stable within a process, so bench reps
+    * overwrite the same staging instead of accumulating; /tmp roots from
+    * past processes are bounded by process count and cleared on reboot. */
+  def tmpRoot(tag: String, d: String): String =
+    sys.props("java.io.tmpdir") + "/graft_" + tag + "_p" +
+      java.lang.ProcessHandle.current().pid() + "_" +
+      d.replaceAll("[^A-Za-z0-9._-]", "_")
 }
 
 /** Cross-engine determinism helpers (SURVEY §2.9).

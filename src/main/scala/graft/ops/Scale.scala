@@ -26,8 +26,7 @@ object Scale {
   /** Deterministic temp location per sfDir (same convention as
     * `join_bucketed` / Formats) so Bench reps overwrite, not litter. */
   private def partDir(d: String): String =
-    sys.props("java.io.tmpdir") + "/graft_part_" +
-      java.lang.Integer.toHexString(d.hashCode) + "/events"
+    QueryDef.tmpRoot("part", d) + "/events"
 
   /** Write events hive-partitioned by `event_type`, then read back with a
     * partition-column predicate and aggregate. At 100 TB the pruned read
@@ -544,8 +543,7 @@ object Scale {
 
   /** Deterministic temp root for the DPP layout (partDir convention). */
   private def dppDir(d: String): String =
-    sys.props("java.io.tmpdir") + "/graft_dpp_" +
-      java.lang.Integer.toHexString(d.hashCode)
+    QueryDef.tmpRoot("dpp", d)
 
   /** Dynamic partition pruning — the RUNTIME analog of
     * `scan_partitioned`'s static prune: the fact table is laid out

@@ -210,8 +210,7 @@ object Swivel {
     // deterministic temp dir per sfDir (join_bucketed/scan_csv convention),
     // wiped first so a stale grid from an older vocab can't leak files
     // into the pathGlobFilter scan
-    val dir = sys.props("java.io.tmpdir") + "/graft_pb_" +
-      java.lang.Integer.toHexString(d.hashCode)
+    val dir = QueryDef.tmpRoot("pb", d)
     val p = java.nio.file.Paths.get(dir)
     if (java.nio.file.Files.isDirectory(p)) {
       val old = java.nio.file.Files.list(p)

@@ -144,6 +144,50 @@ object Text {
     containmentPairs(Tables.documents(s, d), threshold = 0.8).orderBy("i", "j")
   }
 
+  /** The LINEAR-scale sibling of `dedup_containment` (the same
+    * keeper-first shape as `text_editdist_dedup`, which measured 17×
+    * faster at 10× on the dup-heavy corpus): collapse exact-copy sets to
+    * one keeper representative FIRST (content-hash groupBy — one linear
+    * shuffle), then run the shingle-containment candidate join over
+    * UNIQUE texts only. Containment candidate volume grows as copy² on a
+    * dup-heavy corpus (every pair of copies of a contained/container
+    * text meets in the equi-join); collapsing first bounds it by
+    * DISTINCT content, not copy count — the 100 TB form. The emitted
+    * pairs are the containment relations among distinct contents; an
+    * exact copy of a contained doc is already handled by the exact-dedup
+    * pass, so nothing is lost. */
+  val dedupContainmentDedup = QueryDef(
+    "dedup_containment_dedup",
+    s"""WITH k AS (
+       |  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+       |), kd AS (
+       |  SELECT d.doc_id, d.text FROM documents d JOIN k ON d.doc_id = k.doc_id
+       |), ${Functions.shingleOracleCteOver("kd")},
+       |shd AS (SELECT DISTINCT doc_id, shingle FROM sh WHERE shingle IS NOT NULL),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY doc_id),
+       |inter AS (
+       |  SELECT x.doc_id AS i, y.doc_id AS j, count(*) AS inter
+       |  FROM shd x JOIN shd y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+       |  GROUP BY i, j
+       |), c AS (
+       |  SELECT i, j, inter.inter / si.n AS cont_i, inter.inter / sj.n AS cont_j
+       |  FROM inter
+       |  JOIN sizes si ON inter.i = si.doc_id
+       |  JOIN sizes sj ON inter.j = sj.doc_id
+       |)
+       |SELECT i, j, round(greatest(cont_i, cont_j), 4) AS cont,
+       |       CASE WHEN cont_i >= cont_j THEN i ELSE j END AS contained
+       |FROM c WHERE greatest(cont_i, cont_j) >= 0.8
+       |ORDER BY i, j""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val keepers = docs
+      .groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id")
+    val kd = docs.join(keepers, Seq("doc_id")).select("doc_id", "text")
+    containmentPairs(kd, threshold = 0.8).orderBy("i", "j")
+  }
+
   /** ONE round of min-propagation: for every document in a near-dup pair,
     * the minimum doc_id among itself and its direct neighbors. Linear
     * output; correct cluster representative whenever components are
@@ -357,5 +401,5 @@ object Text {
   }
 
   val all: Seq[QueryDef] = Seq(textStats, dedupExact, dedupNear, dedupKeeper,
-    textEditdist, textEditdistDedup, dedupContainment)
+    textEditdist, textEditdistDedup, dedupContainment, dedupContainmentDedup)
 }
