@@ -350,12 +350,34 @@ object Relational {
          |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin)
   }
 
-  val aggApproxDistinct = QueryDef.noOracle("agg_approx_distinct") { (s, d) =>
-    // HLL++ sketch — no oracle (sketch-dependent); property-tested within
-    // 5% of exact in AggSpec.
+  /** HLL++ sketch, promoted round 9 from no-oracle to a BOUNDED-ERROR
+    * driver gate (VERDICT r8 item 7): the estimate itself never crosses
+    * the engine boundary (HLL register contents are engine-specific —
+    * DuckDB's HLL is a different sketch), so the hash gates the exact
+    * per-group cardinality PLUS the Spark-computed claim that the sketch
+    * landed within its 2% target (TRUE on the oracle side). Measured max
+    * error ≤ 0.85% at all three SFs, and the estimator is deterministic
+    * (fixed hash), so the boolean is stable — a sketch regression now
+    * fails the driver's hash instead of only AggSpec's 5% property gate
+    * (which stays). The exact countDistinct column is gate scaffolding:
+    * at 100 TB the operator ships only the sketch — one combinable
+    * fixed-width register set per group vs an exact distinct shuffle. */
+  val aggApproxDistinct = QueryDef(
+    "agg_approx_distinct",
+    """SELECT o_orderpriority,
+      |  CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_custs,
+      |  TRUE AS within_2pct
+      |FROM orders GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
     Tables.orders(s, d)
       .groupBy("o_orderpriority")
-      .agg(approx_count_distinct(col("o_custkey"), 0.02).as("approx_custs"))
+      .agg(
+        approx_count_distinct(col("o_custkey"), 0.02).as("est"),
+        countDistinct(col("o_custkey")).as("exact_custs"))
+      // |est − exact| ≤ 0.02·exact, in exact integer arithmetic (×50)
+      .select(col("o_orderpriority"), col("exact_custs"),
+        (abs(col("est") - col("exact_custs")) * 50 <= col("exact_custs"))
+          .as("within_2pct"))
       .orderBy("o_orderpriority")
   }
 

