@@ -893,6 +893,87 @@ object Events {
       .orderBy("user_id")
   }
 
+  /** ARBITRARY STATEFUL PROCESSING under the driver's hash — the
+    * `flatMapGroupsWithState` surface the session_window keys can't
+    * reach (custom per-key state, incremental emission on event-time
+    * timeout), run as an ACTUAL streaming query the stream_file_sink
+    * way: events staged to files → readStream (`maxFilesPerTrigger=1`,
+    * real microbatches through the checkpoint) →
+    * `StreamOps.statefulSessionsWatermarked` (per-user session-list
+    * state, sessions emit exactly when the watermark passes last+gap) →
+    * idempotent foreachBatch parquet sink → landed per-session relation,
+    * which must equal BATCH `sessionize` exactly (the oracle replays the
+    * batch form).
+    *
+    * Determinism scaffold: the watermark delay (90 days) exceeds the
+    * corpus span, so no real event can be late in ANY file order — the
+    * stateful operator's exact-batch-parity guarantee applies
+    * unconditionally (StreamingSpec proves the tight-watermark behavior:
+    * late-drop, bridging, timeout emission). The flush sentinel (a
+    * far-future event on user −1) is written AFTER the main files drain,
+    * so it is provably the newest file; its batch advances the watermark
+    * past every real session and the engine's no-data batch fires every
+    * timeout. At scale the tight-watermark form bounds state by the
+    * disorder horizon; the wide delay here trades that bound for
+    * hash-exact parity (state = all open sessions, user-bounded). */
+  val streamStatefulSession = QueryDef(
+    "stream_stateful_session",
+    """WITH x AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS eus,
+      |         lag(epoch_us(ts), 1) OVER (PARTITION BY user_id
+      |                                    ORDER BY ts, event_id) AS prev_eus
+      |  FROM events
+      |), f AS (
+      |  SELECT *, CASE WHEN prev_eus IS NULL OR eus - prev_eus > 1800000000
+      |                 THEN 1 ELSE 0 END AS new_sess
+      |  FROM x
+      |), sid AS (
+      |  SELECT *, sum(new_sess) OVER (PARTITION BY user_id
+      |            ORDER BY eus, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM f
+      |)
+      |SELECT user_id, min(eus) AS s_eus, max(eus) AS e_eus,
+      |       CAST(count(*) AS BIGINT) AS n_events
+      |FROM sid GROUP BY user_id, session_id
+      |ORDER BY user_id, s_eus""".stripMargin) { (s, d) =>
+    val root = QueryDef.tmpRoot("sstate", d)
+    deleteTree(root)
+    Tables.events(s, d)
+      .select("user_id", "ts", "event_id")
+      .withColumn("g", pmod(col("event_id"), lit(3)))
+      .drop("event_id")
+      .repartition(col("g"))
+      .write.partitionBy("g").parquet(root + "/in")
+    val schema = s.read.option("recursiveFileLookup", "true")
+      .parquet(root + "/in").schema
+    val q = s.readStream.schema(schema)
+      .option("recursiveFileLookup", "true")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(root + "/in")
+      .transform(df => graft.streaming.StreamOps
+        .statefulSessionsWatermarked(df, gapUs = 1800000000L,
+          watermark = "2160 hours")
+        .toDF("user_id", "s_eus", "e_eus", "n_events"))
+      .writeStream
+      .option("checkpointLocation", root + "/ckpt")
+      .foreachBatch(graft.streaming.StreamOps.parquetBatchWriter(root + "/out"))
+      .start()
+    try {
+      q.processAllAvailable()
+      // flush: one far-future sentinel event, written only after every
+      // staged file has been consumed (newest file by construction)
+      s.range(1).select(lit(-1L).as("user_id"),
+          lit("2025-01-01 00:00:00").cast(schema("ts").dataType).as("ts"))
+        .write.mode("append").parquet(root + "/in/g=0")
+      q.processAllAvailable()
+    } finally q.stop()
+    s.read.parquet(root + "/out")
+      .filter(col("user_id") >= 0)
+      .select("user_id", "s_eus", "e_eus", "n_events")
+      .orderBy("user_id", "s_eus")
+  }
+
   /** First-order Markov transition model over per-user event-type
     * sequences — the normalized counterpart of `event_paths` (which mines
     * raw top-k trigrams): for every (src → dst) transition the count and
@@ -1099,5 +1180,6 @@ object Events {
     streamWatermark, streamSession, windowTimeRange, streamDedup, eventFunnel,
     streamJoin, eventRetention, eventsResample, windowGapsIslands,
     eventAttribution, eventPaths, eventAnomaly, joinOverlap, streamFileSink,
-    eventMarkov, streamJoinOuter, eventRfm, eventSeqMatch)
+    eventMarkov, streamJoinOuter, eventRfm, eventSeqMatch,
+    streamStatefulSession)
 }
