@@ -378,5 +378,79 @@ object Graph {
       .limit(15)
   }
 
-  val all: Seq[QueryDef] = Seq(graphPagerank, graphTriangles, graphComponents)
+  /** Link prediction by neighborhood similarity — the remaining classic
+    * graph kernel (pagerank = centrality, triangles = cohesion,
+    * components = reachability; this = "which non-edges SHOULD exist"):
+    * over the part co-purchase graph (the graph_components base — parts
+    * bought together in ≥ 2 distinct orders; the supplier graph is
+    * complete at the smallest SF, leaving no non-edges to rank), for
+    * every NON-ADJACENT part pair sharing ≥ 1 neighbor, the
+    * common-neighbor count and neighborhood Jaccard
+    * |N(a)∩N(b)| / |N(a)∪N(b)| in integer PPM (floor division — BIGINT
+    * exact, the event_markov discipline). Top 15 by (jac_ppm, a, b).
+    *
+    * Scale: wedges meet on the CENTER node equi key, so per-center work
+    * is deg(w)² — for common-neighbor semantics the center is fixed (the
+    * wedge's w IS the shared neighbor), so the triangle-count degree
+    * orientation cannot re-anchor the wedge; the repeat-affinity filter
+    * keeps degrees basket-bounded here, and at web scale this kernel
+    * takes the standard hub treatment (cap/sample celebrity neighbors —
+    * a recall trade the oriented triangle kernel never has to make). The
+    * landed edge file is scanned 3× (two wedge sides + the adjacency
+    * anti-join) instead of replaying the fact self-join lineage 3×. */
+  val graphLinkpred = QueryDef(
+    "graph_linkpred",
+    """WITH pr AS (
+      |  SELECT DISTINCT a.l_orderkey AS ok, a.l_partkey AS u, b.l_partkey AS v
+      |  FROM lineitem a JOIN lineitem b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+      |), e0 AS (
+      |  SELECT u, v FROM pr GROUP BY u, v HAVING count(*) >= 2
+      |), deg AS (
+      |  SELECT u, CAST(count(*) AS BIGINT) AS d FROM e0 GROUP BY u
+      |), cn AS (
+      |  SELECT w1.v AS a, w2.v AS b, CAST(count(*) AS BIGINT) AS common
+      |  FROM e0 w1 JOIN e0 w2 ON w1.u = w2.u AND w1.v < w2.v
+      |  GROUP BY a, b
+      |), ne AS (
+      |  SELECT cn.a, cn.b, cn.common FROM cn
+      |  WHERE NOT EXISTS (SELECT 1 FROM e0 WHERE e0.u = cn.a AND e0.v = cn.b)
+      |)
+      |SELECT ne.a, ne.b, ne.common,
+      |       CAST((1000000 * ne.common) // (da.d + db.d - ne.common) AS BIGINT)
+      |         AS jac_ppm
+      |FROM ne
+      |JOIN deg da ON ne.a = da.u
+      |JOIN deg db ON ne.b = db.u
+      |ORDER BY jac_ppm DESC, ne.a, ne.b LIMIT 15""".stripMargin) { (s, d) =>
+    val root = prDir(d) + "_cn"
+    val li = Tables.lineitem(s, d).select("l_orderkey", "l_partkey")
+    // repeat-affinity sparsification (the graph_components trick): keep
+    // pairs co-purchased in >= 2 DISTINCT orders, so the non-edge set —
+    // what link prediction ranks — is live at every SF
+    li.toDF("ok", "u").join(li.toDF("ok", "v"), Seq("ok"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .groupBy("u", "v").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2)
+      .select("u", "v")
+      .write.mode("overwrite").parquet(root + "/edges")
+    val e0 = s.read.parquet(root + "/edges")
+    val deg = e0.groupBy("u").agg(count(lit(1)).as("d"))
+    val cn = e0.select(col("u").as("w"), col("v").as("a"))
+      .join(e0.select(col("u").as("w"), col("v").as("b")), Seq("w"))
+      .filter(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("common"))
+    cn.join(e0.select(col("u").as("a"), col("v").as("b")), Seq("a", "b"),
+        "left_anti")
+      .join(deg.select(col("u").as("a"), col("d").as("da")), "a")
+      .join(deg.select(col("u").as("b"), col("d").as("db")), "b")
+      .select(col("a"), col("b"), col("common"),
+        expr("(1000000 * common) div (da + db - common)").as("jac_ppm"))
+      .orderBy(col("jac_ppm").desc, col("a"), col("b"))
+      .limit(15)
+  }
+
+  val all: Seq[QueryDef] = Seq(graphPagerank, graphTriangles, graphComponents,
+    graphLinkpred)
 }

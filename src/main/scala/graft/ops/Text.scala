@@ -188,6 +188,81 @@ object Text {
     containmentPairs(kd, threshold = 0.8).orderBy("i", "j")
   }
 
+  /** INCREMENTAL dedup — the shape a production corpus actually runs:
+    * a NEW batch (every 10th doc) is deduplicated AGAINST the existing
+    * corpus (the rest), never corpus-against-itself. Per increment doc:
+    * the minimum base doc it exactly duplicates (content-hash index
+    * probe), the minimum base doc it near-duplicates (Jaccard ≥ 0.5 over
+    * 3-gram shingles, candidates restricted to incr×base — base×base
+    * pairs never form), and the resulting disposition
+    * (exact / near / keep).
+    *
+    * Scale shape: at 100 TB the base side is a LANDED index (content
+    * hashes + LSH bands built once, appended per batch), and the
+    * increment probes it — work scales with the INCREMENT, not the
+    * corpus (the exact probe is a broadcast-able or bucketed hash join;
+    * the candidate join swaps to the dedup_minhash banded generator,
+    * identical final filter). One shingle derivation serves both sides
+    * (side is a residue predicate pushed to the scan). */
+  val dedupIncremental = QueryDef(
+    "dedup_incremental",
+    s"""${Functions.shingleOracleCte},
+       |shd AS (SELECT DISTINCT doc_id, shingle FROM sh WHERE shingle IS NOT NULL),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY doc_id),
+       |inter AS (
+       |  SELECT x.doc_id AS i, y.doc_id AS b, count(*) AS inter
+       |  FROM shd x JOIN shd y ON x.shingle = y.shingle
+       |  WHERE x.doc_id % 10 = 0 AND y.doc_id % 10 <> 0
+       |  GROUP BY i, b
+       |), near AS (
+       |  SELECT i, min(b) AS near_dup_of FROM (
+       |    SELECT i, b, inter.inter / (si.n + sb.n - inter.inter) AS jac
+       |    FROM inter
+       |    JOIN sizes si ON inter.i = si.doc_id
+       |    JOIN sizes sb ON inter.b = sb.doc_id
+       |  ) WHERE jac >= 0.5 GROUP BY i
+       |), idx AS (
+       |  SELECT md5(text) AS h, min(doc_id) AS base_id
+       |  FROM documents WHERE doc_id % 10 <> 0 GROUP BY h
+       |), ex AS (
+       |  SELECT d.doc_id, idx.base_id AS exact_dup_of
+       |  FROM documents d LEFT JOIN idx ON md5(d.text) = idx.h
+       |  WHERE d.doc_id % 10 = 0
+       |)
+       |SELECT ex.doc_id, ex.exact_dup_of, near.near_dup_of,
+       |  CASE WHEN ex.exact_dup_of IS NOT NULL THEN 'exact'
+       |       WHEN near.near_dup_of IS NOT NULL THEN 'near'
+       |       ELSE 'keep' END AS verdict
+       |FROM ex LEFT JOIN near ON ex.doc_id = near.i
+       |ORDER BY ex.doc_id""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val isIncr = col("doc_id") % 10 === 0
+    val idx = docs.filter(!isIncr)
+      .groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("base_id"))
+    val ex = docs.filter(isIncr)
+      .select(col("doc_id"), md5(col("text")).as("h"))
+      .join(idx, Seq("h"), "left")
+      .select(col("doc_id"), col("base_id").as("exact_dup_of"))
+    val sh = Functions.shingles(docs)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val near = sh.as("x").filter(col("x.doc_id") % 10 === 0)
+      .join(sh.as("y").filter(col("y.doc_id") % 10 =!= 0),
+        col("x.shingle") === col("y.shingle"))
+      .groupBy(col("x.doc_id").as("i"), col("y.doc_id").as("b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.as("si"), col("i") === col("si.doc_id"))
+      .join(sizes.as("sb"), col("b") === col("sb.doc_id"))
+      .filter(col("inter") / (col("si.n") + col("sb.n") - col("inter")) >= 0.5)
+      .groupBy("i").agg(min(col("b")).as("near_dup_of"))
+    ex.join(near, col("doc_id") === col("i"), "left")
+      .select(col("doc_id"), col("exact_dup_of"), col("near_dup_of"),
+        when(col("exact_dup_of").isNotNull, lit("exact"))
+          .when(col("near_dup_of").isNotNull, lit("near"))
+          .otherwise(lit("keep")).as("verdict"))
+      .orderBy("doc_id")
+  }
+
   /** ONE round of min-propagation: for every document in a near-dup pair,
     * the minimum doc_id among itself and its direct neighbors. Linear
     * output; correct cluster representative whenever components are
@@ -401,5 +476,6 @@ object Text {
   }
 
   val all: Seq[QueryDef] = Seq(textStats, dedupExact, dedupNear, dedupKeeper,
-    textEditdist, textEditdistDedup, dedupContainment, dedupContainmentDedup)
+    textEditdist, textEditdistDedup, dedupContainment, dedupContainmentDedup,
+    dedupIncremental)
 }
