@@ -655,6 +655,102 @@ object Scale {
     s.sql(ExistsSql)
   }
 
+  /** ANALYZE-style table statistics — the catalog-stats job behind every
+    * cost-based optimizer (and the third maintenance kernel, alongside
+    * compact = layout and zonemap = skipping): per column of `orders`,
+    * the non-null count, exact NDV, and min/max, emitted as one
+    * (col_name, …) row each. ONE full-table pass computes every
+    * column's counters simultaneously (the classic ANALYZE shape — never
+    * a pass per column); the single aggregate row then unpivots via
+    * `stack` (driver-free, constant-width). Multiple COUNT(DISTINCT)s
+    * plan through Catalyst's Expand (input ×n_cols before the partial
+    * agg) — the exact-NDV cost every engine pays; at 100 TB the swap is
+    * approx_count_distinct per column in the SAME single pass (the
+    * `agg_approx_distinct` key gates that sketch's error bound).
+    * Min/max cross the engine boundary as strings per §2.9: BIGINT and
+    * DATE render identically in both engines; the DOUBLE price column is
+    * carried as exact integer CENTS (round ×100 → BIGINT) — a raw
+    * double's shortest-round-trip string is writer-defined and never
+    * crosses the boundary.
+    */
+  val maintenanceAnalyze = QueryDef(
+    "maintenance_analyze",
+    """WITH a AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+      |    CAST(count(o_orderkey) AS BIGINT) AS nn1,
+      |    CAST(count(DISTINCT o_orderkey) AS BIGINT) AS ndv1,
+      |    CAST(min(o_orderkey) AS VARCHAR) AS mn1,
+      |    CAST(max(o_orderkey) AS VARCHAR) AS mx1,
+      |    CAST(count(o_custkey) AS BIGINT) AS nn2,
+      |    CAST(count(DISTINCT o_custkey) AS BIGINT) AS ndv2,
+      |    CAST(min(o_custkey) AS VARCHAR) AS mn2,
+      |    CAST(max(o_custkey) AS VARCHAR) AS mx2,
+      |    CAST(count(o_orderstatus) AS BIGINT) AS nn3,
+      |    CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS ndv3,
+      |    CAST(min(o_orderstatus) AS VARCHAR) AS mn3,
+      |    CAST(max(o_orderstatus) AS VARCHAR) AS mx3,
+      |    CAST(count(o_orderdate) AS BIGINT) AS nn4,
+      |    CAST(count(DISTINCT CAST(o_orderdate AS DATE)) AS BIGINT) AS ndv4,
+      |    CAST(min(CAST(o_orderdate AS DATE)) AS VARCHAR) AS mn4,
+      |    CAST(max(CAST(o_orderdate AS DATE)) AS VARCHAR) AS mx4,
+      |    CAST(count(o_totalprice) AS BIGINT) AS nn5,
+      |    CAST(count(DISTINCT CAST(round(o_totalprice * 100) AS BIGINT))
+      |      AS BIGINT) AS ndv5,
+      |    CAST(min(CAST(round(o_totalprice * 100) AS BIGINT)) AS VARCHAR)
+      |      AS mn5,
+      |    CAST(max(CAST(round(o_totalprice * 100) AS BIGINT)) AS VARCHAR)
+      |      AS mx5
+      |  FROM orders
+      |)
+      |SELECT 'o_orderkey' AS col_name, n_rows, nn1 AS n_nonnull,
+      |       ndv1 AS ndv, mn1 AS min_val, mx1 AS max_val FROM a
+      |UNION ALL
+      |SELECT 'o_custkey', n_rows, nn2, ndv2, mn2, mx2 FROM a
+      |UNION ALL
+      |SELECT 'o_orderstatus', n_rows, nn3, ndv3, mn3, mx3 FROM a
+      |UNION ALL
+      |SELECT 'o_orderdate', n_rows, nn4, ndv4, mn4, mx4 FROM a
+      |UNION ALL
+      |SELECT 'o_totalprice_cents', n_rows, nn5, ndv5, mn5, mx5 FROM a
+      |ORDER BY col_name""".stripMargin) { (s, d) =>
+    val o = Tables.orders(s, d)
+      .withColumn("odate", col("o_orderdate").cast("date"))
+      .withColumn("cents",
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+    o.agg(
+        count(lit(1)).as("n_rows"),
+        count(col("o_orderkey")).as("nn1"),
+        countDistinct(col("o_orderkey")).as("ndv1"),
+        min(col("o_orderkey")).cast("string").as("mn1"),
+        max(col("o_orderkey")).cast("string").as("mx1"),
+        count(col("o_custkey")).as("nn2"),
+        countDistinct(col("o_custkey")).as("ndv2"),
+        min(col("o_custkey")).cast("string").as("mn2"),
+        max(col("o_custkey")).cast("string").as("mx2"),
+        count(col("o_orderstatus")).as("nn3"),
+        countDistinct(col("o_orderstatus")).as("ndv3"),
+        min(col("o_orderstatus")).cast("string").as("mn3"),
+        max(col("o_orderstatus")).cast("string").as("mx3"),
+        count(col("odate")).as("nn4"),
+        countDistinct(col("odate")).as("ndv4"),
+        min(col("odate")).cast("string").as("mn4"),
+        max(col("odate")).cast("string").as("mx4"),
+        count(col("cents")).as("nn5"),
+        countDistinct(col("cents")).as("ndv5"),
+        min(col("cents")).cast("string").as("mn5"),
+        max(col("cents")).cast("string").as("mx5"))
+      .selectExpr(
+        """stack(5,
+          |  'o_orderkey', n_rows, nn1, ndv1, mn1, mx1,
+          |  'o_custkey', n_rows, nn2, ndv2, mn2, mx2,
+          |  'o_orderstatus', n_rows, nn3, ndv3, mn3, mx3,
+          |  'o_orderdate', n_rows, nn4, ndv4, mn4, mx4,
+          |  'o_totalprice_cents', n_rows, nn5, ndv5, mn5, mx5
+          |) AS (col_name, n_rows, n_nonnull, ndv, min_val, max_val)"""
+          .stripMargin)
+      .orderBy("col_name")
+  }
+
   /** Zone-map construction + pruning audit — the data-skipping statistics
     * job behind every lakehouse OPTIMIZE/ANALYZE: for a date-clustered
     * layout (zone = 90-day l_shipdate range — the per-file min/max proxy;
@@ -706,5 +802,6 @@ object Scale {
     windowNtile, aggFiltered, aggApproxPercentile,
     joinLateral, subqueryScalar, mergeUpsert,
     subqueryIn, sortNulls, sortOffset, mergeScd2,
-    joinDpp, subqueryExists, maintenanceZonemap, joinPit)
+    joinDpp, subqueryExists, maintenanceZonemap, joinPit,
+    maintenanceAnalyze)
 }
