@@ -95,5 +95,54 @@ object Pipelines {
       .limit(20)
   }
 
-  val all: Seq[QueryDef] = Seq(pipelineTpchQ3, pipelineTpchQ18)
+  /** TPC-H Q5 shape (local-supplier volume): revenue per nation from
+    * orders where the CUSTOMER's nation equals the SUPPLIER's nation,
+    * region-restricted, one order-year window — the 6-table snowflake
+    * join (customer ⋈ orders ⋈ lineitem ⋈ supplier ⋈ nation ⋈ region)
+    * with a non-key equi constraint (c_nationkey = s_nationkey) riding
+    * the supplier join. Region + date filters are scan-stage; the two
+    * bounded dims (nation, region) broadcast by size, the fact-side
+    * joins shuffle on their keys. Revenue is the §2.9 exact-DECIMAL
+    * product summed then cast once; n_name tie-breaks the ordering. */
+  val pipelineTpchQ5 = QueryDef(
+    "pipeline_tpch_q5",
+    """SELECT n_name,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+      |FROM customer
+      |JOIN orders   ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |JOIN nation   ON c_nationkey = n_nationkey
+      |JOIN region   ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o_orderdate <  TIMESTAMP '1997-01-01'
+      |GROUP BY n_name
+      |ORDER BY revenue DESC, n_name""".stripMargin) { (s, d) =>
+    val cust = Tables.customer(s, d).select("c_custkey", "c_nationkey")
+    val ord = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp_ntz")
+        && col("o_orderdate") < lit("1997-01-01").cast("timestamp_ntz"))
+      .select("o_orderkey", "o_custkey")
+    val li = Tables.lineitem(s, d)
+      .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    val supp = Tables.supplier(s, d).select("s_suppkey", "s_nationkey")
+    val nat = Tables.nation(s, d)
+      .select("n_nationkey", "n_name", "n_regionkey")
+    val reg = Tables.region(s, d)
+      .filter(col("r_name") === "ASIA").select("r_regionkey")
+    cust.join(ord, col("c_custkey") === col("o_custkey"))
+      .join(li, col("o_orderkey") === col("l_orderkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey")
+        && col("c_nationkey") === col("s_nationkey"))
+      .join(nat, col("c_nationkey") === col("n_nationkey"))
+      .join(reg, col("n_regionkey") === col("r_regionkey"))
+      .groupBy("n_name")
+      .agg(sum(money(col("l_extendedprice")) * (lit(1) - rate(col("l_discount"))))
+        .cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  val all: Seq[QueryDef] = Seq(pipelineTpchQ3, pipelineTpchQ18,
+    pipelineTpchQ5)
 }

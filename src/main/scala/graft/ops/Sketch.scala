@@ -175,5 +175,44 @@ object Sketch {
       .orderBy(col("exact_n").desc, col("token"))
   }
 
-  val all: Seq[QueryDef] = Seq(joinBloom, aggSketchCms)
+  /** Sketch MERGEABILITY — the property that makes sketches the 100 TB
+    * answer and the one `agg_approx_distinct` (a single-level rollup)
+    * doesn't exercise: PARTIAL DataSketches-HLL sketches built per
+    * (event_type, user-shard) — the shape of a pre-aggregated daily
+    * sketch table — are UNION-MERGED per event_type (`hll_union_agg`)
+    * and only then estimated. At 100 TB the partial level is a landed
+    * rollup maintained per ingest batch; reports of any grain merge
+    * fixed-width register blobs (~2.5 KB at lgK=12) without touching
+    * raw data, and the merge is associative/commutative so any shuffle
+    * tree is correct. Gate: the `agg_approx_distinct` bounded-error
+    * shape — the driver hashes per-group EXACT distinct counts plus a
+    * Spark-computed `within_2pct` boolean (measured union error ≤ 0.53%
+    * at sf0.1 across every group; the estimator is deterministic for a
+    * fixed lgK so the boolean is stable). The exact column is gate
+    * scaffolding; production ships only the sketches. */
+  val aggSketchHllMerge = QueryDef(
+    "agg_sketch_hll_merge",
+    """SELECT event_type,
+      |  CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+      |  TRUE AS within_2pct
+      |FROM events GROUP BY event_type
+      |ORDER BY event_type""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d)
+    val partial = ev
+      .groupBy(col("event_type"), pmod(col("user_id"), lit(8)).as("shard"))
+      .agg(hll_sketch_agg(col("user_id"), lit(12)).as("sk"))
+    val merged = partial.groupBy("event_type")
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"), lit(false)))
+        .as("est"))
+    val exact = ev.groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("exact_users"))
+    merged.join(exact, "event_type")
+      // |est − exact| ≤ 0.02·exact in exact integer arithmetic (×50)
+      .select(col("event_type"), col("exact_users"),
+        (abs(col("est") - col("exact_users")) * 50 <= col("exact_users"))
+          .as("within_2pct"))
+      .orderBy("event_type")
+  }
+
+  val all: Seq[QueryDef] = Seq(joinBloom, aggSketchCms, aggSketchHllMerge)
 }
