@@ -231,6 +231,70 @@ object Multimodal {
       .limit(400)
   }
 
+  /** Per-payload perceptual hash row. */
+  case class PHash(doc_id: Long, phash: Long)
+
+  /** Partition-iterator AVERAGE-HASH stub — the perceptual-dedup decode
+    * surface: bit k of the hash is "byte k above the payload mean"
+    * (`b_k·16 > Σb` — integer-exact, no division), packed into a 16-bit
+    * hash. A real aHash thresholds the 8×8 downsampled luma against its
+    * mean — identical structure, 64 bits; the blob never leaves the
+    * iterator, only the fixed-width hash lands. */
+  def aHashStub(payloads: DataFrame)(implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    payloads.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, b) =>
+          val u = b.map(_ & 0xff)
+          val s = u.sum
+          val h = u.zipWithIndex.foldLeft(0L) { case (acc, (v, k)) =>
+            if (v * 16 > s) acc | (1L << k) else acc
+          }
+          PHash(id, h)
+        }
+      }.toDF()
+  }
+
+  /** Perceptual-hash image dedup — dedup_exact's shape lifted onto the
+    * multimodal decode surface: hash in the iterator, then ONE linear
+    * groupBy on the hash picks each bucket's min-id keeper (identical
+    * payloads — the planted exact-copy docs — always collide, the aHash
+    * guarantee for identical images). Near-dup at scale is the
+    * dedup_simhash_near machinery verbatim: 4×16-bit Hamming bands over
+    * the 64-bit production hash. Oracle recomputes the threshold bits
+    * from the md5 hex bytes — exact integers end-to-end. */
+  val multimodalDedup = QueryDef(
+    "multimodal_dedup",
+    {
+      val bytes = (0 until 16).map(i =>
+        s"CAST('0x' || substr(md5(text), ${2 * i + 1}, 2) AS INTEGER) AS b$i").mkString(",\n      |    ")
+      val bs = (0 until 16).map(i => s"b$i")
+      val hash = (0 until 16).map(i =>
+        s"(CASE WHEN b$i * 16 > s THEN ${1L << i} ELSE 0 END)").mkString(" + ")
+      s"""WITH b AS (
+      |  SELECT doc_id,
+      |    $bytes
+      |  FROM documents
+      |), p AS (
+      |  SELECT doc_id, CAST($hash AS BIGINT) AS phash
+      |  FROM (SELECT *, ${bs.mkString(" + ")} AS s FROM b)
+      |), k AS (
+      |  SELECT phash, min(doc_id) AS keeper FROM p GROUP BY phash
+      |)
+      |SELECT p.doc_id, p.phash, k.keeper, k.keeper < p.doc_id AS is_dup
+      |FROM p JOIN k ON p.phash = k.phash
+      |ORDER BY p.doc_id LIMIT 500""".stripMargin
+    }) { (s, d) =>
+    implicit val spark: SparkSession = s
+    val ph = aHashStub(withPayload(Tables.documents(s, d)))
+    val keepers = ph.groupBy("phash").agg(min(col("doc_id")).as("keeper"))
+    ph.join(keepers, "phash")
+      .select(col("doc_id"), col("phash"), col("keeper"),
+        (col("keeper") < col("doc_id")).as("is_dup"))
+      .orderBy("doc_id")
+      .limit(500)
+  }
+
   val all: Seq[QueryDef] = Seq(multimodalDecode, multimodalFramesample,
-    multimodalResize, multimodalFeatures)
+    multimodalResize, multimodalFeatures, multimodalDedup)
 }
