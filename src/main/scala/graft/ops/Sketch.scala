@@ -214,5 +214,38 @@ object Sketch {
       .orderBy("event_type")
   }
 
-  val all: Seq[QueryDef] = Seq(joinBloom, aggSketchCms, aggSketchHllMerge)
+  /** EXACT mergeable distinct-count via bitmaps — `agg_sketch_hll_merge`'s
+    * lossless sibling (the Spark 4 bitmap_* surface): user ids map to
+    * (bucket, bit) positions, per (event_type, bucket, ingest-shard) a
+    * fixed 4 KB bitmap is constructed, shard bitmaps OR-merge per
+    * (event_type, bucket), and per-bucket popcounts sum per event_type —
+    * three combinable levels, every intermediate a bounded-width blob,
+    * and the result EXACT (so the driver hashes the count itself — no
+    * error-bound scaffolding needed). This is the pre-aggregated
+    * distinct-count rollup shape for MODERATE-cardinality ids at 100 TB
+    * (bitmap bytes scale with id range per bucket; HLL wins when ids are
+    * unbounded); the OR is associative/commutative so any merge tree —
+    * per-batch, per-day, per-report — is correct. */
+  val aggBitmapDistinct = QueryDef(
+    "agg_bitmap_distinct",
+    """SELECT event_type,
+      |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+      |FROM events GROUP BY event_type
+      |ORDER BY event_type""".stripMargin) { (s, d) =>
+    Tables.events(s, d)
+      .select(col("event_type"), col("user_id"),
+        expr("bitmap_bucket_number(user_id)").as("bucket"),
+        pmod(col("user_id"), lit(4)).as("shard"))
+      .groupBy("event_type", "bucket", "shard")
+      .agg(expr("bitmap_construct_agg(bitmap_bit_position(user_id))")
+        .as("bm"))
+      .groupBy("event_type", "bucket")
+      .agg(expr("bitmap_count(bitmap_or_agg(bm))").as("bucket_n"))
+      .groupBy("event_type")
+      .agg(sum(col("bucket_n")).as("n_users"))
+      .orderBy("event_type")
+  }
+
+  val all: Seq[QueryDef] = Seq(joinBloom, aggSketchCms, aggSketchHllMerge,
+    aggBitmapDistinct)
 }

@@ -475,7 +475,51 @@ object Text {
       .orderBy("i", "j")
   }
 
+  /** SPAN-level duplication — the substring signal doc-level dedup can't
+    * see (the "Deduplicating Training Data Makes Language Models Better"
+    * finding, approximated at fixed span length): every 8-token span
+    * occurring in ≥ 2 DISTINCT documents, ranked by document reach. A
+    * memorization-risk / boilerplate report: doc-level Jaccard dilutes a
+    * duplicated paragraph inside two otherwise-different documents to
+    * ~0, but the span count flags it directly.
+    *
+    * Scale: one explode to distinct (doc, span) rows, one combinable
+    * span-keyed groupBy — linear in corpus tokens, never pairwise (the
+    * suffix-array approach this approximates is superlinear to build
+    * and needs global order; fixed-length spans shuffle-partition
+    * freely). At 100 TB spans travel as 8-byte hashes (xxhash64 of the
+    * span), not text — identical plan shape. */
+  val textSpanDedup = QueryDef(
+    "text_span_dedup",
+    {
+      val leads = (1 until 8).map(j => s"lead(tok, $j) OVER w").mkString(" || ' ' || ")
+      s"""WITH pos AS (
+       |  SELECT doc_id,
+       |         unnest(string_split(text, ' ')) AS tok,
+       |         generate_subscripts(string_split(text, ' '), 1) AS p
+       |  FROM documents
+       |), sh AS (
+       |  SELECT doc_id, tok || ' ' || $leads AS span
+       |  FROM pos WINDOW w AS (PARTITION BY doc_id ORDER BY p)
+       |), shd AS (
+       |  SELECT DISTINCT doc_id, span FROM sh WHERE span IS NOT NULL
+       |)
+       |SELECT span, CAST(count(*) AS BIGINT) AS n_docs,
+       |       min(doc_id) AS first_doc
+       |FROM shd GROUP BY span HAVING count(*) >= 2
+       |ORDER BY n_docs DESC, span LIMIT 20""".stripMargin
+    }) { (s, d) =>
+    Functions.shingles(Tables.documents(s, d), 8)
+      .groupBy("shingle")
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        min(col("doc_id")).as("first_doc"))
+      .filter(col("n_docs") >= 2)
+      .select(col("shingle").as("span"), col("n_docs"), col("first_doc"))
+      .orderBy(col("n_docs").desc, col("span"))
+      .limit(20)
+  }
+
   val all: Seq[QueryDef] = Seq(textStats, dedupExact, dedupNear, dedupKeeper,
     textEditdist, textEditdistDedup, dedupContainment, dedupContainmentDedup,
-    dedupIncremental)
+    dedupIncremental, textSpanDedup)
 }
