@@ -243,4 +243,49 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), s"top-k fell to a global sort:\n$p")
     assert(p.contains("HashAggregate"), p)
   }
+
+  test("pipeline_tpch_q5: region + date filters reach the scans; 6-way join never cartesians") {
+    val p = plan(graft.ops.Pipelines.pipelineTpchQ5)
+    assert(p.contains("EqualTo(r_name,ASIA)"),
+      s"region filter not pushed to the scan:\n$p")
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"),
+      s"order-date filter not pushed to the scan:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"snowflake join degenerated to an unkeyed join:\n$p")
+  }
+
+  test("graph_linkpred: capped wedge join is equi-keyed, never cartesian") {
+    val p = plan(graft.ops.Graph.graphLinkpred)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"wedge/anti joins fell off the equi key:\n$p")
+    // Jaccard's floor division must stay integer (no double division node)
+    assert(p.contains("div"), s"jac_ppm lost the integer div:\n$p")
+  }
+
+  test("maintenance_analyze: ONE orders scan feeds all column stats (multi-distinct Expand)") {
+    val p = plan(graft.ops.Scale.maintenanceAnalyze)
+    assert("Scan parquet".r.findAllIn(p).length == 1,
+      s"ANALYZE re-scans the table per column:\n$p")
+    assert(p.contains("Expand"), s"multi-distinct lost its Expand shape:\n$p")
+  }
+
+  test("sketch merges (hll_merge, bitmap_distinct) aggregate in combinable phases, no cartesian") {
+    // hll sketches ride ObjectHashAggregate; bitmap_construct/or_agg plan
+    // as SortAggregate — either way the map-side partial_ phase must
+    // exist (combinable state crossing the shuffle, not raw rows)
+    for (q <- Seq(graft.ops.Sketch.aggSketchHllMerge,
+        graft.ops.Sketch.aggBitmapDistinct)) {
+      val p = plan(q)
+      assert(p.contains("partial_"),
+        s"${q.name}: sketch agg lost its map-side partial phase:\n$p")
+      assert(!p.contains("CartesianProduct"), s"${q.name}:\n$p")
+    }
+  }
+
+  test("text_span_dedup: one combinable span-keyed aggregation, never pairwise") {
+    val p = plan(graft.ops.Text.textSpanDedup)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"span report formed pairs:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-20 fell to a global sort:\n$p")
+  }
 }
