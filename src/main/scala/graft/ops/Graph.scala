@@ -473,6 +473,83 @@ object Graph {
       .limit(15)
   }
 
+  /** Seed-bounded k-hop reach (ego-network features) — the frontier-
+    * expansion BFS shape (the per-level map-join + distinct of a Pregel
+    * superstep) with BOTH blowup knobs bounded: k is fixed (3) and the
+    * seed set is 10 deterministic nodes (smallest ids carrying an edge),
+    * so every frontier is a seed-tagged relation the optimizer can
+    * broadcast against the landed edge file. Per seed: the count of
+    * distinct nodes within 1, 2, and 3 hops (cumulative, self excluded).
+    * Unbounded-k reachability is `graph_components`' job (alternating
+    * stars, O(log n) rounds); fixed-k ego features are THIS shape at any
+    * corpus size — work per level is |frontier ⋈ edges|, deduped by the
+    * per-level distinct before the next expansion (never re-walking
+    * multiplicities). All-BIGINT. */
+  val graphKhop = QueryDef(
+    "graph_khop",
+    """WITH pr AS (
+      |  SELECT DISTINCT a.l_orderkey AS ok, a.l_partkey AS u, b.l_partkey AS v
+      |  FROM lineitem a JOIN lineitem b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+      |), e0 AS (
+      |  SELECT u, v FROM pr GROUP BY u, v HAVING count(*) >= 2
+      |), seeds AS (
+      |  SELECT u AS seed FROM e0 GROUP BY u ORDER BY u LIMIT 10
+      |), r1 AS (
+      |  SELECT DISTINCT s.seed, e.v FROM seeds s JOIN e0 e ON e.u = s.seed
+      |), r2 AS (
+      |  SELECT DISTINCT seed, v FROM (
+      |    SELECT r1.seed, e.v FROM r1 JOIN e0 e ON e.u = r1.v
+      |    UNION SELECT seed, v FROM r1
+      |  ) WHERE v <> seed
+      |), r3 AS (
+      |  SELECT DISTINCT seed, v FROM (
+      |    SELECT r2.seed, e.v FROM r2 JOIN e0 e ON e.u = r2.v
+      |    UNION SELECT seed, v FROM r2
+      |  ) WHERE v <> seed
+      |)
+      |SELECT s.seed,
+      |  CAST((SELECT count(*) FROM r1 WHERE r1.seed = s.seed) AS BIGINT) AS n_1hop,
+      |  CAST((SELECT count(*) FROM r2 WHERE r2.seed = s.seed) AS BIGINT) AS n_2hop,
+      |  CAST((SELECT count(*) FROM r3 WHERE r3.seed = s.seed) AS BIGINT) AS n_3hop
+      |FROM seeds s ORDER BY s.seed""".stripMargin) { (s, d) =>
+    val root = prDir(d) + "_kh"
+    val li = Tables.lineitem(s, d).select("l_orderkey", "l_partkey")
+    li.toDF("ok", "u").join(li.toDF("ok", "v"), Seq("ok"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .groupBy("u", "v").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2)
+      .select("u", "v")
+      .write.mode("overwrite").parquet(root + "/edges")
+    val e0 = s.read.parquet(root + "/edges")
+    val seeds = e0.select(col("u").as("seed")).distinct()
+      .orderBy("seed").limit(10)
+    def expand(r: DataFrame): DataFrame =
+      r.select(col("seed"), col("v").as("x"))
+        .join(e0.select(col("u").as("x"), col("v")), Seq("x"))
+        .select("seed", "v")
+        .union(r.select("seed", "v"))
+        .distinct()
+        .filter(col("v") =!= col("seed"))
+    val r1 = seeds
+      .join(e0.select(col("u").as("seed"), col("v")), Seq("seed"))
+      .select("seed", "v").distinct()
+    val r2 = expand(r1)
+    val r3 = expand(r2)
+    def cnt(r: DataFrame, name: String): DataFrame =
+      r.groupBy("seed").agg(count(lit(1)).as(name))
+    seeds
+      .join(cnt(r1, "n_1hop"), Seq("seed"), "left")
+      .join(cnt(r2, "n_2hop"), Seq("seed"), "left")
+      .join(cnt(r3, "n_3hop"), Seq("seed"), "left")
+      .select(col("seed"),
+        coalesce(col("n_1hop"), lit(0L)).as("n_1hop"),
+        coalesce(col("n_2hop"), lit(0L)).as("n_2hop"),
+        coalesce(col("n_3hop"), lit(0L)).as("n_3hop"))
+      .orderBy("seed")
+  }
+
   val all: Seq[QueryDef] = Seq(graphPagerank, graphTriangles, graphComponents,
-    graphLinkpred)
+    graphLinkpred, graphKhop)
 }
