@@ -450,7 +450,6 @@ object Graph {
       .select("u", "v")
       .write.mode("overwrite").parquet(root + "/edges")
     val e0 = s.read.parquet(root + "/edges")
-    val deg = e0.groupBy("u").agg(count(lit(1)).as("d"))
     // hub cap (see Scaladoc): each center's adjacency truncated to its 32
     // smallest-id neighbors; landed so the wedge self-join reads the
     // capped file twice instead of re-running the window per side
@@ -459,6 +458,18 @@ object Graph {
       .filter(col("rn") <= 32).select("u", "v")
       .write.mode("overwrite").parquet(root + "/ecap")
     val ec = s.read.parquet(root + "/ecap")
+    linkpredScores(e0, ec)
+      .orderBy(col("jac_ppm").desc, col("a"), col("b"))
+      .limit(15)
+  }
+
+  /** The linkpred scoring core over a symmetric (u, v) edge relation and
+    * its capped adjacency (same relation with each u's neighbor list
+    * truncated — pass the full relation to disable the cap): wedge join
+    * on the center, adjacency anti-join, common-neighbor count +
+    * neighborhood Jaccard in integer PPM with TRUE degrees. */
+  def linkpredScores(e0: DataFrame, ec: DataFrame): DataFrame = {
+    val deg = e0.groupBy("u").agg(count(lit(1)).as("d"))
     val cn = ec.select(col("u").as("w"), col("v").as("a"))
       .join(ec.select(col("u").as("w"), col("v").as("b")), Seq("w"))
       .filter(col("a") < col("b"))
@@ -469,8 +480,6 @@ object Graph {
       .join(deg.select(col("u").as("b"), col("d").as("db")), "b")
       .select(col("a"), col("b"), col("common"),
         expr("(1000000 * common) div (da + db - common)").as("jac_ppm"))
-      .orderBy(col("jac_ppm").desc, col("a"), col("b"))
-      .limit(15)
   }
 
   /** Seed-bounded k-hop reach (ego-network features) — the frontier-
@@ -523,8 +532,15 @@ object Graph {
       .select("u", "v")
       .write.mode("overwrite").parquet(root + "/edges")
     val e0 = s.read.parquet(root + "/edges")
+    khopReach(e0, nSeeds = 10).orderBy("seed")
+  }
+
+  /** The k-hop reach core over a symmetric (u, v) edge relation: per
+    * seed (the `nSeeds` smallest edge-bearing node ids), the cumulative
+    * distinct-node counts at hop depths 1..3 (self excluded). */
+  def khopReach(e0: DataFrame, nSeeds: Int): DataFrame = {
     val seeds = e0.select(col("u").as("seed")).distinct()
-      .orderBy("seed").limit(10)
+      .orderBy("seed").limit(nSeeds)
     def expand(r: DataFrame): DataFrame =
       r.select(col("seed"), col("v").as("x"))
         .join(e0.select(col("u").as("x"), col("v")), Seq("x"))
@@ -547,7 +563,6 @@ object Graph {
         coalesce(col("n_1hop"), lit(0L)).as("n_1hop"),
         coalesce(col("n_2hop"), lit(0L)).as("n_2hop"),
         coalesce(col("n_3hop"), lit(0L)).as("n_3hop"))
-      .orderBy("seed")
   }
 
   val all: Seq[QueryDef] = Seq(graphPagerank, graphTriangles, graphComponents,

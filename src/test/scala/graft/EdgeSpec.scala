@@ -539,6 +539,50 @@ class EdgeSpec extends AnyFunSuite {
     assert(got == Set((1L, 2L), (1L, 3L), (10L, 11L), (10L, 12L)), s"got $got")
   }
 
+  test("linkpredScores: path graph — each non-adjacent pair scored via its shared neighbor") {
+    // path 1–2–3–4: non-edges sharing a neighbor are (1,3) via 2 and
+    // (2,4) via 3; (1,4) shares none and must NOT appear.
+    // jac(1,3) = 1/(d1+d3−1) = 1/2 → 500000 ppm; same for (2,4).
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 4L))
+    val e0 = (und ++ und.map(_.swap)).toDF("u", "v")
+    val got = graft.ops.Graph.linkpredScores(e0, e0)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 3L, 1L, 500000L), (2L, 4L, 1L, 500000L)),
+      s"got $got")
+  }
+
+  test("linkpredScores: hub cap bounds which pairs the center vouches for") {
+    // star: hub 1 — leaves 2..5. Uncapped, the hub vouches all 6 leaf
+    // pairs; capped to its 2 smallest-id neighbors it vouches only (2,3).
+    // True degrees stay uncapped: jac(2,3) = 1/(1+1−1) = 1.0.
+    val und = Seq((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L))
+    val e0 = (und ++ und.map(_.swap)).toDF("u", "v")
+    val uncapped = graft.ops.Graph.linkpredScores(e0, e0)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(uncapped.map(t => (t._1, t._2)) ==
+      Set((2L, 3L), (2L, 4L), (2L, 5L), (3L, 4L), (3L, 5L), (4L, 5L)),
+      s"got $uncapped")
+    import org.apache.spark.sql.expressions.Window
+    val ec = e0.withColumn("rn", row_number()
+        .over(Window.partitionBy("u").orderBy("v")))
+      .filter(col("rn") <= 2).select("u", "v")
+    val capped = graft.ops.Graph.linkpredScores(e0, ec)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(capped == Set((2L, 3L, 1L, 1000000L)), s"got $capped")
+  }
+
+  test("khopReach: path graph — cumulative reach grows one node per hop from the ends") {
+    // path 1–2–3–4–5; seeds = all 5 nodes.
+    // seed 1: hop sets {2}, {2,3}, {2,3,4}; seed 3: {2,4}, {1,2,4,5}, same.
+    val und = (1L to 4L).map(i => (i, i + 1))
+    val e0 = (und ++ und.map(_.swap)).toDF("u", "v")
+    val got = graft.ops.Graph.khopReach(e0, nSeeds = 10)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == Set(
+      (1L, 1L, 2L, 3L), (2L, 2L, 3L, 4L), (3L, 2L, 4L, 4L),
+      (4L, 2L, 3L, 4L), (5L, 1L, 2L, 3L)), s"got $got")
+  }
+
   test("pagerank: exact integer ranks on a hand-computed 3-node path graph") {
     // path graph 1–2–3, symmetric edges; deg(1)=deg(3)=1, deg(2)=2.
     // r0 = 1e6 each; hand-unrolled micro-rank updates with truncating div:
