@@ -797,11 +797,94 @@ object Scale {
       .orderBy("zone")
   }
 
+  /** CDC changelog APPLY — the third merge form (`merge_upsert` = one
+    * batched changeset, latest state only; `merge_scd2` = full history;
+    * this = an ORDERED insert/update/delete log squashed then applied):
+    * the Debezium/lakehouse-ingest shape. The changelog is derived from
+    * the event log — each purchase is an upsert of that user's balance
+    * (cents of the event value), each error a delete — and ops are
+    * sequenced by `event_id`, so a key that is upserted then deleted
+    * ends deleted, and vice versa.
+    *
+    * Two phases, both single-shuffle: (1) LATEST-WINS SQUASH — one
+    * combinable `max_by(struct(op, value), event_id)` groupBy collapses
+    * the log to one op per key (at 100 TB this is the per-microbatch
+    * reduction; `max_by` merges associatively so any partial tree is
+    * correct — multi-batch squash is max_by over batch winners);
+    * (2) MERGE — one full-outer key join against the snapshot: no op →
+    * kept, latest delete → row dropped (present or not), latest upsert →
+    * updated when matched / inserted when not. Only the squashed log
+    * (key-count-bounded, ~changelog keys) meets the snapshot; with the
+    * snapshot bucketed on the key only the squashed side shuffles.
+    *
+    * Output pins every path: per-status row counts and exact-cents
+    * balance sums (2-dp doubles → `round(*100)` BIGINT on both engines —
+    * the event_rfm rounding discipline; deletes are visible in the
+    * kept/updated counts). Every 7th-residue user keys above the base
+    * range (the merge_upsert insert-offset convention, same 10M guard),
+    * so insert-new-key AND delete-absent-key ops are live at every SF. */
+  val mergeCdc = QueryDef(
+    "merge_cdc",
+    """WITH cdc AS (
+      |  SELECT user_id + CASE WHEN user_id % 7 = 3 THEN 10000000 ELSE 0 END
+      |           AS k,
+      |         arg_max(event_type, event_id) AS op,
+      |         arg_max(value, event_id) AS v
+      |  FROM events WHERE event_type IN ('purchase', 'error')
+      |  GROUP BY k
+      |), snap AS (
+      |  SELECT c_custkey AS k,
+      |         CAST(round(c_acctbal * 100, 0) AS BIGINT) AS bal_cents
+      |  FROM customer
+      |), merged AS (
+      |  SELECT CASE WHEN c.op IS NULL THEN 'kept'
+      |              WHEN c.op = 'error' THEN 'deleted'
+      |              WHEN s.k IS NULL THEN 'inserted'
+      |              ELSE 'updated' END AS status,
+      |         CASE WHEN c.op = 'purchase'
+      |              THEN CAST(round(c.v * 100, 0) AS BIGINT)
+      |              ELSE s.bal_cents END AS bal_cents
+      |  FROM snap s FULL JOIN cdc c ON s.k = c.k
+      |)
+      |SELECT status, CAST(count(*) AS BIGINT) AS n,
+      |       CAST(sum(bal_cents) AS BIGINT) AS sum_bal_cents
+      |FROM merged WHERE status <> 'deleted'
+      |GROUP BY status ORDER BY status""".stripMargin) { (s, d) =>
+    val log = Tables.events(s, d)
+      .filter(col("event_type").isin("purchase", "error"))
+    val squashed = log.groupBy(
+        (col("user_id") + when(col("user_id") % 7 === 3, 10000000L)
+          .otherwise(0L)).as("k"))
+      .agg(max_by(struct(col("event_type").as("op"), col("value").as("v")),
+        col("event_id")).as("last"))
+      .select(col("k"), col("last.op").as("op"), col("last.v").as("v"))
+    val base = Tables.customer(s, d)
+    val maxKey = base.agg(max("c_custkey")).first().getLong(0)
+    require(maxKey < 10000000L,
+      s"merge_cdc: base c_custkey max $maxKey collides with the 10M insert-key offset")
+    val snap = base
+      .select(col("c_custkey").as("k"),
+        round(col("c_acctbal") * 100, 0).cast("long").as("bal_cents"))
+    snap.join(squashed, Seq("k"), "full")
+      .select(
+        when(col("op").isNull, lit("kept"))
+          .when(col("op") === "error", lit("deleted"))
+          .when(col("bal_cents").isNull, lit("inserted"))
+          .otherwise(lit("updated")).as("status"),
+        when(col("op") === "purchase",
+          round(col("v") * 100, 0).cast("long"))
+          .otherwise(col("bal_cents")).as("bal"))
+      .filter(col("status") =!= "deleted")
+      .groupBy("status")
+      .agg(count(lit(1)).as("n"), sum(col("bal")).as("sum_bal_cents"))
+      .orderBy("status")
+  }
+
   val all: Seq[QueryDef] = Seq(
     scanPartitioned, joinSalted, sqlFrontend,
     windowNtile, aggFiltered, aggApproxPercentile,
     joinLateral, subqueryScalar, mergeUpsert,
     subqueryIn, sortNulls, sortOffset, mergeScd2,
     joinDpp, subqueryExists, maintenanceZonemap, joinPit,
-    maintenanceAnalyze)
+    maintenanceAnalyze, mergeCdc)
 }
