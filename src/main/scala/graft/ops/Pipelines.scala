@@ -143,6 +143,52 @@ object Pipelines {
       .orderBy(col("revenue").desc, col("n_name"))
   }
 
+  /** TPC-H Q10 shape (returned-item report): revenue lost to returns per
+    * CUSTOMER over one quarter, top-20 worst — the customer-grain report
+    * the other three pipelines don't exercise: the aggregate key set is
+    * customer attributes (group count scales with CUSTOMERS, not orders
+    * or lineitems), fed by a doubly-filtered fact side (quarter on
+    * orders, returnflag on lineitem — both scan-stage) and closed with a
+    * bounded-dim join for the nation name. Revenue is the §2.9
+    * exact-DECIMAL product summed then cast; c_custkey tie-breaks the
+    * top-k so the double never decides alone. The grouped c_acctbal is a
+    * raw stored double on both engines — grouping on it is exact. */
+  val pipelineTpchQ10 = QueryDef(
+    "pipeline_tpch_q10",
+    """SELECT c_custkey, c_name,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+      |  c_acctbal, n_name
+      |FROM customer
+      |JOIN orders   ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |JOIN nation   ON c_nationkey = n_nationkey
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o_orderdate <  TIMESTAMP '1996-04-01'
+      |  AND l_returnflag = 'R'
+      |GROUP BY c_custkey, c_name, c_acctbal, n_name
+      |ORDER BY revenue DESC, c_custkey
+      |LIMIT 20""".stripMargin) { (s, d) =>
+    val cust = Tables.customer(s, d)
+      .select("c_custkey", "c_name", "c_acctbal", "c_nationkey")
+    val ord = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp_ntz")
+        && col("o_orderdate") < lit("1996-04-01").cast("timestamp_ntz"))
+      .select("o_orderkey", "o_custkey")
+    val li = Tables.lineitem(s, d)
+      .filter(col("l_returnflag") === "R")
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    val nat = Tables.nation(s, d).select("n_nationkey", "n_name")
+    cust.join(ord, col("c_custkey") === col("o_custkey"))
+      .join(li, col("o_orderkey") === col("l_orderkey"))
+      .join(nat, col("c_nationkey") === col("n_nationkey"))
+      .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+      .agg(sum(money(col("l_extendedprice")) * (lit(1) - rate(col("l_discount"))))
+        .cast("double").as("revenue"))
+      .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
   val all: Seq[QueryDef] = Seq(pipelineTpchQ3, pipelineTpchQ18,
-    pipelineTpchQ5)
+    pipelineTpchQ5, pipelineTpchQ10)
 }

@@ -254,6 +254,17 @@ class PlanSpec extends AnyFunSuite {
       s"snowflake join degenerated to an unkeyed join:\n$p")
   }
 
+  test("pipeline_tpch_q10: returnflag + quarter filters reach the scans; top-20 ordered-limit") {
+    val p = plan(graft.ops.Pipelines.pipelineTpchQ10)
+    assert(p.contains("TakeOrderedAndProject"), s"top-k fell to a global sort:\n$p")
+    assert(p.contains("EqualTo(l_returnflag,R)"),
+      s"returnflag filter not pushed to the scan:\n$p")
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"),
+      s"order-date filter not pushed to the scan:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"join degenerated to an unkeyed join:\n$p")
+  }
+
   test("graph_linkpred: capped wedge join is equi-keyed, never cartesian") {
     val p = plan(graft.ops.Graph.graphLinkpred)
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
