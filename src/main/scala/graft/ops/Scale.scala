@@ -797,6 +797,86 @@ object Scale {
       .orderBy("zone")
   }
 
+  /** Z-ORDER clustering — the multi-dimensional layout job behind
+    * OPTIMIZE ZORDER BY: `maintenance_zonemap` shows a date-sorted table
+    * skips on dates but NOT on orderkeys; interleaving the bits of both
+    * dimensions makes zones rectangular in (orderkey, shipdate) space so
+    * range predicates on EITHER column skip zones. Pipeline: one min/max
+    * aggregate per dimension (parquet-footer cheap, broadcast as a 1-row
+    * cross join — the sim_quantize pattern), each dim gridded to 8 bits
+    * by exact integer floor division, the two grids bit-interleaved to a
+    * 16-bit Morton z-value (three shift-or-mask spread rounds — pure
+    * integer, identical in both engines), rows assigned to 32 equi-width
+    * z-range zones by another floor division (per-row arithmetic — no
+    * global sort, no single-partition ntile window; at 100 TB the write
+    * is `repartitionByRange(zval)` with exactly this zone arithmetic as
+    * the range key). Output: per-zone row counts, grid min/max per dim,
+    * and skippability of the SAME middle-quarter range predicate on each
+    * dim — the gate certifies both dims skip, which is the entire point
+    * of z-ordering. */
+  val maintenanceZorder = QueryDef(
+    "maintenance_zorder",
+    """WITH li AS (
+      |  SELECT l_orderkey AS ok,
+      |         (CAST(l_shipdate AS DATE) - DATE '1970-01-01') AS day
+      |  FROM lineitem
+      |), b AS (
+      |  SELECT min(ok) AS okmin, max(ok) AS okmax,
+      |         min(day) AS dmin, max(day) AS dmax
+      |  FROM li
+      |), g AS (
+      |  SELECT ((ok - okmin) * 255) // (okmax - okmin) AS gx,
+      |         ((day - dmin) * 255) // (dmax - dmin) AS gd
+      |  FROM li, b
+      |), s1 AS (
+      |  SELECT gx, gd, (gx | (gx << 4)) & 3855 AS x1,
+      |                 (gd | (gd << 4)) & 3855 AS d1 FROM g
+      |), s2 AS (
+      |  SELECT gx, gd, (x1 | (x1 << 2)) & 13107 AS x2,
+      |                 (d1 | (d1 << 2)) & 13107 AS d2 FROM s1
+      |), s3 AS (
+      |  SELECT gx, gd, ((x2 | (x2 << 1)) & 21845)
+      |               | (((d2 | (d2 << 1)) & 21845) << 1) AS zval FROM s2
+      |), zm AS (
+      |  SELECT zval // 2048 AS zone,
+      |         CAST(count(*) AS BIGINT) AS n_rows,
+      |         min(gx) AS min_gx, max(gx) AS max_gx,
+      |         min(gd) AS min_gd, max(gd) AS max_gd
+      |  FROM s3 GROUP BY zone
+      |)
+      |SELECT zone, n_rows, min_gx, max_gx, min_gd, max_gd,
+      |       (max_gx < 96 OR min_gx > 159) AS skip_ok,
+      |       (max_gd < 96 OR min_gd > 159) AS skip_date
+      |FROM zm ORDER BY zone""".stripMargin) { (s, d) =>
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("ok"),
+        expr("datediff(CAST(l_shipdate AS DATE), DATE '1970-01-01')")
+          .cast("long").as("day"))
+    val b = li.agg(min("ok").as("okmin"), max("ok").as("okmax"),
+      min("day").as("dmin"), max("day").as("dmax"))
+    def spread(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+      val a = (c.bitwiseOR(shiftleft(c, 4))).bitwiseAND(lit(3855L))
+      val b2 = (a.bitwiseOR(shiftleft(a, 2))).bitwiseAND(lit(13107L))
+      (b2.bitwiseOR(shiftleft(b2, 1))).bitwiseAND(lit(21845L))
+    }
+    val g = li.crossJoin(broadcast(b))
+      .select(
+        // integer floor division on non-negative operands (§2.9): `div`,
+        // never double `/` + cast (trunc of an inexact double quotient
+        // can land one below the exact floor)
+        expr("((ok - okmin) * 255) div (okmax - okmin)").as("gx"),
+        expr("((day - dmin) * 255) div (dmax - dmin)").as("gd"))
+      .withColumn("zval", spread(col("gx"))
+        .bitwiseOR(shiftleft(spread(col("gd")), 1)))
+    g.groupBy(expr("zval div 2048").as("zone"))
+      .agg(count(lit(1)).as("n_rows"),
+        min("gx").as("min_gx"), max("gx").as("max_gx"),
+        min("gd").as("min_gd"), max("gd").as("max_gd"))
+      .withColumn("skip_ok", col("max_gx") < 96 || col("min_gx") > 159)
+      .withColumn("skip_date", col("max_gd") < 96 || col("min_gd") > 159)
+      .orderBy("zone")
+  }
+
   /** CDC changelog APPLY — the third merge form (`merge_upsert` = one
     * batched changeset, latest state only; `merge_scd2` = full history;
     * this = an ORDERED insert/update/delete log squashed then applied):
@@ -886,5 +966,5 @@ object Scale {
     joinLateral, subqueryScalar, mergeUpsert,
     subqueryIn, sortNulls, sortOffset, mergeScd2,
     joinDpp, subqueryExists, maintenanceZonemap, joinPit,
-    maintenanceAnalyze, mergeCdc)
+    maintenanceAnalyze, mergeCdc, maintenanceZorder)
 }
