@@ -402,7 +402,53 @@ object Functions {
       .orderBy("host", "ref")
   }
 
+  /** Error-safe expression surface (`try_*`) — the ANSI-mode safety
+    * valve every ingest pipeline needs: malformed casts and
+    * divide-by-zero yield NULL instead of failing the job. Dirty inputs
+    * are derived deterministically from the row itself (every 3rd
+    * doc_id's numeric string gets a trailing 'x'; every 5th divisor is
+    * zero), so both the success and the null path are live at every SF.
+    * DuckDB's TRY_CAST is the same contract; try_divide crosses as
+    * NULLIF on the divisor. Aggregated counts + exact sums pin which
+    * rows nulled, not just how many. */
+  val fnTry = QueryDef(
+    "fn_try",
+    """WITH t AS (
+      |  SELECT doc_id, n_chars,
+      |         CASE WHEN doc_id % 3 = 0 THEN CAST(n_chars AS VARCHAR) || 'x'
+      |              ELSE CAST(n_chars AS VARCHAR) END AS num_str,
+      |         doc_id % 5 AS divisor
+      |  FROM documents
+      |), p AS (
+      |  SELECT TRY_CAST(num_str AS BIGINT) AS parsed,
+      |         n_chars // NULLIF(divisor, 0) AS quot
+      |  FROM t
+      |)
+      |SELECT CAST(count(*) AS BIGINT) AS n_rows,
+      |       CAST(count(parsed) AS BIGINT) AS n_parsed,
+      |       CAST(sum(parsed) AS BIGINT) AS sum_parsed,
+      |       CAST(count(quot) AS BIGINT) AS n_quot,
+      |       CAST(sum(quot) AS BIGINT) AS sum_quot
+      |FROM p""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("n_chars"),
+        when(col("doc_id") % 3 === 0,
+          concat(col("n_chars").cast("string"), lit("x")))
+          .otherwise(col("n_chars").cast("string")).as("num_str"),
+        (col("doc_id") % 5).as("divisor"))
+      .select(
+        expr("try_cast(num_str AS BIGINT)").as("parsed"),
+        // integer floor quotient with a null divisor contract: try_divide
+        // is double division, so cross the exact path via nullif + div
+        expr("n_chars div nullif(divisor, 0)").as("quot"))
+      .agg(count(lit(1)).as("n_rows"),
+        count(col("parsed")).as("n_parsed"),
+        sum(col("parsed")).as("sum_parsed"),
+        count(col("quot")).as("n_quot"),
+        sum(col("quot")).as("sum_quot"))
+  }
+
   val all: Seq[QueryDef] = Seq(fnString, fnDate, fnMath, fnArray, fnJson,
     udtfShingles, fnHash, fnStruct, fnVariant, fnMap, fnRegex, fnDatetime,
-    fnUrl)
+    fnUrl, fnTry)
 }
