@@ -165,8 +165,7 @@ class SourcesSpec extends AnyFunSuite {
   test("maintenance_compact: 64 fragments -> 4 files, relation preserved, no shuffle") {
     val d = "/root/testdata/sf0.001"
     graft.ops.Formats.compactPlan(spark, d).collect()
-    val root = sys.props("java.io.tmpdir") + "/graft_fmt_" +
-      java.lang.Integer.toHexString(d.hashCode) + "/compact"
+    val root = graft.ops.QueryDef.tmpRoot("fmt", d) + "/compact"
     def parquets(p: String) =
       new java.io.File(p).listFiles.count(_.getName.endsWith(".parquet"))
     assert(parquets(s"$root/fragmented") == 64,

@@ -89,8 +89,16 @@ class StreamingSpec extends AnyFunSuite {
       java.nio.file.Paths.get(s"$dir/events.parquet"))
     val rawSchema = spark.read
       .option("mergeSchema", "false").parquet(s"$d/events.parquet").schema
+    // ts layout depends on the fixture writer (nanos BIGINT vs µs
+    // timestamp) — branch exactly as Tables.events does
+    val tsNorm: org.apache.spark.sql.Column =
+      rawSchema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz")
+        case _ => col("ts").cast("timestamp_ntz")
+      }
     val streamed = spark.readStream.schema(rawSchema).parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+      .withColumn("ts", tsNorm)
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").cast("timestamp").as("window_start"),
