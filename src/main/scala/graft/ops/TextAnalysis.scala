@@ -756,8 +756,113 @@ object TextAnalysis {
       .orderBy("lang")
   }
 
+  /** One BPE merge round — the pair-count pass at the heart of
+    * byte-pair-encoding tokenizer training: corpus word frequencies, then
+    * adjacent-symbol pair counts WEIGHTED by word frequency (round 1:
+    * symbols are characters), then the merge candidates (top pairs).
+    *
+    * The classic BPE efficiency argument, kept intact at scale: the pair
+    * explode runs over the DISTINCT-word vocabulary (each distinct word
+    * contributes its pairs once, weighted by its corpus count), so pair
+    * generation is bounded by vocab × word length — NOT corpus token
+    * count. A 100 TB corpus with a 10 M-word vocabulary explodes ~100 M
+    * pairs regardless of how many trillions of tokens it holds; only the
+    * vocab groupBy touches the corpus, and it is one combinable
+    * aggregation. Both groupBys are keyed shuffles; top-20 is per-
+    * partition heaps (TakeOrderedAndProject). Ties break on the pair
+    * string so the boundary is deterministic.
+    */
+  val textBpePairs = QueryDef(
+    "text_bpe_pairs",
+    """WITH w AS (
+      |  SELECT unnest(string_split(text, ' ')) AS w FROM documents
+      |), v AS (
+      |  SELECT w, count(*) AS wc FROM w WHERE length(w) >= 2 GROUP BY w
+      |), p AS (
+      |  SELECT substr(w, CAST(i AS INT), 2) AS pair, wc
+      |  FROM v, unnest(generate_series(1, length(w) - 1)) AS t(i)
+      |)
+      |SELECT pair, CAST(sum(wc) AS BIGINT) AS cnt
+      |FROM p GROUP BY pair ORDER BY cnt DESC, pair LIMIT 20""".stripMargin) {
+    (s, d) =>
+      Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) >= 2)
+        .groupBy("w").agg(count(lit(1)).as("wc"))
+        .select(col("wc"), explode(expr(
+          "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
+          .as("pair"))
+        .groupBy("pair").agg(sum(col("wc")).as("cnt"))
+        .orderBy(col("cnt").desc, col("pair"))
+        .limit(20)
+  }
+
+  /** Bigram language-model scoring — the perplexity-filter analog that
+    * keeps every arithmetic step exact: train bigram/left-unigram counts
+    * on the corpus itself, score each document by its mean and minimum
+    * conditional transition probability P(w2|w1) = B(w1,w2)/U(w1), and
+    * surface the 25 least-predictable documents (the quality-filter drop
+    * candidates).
+    *
+    * Determinism (§2.9): probabilities never exist as doubles — each
+    * bigram's conditional is the exact integer micro-probability
+    * `B·10⁶ div U` (B ≤ U so it lives in [0, 10⁶]), per-doc mean is
+    * another integer floor division, and selection/order ride
+    * (avg_micro, doc_id) — all BIGINT on both engines.
+    *
+    * Scale shape: the count tables are vocabulary-bounded (U) and
+    * bigram-vocabulary-bounded (B) — the dictionary a cluster broadcasts
+    * or bucket-joins (tfidf discipline); they merge into ONE dictionary
+    * before touching the corpus, so the corpus-sized bigram stream pays
+    * exactly one join plus its doc_id rollup. Every aggregation is
+    * combinable; nothing driver-side.
+    */
+  val textLmScore = QueryDef(
+    "text_lm_score",
+    """WITH pos AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+      |), bg AS (
+      |  SELECT doc_id, toks[CAST(i AS INT)] AS w1, toks[CAST(i AS INT) + 1] AS w2
+      |  FROM pos, unnest(generate_series(1, len(toks) - 1)) AS t(i)
+      |  WHERE len(toks) >= 2
+      |), bc AS (
+      |  SELECT w1, w2, count(*) AS bcnt FROM bg GROUP BY 1, 2
+      |), uc AS (
+      |  SELECT w1, count(*) AS ucnt FROM bg GROUP BY 1
+      |), dict AS (
+      |  SELECT bc.w1, bc.w2, bcnt * 1000000 // ucnt AS micro
+      |  FROM bc JOIN uc ON bc.w1 = uc.w1
+      |)
+      |SELECT bg.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+      |       CAST(sum(micro) // count(*) AS BIGINT) AS avg_micro,
+      |       CAST(min(micro) AS BIGINT) AS min_micro
+      |FROM bg JOIN dict ON bg.w1 = dict.w1 AND bg.w2 = dict.w2
+      |GROUP BY bg.doc_id ORDER BY avg_micro ASC, doc_id LIMIT 25""".stripMargin) {
+    (s, d) =>
+      val bg = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .filter(size(col("toks")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, size(toks) - 2)," +
+            " i -> struct(toks[i] AS w1, toks[i + 1] AS w2))")).as("b"))
+        .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      val bc = bg.groupBy("w1", "w2").agg(count(lit(1)).as("bcnt"))
+      val uc = bg.groupBy("w1").agg(count(lit(1)).as("ucnt"))
+      val dict = bc.join(uc, "w1")
+        .select(col("w1"), col("w2"),
+          expr("bcnt * 1000000L div ucnt").as("micro"))
+      bg.join(dict, Seq("w1", "w2"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          expr("sum(micro) div count(1)").as("avg_micro"),
+          min(col("micro")).as("min_micro"))
+        .orderBy(col("avg_micro").asc, col("doc_id"))
+        .limit(25)
+  }
+
   val all: Seq[QueryDef] = Seq(textLangid, textQuality, textTokens, textFingerprint,
     textPiiScrub, sampleSplit, sampleStratified, textPack, textDecontaminate,
     textNgrams, textTfidf, sampleShuffle, pipelineCleanse, textStripMarkup,
-    textRepetition, sampleWeighted, textRarity, sampleMix)
+    textRepetition, sampleWeighted, textRarity, sampleMix, textBpePairs,
+    textLmScore)
 }

@@ -645,6 +645,59 @@ class EdgeSpec extends AnyFunSuite {
       ("view", "purchase", 333333L)), s"got $got")
   }
 
+  test("textBpePairs: vocab-weighted pair counts equal the naive all-occurrence counts") {
+    // The scale claim: exploding pairs over DISTINCT words weighted by
+    // word count must equal counting pairs over every word occurrence.
+    val docs = Seq(
+      (0L, "low lower lowest low"),
+      (1L, "new newer low"),
+      (2L, "ab ab ab")).toDF("doc_id", "text")
+    def naive(texts: Seq[String]): Map[String, Long] =
+      texts.flatMap(_.split(" ")).filter(_.length >= 2)
+        .flatMap(w => w.sliding(2))
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val want = naive(Seq("low lower lowest low", "new newer low", "ab ab ab"))
+    // textBpePairs reads Tables.documents(d) — drive the same kernel on
+    // the inline fixture instead
+    val kernel = docs
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) >= 2)
+      .groupBy("w").agg(count(lit(1)).as("wc"))
+      .select(col("wc"), explode(expr(
+        "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
+        .as("pair"))
+      .groupBy("pair").agg(sum(col("wc")).as("cnt"))
+      .as[(String, Long)].collect().toMap
+    assert(kernel == want, s"got $kernel want $want")
+    // 'ab' appears 3 times as one word => weighted count 3 via wc, not 1
+    assert(kernel("ab") == 3L)
+  }
+
+  test("textLmScore: micro-probs bounded, per-doc mean matches a naive recompute") {
+    val d = "/root/testdata/sf0.001"
+    val rows = TextAnalysis.textLmScore.fn(spark, d)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(rows.length == 25)
+    rows.foreach { case (_, n, avg, mn) =>
+      assert(n >= 1 && mn >= 0 && mn <= avg && avg <= 1000000L,
+        s"bounds violated: n=$n avg=$avg min=$mn")
+    }
+    // independent naive recompute of the worst doc's score from raw text
+    val (docId, nBg, avgMicro, minMicro) = rows.head
+    val texts = graft.Tables.documents(spark, d)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    val bigrams = texts.flatMap { case (id, t) =>
+      val w = t.split(" "); w.indices.dropRight(1).map(i => (id, w(i), w(i + 1)))
+    }
+    val bc = bigrams.groupBy(b => (b._2, b._3)).view.mapValues(_.length.toLong).toMap
+    val uc = bigrams.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val micros = bigrams.filter(_._1 == docId)
+      .map { case (_, w1, w2) => bc((w1, w2)) * 1000000L / uc(w1) }
+    assert(micros.length.toLong == nBg)
+    assert(micros.sum / micros.length == avgMicro)
+    assert(micros.min == minMicro)
+  }
+
   test("supplierEdges: co-occurrence is symmetric, self-pair-free, distinct") {
     val li = Seq((1L, 10L), (1L, 20L), (1L, 20L), (2L, 20L), (3L, 30L))
       .toDF("l_orderkey", "l_suppkey")
