@@ -974,6 +974,67 @@ object Events {
       .orderBy("user_id", "s_eus")
   }
 
+  /** STREAMING CDC-apply — `merge_cdc`'s changelog squash run as an
+    * actual streaming query: the purchase/error changelog staged to
+    * files, consumed in real microbatches (`maxFilesPerTrigger=1`
+    * through a checkpoint), each batch MERGED into a versioned keyed
+    * parquet state by `StreamOps.cdcMergeWriter` (per-key arg-max by
+    * event_id — associative, commutative, idempotent, so batch slicing,
+    * file pick order and crash replay all land the same fixpoint;
+    * tombstones kept in state so a delete can outrank an upsert arriving
+    * later with an older sequence number). The oracle replays the squash
+    * as one batch aggregate — the hash certifies the incremental
+    * cross-batch merge reaches exactly the batch answer, which is the
+    * exactly-once claim for a MERGE sink (the lakehouse streaming-ingest
+    * shape: Debezium feed → foreachBatch MERGE INTO).
+    *
+    * At scale each version write is one keyed shuffle of
+    * (previous state ⋈ squashed batch); state is key-bounded, versions
+    * batch-bounded (compaction is `maintenance_compact`'s job). */
+  val streamUpsertSink = QueryDef(
+    "stream_upsert_sink",
+    """WITH cdc AS (
+      |  SELECT user_id AS k, arg_max(event_type, event_id) AS op,
+      |         arg_max(value, event_id) AS v, max(event_id) AS eid
+      |  FROM events WHERE event_type IN ('purchase', 'error')
+      |  GROUP BY user_id
+      |)
+      |SELECT k % 10 AS residue, CAST(count(*) AS BIGINT) AS n_keys,
+      |       CAST(sum(CAST(round(v * 100, 0) AS BIGINT)) AS BIGINT)
+      |         AS sum_cents,
+      |       CAST(max(eid) AS BIGINT) AS max_eid
+      |FROM cdc WHERE op = 'purchase'
+      |GROUP BY residue ORDER BY residue""".stripMargin) { (s, d) =>
+    val root = QueryDef.tmpRoot("usink", d)
+    deleteTree(root)
+    Tables.events(s, d)
+      .filter(col("event_type").isin("purchase", "error"))
+      .select(col("user_id").as("k"), col("event_type").as("op"),
+        col("value").as("v"), col("event_id"))
+      .withColumn("g", pmod(col("event_id"), lit(3)))
+      .repartition(col("g"))
+      .write.partitionBy("g").parquet(root + "/in")
+    val schema = s.read.option("recursiveFileLookup", "true")
+      .parquet(root + "/in").schema
+    val q = s.readStream.schema(schema)
+      .option("recursiveFileLookup", "true")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(root + "/in")
+      .writeStream
+      .option("checkpointLocation", root + "/ckpt")
+      .foreachBatch(graft.streaming.StreamOps.cdcMergeWriter(root + "/state"))
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    graft.streaming.StreamOps.cdcLatestState(s, root + "/state")
+      .getOrElse(s.range(0).select(lit(0L).as("k"), lit("").as("op"),
+        lit(0.0).as("v"), lit(0L).as("event_id")))
+      .groupBy((col("k") % 10).as("residue"))
+      .agg(count(lit(1)).as("n_keys"),
+        sum(round(col("v") * 100, 0).cast("long")).as("sum_cents"),
+        max(col("event_id")).as("max_eid"))
+      .orderBy("residue")
+  }
+
   /** First-order Markov transition model over per-user event-type
     * sequences — the normalized counterpart of `event_paths` (which mines
     * raw top-k trigrams): for every (src → dst) transition the count and
@@ -1181,5 +1242,5 @@ object Events {
     streamJoin, eventRetention, eventsResample, windowGapsIslands,
     eventAttribution, eventPaths, eventAnomaly, joinOverlap, streamFileSink,
     eventMarkov, streamJoinOuter, eventRfm, eventSeqMatch,
-    streamStatefulSession)
+    streamStatefulSession, streamUpsertSink)
 }

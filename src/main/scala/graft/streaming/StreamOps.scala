@@ -288,4 +288,59 @@ object StreamOps {
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("batch_id")
         .parquet(outDir)
+
+  /** Streaming CDC-apply sink for `foreachBatch` — the MERGE-into-state
+    * counterpart of `parquetBatchWriter`'s append-only landing: each
+    * microbatch of changelog rows (k, op, v, event_id) is squashed to
+    * per-key latest (arg-max by event_id) and merged with the previous
+    * state version; the merged state lands under `v=<batchId>`.
+    *
+    * Correctness rests on the merge operator, not on delivery order:
+    * per-key arg-max by a total sequence (event_id) is ASSOCIATIVE,
+    * COMMUTATIVE and IDEMPOTENT, so (a) microbatch boundaries and file
+    * pick order cannot change the fixpoint, (b) a crash-replayed batch
+    * recomputes its version from the same predecessor and lands the
+    * identical state (exactly-once landed data from at-least-once
+    * replay — the parquetBatchWriter recipe lifted to merge), and
+    * (c) delete tombstones MUST stay in state: a tombstone's event_id
+    * has to be able to beat an upsert arriving in a later batch with an
+    * older sequence number. Tombstones are filtered at READ time, never
+    * at merge time.
+    *
+    * At scale each version write is one keyed shuffle (state ⋈ batch on
+    * k, both squashed); versions are retained per batch here (bounded by
+    * the staged-file count) — a production table compacts old versions,
+    * which is `maintenance_compact`'s job, orthogonal to the merge. */
+  def cdcMergeWriter(stateRoot: String): (DataFrame, Long) => Unit =
+    (batch: DataFrame, batchId: Long) => {
+      val s = batch.sparkSession
+      val squash = (df: DataFrame) =>
+        df.groupBy("k")
+          .agg(max_by(struct(col("op"), col("v")), col("event_id")).as("last"),
+            max(col("event_id")).as("event_id"))
+          .select(col("k"), col("last.op").as("op"), col("last.v").as("v"),
+            col("event_id"))
+      val root = new java.io.File(stateRoot)
+      val prev = Option(root.listFiles()).toSeq.flatten
+        .filter(f => f.isDirectory && f.getName.startsWith("v="))
+        .map(_.getName.stripPrefix("v=").toLong)
+        .filter(_ < batchId).sorted.lastOption
+      val cur = squash(batch)
+      val merged = prev match {
+        case None => cur
+        case Some(p) => squash(s.read.parquet(s"$stateRoot/v=$p").unionByName(cur))
+      }
+      merged.write.mode("overwrite").parquet(s"$stateRoot/v=$batchId")
+    }
+
+  /** Latest state version under a `cdcMergeWriter` root, tombstones
+    * filtered (None when no batch ever landed). */
+  def cdcLatestState(s: org.apache.spark.sql.SparkSession,
+      stateRoot: String): Option[DataFrame] = {
+    val vs = Option(new java.io.File(stateRoot).listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.startsWith("v="))
+      .map(_.getName.stripPrefix("v=").toLong)
+    vs.sorted.lastOption.map(v =>
+      s.read.parquet(s"$stateRoot/v=$v").filter(col("op") =!= "error"))
+  }
 }

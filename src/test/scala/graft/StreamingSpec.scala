@@ -490,4 +490,41 @@ class StreamingSpec extends AnyFunSuite {
         Set((1L, 0L), (2L, 0L), (3L, 1L), (4L, 1L), (5L, 2L)))
     } finally q2.stop()
   }
+
+  test("cdcMergeWriter: replay-idempotent, batch-order-insensitive, tombstone outranks older upsert") {
+    import org.apache.spark.sql.DataFrame
+    def chg(rows: (Long, String, Double, Long)*): DataFrame =
+      rows.toDF("k", "op", "v", "event_id")
+    def state(root: String): Set[(Long, String, Double, Long)] =
+      StreamOps.cdcLatestState(spark, root)
+        .map(_.as[(Long, String, Double, Long)].collect().toSet)
+        .getOrElse(Set.empty)
+    def rawLatest(root: String): Set[(Long, String, Double, Long)] = {
+      val vs = new java.io.File(root).listFiles
+        .filter(_.getName.startsWith("v=")).map(_.getName.stripPrefix("v=").toLong)
+      spark.read.parquet(s"$root/v=${vs.max}")
+        .as[(Long, String, Double, Long)].collect().toSet
+    }
+    // tombstone with a HIGHER sequence arrives in an EARLIER batch than
+    // an upsert with a lower sequence — the delete must win
+    val b0 = chg((1L, "purchase", 10.0, 5L), (2L, "error", 0.0, 9L))
+    val b1 = chg((2L, "purchase", 99.0, 7L), (3L, "purchase", 3.0, 2L))
+    val rootA = java.nio.file.Files.createTempDirectory("graft_cdcA").toString
+    val wA = StreamOps.cdcMergeWriter(rootA)
+    wA(b0, 0L); wA(b1, 1L)
+    val finalA = state(rootA)
+    assert(finalA == Set((1L, "purchase", 10.0, 5L), (3L, "purchase", 3.0, 2L)),
+      s"tombstone did not outrank the older upsert: $finalA")
+    // key 2 must still be IN raw state as a tombstone (filtered at read)
+    assert(rawLatest(rootA).exists { case (k, op, _, e) =>
+      k == 2L && op == "error" && e == 9L })
+    // replay idempotence: re-running the last batch rebuilds v=1 identically
+    wA(b1, 1L)
+    assert(state(rootA) == finalA, "crash replay changed the state")
+    // order insensitivity: batches applied in the opposite order converge
+    val rootB = java.nio.file.Files.createTempDirectory("graft_cdcB").toString
+    val wB = StreamOps.cdcMergeWriter(rootB)
+    wB(b1, 0L); wB(b0, 1L)
+    assert(state(rootB) == finalA, "batch order changed the fixpoint")
+  }
 }
