@@ -1035,6 +1035,57 @@ object Events {
       .orderBy("residue")
   }
 
+  /** DAU / rolling-7-day WAU / stickiness per day — the engagement
+    * report every event pipeline ships. Rolling DISTINCT users defeats
+    * pre-aggregation (a 7-day distinct is not the sum of dailies), so
+    * the scalable form is the CONTRIBUTION EXPLODE: dedup to (user, day)
+    * once, explode each user-day to the ≤7 target days it makes the user
+    * active for, dedup (user, target-day), count per day — work is a
+    * fixed ×7 of the user-day relation, every step a keyed shuffle or
+    * combinable count, never a per-day window over raw events and never
+    * count_distinct over a RANGE frame (which Spark cannot do without
+    * re-scanning each frame). The corpus edge is a 1-row max-day
+    * broadcast; stickiness is the exact integer DAU·10⁶ div WAU (the
+    * event_attribution micro-unit discipline). */
+  val eventActiveUsers = QueryDef(
+    "event_active_users",
+    """WITH ud AS (
+      |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+      |), span AS (
+      |  SELECT max(day) AS max_day FROM ud
+      |), dau AS (
+      |  SELECT day, CAST(count(*) AS BIGINT) AS dau FROM ud GROUP BY day
+      |), contrib AS (
+      |  SELECT DISTINCT ud.user_id, ud.day + CAST(i AS INT) AS day
+      |  FROM ud, unnest(generate_series(0, 6)) AS t(i)
+      |), wau AS (
+      |  SELECT c.day, CAST(count(*) AS BIGINT) AS wau
+      |  FROM contrib c, span WHERE c.day <= span.max_day
+      |  GROUP BY c.day
+      |)
+      |SELECT d.day, d.dau, w.wau,
+      |       CAST(d.dau * 1000000 // w.wau AS BIGINT) AS stick_ppm
+      |FROM dau d JOIN wau w ON d.day = w.day
+      |ORDER BY d.day""".stripMargin) { (s, d) =>
+    val ud = Tables.events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+    val maxDay = ud.agg(max(col("day")).as("max_day"))
+    val dau = ud.groupBy("day").agg(count(lit(1)).as("dau"))
+    val wau = ud
+      .select(col("user_id"), explode(expr("sequence(0, 6)")).as("i"),
+        col("day"))
+      .select(col("user_id"), expr("date_add(day, i)").as("day"))
+      .distinct()
+      .crossJoin(broadcast(maxDay))
+      .filter(col("day") <= col("max_day"))
+      .groupBy("day").agg(count(lit(1)).as("wau"))
+    dau.join(wau, "day")
+      .select(col("day"), col("dau"), col("wau"),
+        expr("dau * 1000000L div wau").as("stick_ppm"))
+      .orderBy("day")
+  }
+
   /** First-order Markov transition model over per-user event-type
     * sequences — the normalized counterpart of `event_paths` (which mines
     * raw top-k trigrams): for every (src → dst) transition the count and
@@ -1242,5 +1293,5 @@ object Events {
     streamJoin, eventRetention, eventsResample, windowGapsIslands,
     eventAttribution, eventPaths, eventAnomaly, joinOverlap, streamFileSink,
     eventMarkov, streamJoinOuter, eventRfm, eventSeqMatch,
-    streamStatefulSession, streamUpsertSink)
+    streamStatefulSession, streamUpsertSink, eventActiveUsers)
 }

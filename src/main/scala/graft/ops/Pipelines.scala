@@ -189,6 +189,67 @@ object Pipelines {
       .limit(20)
   }
 
+  /** TPC-H Q7 shape (volume shipping): bilateral trade between two named
+    * nations per ship-year — the pipeline with a DISJUNCTIVE cross-table
+    * predicate none of the other four have: the (supplier-nation,
+    * customer-nation) pair must be (A,B) or (B,A), a constraint that only
+    * becomes decidable after BOTH dim chains join. Each nation role is
+    * pre-filtered to the two names at ITS scan (so the supplier and
+    * customer sides each shrink before the fact joins — the per-role
+    * filter is the pushdown-friendly residue of the OR), the ship-year
+    * window is scan-stage on lineitem, and the pair predicate runs as a
+    * post-join filter over the two bounded dim columns. Fact joins
+    * shuffle on their keys; both nation roles broadcast. Revenue is the
+    * §2.9 exact-DECIMAL product summed then cast; year() on identical
+    * NTZ microseconds is exact in both engines. */
+  val pipelineTpchQ7 = QueryDef(
+    "pipeline_tpch_q7",
+    """SELECT supp_nation, cust_nation, l_year,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+      |  CAST(count(*) AS BIGINT) AS n_items
+      |FROM (
+      |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      |         CAST(year(l.l_shipdate) AS INT) AS l_year,
+      |         l.l_extendedprice, l.l_discount
+      |  FROM lineitem l
+      |  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      |  JOIN orders o   ON o.o_orderkey = l.l_orderkey
+      |  JOIN customer c ON c.c_custkey = o.o_custkey
+      |  JOIN nation n1  ON n1.n_nationkey = s.s_nationkey
+      |  JOIN nation n2  ON n2.n_nationkey = c.c_nationkey
+      |  WHERE ((n1.n_name = 'NATION_13' AND n2.n_name = 'NATION_19')
+      |      OR (n1.n_name = 'NATION_19' AND n2.n_name = 'NATION_13'))
+      |    AND l.l_shipdate < TIMESTAMP '1999-01-01'
+      |)
+      |GROUP BY supp_nation, cust_nation, l_year
+      |ORDER BY supp_nation, cust_nation, l_year""".stripMargin) { (s, d) =>
+    val pair = Seq("NATION_13", "NATION_19")
+    val li = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") < lit("1999-01-01").cast("timestamp_ntz"))
+      .select("l_orderkey", "l_suppkey", "l_shipdate",
+        "l_extendedprice", "l_discount")
+    val supp = Tables.supplier(s, d).select("s_suppkey", "s_nationkey")
+    val ord = Tables.orders(s, d).select("o_orderkey", "o_custkey")
+    val cust = Tables.customer(s, d).select("c_custkey", "c_nationkey")
+    val n1 = Tables.nation(s, d).filter(col("n_name").isin(pair: _*))
+      .select(col("n_nationkey").as("n1_key"), col("n_name").as("supp_nation"))
+    val n2 = Tables.nation(s, d).filter(col("n_name").isin(pair: _*))
+      .select(col("n_nationkey").as("n2_key"), col("n_name").as("cust_nation"))
+    li.join(supp, col("l_suppkey") === col("s_suppkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(n1, col("s_nationkey") === col("n1_key"))
+      .join(n2, col("c_nationkey") === col("n2_key"))
+      .filter((col("supp_nation") === "NATION_13" && col("cust_nation") === "NATION_19")
+        || (col("supp_nation") === "NATION_19" && col("cust_nation") === "NATION_13"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(sum(money(col("l_extendedprice")) * (lit(1) - rate(col("l_discount"))))
+        .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
   val all: Seq[QueryDef] = Seq(pipelineTpchQ3, pipelineTpchQ18,
-    pipelineTpchQ5, pipelineTpchQ10)
+    pipelineTpchQ5, pipelineTpchQ10, pipelineTpchQ7)
 }

@@ -265,6 +265,30 @@ class PlanSpec extends AnyFunSuite {
       s"join degenerated to an unkeyed join:\n$p")
   }
 
+  test("pipeline_tpch_q7: shipdate + nation-name filters reach the scans; no unkeyed join") {
+    val p = plan(graft.ops.Pipelines.pipelineTpchQ7)
+    assert(p.contains("LessThan(l_shipdate"),
+      s"shipdate filter not pushed to the scan:\n$p")
+    // each nation ROLE is pre-filtered to the pair at its own scan — the
+    // pushdown-friendly residue of the disjunctive pair predicate
+    assert(p.contains("In(n_name"),
+      s"nation-pair residue not pushed to the nation scans:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"join degenerated to an unkeyed join:\n$p")
+  }
+
+  test("event_active_users: contribution explode carries no window; counts are keyed aggs") {
+    val p = plan(graft.ops.Events.eventActiveUsers)
+    // the rolling distinct must be explode + hash aggregates — a RANGE
+    // window with count_distinct would show as a Window node (unsupported
+    // distinct frames fall to per-frame re-scans)
+    assert(!p.contains("Window"), s"rolling distinct fell to a window:\n$p")
+    assert(p.contains("Generate explode") || p.contains("explode"),
+      s"contribution explode missing:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"max-day closure cartesianed:\n$p")
+  }
+
   test("graph_linkpred: capped wedge join is equi-keyed, never cartesian") {
     val p = plan(graft.ops.Graph.graphLinkpred)
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
