@@ -195,6 +195,49 @@ object Formats {
     df
   }
 
+  /** Schema-EVOLUTION read — the drift case every long-lived table hits:
+    * files written before a column existed sit next to files written
+    * after, and one read must see the union schema with NULLs where the
+    * old files have no column. Orders split deterministically by key
+    * parity into a v1 landing (no o_orderpriority) and a v2 landing
+    * (with it), read back as ONE relation via mergeSchema; the aggregate
+    * keeps the NULL-priority group (the v1 rows) live at every SF, and
+    * the oracle recomputes from the original table with the same parity
+    * rule — the hash certifies both that the union schema resolves and
+    * that no row or value is lost across the schema boundary.
+    *
+    * At scale: mergeSchema is a FOOTER union (one footer read per file,
+    * no data pass); production tables pin the merged schema in a
+    * catalog, but the read semantics certified here are identical. */
+  val scanEvolution = QueryDef(
+    "scan_evolution",
+    """SELECT CASE WHEN o_orderkey % 2 = 0 THEN NULL
+      |            ELSE o_orderpriority END AS priority,
+      |       CAST(count(*) AS BIGINT) AS n,
+      |       CAST(max(o_orderkey) AS BIGINT) AS max_key,
+      |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+      |         AS sum_price
+      |FROM orders
+      |GROUP BY priority
+      |ORDER BY priority NULLS FIRST""".stripMargin) { (s, d) =>
+    val dir = fmtDir(d, "evolve")
+    val ord = Tables.orders(s, d)
+      .select("o_orderkey", "o_totalprice", "o_orderpriority")
+    // v1 files predate the priority column; v2 files carry it
+    ord.filter(col("o_orderkey") % 2 === 0)
+      .drop("o_orderpriority")
+      .write.mode("overwrite").parquet(dir + "/v1")
+    ord.filter(col("o_orderkey") % 2 =!= 0)
+      .write.mode("overwrite").parquet(dir + "/v2")
+    s.read.option("mergeSchema", "true")
+      .parquet(dir + "/v1", dir + "/v2")
+      .groupBy(col("o_orderpriority").as("priority"))
+      .agg(count(lit(1)).as("n"),
+        max(col("o_orderkey")).as("max_key"),
+        sum(dec(col("o_totalprice"))).cast("double").as("sum_price"))
+      .orderBy(col("priority").asc_nulls_first)
+  }
+
   val all: Seq[QueryDef] = Seq(scanCsv, scanJson, scanOrc, scanXml,
-    maintenanceCompact)
+    maintenanceCompact, scanEvolution)
 }

@@ -519,7 +519,94 @@ object Text {
       .limit(20)
   }
 
+  /** URL-canonicalization dedup — the first dedup pass of every
+    * web-crawl pipeline (cheaper than any content compare and applied
+    * before it): the same page arrives under host-case / default-port /
+    * utm-tracking-param / trailing-slash / fragment variants, and the
+    * canonical form collapses them without ever reading the payload.
+    * Variant dirt is synthesized deterministically (4 variants per page:
+    * clean, UPPER-host + :443, utm-tagged, trailing-slash + fragment) so
+    * every rule fires at every SF; canonicalization is a pure
+    * scan-stage regex projection (strip fragment, strip utm_* params,
+    * strip trailing slash, lowercase host, drop default port via the
+    * host character class) in the Java∩RE2 pattern subset (fn_regex
+    * discipline), followed by ONE host-keyed count/distinct aggregate.
+    *
+    * At scale: per-row projection + one keyed shuffle — canonical-key
+    * grouping is the exact-dedup plan (dedup_exact) with the key derived
+    * instead of hashed; no pairs, no content reads. */
+  val textDedupUrl = QueryDef(
+    "text_dedup_url",
+    """WITH u AS (
+      |  SELECT doc_id,
+      |         'https://' || CASE WHEN doc_id % 4 = 1
+      |             THEN upper('src' || CAST((doc_id // 4) % 20 AS VARCHAR))
+      |             ELSE 'src' || CAST((doc_id // 4) % 20 AS VARCHAR) END
+      |           || '.example.com'
+      |           || CASE WHEN doc_id % 4 = 1 THEN ':443' ELSE '' END
+      |           || '/d' || CAST((doc_id // 4) % 7 AS VARCHAR)
+      |           || '/page-' || CAST(doc_id // 4 AS VARCHAR)
+      |           || CASE WHEN doc_id % 4 = 2
+      |                THEN '?utm_source=feed&utm_campaign=c'
+      |                     || CAST(doc_id % 3 AS VARCHAR)
+      |              WHEN doc_id % 4 = 3 THEN '/' ELSE '' END
+      |           || CASE WHEN doc_id % 4 = 3
+      |                THEN '#sec-' || CAST(doc_id % 5 AS VARCHAR)
+      |              ELSE '' END AS url
+      |  FROM documents
+      |), c AS (
+      |  SELECT doc_id,
+      |    regexp_replace(regexp_replace(regexp_replace(
+      |      url, '#.*$', ''), '[?&]utm_[a-z]+=[^&]*', '', 'g'), '/$', '')
+      |      AS stripped
+      |  FROM u
+      |), k AS (
+      |  SELECT doc_id,
+      |    'https://' || lower(regexp_extract(stripped, '^https://([^/:?#]+)', 1))
+      |      || regexp_extract(stripped, '^https://[^/?#]+(/[^?#]*)', 1)
+      |      AS canonical,
+      |    lower(regexp_extract(stripped, '^https://([^/:?#]+)', 1)) AS host
+      |  FROM c
+      |)
+      |SELECT host, CAST(count(*) AS BIGINT) AS n_urls,
+      |       CAST(count(DISTINCT canonical) AS BIGINT) AS n_pages,
+      |       CAST(count(*) - count(DISTINCT canonical) AS BIGINT)
+      |         AS n_collapsed,
+      |       min(canonical) AS sample_page
+      |FROM k GROUP BY host ORDER BY host""".stripMargin) { (s, d) =>
+    // doc_id div 4 — the exact integer page id ('/' would be double division)
+    val pid = expr("doc_id div 4")
+    val pidHost = concat(lit("src"), (pid % 20).cast("string"))
+    val url = concat(
+      lit("https://"),
+      when(col("doc_id") % 4 === 1, upper(pidHost)).otherwise(pidHost),
+      lit(".example.com"),
+      when(col("doc_id") % 4 === 1, lit(":443")).otherwise(lit("")),
+      lit("/d"), (pid % 7).cast("string"),
+      lit("/page-"), pid.cast("string"),
+      when(col("doc_id") % 4 === 2,
+        concat(lit("?utm_source=feed&utm_campaign=c"),
+          (col("doc_id") % 3).cast("string")))
+        .when(col("doc_id") % 4 === 3, lit("/")).otherwise(lit("")),
+      when(col("doc_id") % 4 === 3,
+        concat(lit("#sec-"), (col("doc_id") % 5).cast("string")))
+        .otherwise(lit("")))
+    val stripped = regexp_replace(regexp_replace(regexp_replace(
+      url, "#.*$", ""), "[?&]utm_[a-z]+=[^&]*", ""), "/$", "")
+    val host = lower(regexp_extract(stripped, "^https://([^/:?#]+)", 1))
+    val canonical = concat(lit("https://"), host,
+      regexp_extract(stripped, "^https://[^/?#]+(/[^?#]*)", 1))
+    Tables.documents(s, d)
+      .select(canonical.as("canonical"), host.as("host"))
+      .groupBy("host")
+      .agg(count(lit(1)).as("n_urls"),
+        countDistinct(col("canonical")).as("n_pages"),
+        (count(lit(1)) - countDistinct(col("canonical"))).as("n_collapsed"),
+        min(col("canonical")).as("sample_page"))
+      .orderBy("host")
+  }
+
   val all: Seq[QueryDef] = Seq(textStats, dedupExact, dedupNear, dedupKeeper,
     textEditdist, textEditdistDedup, dedupContainment, dedupContainmentDedup,
-    dedupIncremental, textSpanDedup)
+    dedupIncremental, textSpanDedup, textDedupUrl)
 }
