@@ -289,6 +289,31 @@ class PlanSpec extends AnyFunSuite {
       s"max-day closure cartesianed:\n$p")
   }
 
+  test("text_bpe_pairs: exactly two aggregates, no join — the vocab-bounded shape") {
+    val p = plan(graft.ops.TextAnalysis.textBpePairs)
+    // corpus → vocab groupBy → pair explode → pair groupBy; a join or a
+    // third shuffle would mean the explode left the vocab side
+    assert(!p.contains("Join"), s"pair generation joined the corpus:\n$p")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 2, s"expected 2 keyed shuffles (vocab, pair), got $exchanges:\n$p")
+  }
+
+  test("text_lm_score: the corpus-sized bigram stream pays exactly one dictionary join") {
+    val p = plan(graft.ops.TextAnalysis.textLmScore)
+    // dict = bc ⋈ uc (vocab-bounded) merges BEFORE the corpus join
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"LM dictionary join degenerated:\n$p")
+    assert(p.contains("div"), s"micro-prob lost the integer div:\n$p")
+  }
+
+  test("text_dedup_url: canonicalization is scan-stage; one keyed aggregate, no join") {
+    val p = plan(graft.ops.Text.textDedupUrl)
+    assert(!p.contains("Join"), s"URL dedup joined:\n$p")
+    // count_distinct goes through Expand + two-phase agg on the host key
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges <= 2, s"more shuffles than the host-keyed distinct needs:\n$p")
+  }
+
   test("graph_linkpred: capped wedge join is equi-keyed, never cartesian") {
     val p = plan(graft.ops.Graph.graphLinkpred)
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
