@@ -120,6 +120,42 @@ object Swivel {
       .orderBy("id")
   }
 
+  /** Scaled integer cell weight for the PMI key: Σ n_d · (2520/d) with
+    * 2520 = LCM(1..10) — the exact-integer form of $weightSql. */
+  private val scaledWeightSql: String =
+    (1 to WindowSize).map(k =>
+      s"sum(CASE WHEN dd = $k THEN ${2520 / k} ELSE 0 END)").mkString(" + ")
+
+  /** Positive-PMI report over the co-occurrence matrix — the quantity
+    * Swivel's objective approximates (SwivelPrep.pmiCells holds the
+    * determinism + scale rationale: LCM-rescaled integer weights,
+    * HUGEINT/DECIMAL(38,0) product, integral div, log never runs). Top
+    * 30 supported cells by PMI ratio in micro-units. */
+  val swivelPmi = QueryDef(
+    "swivel_pmi",
+    s"""$baseCte, scells AS (
+       |  SELECT row_id, col_id, $scaledWeightSql AS sw
+       |  FROM pboth GROUP BY row_id, col_id
+       |), rmarg AS (
+       |  SELECT row_id, sum(sw) AS smi FROM scells GROUP BY row_id
+       |), tot AS (
+       |  SELECT sum(sw) AS st FROM scells
+       |)
+       |SELECT c.row_id, c.col_id, CAST(c.sw AS BIGINT) AS sw,
+       |  CAST(CAST(c.sw AS HUGEINT) * t.st * 1000000
+       |       // (CAST(r1.smi AS HUGEINT) * r2.smi) AS BIGINT) AS ratio_ppm
+       |FROM scells c
+       |JOIN rmarg r1 ON c.row_id = r1.row_id
+       |JOIN rmarg r2 ON c.col_id = r2.row_id
+       |CROSS JOIN tot t
+       |WHERE c.sw >= 7560
+       |ORDER BY ratio_ppm DESC, c.row_id, c.col_id LIMIT 30""".stripMargin) {
+    (s, d) =>
+      val docs = Tables.documents(s, d)
+      SwivelPrep.pmiCells(docs, cachedVocab(docs), WindowSize,
+        minScaled = 7560L, topK = 30)
+  }
+
   /** One materialized cooc matrix per (session, sfDir), shared by the two
     * keys that are derivations OVER the matrix (`swivel_shard`,
     * `swivel_shard_stats`) — the real pipeline shape: the reference
@@ -224,6 +260,6 @@ object Swivel {
   }
 
   val all: Seq[QueryDef] = Seq(swivelTokenize, swivelVocab, swivelCooc,
-    swivelCoocSalted, swivelMarginals, swivelShard, swivelShardStats,
+    swivelCoocSalted, swivelMarginals, swivelPmi, swivelShard, swivelShardStats,
     swivelShardPb)
 }

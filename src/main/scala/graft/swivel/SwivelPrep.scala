@@ -152,6 +152,45 @@ object SwivelPrep {
     merged.select(col("row_id"), col("col_id"), round(w, 4).as("weight"))
   }
 
+  /** Positive-PMI report over the co-occurrence matrix — the quantity
+    * Swivel's training objective approximates, surfaced as a gated
+    * relation with EVERY step exact: the Σ n_d/d cell weight is rescaled
+    * by LCM(1..windowSize) into an exact integer (n_d · (L/d) term sums
+    * — no double ever forms), marginals and the matrix total are integer
+    * sums of those, and the PMI ratio x_ij·T / (x_i·x_j) is carried in
+    * micro-units through a DECIMAL(38,0) product with an integral `div`
+    * (the 128-bit-safe path: x_ij·T·10⁶ overflows BIGINT on hub cells).
+    * log() never runs — monotone in the ratio, so ranking by ratio IS
+    * ranking by PMI and the emitted integer is engine-identical.
+    *
+    * Scale: one pair-level groupBy (the cooc shuffle), a vocab-bounded
+    * marginal groupBy, a 1-row total broadcast, two vocab-bounded
+    * marginal joins onto the cell relation, top-k per-partition heaps. */
+  def pmiCells(docs: DataFrame, vocab: DataFrame, windowSize: Int,
+      minScaled: Long, topK: Int): DataFrame = {
+    val lcm = (1 to windowSize).foldLeft(1L)((a, k) =>
+      a * k / BigInt(a).gcd(BigInt(k)).toLong)
+    val scaled = (1 to windowSize).map(k =>
+      sum(when(col("dd") === k, lit(lcm / k)).otherwise(0L)))
+      .reduceLeft(_ + _)
+    val cells = coocPairs(docs, vocab, windowSize)
+      .groupBy("row_id", "col_id").agg(scaled.as("sw"))
+    val marg = cells.groupBy("row_id").agg(sum(col("sw")).as("smi"))
+    val tot = cells.agg(sum(col("sw")).as("st"))
+    cells
+      .join(marg, "row_id")
+      .join(marg.select(col("row_id").as("col_id"), col("smi").as("smj")),
+        "col_id")
+      .crossJoin(broadcast(tot))
+      .filter(col("sw") >= minScaled)
+      .select(col("row_id"), col("col_id"), col("sw"),
+        expr("CAST(sw AS DECIMAL(38,0)) * CAST(st AS DECIMAL(38,0)) * 1000000" +
+          " div (CAST(smi AS DECIMAL(38,0)) * CAST(smj AS DECIMAL(38,0)))")
+          .as("ratio_ppm"))
+      .orderBy(col("ratio_ppm").desc, col("row_id"), col("col_id"))
+      .limit(topK)
+  }
+
   /** Row sums of the (symmetric) co-occurrence matrix per token id —
     * computed from the pair relation with the same fixed-order weight
     * expression, so marginals sum the UNROUNDED cell weights. */
