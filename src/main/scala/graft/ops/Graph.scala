@@ -535,6 +535,94 @@ object Graph {
     khopReach(e0, nSeeds = 10).orderBy("seed")
   }
 
+  /** Bounded-round weighted shortest paths (Bellman-Ford relaxation) —
+    * `graph_khop`'s min-plus complement: khop asks REACH (is there a
+    * ≤k-hop path), this asks the CHEAPEST ≤3-edge path under an integer
+    * edge cost (1000 div co-order-count — stronger ties are cheaper),
+    * the seed-bounded ego form of the SSSP shape every distributed graph
+    * engine ships. Each relaxation round is |frontier ⋈ edges| + one
+    * (seed, node) min-groupBy — the Pregel superstep as two keyed
+    * shuffles, rounds fixed at 3 so the blowup knobs stay bounded
+    * exactly as khop's. Costs are pure integers (floor div on exact
+    * counts); per-seed rollups are combinable min/max/sum/count. The
+    * oracle unrolls the three rounds as CTEs with the same min-merge.
+    *
+    * At 100 TB: frontier relations are seed-tagged and key-partitioned;
+    * unbounded-round SSSP adds only a convergence loop over the same
+    * per-round plan (the graph_components localCheckpoint discipline). */
+  val graphSssp = QueryDef(
+    "graph_sssp",
+    """WITH pr AS (
+      |  SELECT DISTINCT a.l_orderkey AS ok, a.l_partkey AS u, b.l_partkey AS v
+      |  FROM lineitem a JOIN lineitem b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+      |), ew AS (
+      |  SELECT u, v, 1000 // count(*) AS w
+      |  FROM pr GROUP BY u, v HAVING count(*) >= 2
+      |), seeds AS (
+      |  SELECT u AS seed FROM ew GROUP BY u ORDER BY u LIMIT 10
+      |), d1 AS (
+      |  SELECT s.seed, e.v, min(e.w) AS cost
+      |  FROM seeds s JOIN ew e ON e.u = s.seed
+      |  GROUP BY s.seed, e.v
+      |), d2 AS (
+      |  SELECT seed, v, min(cost) AS cost FROM (
+      |    SELECT d1.seed, e.v, d1.cost + e.w AS cost
+      |    FROM d1 JOIN ew e ON e.u = d1.v
+      |    UNION ALL SELECT seed, v, cost FROM d1
+      |  ) WHERE v <> seed GROUP BY seed, v
+      |), d3 AS (
+      |  SELECT seed, v, min(cost) AS cost FROM (
+      |    SELECT d2.seed, e.v, d2.cost + e.w AS cost
+      |    FROM d2 JOIN ew e ON e.u = d2.v
+      |    UNION ALL SELECT seed, v, cost FROM d2
+      |  ) WHERE v <> seed GROUP BY seed, v
+      |)
+      |SELECT seed, CAST(count(*) AS BIGINT) AS n_reached,
+      |       CAST(min(cost) AS BIGINT) AS min_cost,
+      |       CAST(max(cost) AS BIGINT) AS max_cost,
+      |       CAST(sum(cost) AS BIGINT) AS sum_cost
+      |FROM d3 GROUP BY seed ORDER BY seed""".stripMargin) { (s, d) =>
+    val root = prDir(d) + "_ss"
+    val li = Tables.lineitem(s, d).select("l_orderkey", "l_partkey")
+    li.toDF("ok", "u").join(li.toDF("ok", "v"), Seq("ok"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .groupBy("u", "v").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2)
+      .select(col("u"), col("v"), expr("1000 div c").as("w"))
+      .write.mode("overwrite").parquet(root + "/edges")
+    val ew = s.read.parquet(root + "/edges")
+    ssspCosts(ew, nSeeds = 10)
+      .groupBy("seed")
+      .agg(count(lit(1)).as("n_reached"),
+        min(col("cost")).as("min_cost"),
+        max(col("cost")).as("max_cost"),
+        sum(col("cost")).as("sum_cost"))
+      .orderBy("seed")
+  }
+
+  /** The bounded Bellman-Ford core over a weighted (u, v, w) edge
+    * relation: per seed (the `nSeeds` smallest edge-bearing ids), the
+    * min cost per reached node over paths of ≤ 3 edges (self excluded).
+    * Each round: relax one edge off the current frontier, min-merge with
+    * the standing distances. */
+  def ssspCosts(ew: DataFrame, nSeeds: Int): DataFrame = {
+    val seeds = ew.select(col("u").as("seed")).distinct()
+      .orderBy("seed").limit(nSeeds)
+    val d1 = seeds
+      .join(ew.select(col("u").as("seed"), col("v"), col("w")), Seq("seed"))
+      .groupBy("seed", "v").agg(min(col("w")).as("cost"))
+    def relax(r: DataFrame): DataFrame =
+      r.select(col("seed"), col("v").as("x"), col("cost"))
+        .join(ew.select(col("u").as("x"), col("v"), col("w")), Seq("x"))
+        .select(col("seed"), col("v"), (col("cost") + col("w")).as("cost"))
+        .union(r.select("seed", "v", "cost"))
+        .filter(col("v") =!= col("seed"))
+        .groupBy("seed", "v").agg(min(col("cost")).as("cost"))
+    relax(relax(d1))
+  }
+
   /** The k-hop reach core over a symmetric (u, v) edge relation: per
     * seed (the `nSeeds` smallest edge-bearing node ids), the cumulative
     * distinct-node counts at hop depths 1..3 (self excluded). */
@@ -566,5 +654,5 @@ object Graph {
   }
 
   val all: Seq[QueryDef] = Seq(graphPagerank, graphTriangles, graphComponents,
-    graphLinkpred, graphKhop)
+    graphLinkpred, graphKhop, graphSssp)
 }

@@ -698,6 +698,22 @@ class EdgeSpec extends AnyFunSuite {
     assert(micros.min == minMicro)
   }
 
+  test("ssspCosts: min-cost beats direct edge; 3-edge bound excludes cheaper 4-hop path") {
+    // chain 1-2-3-4-5 at cost 1 per edge, plus direct 1->4 (100), 1->5 (10):
+    //   cost(1,4) = 3 (three hops beat the direct 100)
+    //   cost(1,5) = 10 (the 4-hop cost-4 path exceeds the 3-edge bound)
+    val ew = Seq(
+      (1L, 2L, 1L), (2L, 3L, 1L), (3L, 4L, 1L), (4L, 5L, 1L),
+      (1L, 4L, 100L), (1L, 5L, 10L)).toDF("u", "v", "w")
+    val got = graft.ops.Graph.ssspCosts(ew, nSeeds = 10)
+      .as[(Long, Long, Long)].collect()
+      .map { case (s, v, c) => ((s, v), c) }.toMap
+    assert(got((1L, 4L)) == 3L, s"relaxation missed the cheaper 3-hop path: $got")
+    assert(got((1L, 5L)) == 10L, s"bound leaked a 4-edge path: $got")
+    assert(got((1L, 2L)) == 1L && got((1L, 3L)) == 2L)
+    assert(got((2L, 5L)) == 3L) // 2-3-4-5 within the bound
+  }
+
   test("supplierEdges: co-occurrence is symmetric, self-pair-free, distinct") {
     val li = Seq((1L, 10L), (1L, 20L), (1L, 20L), (2L, 20L), (3L, 30L))
       .toDF("l_orderkey", "l_suppkey")
