@@ -860,9 +860,120 @@ object TextAnalysis {
         .limit(25)
   }
 
+  /** Category-blocklist filter report — the safety/compliance pass every
+    * curation pipeline runs beside `text_pii_scrub` (that key REDACTS;
+    * this one SCORES against term lists and flags documents for drop):
+    * token-exact hits per category via a BROADCAST dictionary join (the
+    * scalable form — a real blocklist is 10⁴-10⁶ terms, far past regex
+    * alternation limits, and the tokens side never shuffles), per-doc
+    * category counts as one combinable conditional aggregate, a
+    * threshold verdict, and a per-language rollup with both branches
+    * live at every SF. All-integer. */
+  val textBlocklist = QueryDef(
+    "text_blocklist",
+    """WITH bl(w, cat) AS (
+      |  VALUES ('spark','code'),('hash','code'),('merge','code'),
+      |         ('table','db'),('row','db'),('window','db')
+      |), tok AS (
+      |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+      |  FROM documents
+      |), hits AS (
+      |  SELECT t.doc_id, t.lang,
+      |         sum(CASE WHEN b.cat = 'code' THEN 1 ELSE 0 END) AS code_hits,
+      |         sum(CASE WHEN b.cat = 'db' THEN 1 ELSE 0 END) AS db_hits
+      |  FROM tok t LEFT JOIN bl b ON t.w = b.w
+      |  GROUP BY t.doc_id, t.lang
+      |), v AS (
+      |  SELECT lang, code_hits, db_hits,
+      |         (code_hits >= 3 OR code_hits + db_hits >= 8) AS flagged
+      |  FROM hits
+      |)
+      |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(sum(CASE WHEN flagged THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS n_flagged,
+      |       CAST(sum(code_hits) AS BIGINT) AS sum_code,
+      |       CAST(sum(db_hits) AS BIGINT) AS sum_db
+      |FROM v GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val bl = Seq(("spark", "code"), ("hash", "code"), ("merge", "code"),
+      ("table", "db"), ("row", "db"), ("window", "db")).toDF("w", "cat")
+    val hits = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        explode(split(col("text"), " ")).as("w"))
+      .join(broadcast(bl), Seq("w"), "left")
+      .groupBy("doc_id", "lang")
+      .agg(sum(when(col("cat") === "code", 1L).otherwise(0L)).as("code_hits"),
+        sum(when(col("cat") === "db", 1L).otherwise(0L)).as("db_hits"))
+    hits
+      .withColumn("flagged",
+        col("code_hits") >= 3 || col("code_hits") + col("db_hits") >= 8)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("flagged"), 1L).otherwise(0L)).as("n_flagged"),
+        sum(col("code_hits")).as("sum_code"),
+        sum(col("db_hits")).as("sum_db"))
+      .orderBy("lang")
+  }
+
+  /** Temperature-scaled mixture sampling (T = 2, i.e. weights ∝ √n) —
+    * the multilingual-corpus balancing rule (low-resource languages
+    * upweighted relative to their share) that `sample_mix`'s FIXED
+    * weights can't express: here the weight comes from the data itself.
+    * Exactness hinges on √: isqrt_l = floor(√n_l) is exact in BOTH
+    * engines because IEEE sqrt is correctly rounded (the only double in
+    * the pipeline, consumed immediately by floor on a value whose
+    * correctly-rounded form is never on the wrong side of an integer for
+    * n < 2^52); the per-language BUDGET is then the pure integer share
+    * B·isqrt_l div Σ isqrt of a fixed 120-doc budget, the per-doc keep
+    * THRESHOLD divides it by the language's population (rate ∝ 1/√n —
+    * low-resource languages keep at a HIGHER rate, the whole point of
+    * temperature sampling), and membership is the md5 keep rule
+    * (sample_split discipline: no rand(), retry-safe, one scan). Two
+    * keyed shuffles on `lang` at any corpus size. */
+  val sampleTemperature = QueryDef(
+    "sample_temperature",
+    """WITH counts AS (
+      |  SELECT lang, CAST(count(*) AS BIGINT) AS n FROM documents
+      |  GROUP BY lang
+      |), iq AS (
+      |  SELECT lang, n, CAST(floor(sqrt(n)) AS BIGINT) AS isq FROM counts
+      |), tot AS (
+      |  SELECT sum(isq) AS s FROM iq
+      |), thr AS (
+      |  SELECT lang, n, isq,
+      |         (isq * 120 * 4294967296) // (n * s) AS t FROM iq, tot
+      |), k AS (
+      |  SELECT d.lang, thr.t, thr.isq,
+      |         CAST('0x' || substr(md5('temp:' || CAST(doc_id AS VARCHAR)),
+      |           1, 8) AS BIGINT) < thr.t AS keep
+      |  FROM documents d JOIN thr ON d.lang = thr.lang
+      |)
+      |SELECT lang, CAST(min(isq) AS BIGINT) AS isqrt_n,
+      |       CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+      |FROM k GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val iq = docs.groupBy("lang").agg(count(lit(1)).as("n"))
+      .select(col("lang"), col("n"),
+        floor(sqrt(col("n"))).cast("long").as("isq"))
+    val tot = iq.agg(sum(col("isq")).as("s"))
+    val thr = iq.crossJoin(broadcast(tot))
+      .select(col("lang"), col("isq"),
+        expr("(isq * 120 * 4294967296L) div (n * s)").as("t"))
+    val h = conv(substring(md5(concat(lit("temp:"),
+      col("doc_id").cast("string"))), 1, 8), 16, 10).cast("long")
+    docs.join(broadcast(thr), "lang")
+      .withColumn("keep", h < col("t"))
+      .groupBy("lang")
+      .agg(min(col("isq")).as("isqrt_n"),
+        count(lit(1)).as("n_docs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"))
+      .orderBy("lang")
+  }
+
   val all: Seq[QueryDef] = Seq(textLangid, textQuality, textTokens, textFingerprint,
     textPiiScrub, sampleSplit, sampleStratified, textPack, textDecontaminate,
     textNgrams, textTfidf, sampleShuffle, pipelineCleanse, textStripMarkup,
     textRepetition, sampleWeighted, textRarity, sampleMix, textBpePairs,
-    textLmScore)
+    textLmScore, textBlocklist, sampleTemperature)
 }
