@@ -238,6 +238,40 @@ object Formats {
       .orderBy(col("priority").asc_nulls_first)
   }
 
+  /** TFRecord EXPORT round-trip — the training-data handoff format (the
+    * file a TF/JAX input pipeline actually consumes): documents become
+    * framed `tf.train.Example` records {id: int64, text: bytes,
+    * n_tokens: int64} in one `docs-SSS.tfrecord` stream per shard
+    * (doc_id % 4), written by the owning executor task, read back via a
+    * binaryFile scan with BOTH masked CRC32Cs verified per record. The
+    * per-shard aggregate is computed from the ROUND-TRIPPED rows while
+    * the oracle computes it from the original table — the hash certifies
+    * the hand-rolled wire format (varint, BytesList, TFRecord framing)
+    * loses nothing. Completes the format surface:
+    * parquet/csv/json/orc/xml/pb/tfrecord. */
+  val exportTfrecord = QueryDef(
+    "export_tfrecord",
+    """SELECT doc_id % 4 AS shard,
+      |       CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(sum(doc_id) AS BIGINT) AS sum_id,
+      |       CAST(sum(length(text)) AS BIGINT) AS sum_text_len,
+      |       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens
+      |FROM documents GROUP BY shard ORDER BY shard""".stripMargin) { (s, d) =>
+    val dir = fmtDir(d, "tfrecord")
+    graft.sources.TfExample.writeDocTfRecords(
+      Tables.documents(s, d).select(
+        (col("doc_id") % 4).as("shard"), col("doc_id"), col("text"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens")),
+      dir)
+    graft.sources.TfExample.readDocTfRecords(s, dir)
+      .groupBy((col("doc_id") % 4).as("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("doc_id")).as("sum_id"),
+        sum(length(col("text")).cast("long")).as("sum_text_len"),
+        sum(col("n_tokens")).as("sum_tokens"))
+      .orderBy("shard")
+  }
+
   val all: Seq[QueryDef] = Seq(scanCsv, scanJson, scanOrc, scanXml,
-    maintenanceCompact, scanEvolution)
+    maintenanceCompact, scanEvolution, exportTfrecord)
 }

@@ -146,6 +146,165 @@ object TfExample {
     out.toMap
   }
 
+  /** BytesList feature (`Feature.bytes_list`, field 1): each value is its
+    * own length-delimited entry (bytes are never packed). */
+  def bytesFeature(values: Seq[Array[Byte]]): Array[Byte] =
+    lenDelim(1, values.toArray.flatMap(v => lenDelim(1, v)))
+
+  /** Decode a DOCUMENT Example — int64 + bytes features (the export
+    * schema; float lists fail fast). Same wire-format tolerance rules as
+    * `parseExample`. */
+  def parseDocExample(bytes: Array[Byte]): Map[String, (Seq[Long], Seq[Array[Byte]])] = {
+    var pos = 0
+    def varintAt(): Long = {
+      var shift = 0; var v = 0L; var more = true
+      while (more) {
+        val x = bytes(pos); pos += 1
+        v |= (x & 0x7fL) << shift; shift += 7; more = (x & 0x80) != 0
+      }
+      v
+    }
+    def delim(): (Int, Int) = { val n = varintAt().toInt; val s = pos; pos += n; (s, s + n) }
+    require(varintAt() == 0x0a, "not an Example: missing features tag")
+    val (fs, fe) = delim()
+    val out = scala.collection.mutable.LinkedHashMap
+      .empty[String, (Seq[Long], Seq[Array[Byte]])]
+    pos = fs
+    while (pos < fe) {
+      require(varintAt() == 0x0a, "bad Features entry tag")
+      val (entryStart, entryEnd) = delim()
+      pos = entryStart
+      require(varintAt() == 0x0a, "bad map key tag")
+      val (ks, ke) = delim()
+      val key = new String(bytes.slice(ks, ke), "UTF-8")
+      pos = ke
+      require(varintAt() == 0x12, "bad map value tag")
+      val (vs, ve) = delim()
+      pos = vs
+      val longs = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val bs = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+      while (pos < ve) {
+        val kind = varintAt()
+        val (ls, le) = delim()
+        pos = ls
+        kind match {
+          case 0x1a => // Int64List: packed chunks under field-1 tags
+            while (pos < le) {
+              require(varintAt() == 0x0a, "bad packed list tag")
+              val (ps, pe) = delim()
+              pos = ps
+              while (pos < pe) longs += varintAt()
+              pos = pe
+            }
+          case 0x0a => // BytesList: one field-1 entry PER VALUE, never packed
+            while (pos < le) {
+              require(varintAt() == 0x0a, "bad bytes value tag")
+              val (ps, pe) = delim()
+              bs += bytes.slice(ps, pe)
+              pos = pe
+            }
+          case k => throw new IllegalArgumentException(s"unexpected Feature kind $k")
+        }
+        pos = le
+      }
+      out(key) = (longs.toSeq, bs.toSeq)
+      pos = entryEnd
+    }
+    out.toMap
+  }
+
+  /** Split a TFRecord stream into its framed payloads, verifying both
+    * masked CRC32Cs per record (a corrupt length or payload fails fast —
+    * silent truncation would undercount the corpus). */
+  def tfRecordFrames(stream: Array[Byte]): Seq[Array[Byte]] = {
+    def crcMasked(b: Array[Byte]): Int = {
+      val c = new java.util.zip.CRC32C
+      c.update(b)
+      val v = c.getValue.toInt
+      ((v >>> 15) | (v << 17)) + 0xa282ead8
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    var pos = 0
+    while (pos < stream.length) {
+      val lenB = stream.slice(pos, pos + 8)
+      val len = java.nio.ByteBuffer.wrap(lenB)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).getLong.toInt
+      val lenCrc = java.nio.ByteBuffer.wrap(stream, pos + 8, 4)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt
+      require(lenCrc == crcMasked(lenB), s"TFRecord length CRC mismatch at $pos")
+      val payload = stream.slice(pos + 12, pos + 12 + len)
+      val payCrc = java.nio.ByteBuffer.wrap(stream, pos + 12 + len, 4)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt
+      require(payCrc == crcMasked(payload), s"TFRecord payload CRC mismatch at $pos")
+      out += payload
+      pos += 12 + len + 4
+    }
+    out.toSeq
+  }
+
+  /** Document TFRecord export — the training-data handoff format (what a
+    * TF/JAX input pipeline reads): one `docs-SSS.tfrecord` per shard,
+    * each a stream of framed Examples {id: int64, text: bytes,
+    * n_tokens: int64}. Shards are owned and written by the executor task
+    * that holds them after the repartition (the writeSwivelPbShards
+    * discipline — nothing corpus-sized on the driver); records within a
+    * shard are doc_id-sorted so the bytes are deterministic. */
+  def writeDocTfRecords(docs: DataFrame, dir: String): Unit = {
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    import docs.sparkSession.implicits._
+    val written = docs
+      .select(col("shard").cast("long"), col("doc_id").cast("long"),
+        col("text"), col("n_tokens").cast("long"))
+      .repartition(col("shard"))
+      .sortWithinPartitions("shard", "doc_id")
+      .mapPartitions { it: Iterator[Row] =>
+        val buf = it.buffered
+        val shards = scala.collection.mutable.ArrayBuffer.empty[Long]
+        while (buf.hasNext) {
+          val shard = buf.head.getLong(0)
+          val bytes = scala.collection.mutable.ArrayBuffer.empty[Byte]
+          while (buf.hasNext && buf.head.getLong(0) == shard) {
+            val r = buf.next()
+            val ex = example(Seq(
+              "id" -> int64Feature(Seq(r.getLong(1))),
+              "n_tokens" -> int64Feature(Seq(r.getLong(3))),
+              "text" -> bytesFeature(Seq(r.getString(2).getBytes("UTF-8")))))
+            bytes ++= tfRecordFrame(ex)
+          }
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(f"$dir/docs-$shard%03d.tfrecord"),
+            bytes.toArray)
+          shards += shard
+        }
+        shards.iterator
+      }
+      .collect() // shard-count-bounded
+    val invisible = written.filterNot(s =>
+      java.nio.file.Files.exists(java.nio.file.Paths.get(f"$dir/docs-$s%03d.tfrecord")))
+    require(invisible.isEmpty,
+      s"executor-written TFRecord shards not visible to the driver: " +
+        s"${invisible.mkString(",")} — shared filesystem required")
+  }
+
+  /** Read document TFRecord shards back into (doc_id, text, n_tokens) —
+    * one binaryFile scan, frames + Examples decoded by the reading task. */
+  def readDocTfRecords(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "docs-*.tfrecord").load(dir)
+      .select(col("content"))
+      .as[Array[Byte]]
+      .flatMap { stream =>
+        tfRecordFrames(stream).map { ex =>
+          val f = parseDocExample(ex)
+          (f("id")._1.head, new String(f("text")._2.head, "UTF-8"),
+            f("n_tokens")._1.head)
+        }
+      }
+      .toDF("doc_id", "text", "n_tokens")
+  }
+
   /** Read `shard-RRR-CCC.pb` files back into the shard cell relation —
     * the migration path for corpora already prepared by the reference:
     * its output files become this engine's input. One Spark `binaryFile`

@@ -111,6 +111,28 @@ class TfExampleSpec extends AnyFunSuite {
     assert(bb.getInt(12 + payload.length) == mask(c2.getValue.toInt))
   }
 
+  test("bytes feature: golden wire bytes, doc-Example round-trip, frame stream + CRC fail-fast") {
+    // BytesList{value: ["ab"]}: Feature field 1 (0x0a), BytesList len 4,
+    // inner value field 1 (0x0a) len 2, bytes — assembled by hand
+    val bf = TfExample.bytesFeature(Seq("ab".getBytes("UTF-8")))
+    assert(bf.toSeq == Seq(0x0a, 0x04, 0x0a, 0x02, 'a'.toByte, 'b'.toByte).map(_.toByte))
+    // doc Example: int64 + bytes features parse back exactly
+    val ex = TfExample.example(Seq(
+      "id" -> TfExample.int64Feature(Seq(42L)),
+      "text" -> TfExample.bytesFeature(Seq("hello world".getBytes("UTF-8")))))
+    val parsed = TfExample.parseDocExample(ex)
+    assert(parsed("id")._1 == Seq(42L))
+    assert(new String(parsed("text")._2.head, "UTF-8") == "hello world")
+    // a two-record frame stream splits back into both payloads
+    val ex2 = TfExample.example(Seq("id" -> TfExample.int64Feature(Seq(7L))))
+    val stream = TfExample.tfRecordFrame(ex) ++ TfExample.tfRecordFrame(ex2)
+    val frames = TfExample.tfRecordFrames(stream)
+    assert(frames.length == 2 && frames(0).toSeq == ex.toSeq && frames(1).toSeq == ex2.toSeq)
+    // corrupting one payload byte must fail fast, not silently drop data
+    val corrupt = stream.clone(); corrupt(13) = (corrupt(13) ^ 0x01).toByte
+    intercept[IllegalArgumentException] { TfExample.tfRecordFrames(corrupt) }
+  }
+
   test("decoder accepts canonical-writer variants: omitted empty field, chunked packed list") {
     // canonical protobuf encoders OMIT an empty packed field (Feature
     // message of zero length) and may split a repeated packed field into
