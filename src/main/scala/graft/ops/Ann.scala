@@ -458,6 +458,97 @@ object Ann {
     ivfTopK(Tables.embeddings(s, d), queryId = 0L, centroidIds, nprobe = 2, k = 10)
   }
 
+  /** MEASURED ANN RECALL as a gated relation — the quality bound every
+    * approximate index must report beside its speedup: per query, the
+    * overlap between the IVF top-10 (nprobe=2 of 8 buckets) and the
+    * exact brute-force top-10, hashed by the driver. This turns "the
+    * IVF path is approximate" from a caveat into a measured, regression-
+    * gated number (the sketch keys' bounded-error discipline applied to
+    * the ANN family); a centroid or probe regression that silently
+    * drops recall now fails the hash. Three fixed queries; both
+    * rankings use the house expression trees (raw-double exact rank,
+    * rounded IVF rank — each bit-identical across engines, vec_id
+    * tie-break) so the overlap count is deterministic.
+    *
+    * Scale: the exact side is the one-scan broadcast-query kernel, the
+    * IVF side probes 2 buckets; the join is top-k-bounded. */
+  val simAnnRecall = QueryDef(
+    "sim_ann_recall", {
+      val cidList = centroidIds.mkString("(", ", ", ")")
+      s"""WITH v0 AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+         |  FROM embeddings
+         |), v AS (
+         |  SELECT vec_id, ve, sqrt(list_dot_product(ve, ve)) AS nrm FROM v0
+         |), cents AS (
+         |  SELECT vec_id AS cid, ve AS cve, nrm AS cnrm FROM v WHERE vec_id IN $cidList
+         |), assigned AS (
+         |  SELECT vec_id, ve, nrm, cid AS bucket FROM (
+         |    SELECT v.vec_id, v.ve, v.nrm, c.cid,
+         |      row_number() OVER (PARTITION BY v.vec_id
+         |        ORDER BY list_dot_product(v.ve, c.cve) / (v.nrm * c.cnrm) DESC, c.cid) AS rn
+         |    FROM v, cents c
+         |  ) WHERE rn = 1
+         |), qs AS (
+         |  SELECT vec_id AS qid, ve AS qve, nrm AS qnrm FROM v
+         |  WHERE vec_id IN (0, 101, 202)
+         |), probed AS (
+         |  SELECT qid, cid AS pbucket FROM (
+         |    SELECT q.qid, c.cid, row_number() OVER (PARTITION BY q.qid
+         |      ORDER BY list_dot_product(q.qve, c.cve) / (q.qnrm * c.cnrm) DESC, c.cid) AS rn
+         |    FROM qs q, cents c
+         |  ) WHERE rn <= 2
+         |), ivf AS (
+         |  SELECT qid, vec_id FROM (
+         |    SELECT p.qid, a.vec_id, row_number() OVER (PARTITION BY p.qid
+         |      ORDER BY round(list_dot_product(q.qve, a.ve) / (q.qnrm * a.nrm), 4) DESC,
+         |               a.vec_id) AS rn
+         |    FROM assigned a
+         |    JOIN probed p ON a.bucket = p.pbucket
+         |    JOIN qs q ON q.qid = p.qid
+         |    WHERE a.vec_id <> p.qid
+         |  ) WHERE rn <= 10
+         |), exact AS (
+         |  SELECT qid, vec_id FROM (
+         |    SELECT q.qid, v.vec_id, row_number() OVER (PARTITION BY q.qid
+         |      ORDER BY list_dot_product(q.qve, v.ve) / (q.qnrm * v.nrm) DESC,
+         |               v.vec_id) AS rn
+         |    FROM v, qs q WHERE v.vec_id <> q.qid
+         |  ) WHERE rn <= 10
+         |)
+         |SELECT e.qid, CAST(count(*) AS BIGINT) AS n_overlap,
+         |       CAST(count(*) * 10 AS BIGINT) AS recall_pct
+         |FROM exact e JOIN ivf i ON e.qid = i.qid AND e.vec_id = i.vec_id
+         |GROUP BY e.qid ORDER BY e.qid""".stripMargin
+    }) { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    val qids = Seq(0L, 101L, 202L)
+    val v = prep(emb)
+    val cents = centroidsFromIds(v, centroidIds)
+    val q = v.filter(col("vec_id").isin(qids: _*))
+      .select(col("vec_id").as("qid"), col("ve").as("qve"),
+        col("nrm").as("qnrm"))
+    val rnW = Window.partitionBy("qid")
+      .orderBy(col("cos").desc, col("vec_id"))
+    val exact = v.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        (Similarity.dot(col("ve"), col("qve")) / (col("nrm") * col("qnrm")))
+          .as("cos"))
+      .withColumn("rn", row_number().over(rnW))
+      .filter(col("rn") <= 10)
+      .select("qid", "vec_id")
+    val ivf = qids.map(qid =>
+        ivfTopKWith(emb, qid, cents, nprobe = 2, k = 10)
+          .select(lit(qid).as("qid"), col("vec_id")))
+      .reduce(_ unionByName _)
+    exact.join(ivf, Seq("qid", "vec_id"))
+      .groupBy("qid")
+      .agg(count(lit(1)).as("n_overlap"),
+        (count(lit(1)) * 10).as("recall_pct"))
+      .orderBy("qid")
+  }
+
   /** Product quantization ANN — the billion-scale compression path that
     * completes the family (brute → IVF → LSH → int8 → PQ): the 64-dim
     * vector becomes m=8 codebook codes (8 bytes vs 256 — the asymmetric-
@@ -658,6 +749,6 @@ object Ann {
     pqTopK(Tables.embeddings(s, d), queryId = 0L, dim = 64)
   }
 
-  val all: Seq[QueryDef] = Seq(simAnnIvf, dedupEmbedLsh, simAnnKmeans, simQuantize,
+  val all: Seq[QueryDef] = Seq(simAnnIvf, dedupEmbedLsh, simAnnKmeans, simQuantize, simAnnRecall,
     simAnnPq)
 }
