@@ -295,6 +295,69 @@ object Multimodal {
       .limit(500)
   }
 
+  /** One audio analysis window: index, exact integer energy (sum of
+    * squared signed samples), silence flag. */
+  case class AudioWindow(doc_id: Long, win_idx: Int, energy: Long,
+      silent: Boolean)
+
+  /** Partition-iterator AUDIO-ENERGY stub — the audio member of the
+    * decode family (decode = image metadata, framesample = video,
+    * resize = image kernel, THIS = PCM frame analysis): treat the
+    * 16-byte payload as 8 signed 16-bit PCM samples, compute per-window
+    * (2 samples) energy as the EXACT integer sum of squares — the
+    * measure a real silence/VAD detector thresholds, with the sqrt/RMS
+    * deliberately left off so no float ever forms — and flag windows
+    * under the threshold as silence. A real decoder would seek PCM
+    * frames in the container here; the fan-out of one blob row into
+    * typed window rows without materializing the raw samples is the
+    * part that matters at scale. */
+  def audioEnergyStub(payloads: DataFrame, silenceBelow: Long = 100000000L)(
+      implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    payloads.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, b) =>
+          (0 until 4).map { w =>
+            def sample(s: Int): Long =
+              (((b(2 * s) & 0xff) << 8) | (b(2 * s + 1) & 0xff)).toLong - 32768L
+            val v0 = sample(2 * w); val v1 = sample(2 * w + 1)
+            val energy = v0 * v0 + v1 * v1
+            AudioWindow(id, w, energy, energy < silenceBelow)
+          }
+        }
+      }.toDF()
+  }
+
+  val multimodalAudioEnergy = QueryDef(
+    "multimodal_audio_energy",
+    // Oracle: sample s is the 16-bit big-endian parse of hex chars
+    // 4s+1..4s+4 of md5(text) minus 32768; window w covers samples
+    // 2w, 2w+1. Energy is an exact BIGINT in both engines; the silence
+    // branch is live at every SF (uniform md5 samples put ~4-5% of
+    // windows under the threshold).
+    """WITH f AS (
+      |  SELECT doc_id, unnest([0, 1, 2, 3]) AS win_idx, md5(text) AS h
+      |  FROM documents WHERE doc_id % 5 = 0
+      |), v AS (
+      |  SELECT doc_id, win_idx,
+      |    CAST(CAST('0x' || substr(h, 8 * win_idx + 1, 4) AS INT) - 32768
+      |      AS BIGINT) AS v0,
+      |    CAST(CAST('0x' || substr(h, 8 * win_idx + 5, 4) AS INT) - 32768
+      |      AS BIGINT) AS v1
+      |  FROM f
+      |)
+      |SELECT doc_id, CAST(win_idx AS INTEGER) AS win_idx,
+      |       CAST(v0 * v0 + v1 * v1 AS BIGINT) AS energy,
+      |       (v0 * v0 + v1 * v1 < 100000000) AS silent
+      |FROM v ORDER BY doc_id, win_idx LIMIT 600""".stripMargin) { (s, d) =>
+    implicit val spark: SparkSession = s
+    audioEnergyStub(withPayload(Tables.documents(s, d)
+      .filter(col("doc_id") % 5 === 0)))
+      .orderBy("doc_id", "win_idx")
+      .limit(600)
+  }
+
   val all: Seq[QueryDef] = Seq(multimodalDecode, multimodalFramesample,
-    multimodalResize, multimodalFeatures, multimodalDedup)
+    multimodalResize, multimodalFeatures, multimodalDedup,
+    multimodalAudioEnergy)
 }

@@ -70,4 +70,24 @@ class MultimodalSpec extends AnyFunSuite {
     assert(frames.filter(col("frame_idx") === 6)
       .select("ts_ms").distinct().collect()(0).getInt(0) == 240)
   }
+
+  test("audio energy: signed PCM arithmetic exact; silence threshold is strict") {
+    import spark.implicits._
+    implicit val s = spark
+    // window 0 = samples 0,1: bytes (00 00) -> -32768, (80 00) -> 0
+    // window 1 = samples 2,3: bytes (80 64) -> 100, (7f 9c) -> -100
+    val payload = Array[Byte](
+      0x00, 0x00, 0x80.toByte, 0x00,                       // w0
+      0x80.toByte, 0x64, 0x7f, 0x9c.toByte,                // w1
+      0x80.toByte, 0x00, 0x80.toByte, 0x00,                // w2: both 0
+      0xff.toByte, 0xff.toByte, 0xff.toByte, 0xff.toByte)  // w3: 32767,32767
+    val df = Seq((1L, payload)).toDF("doc_id", "payload")
+    val rows = graft.ops.Multimodal.audioEnergyStub(df, silenceBelow = 20000L)
+      .as[(Long, Int, Long, Boolean)].collect().sortBy(_._2)
+    assert(rows(0) == ((1L, 0, 32768L * 32768L, false)))
+    assert(rows(1) == ((1L, 1, 20000L, false)), // exactly AT threshold -> loud
+      s"strict < violated: ${rows(1)}")
+    assert(rows(2) == ((1L, 2, 0L, true)))      // digital silence
+    assert(rows(3) == ((1L, 3, 2L * 32767L * 32767L, false)))
+  }
 }
