@@ -1025,7 +1025,8 @@ object Events {
       .foreachBatch(graft.streaming.StreamOps.cdcMergeWriter(root + "/state"))
       .start()
     try q.processAllAvailable() finally q.stop()
-    graft.streaming.StreamOps.cdcLatestState(s, root + "/state")
+    graft.streaming.StreamOps.cdcLatestState(s, root + "/state",
+        tombstoneOp = "error")
       .getOrElse(s.range(0).select(lit(0L).as("k"), lit("").as("op"),
         lit(0.0).as("v"), lit(0L).as("event_id")))
       .groupBy((col("k") % 10).as("residue"))

@@ -303,14 +303,16 @@ object Multimodal {
   /** Partition-iterator AUDIO-ENERGY stub — the audio member of the
     * decode family (decode = image metadata, framesample = video,
     * resize = image kernel, THIS = PCM frame analysis): treat the
-    * 16-byte payload as 8 signed 16-bit PCM samples, compute per-window
-    * (2 samples) energy as the EXACT integer sum of squares — the
-    * measure a real silence/VAD detector thresholds, with the sqrt/RMS
-    * deliberately left off so no float ever forms — and flag windows
-    * under the threshold as silence. A real decoder would seek PCM
-    * frames in the container here; the fan-out of one blob row into
-    * typed window rows without materializing the raw samples is the
-    * part that matters at scale. */
+    * 16-byte payload as 8 signed 16-bit big-endian PCM samples
+    * (two's complement — 0x0000 decodes to 0, 0x8000 to −32768, the
+    * standard s16be wire layout), compute per-window (2 samples) energy
+    * as the EXACT integer sum of squares — the measure a real
+    * silence/VAD detector thresholds, with the sqrt/RMS deliberately
+    * left off so no float ever forms — and flag windows under the
+    * threshold as silence. A real decoder would seek PCM frames in the
+    * container here; the fan-out of one blob row into typed window rows
+    * without materializing the raw samples is the part that matters at
+    * scale. */
   def audioEnergyStub(payloads: DataFrame, silenceBelow: Long = 100000000L)(
       implicit spark: SparkSession): DataFrame = {
     import spark.implicits._
@@ -319,7 +321,7 @@ object Multimodal {
         it.flatMap { case (id, b) =>
           (0 until 4).map { w =>
             def sample(s: Int): Long =
-              (((b(2 * s) & 0xff) << 8) | (b(2 * s + 1) & 0xff)).toLong - 32768L
+              (((b(2 * s) & 0xff) << 8) | (b(2 * s + 1) & 0xff)).toShort.toLong
             val v0 = sample(2 * w); val v1 = sample(2 * w + 1)
             val energy = v0 * v0 + v1 * v1
             AudioWindow(id, w, energy, energy < silenceBelow)
@@ -330,21 +332,25 @@ object Multimodal {
 
   val multimodalAudioEnergy = QueryDef(
     "multimodal_audio_energy",
-    // Oracle: sample s is the 16-bit big-endian parse of hex chars
-    // 4s+1..4s+4 of md5(text) minus 32768; window w covers samples
-    // 2w, 2w+1. Energy is an exact BIGINT in both engines; the silence
-    // branch is live at every SF (uniform md5 samples put ~4-5% of
-    // windows under the threshold).
+    // Oracle: sample s is the 16-bit big-endian TWO'S-COMPLEMENT parse
+    // of hex chars 4s+1..4s+4 of md5(text) (raw >= 32768 wraps to
+    // raw - 65536); window w covers samples 2w, 2w+1. Energy is an
+    // exact BIGINT in both engines; the silence branch is live at every
+    // SF (uniform md5 samples put ~4-5% of windows under the
+    // threshold).
     """WITH f AS (
       |  SELECT doc_id, unnest([0, 1, 2, 3]) AS win_idx, md5(text) AS h
       |  FROM documents WHERE doc_id % 5 = 0
+      |), r AS (
+      |  SELECT doc_id, win_idx,
+      |    CAST(CAST('0x' || substr(h, 8 * win_idx + 1, 4) AS INT) AS BIGINT) AS r0,
+      |    CAST(CAST('0x' || substr(h, 8 * win_idx + 5, 4) AS INT) AS BIGINT) AS r1
+      |  FROM f
       |), v AS (
       |  SELECT doc_id, win_idx,
-      |    CAST(CAST('0x' || substr(h, 8 * win_idx + 1, 4) AS INT) - 32768
-      |      AS BIGINT) AS v0,
-      |    CAST(CAST('0x' || substr(h, 8 * win_idx + 5, 4) AS INT) - 32768
-      |      AS BIGINT) AS v1
-      |  FROM f
+      |    CASE WHEN r0 >= 32768 THEN r0 - 65536 ELSE r0 END AS v0,
+      |    CASE WHEN r1 >= 32768 THEN r1 - 65536 ELSE r1 END AS v1
+      |  FROM r
       |)
       |SELECT doc_id, CAST(win_idx AS INTEGER) AS win_idx,
       |       CAST(v0 * v0 + v1 * v1 AS BIGINT) AS energy,

@@ -152,8 +152,11 @@ object TfExample {
     lenDelim(1, values.toArray.flatMap(v => lenDelim(1, v)))
 
   /** Decode a DOCUMENT Example — int64 + bytes features (the export
-    * schema; float lists fail fast). Same wire-format tolerance rules as
-    * `parseExample`. */
+    * schema; float lists fail fast). Guarantees decoding of THIS
+    * module's writer output only: unlike `parseExample`'s documented
+    * tolerance, it rejects an omitted empty Features field and unpacked
+    * int64 values (tag 0x08), both of which are legal in third-party
+    * Examples. */
   def parseDocExample(bytes: Array[Byte]): Map[String, (Seq[Long], Seq[Array[Byte]])] = {
     var pos = 0
     def varintAt(): Long = {
@@ -262,18 +265,22 @@ object TfExample {
         val shards = scala.collection.mutable.ArrayBuffer.empty[Long]
         while (buf.hasNext) {
           val shard = buf.head.getLong(0)
-          val bytes = scala.collection.mutable.ArrayBuffer.empty[Byte]
-          while (buf.hasNext && buf.head.getLong(0) == shard) {
-            val r = buf.next()
-            val ex = example(Seq(
-              "id" -> int64Feature(Seq(r.getLong(1))),
-              "n_tokens" -> int64Feature(Seq(r.getLong(3))),
-              "text" -> bytesFeature(Seq(r.getString(2).getBytes("UTF-8")))))
-            bytes ++= tfRecordFrame(ex)
-          }
-          java.nio.file.Files.write(
-            java.nio.file.Paths.get(f"$dir/docs-$shard%03d.tfrecord"),
-            bytes.toArray)
+          // frames STREAM through a buffered sink as they are framed —
+          // task heap holds one record, not the whole shard (a 1 GB
+          // shard as an in-memory ArrayBuffer was the next bottleneck)
+          val out = new java.io.BufferedOutputStream(
+            java.nio.file.Files.newOutputStream(
+              java.nio.file.Paths.get(f"$dir/docs-$shard%03d.tfrecord")))
+          try {
+            while (buf.hasNext && buf.head.getLong(0) == shard) {
+              val r = buf.next()
+              val ex = example(Seq(
+                "id" -> int64Feature(Seq(r.getLong(1))),
+                "n_tokens" -> int64Feature(Seq(r.getLong(3))),
+                "text" -> bytesFeature(Seq(r.getString(2).getBytes("UTF-8")))))
+              out.write(tfRecordFrame(ex))
+            }
+          } finally out.close()
           shards += shard
         }
         shards.iterator

@@ -334,13 +334,18 @@ object StreamOps {
     }
 
   /** Latest state version under a `cdcMergeWriter` root, tombstones
-    * filtered (None when no batch ever landed). */
+    * filtered (None when no batch ever landed). `tombstoneOp` is the op
+    * code that marks a delete in the caller's changelog vocabulary
+    * (conventional CDC feeds use 'd'/'delete'; the events-fixture caller
+    * passes its own code) — the sink itself is op-vocabulary-agnostic:
+    * tombstones live in STATE at every version (they must outrank older
+    * upserts) and are dropped only here, at read time. */
   def cdcLatestState(s: org.apache.spark.sql.SparkSession,
-      stateRoot: String): Option[DataFrame] = {
+      stateRoot: String, tombstoneOp: String): Option[DataFrame] = {
     val vs = Option(new java.io.File(stateRoot).listFiles()).toSeq.flatten
       .filter(f => f.isDirectory && f.getName.startsWith("v="))
       .map(_.getName.stripPrefix("v=").toLong)
     vs.sorted.lastOption.map(v =>
-      s.read.parquet(s"$stateRoot/v=$v").filter(col("op") =!= "error"))
+      s.read.parquet(s"$stateRoot/v=$v").filter(col("op") =!= tombstoneOp))
   }
 }

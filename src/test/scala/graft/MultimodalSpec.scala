@@ -74,13 +74,13 @@ class MultimodalSpec extends AnyFunSuite {
   test("audio energy: signed PCM arithmetic exact; silence threshold is strict") {
     import spark.implicits._
     implicit val s = spark
-    // window 0 = samples 0,1: bytes (00 00) -> -32768, (80 00) -> 0
-    // window 1 = samples 2,3: bytes (80 64) -> 100, (7f 9c) -> -100
+    // two's-complement s16be: window 0 = samples (00 00) -> 0,
+    // (80 00) -> -32768; window 1 = (00 64) -> 100, (ff 9c) -> -100
     val payload = Array[Byte](
-      0x00, 0x00, 0x80.toByte, 0x00,                       // w0
-      0x80.toByte, 0x64, 0x7f, 0x9c.toByte,                // w1
-      0x80.toByte, 0x00, 0x80.toByte, 0x00,                // w2: both 0
-      0xff.toByte, 0xff.toByte, 0xff.toByte, 0xff.toByte)  // w3: 32767,32767
+      0x00, 0x00, 0x80.toByte, 0x00,                       // w0: 0, -32768
+      0x00, 0x64, 0xff.toByte, 0x9c.toByte,                // w1: 100, -100
+      0x00, 0x00, 0x00, 0x00,                              // w2: both 0
+      0x7f, 0xff.toByte, 0x7f, 0xff.toByte)                // w3: 32767,32767
     val df = Seq((1L, payload)).toDF("doc_id", "payload")
     val rows = graft.ops.Multimodal.audioEnergyStub(df, silenceBelow = 20000L)
       .as[(Long, Int, Long, Boolean)].collect().sortBy(_._2)

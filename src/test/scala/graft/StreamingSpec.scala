@@ -496,7 +496,7 @@ class StreamingSpec extends AnyFunSuite {
     def chg(rows: (Long, String, Double, Long)*): DataFrame =
       rows.toDF("k", "op", "v", "event_id")
     def state(root: String): Set[(Long, String, Double, Long)] =
-      StreamOps.cdcLatestState(spark, root)
+      StreamOps.cdcLatestState(spark, root, tombstoneOp = "error")
         .map(_.as[(Long, String, Double, Long)].collect().toSet)
         .getOrElse(Set.empty)
     def rawLatest(root: String): Set[(Long, String, Double, Long)] = {
