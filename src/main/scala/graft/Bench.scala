@@ -67,7 +67,13 @@ object Bench {
     // the r8 driver artifact vs 0.34 s on a quiet host). Interleaving makes
     // a stall window touch ONE rep of many keys — min-of-3 then discards
     // it for every key. Cross-tag totals don't compare (BASELINE.md).
+    // Optional comma-separated key filter for local A/B runs (the
+    // graph-family share study); the driver never sets it, so round
+    // artifacts always carry the full map.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val keys = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     val best = scala.collection.mutable.HashMap[String, Double]()
     for (rep <- 1 to reps; (name, fn) <- keys) {
       val t0 = System.nanoTime()
@@ -109,5 +115,13 @@ object Bench {
       System.err.println(s"BENCH.json write FAILED (stdout line is the only record): $e")
     }
     spark.stop()
+    // The identical line AGAIN as the very last stdout output: the r9
+    // driver artifact kept only a stdout TAIL window (the head print
+    // above was truncated away and BENCH_r09.json landed with
+    // "parsed": null) — printing first AND last covers head-capture and
+    // tail-capture drivers alike, and both copies being byte-identical
+    // means any "metric"-line grep yields the same record. spark.stop()
+    // runs first so no late executor chatter can land after it.
+    println(line)
   }
 }
