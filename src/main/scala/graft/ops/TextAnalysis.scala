@@ -797,6 +797,110 @@ object TextAnalysis {
         .limit(20)
   }
 
+  /** One oracle round of BPE training: pair counts over the current
+    * vocabulary's symbol sequences, the argmax pair (ties lexicographic),
+    * and the merged vocabulary. */
+  private def bpeRoundCte(r: Int): String =
+    s"""p$r AS (
+       |  SELECT syms[CAST(i AS INT)] AS x, syms[CAST(i AS INT) + 1] AS y,
+       |         CAST(sum(wc) AS BIGINT) AS cnt
+       |  FROM (SELECT string_split(substr(seq, 2, length(seq) - 2), ')(') AS syms, wc
+       |        FROM v${r - 1}),
+       |       unnest(generate_series(1, len(syms) - 1)) AS t(i)
+       |  GROUP BY x, y
+       |), t$r AS (
+       |  SELECT x, y, cnt FROM p$r ORDER BY cnt DESC, x, y LIMIT 1
+       |), v$r AS (
+       |  SELECT replace(seq, '(' || x || ')(' || y || ')', '(' || x || y || ')') AS seq, wc
+       |  FROM v${r - 1}, t$r
+       |)""".stripMargin
+
+  private val BpeRounds = 8
+
+  /** BPE tokenizer TRAINING — the iterative merge loop `text_bpe_pairs`
+    * computes only round 1 of: 8 rounds of (count adjacent symbol pairs
+    * over the vocabulary, weighted by corpus word count) → (merge the
+    * top pair everywhere) → repeat, emitting the learned merge table
+    * (step, x, y, cnt) — exactly what a real tokenizer trainer persists.
+    * Scope: words matching ^[a-z]{2,}$ (keeps the symbol alphabet
+    * disjoint from the sequence delimiters below).
+    *
+    * Representation: a word's symbol sequence is the string
+    * "(s1)(s2)…(sk)" — each symbol individually wrapped. Merging pair
+    * (x, y) is then ONE literal (non-regex) string replace of "(x)(y)"
+    * with "(xy)": the wrappers make matches anchor exactly at symbol
+    * boundaries (no suffix/prefix false hits), adjacent occurrences
+    * share no characters (so both engines' left-to-right non-overlapping
+    * replace implements the classic greedy merge — "(e)(e)(e)" merges
+    * once), and a replacement can never CREATE a new occurrence of the
+    * same pattern. Validated against a hand-rolled reference BPE trainer
+    * during development; EdgeSpec pins a planted vocab exercising the
+    * left-to-right non-overlap rule, a lexicographic tie, and a
+    * multi-character symbol join.
+    *
+    * Scale shape: all work after the corpus-touching vocab groupBy is
+    * VOCAB-bounded (the text_bpe_pairs argument — a 100 TB corpus with a
+    * 10 M-word vocabulary pays the corpus scan once; each round is then
+    * one explode + one combinable groupBy over vocab rows). The per-round
+    * argmax is a 1-row driver collect (the k-means centroid-state
+    * pattern: bounded state, 8 rounds = 8 jobs); the vocabulary is
+    * localCheckpointed once so round N does not replay the corpus scan.
+    * The oracle unrolls the identical 8 rounds as CTEs (the
+    * sim_ann_kmeans / graph_sssp discipline). */
+  /** The trainer core over a weighted vocabulary (w, wc) of [a-z]{2,}
+    * words: `rounds` greedy merges, returned as the learned merge table.
+    * Exposed separately so specs can drive it with planted corpora. */
+  def bpeTrain(vocab: DataFrame, rounds: Int): Seq[(Int, String, String, Long)] = {
+    var v = vocab
+      .select(regexp_replace(col("w"), "(.)", "($1)").as("seq"), col("wc"))
+      .localCheckpoint()
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    for (r <- 1 to rounds) {
+      val top = v
+        .select(col("wc"),
+          split(expr("substring(seq, 2, length(seq) - 2)"), "\\)\\(").as("s"))
+        .filter(size(col("s")) >= 2)
+        .select(col("wc"), explode(expr(
+          "transform(sequence(0, size(s) - 2)," +
+            " i -> struct(s[i] AS x, s[i + 1] AS y))")).as("p"))
+        .groupBy(col("p.x").as("x"), col("p.y").as("y"))
+        .agg(sum(col("wc")).as("cnt"))
+        .orderBy(col("cnt").desc, col("x"), col("y"))
+        .limit(1).collect()
+      require(top.nonEmpty,
+        s"bpeTrain: vocabulary exhausted at round $r — fewer than " +
+          s"$rounds merges exist (oracle would diverge; lower rounds)")
+      val (x, y, cnt) =
+        (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+      merges += ((r, x, y, cnt))
+      // symbols are [a-z]+ by construction — safe inside SQL literals
+      v = v.select(
+        expr(s"replace(seq, '($x)($y)', '($x$y)')").as("seq"), col("wc"))
+    }
+    merges.result()
+  }
+
+  val textBpeMerge = QueryDef(
+    "text_bpe_merge",
+    s"""WITH w AS (
+       |  SELECT unnest(string_split(text, ' ')) AS w FROM documents
+       |), v0 AS (
+       |  SELECT regexp_replace(w, '(.)', '(\\1)', 'g') AS seq, count(*) AS wc
+       |  FROM w WHERE regexp_full_match(w, '[a-z]{2,}') GROUP BY w
+       |),
+       |${(1 to BpeRounds).map(bpeRoundCte).mkString(",\n")}
+       |${(1 to BpeRounds).map(r =>
+            s"SELECT CAST($r AS INT) AS step, x, y, cnt FROM t$r")
+            .mkString("\nUNION ALL ")}
+       |ORDER BY step""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val vocab = Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w").rlike("^[a-z]{2,}$"))
+      .groupBy("w").agg(count(lit(1)).as("wc"))
+    bpeTrain(vocab, BpeRounds).toDF("step", "x", "y", "cnt")
+  }
+
   /** Bigram language-model scoring — the perplexity-filter analog that
     * keeps every arithmetic step exact: train bigram/left-unigram counts
     * on the corpus itself, score each document by its mean and minimum
@@ -975,5 +1079,5 @@ object TextAnalysis {
     textPiiScrub, sampleSplit, sampleStratified, textPack, textDecontaminate,
     textNgrams, textTfidf, sampleShuffle, pipelineCleanse, textStripMarkup,
     textRepetition, sampleWeighted, textRarity, sampleMix, textBpePairs,
-    textLmScore, textBlocklist, sampleTemperature)
+    textLmScore, textBlocklist, sampleTemperature, textBpeMerge)
 }

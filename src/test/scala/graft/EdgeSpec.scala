@@ -723,4 +723,21 @@ class EdgeSpec extends AnyFunSuite {
     // order 2 is a single-supplier order → no edge; 30 is isolated
     assert(got == Set((10L, 20L), (20L, 10L)))
   }
+
+  test("bpeTrain: greedy left-to-right merge, multi-char symbols, lexicographic ties") {
+    // vocab: "aaa"×3, "abab"×2, "ba"×4.
+    // round 1 pairs: (a,a): 2·3=6 [aaa has pairs (a,a),(a,a)],
+    //   (a,b): 2·2=4, (b,a): 2+4=6 — tie 6 between (a,a) and (b,a):
+    //   lexicographic picks (a,a). Greedy merge: "aaa" -> [aa, a]
+    //   (LEFT-TO-RIGHT non-overlap: only ONE merge fires in "aaa").
+    // round 2: vocab now aa·a ×3, a·b·a·b ×2, b·a ×4 →
+    //   (aa,a):3, (a,b):4, (b,a):6 — top (b,a)=6. "abab" -> a·ba·b? no:
+    //   merge (b,a) in [a,b,a,b] -> [a, ba, b]; "ba" -> [ba].
+    // round 3: pairs (aa,a):3, (a,ba):2, (ba,b):2 — top (aa,a)=3,
+    //   a MULTI-CHAR symbol join: "aa"+"a" -> "aaa".
+    val vocab = Seq(("aaa", 3L), ("abab", 2L), ("ba", 4L)).toDF("w", "wc")
+    val got = TextAnalysis.bpeTrain(vocab, 3)
+    assert(got == Seq((1, "a", "a", 6L), (2, "b", "a", 6L), (3, "aa", "a", 3L)),
+      s"merge table mismatch: $got")
+  }
 }
