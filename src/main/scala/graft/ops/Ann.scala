@@ -317,6 +317,53 @@ object Ann {
       .orderBy("i", "j")
   }
 
+  /** Measured recall of the hyperplane-LSH banding against its exact
+    * twin — `sim_ann_recall`'s discipline applied to the DEDUP family:
+    * `dedup_embed_lsh` gates pairwise equality with the exact relation,
+    * but nothing gated the recall METRIC itself. One row:
+    * |exact pairs|, |LSH pairs|, |overlap|, and integer recall percent
+    * over the planted high-cosine corpus. The oracle emits the exact
+    * count in all three slots with recall 100 — the measured identity
+    * the pairwise gate proves holds on these corpora (a planted pair at
+    * cos 0.9968 misses all 16 bands with p ≈ 2e-12) — so a banding or
+    * plane regression that drops ANY pair now fails the hash with a
+    * readable recall number instead of a silent relation diff. Both
+    * sides are the already-bounded kernels: the exact side is the
+    * blocked all-pairs tile join, the LSH side is (band, bkey)-keyed
+    * candidate generation + refilter; the overlap join is pair-bounded. */
+  val dedupEmbedLshRecall = QueryDef(
+    "dedup_embed_lsh_recall",
+    """WITH v0 AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+      |  FROM embeddings
+      |), u AS (
+      |  SELECT vec_id, ve FROM v0
+      |  UNION ALL
+      |  SELECT vec_id + 100000 AS vec_id, list_transform(ve, x -> x + 0.01) AS ve
+      |  FROM v0
+      |), n AS (
+      |  SELECT vec_id, ve, sqrt(list_dot_product(ve, ve)) AS nrm FROM u
+      |), e AS (
+      |  SELECT a.vec_id AS i, b.vec_id AS j
+      |  FROM n a JOIN n b ON a.vec_id < b.vec_id
+      |  WHERE list_dot_product(a.ve, b.ve) / (a.nrm * b.nrm) >= 0.99
+      |), c AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_exact FROM e
+      |)
+      |SELECT n_exact, n_exact AS n_lsh, n_exact AS n_overlap,
+      |       CAST(100 AS BIGINT) AS recall_pct
+      |FROM c""".stripMargin) { (s, d) =>
+    val planted = plantNearDups(Tables.embeddings(s, d))
+    val exact = Dedup.embeddingNearDup(planted, 0.99).select("i", "j")
+    val lsh = lshNearDup(planted, threshold = 0.99, dim = 64).select("i", "j")
+    exact.agg(count(lit(1)).as("n_exact"))
+      .crossJoin(lsh.agg(count(lit(1)).as("n_lsh")))
+      .crossJoin(exact.join(lsh, Seq("i", "j"))
+        .agg(count(lit(1)).as("n_overlap")))
+      .select(col("n_exact"), col("n_lsh"), col("n_overlap"),
+        expr("(100 * n_overlap) div n_exact").as("recall_pct"))
+  }
+
   /** One Lloyd round of the oracle: assignment rank under the previous
     * centroids, exact integer per-dim sums, rebuilt mean components. */
   private def kmeansRoundCte(r: Int): String =
@@ -472,6 +519,49 @@ object Ann {
     *
     * Scale: the exact side is the one-scan broadcast-query kernel, the
     * IVF side probes 2 buckets; the join is top-k-bounded. */
+  /** Exact brute-force top-k per query id (qid, vec_id) — the reference
+    * side every measured-recall gate compares against: one scan with the
+    * query set broadcast, per-query row_number rank (raw-double cosine,
+    * vec_id tie-break). */
+  def exactTopK(v: DataFrame, qids: Seq[Long], k: Int): DataFrame = {
+    val q = v.filter(col("vec_id").isin(qids: _*))
+      .select(col("vec_id").as("qid"), col("ve").as("qve"),
+        col("nrm").as("qnrm"))
+    val rnW = Window.partitionBy("qid")
+      .orderBy(col("cos").desc, col("vec_id"))
+    v.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        (Similarity.dot(col("ve"), col("qve")) / (col("nrm") * col("qnrm")))
+          .as("cos"))
+      .withColumn("rn", row_number().over(rnW))
+      .filter(col("rn") <= k)
+      .select("qid", "vec_id")
+  }
+
+  /** Per-query overlap of an approximate (qid, vec_id) top-k relation
+    * against the exact top-k — the gated recall relation shared by the
+    * IVF, k-means and PQ gates. */
+  def recallOverlap(v: DataFrame, approx: DataFrame, qids: Seq[Long],
+      k: Int): DataFrame =
+    exactTopK(v, qids, k).join(approx, Seq("qid", "vec_id"))
+      .groupBy("qid")
+      .agg(count(lit(1)).as("n_overlap"),
+        (count(lit(1)) * (100 / k)).as("recall_pct"))
+      .orderBy("qid")
+
+  /** IVF-style recall gate against an explicit centroid relation: the
+    * approximate side is `ivfTopKWith` per query at the given nprobe. */
+  def ivfRecallGate(emb: DataFrame, cents: DataFrame, qids: Seq[Long],
+      nprobe: Int, k: Int = 10): DataFrame = {
+    val v = prep(emb)
+    val ivf = qids.map(qid =>
+        ivfTopKWith(emb, qid, cents, nprobe, k)
+          .select(lit(qid).as("qid"), col("vec_id")))
+      .reduce(_ unionByName _)
+    recallOverlap(v, ivf, qids, k)
+  }
+
   val simAnnRecall = QueryDef(
     "sim_ann_recall", {
       val cidList = centroidIds.mkString("(", ", ", ")")
@@ -522,31 +612,78 @@ object Ann {
          |GROUP BY e.qid ORDER BY e.qid""".stripMargin
     }) { (s, d) =>
     val emb = Tables.embeddings(s, d)
-    val qids = Seq(0L, 101L, 202L)
-    val v = prep(emb)
-    val cents = centroidsFromIds(v, centroidIds)
-    val q = v.filter(col("vec_id").isin(qids: _*))
-      .select(col("vec_id").as("qid"), col("ve").as("qve"),
-        col("nrm").as("qnrm"))
-    val rnW = Window.partitionBy("qid")
-      .orderBy(col("cos").desc, col("vec_id"))
-    val exact = v.crossJoin(broadcast(q))
-      .filter(col("vec_id") =!= col("qid"))
-      .select(col("qid"), col("vec_id"),
-        (Similarity.dot(col("ve"), col("qve")) / (col("nrm") * col("qnrm")))
-          .as("cos"))
-      .withColumn("rn", row_number().over(rnW))
-      .filter(col("rn") <= 10)
-      .select("qid", "vec_id")
-    val ivf = qids.map(qid =>
-        ivfTopKWith(emb, qid, cents, nprobe = 2, k = 10)
-          .select(lit(qid).as("qid"), col("vec_id")))
-      .reduce(_ unionByName _)
-    exact.join(ivf, Seq("qid", "vec_id"))
-      .groupBy("qid")
-      .agg(count(lit(1)).as("n_overlap"),
-        (count(lit(1)) * 10).as("recall_pct"))
-      .orderBy("qid")
+    ivfRecallGate(emb, centroidsFromIds(prep(emb), centroidIds),
+      qids = Seq(0L, 101L, 202L), nprobe = 2)
+  }
+
+  /** Measured recall for the k-means-refined ANN path — closes the last
+    * "approximate ⇒ un-gated" gap but one: `sim_ann_kmeans` gates its
+    * own top-10, but until round 10 nothing gated its RETRIEVAL QUALITY
+    * (a Lloyd-round or probe regression that silently dropped recall
+    * passed every hash). Same relation shape as `sim_ann_recall`, with
+    * the trained quantized centroids (3 reproducible Lloyd rounds)
+    * instead of the raw data-vector seed, and the kmeans key's nprobe=4.
+    * The oracle replays the 3 Lloyd rounds (kmeansRoundCte) and then the
+    * per-query IVF/exact rank + overlap. */
+  val simAnnKmeansRecall = QueryDef(
+    "sim_ann_kmeans_recall",
+    s"""WITH v0 AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+       |  FROM embeddings
+       |), v AS (
+       |  SELECT vec_id, ve, sqrt(list_dot_product(ve, ve)) AS nrm FROM v0
+       |), qv AS (
+       |  SELECT vec_id, CAST(generate_subscripts(ve, 1) AS INT) AS sub,
+       |         CAST(round(unnest(ve) * 1000) AS BIGINT) AS q
+       |  FROM v
+       |), c0 AS (
+       |  SELECT vec_id AS cid, ve AS cve, nrm AS cnrm FROM v
+       |  WHERE vec_id IN (SELECT vec_id FROM v ORDER BY vec_id LIMIT 8)
+       |),
+       |${kmeansRoundCte(1)},
+       |${kmeansRoundCte(2)},
+       |${kmeansRoundCte(3)},
+       |assigned AS (
+       |  SELECT vec_id, ve, nrm, cid AS bucket FROM (
+       |    SELECT v.vec_id, v.ve, v.nrm, c.cid,
+       |      row_number() OVER (PARTITION BY v.vec_id
+       |        ORDER BY list_dot_product(v.ve, c.cve) / (v.nrm * c.cnrm) DESC, c.cid) AS rn
+       |    FROM v, c3 c
+       |  ) WHERE rn = 1
+       |), qs AS (
+       |  SELECT vec_id AS qid, ve AS qve, nrm AS qnrm FROM v
+       |  WHERE vec_id IN (0, 101, 202)
+       |), probed AS (
+       |  SELECT qid, cid AS pbucket FROM (
+       |    SELECT q.qid, c.cid, row_number() OVER (PARTITION BY q.qid
+       |      ORDER BY list_dot_product(q.qve, c.cve) / (q.qnrm * c.cnrm) DESC, c.cid) AS rn
+       |    FROM qs q, c3 c
+       |  ) WHERE rn <= 4
+       |), ivf AS (
+       |  SELECT qid, vec_id FROM (
+       |    SELECT p.qid, a.vec_id, row_number() OVER (PARTITION BY p.qid
+       |      ORDER BY round(list_dot_product(q.qve, a.ve) / (q.qnrm * a.nrm), 4) DESC,
+       |               a.vec_id) AS rn
+       |    FROM assigned a
+       |    JOIN probed p ON a.bucket = p.pbucket
+       |    JOIN qs q ON q.qid = p.qid
+       |    WHERE a.vec_id <> p.qid
+       |  ) WHERE rn <= 10
+       |), exact AS (
+       |  SELECT qid, vec_id FROM (
+       |    SELECT q.qid, v.vec_id, row_number() OVER (PARTITION BY q.qid
+       |      ORDER BY list_dot_product(q.qve, v.ve) / (q.qnrm * v.nrm) DESC,
+       |               v.vec_id) AS rn
+       |    FROM v, qs q WHERE v.vec_id <> q.qid
+       |  ) WHERE rn <= 10
+       |)
+       |SELECT e.qid, CAST(count(*) AS BIGINT) AS n_overlap,
+       |       CAST(count(*) * 10 AS BIGINT) AS recall_pct
+       |FROM exact e JOIN ivf i ON e.qid = i.qid AND e.vec_id = i.vec_id
+       |GROUP BY e.qid ORDER BY e.qid""".stripMargin) { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    val cents = kmeansCentroidsQuantized(prep(emb), c = 8, iters = 3)
+    ivfRecallGate(emb, cents, qids = Seq(0L, 101L, 202L), nprobe = 4)
   }
 
   /** Product quantization ANN — the billion-scale compression path that
@@ -564,9 +701,16 @@ object Ann {
     * the shortlist pass touches m bytes per vector instead of the full
     * float row.
     */
-  def pqTopK(emb: DataFrame, queryId: Long, dim: Int, m: Int = 8,
-      codebook: Int = 16, shortlist: Int = 100, k: Int = 10): DataFrame = {
-    require(dim % m == 0, s"pqTopK: dim $dim not divisible by m $m")
+  /** A trained PQ index: prepped vectors, the flat per-subspace
+    * relation, the quantized-Lloyd codebooks and the encoded codes —
+    * built ONCE and shared across queries (`pqQueryTopK`), exactly how a
+    * production index amortizes training over its query stream. */
+  final case class PqIndex(v: DataFrame, subv: DataFrame,
+      cents: Seq[(Int, Long, Array[Double])], codes: DataFrame, m: Int)
+
+  def pqIndex(emb: DataFrame, dim: Int, m: Int = 8,
+      codebook: Int = 16): PqIndex = {
+    require(dim % m == 0, s"pqIndex: dim $dim not divisible by m $m")
     val subLen = dim / m
     val s = emb.sparkSession
     import s.implicits._
@@ -601,7 +745,7 @@ object Ann {
     // deterministic seed: the first `codebook` vectors by id, every sub
     val seedIds = v.orderBy(col("vec_id")).limit(codebook)
       .select("vec_id").as[Long].collect().toSeq
-    require(seedIds.nonEmpty, "pqTopK: no vectors to seed the codebooks")
+    require(seedIds.nonEmpty, "pqIndex: no vectors to seed the codebooks")
     var cents: Seq[(Int, Long, Array[Double])] =
       subv.filter(col("vec_id").isin(seedIds: _*))
         .select(col("sub"), col("vec_id"), col("sve"))
@@ -631,7 +775,18 @@ object Ann {
       i += 1
     }
     // encode: m codes per vector (the PQ compressed representation)
-    val codes = assign(cents).select(col("vec_id"), col("sub"), col("cid"))
+    PqIndex(v, subv, cents,
+      assign(cents).select(col("vec_id"), col("sub"), col("cid")), m)
+  }
+
+  /** Top-k for one query against a trained `PqIndex`: ADC shortlist
+    * (codes + the broadcast distance table only — corpus vectors never
+    * join) then exact-cosine re-rank of the fetched shortlist. */
+  def pqQueryTopK(ix: PqIndex, queryId: Long, shortlist: Int = 100,
+      k: Int = 10): DataFrame = {
+    val s = ix.v.sparkSession
+    import s.implicits._
+    val PqIndex(v, subv, cents, codes, m) = ix
     // ADC distance table: query subvector · every codebook centroid —
     // m × codebook rows, computed on the driver and broadcast everywhere
     val qsub: Map[Int, Array[Double]] =
@@ -639,7 +794,7 @@ object Ann {
         .select(col("sub"), col("sve"))
         .as[(Int, Array[Double])].collect().toMap
     require(qsub.size == m,
-      s"pqTopK: query $queryId not found (got ${qsub.size} of $m subvectors)")
+      s"pqQueryTopK: query $queryId not found (got ${qsub.size} of $m subvectors)")
     val dtab = broadcast(cents.map { case (sub, cid, cve) =>
       (sub, cid,
         qsub(sub).zip(cve).map { case (a, b) => a * b }.sum)
@@ -673,6 +828,11 @@ object Ann {
       .orderBy(col("cos").desc, col("vec_id"))
       .limit(k)
   }
+
+  /** Train-once + query wrapper (the gated `sim_ann_pq` form). */
+  def pqTopK(emb: DataFrame, queryId: Long, dim: Int, m: Int = 8,
+      codebook: Int = 16, shortlist: Int = 100, k: Int = 10): DataFrame =
+    pqQueryTopK(pqIndex(emb, dim, m, codebook), queryId, shortlist, k)
 
   /** One PQ Lloyd round of the oracle: L2-nearest assignment rank per
     * (subspace, vector), exact integer per-component sums, rebuilt mean
@@ -749,6 +909,87 @@ object Ann {
     pqTopK(Tables.embeddings(s, d), queryId = 0L, dim = 64)
   }
 
+  /** Measured recall for the PQ path — the last approximate path whose
+    * retrieval quality no hash protected: per query, overlap of the
+    * PQ ADC-shortlist → exact-re-rank top-10 against the brute-force
+    * top-10. The index (codebooks + codes) trains ONCE and serves all
+    * three queries (`pqIndex`/`pqQueryTopK`) — at 100 TB codebook
+    * training amortizes over the whole query stream, never per query.
+    * The oracle replays the 2 quantized Lloyd rounds, the encoding, and
+    * the per-query ADC rank / re-rank / exact rank, all per-qid via
+    * row_number (= the Spark side's per-query orderBy + limit). */
+  val simAnnPqRecall = QueryDef(
+    "sim_ann_pq_recall",
+    s"""WITH v0 AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+       |  FROM embeddings
+       |), v AS (
+       |  SELECT vec_id, ve, sqrt(list_dot_product(ve, ve)) AS nrm FROM v0
+       |), sv AS (
+       |  SELECT vec_id, CAST(t.sub AS INT) AS sub,
+       |         list_slice(ve, t.sub * 8 + 1, t.sub * 8 + 8) AS sve
+       |  FROM v, (SELECT unnest(generate_series(0, 7)) AS sub) t
+       |), qsv AS (
+       |  SELECT vec_id, sub, CAST(generate_subscripts(sve, 1) AS INT) AS j,
+       |         CAST(round(unnest(sve) * 1000) AS BIGINT) AS q
+       |  FROM sv
+       |), pc0 AS (
+       |  SELECT sub, vec_id AS cid, sve AS cve, list_dot_product(sve, sve) / 2 AS chalf
+       |  FROM sv WHERE vec_id IN (SELECT vec_id FROM v ORDER BY vec_id LIMIT 16)
+       |),
+       |${pqRoundCte(1)},
+       |${pqRoundCte(2)},
+       |codes AS (SELECT vec_id, sub, cid FROM (
+       |  SELECT s.vec_id, s.sub, c.cid, row_number() OVER (PARTITION BY s.sub, s.vec_id
+       |    ORDER BY list_dot_product(s.sve, c.cve) - c.chalf DESC, c.cid) AS rn
+       |  FROM sv s JOIN pc2 c ON s.sub = c.sub) WHERE rn = 1),
+       |qsub AS (SELECT vec_id AS qid, sub, sve AS qsve FROM sv
+       |  WHERE vec_id IN (0, 101, 202)),
+       |dtab AS (SELECT q.qid, c.sub, c.cid, list_dot_product(q.qsve, c.cve) AS dpart
+       |  FROM pc2 c JOIN qsub q ON c.sub = q.sub),
+       |qn AS (SELECT vec_id AS qid, ve AS qve, nrm AS qnrm FROM v
+       |  WHERE vec_id IN (0, 101, 202)),
+       |adc AS (SELECT d.qid, codes.vec_id,
+       |    sum(CASE WHEN codes.sub = 0 THEN dpart END) AS d0,
+       |    sum(CASE WHEN codes.sub = 1 THEN dpart END) AS d1,
+       |    sum(CASE WHEN codes.sub = 2 THEN dpart END) AS d2,
+       |    sum(CASE WHEN codes.sub = 3 THEN dpart END) AS d3,
+       |    sum(CASE WHEN codes.sub = 4 THEN dpart END) AS d4,
+       |    sum(CASE WHEN codes.sub = 5 THEN dpart END) AS d5,
+       |    sum(CASE WHEN codes.sub = 6 THEN dpart END) AS d6,
+       |    sum(CASE WHEN codes.sub = 7 THEN dpart END) AS d7
+       |  FROM codes JOIN dtab d ON codes.sub = d.sub AND codes.cid = d.cid
+       |  GROUP BY d.qid, codes.vec_id),
+       |short AS (SELECT qid, vec_id FROM (
+       |  SELECT a.qid, a.vec_id, row_number() OVER (PARTITION BY a.qid
+       |    ORDER BY (d0 + d1 + d2 + d3 + d4 + d5 + d6 + d7) / (v.nrm * qn.qnrm) DESC,
+       |             a.vec_id) AS rn
+       |  FROM adc a JOIN v ON a.vec_id = v.vec_id JOIN qn ON a.qid = qn.qid
+       |  WHERE a.vec_id <> a.qid) WHERE rn <= 100),
+       |pqtop AS (SELECT qid, vec_id FROM (
+       |  SELECT s.qid, s.vec_id, row_number() OVER (PARTITION BY s.qid
+       |    ORDER BY round(list_dot_product(qn.qve, v.ve) / (qn.qnrm * v.nrm), 4) DESC,
+       |             s.vec_id) AS rn
+       |  FROM short s JOIN v ON s.vec_id = v.vec_id JOIN qn ON s.qid = qn.qid)
+       |  WHERE rn <= 10),
+       |exact AS (SELECT qid, vec_id FROM (
+       |  SELECT q.qid, v.vec_id, row_number() OVER (PARTITION BY q.qid
+       |    ORDER BY list_dot_product(q.qve, v.ve) / (q.qnrm * v.nrm) DESC,
+       |             v.vec_id) AS rn
+       |  FROM v, qn q WHERE v.vec_id <> q.qid) WHERE rn <= 10)
+       |SELECT e.qid, CAST(count(*) AS BIGINT) AS n_overlap,
+       |       CAST(count(*) * 10 AS BIGINT) AS recall_pct
+       |FROM exact e JOIN pqtop i ON e.qid = i.qid AND e.vec_id = i.vec_id
+       |GROUP BY e.qid ORDER BY e.qid""".stripMargin) { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    val qids = Seq(0L, 101L, 202L)
+    val ix = pqIndex(emb, dim = 64)
+    val pq = qids.map(qid =>
+        pqQueryTopK(ix, qid).select(lit(qid).as("qid"), col("vec_id")))
+      .reduce(_ unionByName _)
+    recallOverlap(ix.v, pq, qids, k = 10)
+  }
+
   val all: Seq[QueryDef] = Seq(simAnnIvf, dedupEmbedLsh, simAnnKmeans, simQuantize, simAnnRecall,
-    simAnnPq)
+    simAnnPq, simAnnKmeansRecall, simAnnPqRecall, dedupEmbedLshRecall)
 }
