@@ -109,6 +109,48 @@ object Scale {
       .orderBy("c_mktsegment")
   }
 
+  /** Two-phase salted per-key top-k — the WINDOW-surface complement of
+    * `join_salted` (that key salts a skewed join; this one salts a
+    * skewed ranking): per-key window top-k over a Zipfian/hot key is the
+    * classic single-reducer straggler at 100 TB, because ONE task must
+    * sort the hot key's entire partition even though only k rows
+    * survive. Remedy: phase 1 ranks within (key, salt) — the hot key's
+    * rows spread across `salts` reducers, each keeping only its local
+    * top-k — then phase 2 re-ranks the ≤ salts·k survivors per key.
+    * Equal to the plain window by a standard argument: the global top-k
+    * under a TOTAL order (value DESC, event_id) is contained in the
+    * union of per-salt top-ks, and phase 2 applies the identical order.
+    * Salt is deterministic (event_id mod salts — the join_salted
+    * discipline, retry-safe, no rand()) and never reaches the output,
+    * so the oracle is the PLAIN one-phase window. PlanSpec pins the
+    * two-Window / two-exchange shape. */
+  def skewTopK(ev: DataFrame, k: Int, salts: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val phase1 = Window.partitionBy(col("event_type"), col("salt"))
+      .orderBy(col("value").desc, col("event_id"))
+    val phase2 = Window.partitionBy(col("event_type"))
+      .orderBy(col("value").desc, col("event_id"))
+    ev.select(col("event_type"), col("event_id"), col("value"),
+        pmod(col("event_id"), lit(salts.toLong)).as("salt"))
+      .withColumn("rn", row_number().over(phase1))
+      .filter(col("rn") <= k)
+      .withColumn("rk", row_number().over(phase2))
+      .filter(col("rk") <= k)
+      .select(col("event_type"), col("rk"), col("event_id"), col("value"))
+  }
+
+  val windowSkewTopk = QueryDef(
+    "window_skew_topk",
+    """SELECT event_type, CAST(rk AS INT) AS rk, event_id, value FROM (
+      |  SELECT event_type, event_id, value,
+      |         row_number() OVER (PARTITION BY event_type
+      |                            ORDER BY value DESC, event_id) AS rk
+      |  FROM events
+      |) WHERE rk <= 3 ORDER BY event_type, rk""".stripMargin) { (s, d) =>
+    skewTopK(Tables.events(s, d), k = 3, salts = Salts)
+      .orderBy("event_type", "rk")
+  }
+
   /** Shared SQL text for `sql_frontend` — written in the dialect
     * intersection (standard CTE + window + join + FILTER-free aggregates)
     * so the IDENTICAL string runs on both engines: what Spark executes is
@@ -966,5 +1008,5 @@ object Scale {
     joinLateral, subqueryScalar, mergeUpsert,
     subqueryIn, sortNulls, sortOffset, mergeScd2,
     joinDpp, subqueryExists, maintenanceZonemap, joinPit,
-    maintenanceAnalyze, mergeCdc, maintenanceZorder)
+    maintenanceAnalyze, mergeCdc, maintenanceZorder, windowSkewTopk)
 }

@@ -322,6 +322,18 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("div"), s"jac_ppm lost the integer div:\n$p")
   }
 
+  test("window_skew_topk: two-phase shape — (key, salt) ranking before the per-key pass") {
+    val p = plan(graft.ops.Scale.windowSkewTopk)
+    // two Window operators: the salted partial rank and the final rank
+    assert("Window ".r.findAllIn(p).length >= 2,
+      s"two-phase window collapsed to one pass:\n$p")
+    // phase 1 partitions by BOTH the key and the salt (the skew spread)
+    assert(p.contains("salt"), s"salt column missing from the plan:\n$p")
+    assert("Exchange hashpartitioning\\(event_type[^,]*, salt".r
+      .findFirstIn(p).isDefined,
+      s"phase-1 exchange is not keyed on (event_type, salt):\n$p")
+  }
+
   test("maintenance_analyze: ONE orders scan feeds all column stats (multi-distinct Expand)") {
     val p = plan(graft.ops.Scale.maintenanceAnalyze)
     assert("Scan parquet".r.findAllIn(p).length == 1,
