@@ -363,7 +363,66 @@ object Multimodal {
       .limit(600)
   }
 
+  /** One scene-boundary candidate: frame index, exact integer distance
+    * to the previous frame, cut flag. */
+  case class SceneCut(doc_id: Long, frame_idx: Int, diff: Long, is_cut: Boolean)
+
+  /** Partition-iterator SCENE-CUT stub — the video ANALYSIS member of
+    * the decode family (framesample emits frames; THIS detects
+    * boundaries between them): treat the 16-byte payload as 8 two-byte
+    * frame intensities (the framesample wire convention) and flag a cut
+    * wherever the inter-frame absolute difference STRICTLY exceeds the
+    * threshold — the exact-integer skeleton of the frame-difference /
+    * perceptual-hash-distance detectors real shot-boundary pipelines
+    * run. A real decoder would compare downsampled luma histograms or
+    * frame pHashes here; the shape that matters at scale is identical:
+    * one blob row fans out to per-boundary rows inside the iterator,
+    * full frames never land in columns. */
+  def sceneCutStub(payloads: DataFrame, cutAbove: Long = 30000L)(
+      implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    payloads.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, b) =>
+          def intensity(f: Int): Long =
+            (((b(2 * f) & 0xff) << 8) | (b(2 * f + 1) & 0xff)).toLong
+          (1 until 8).map { f =>
+            val diff = math.abs(intensity(f) - intensity(f - 1))
+            SceneCut(id, f, diff, diff > cutAbove)
+          }
+        }
+      }.toDF()
+  }
+
+  val multimodalScenecut = QueryDef(
+    "multimodal_scenecut",
+    // Oracle: frame f's unsigned 16-bit big-endian intensity is hex
+    // chars 4f+1..4f+4 of md5(text); the boundary row at f compares
+    // frames f and f-1. Exact integers end-to-end; uniform md5 frames
+    // put ~29% of boundaries over the threshold, so both branches are
+    // live at every SF.
+    """WITH f AS (
+      |  SELECT doc_id, unnest([1, 2, 3, 4, 5, 6, 7]) AS frame_idx,
+      |         md5(text) AS h
+      |  FROM documents WHERE doc_id % 6 = 0
+      |), v AS (
+      |  SELECT doc_id, frame_idx,
+      |    CAST(CAST('0x' || substr(h, 4 * frame_idx + 1, 4) AS INT) AS BIGINT) AS cur,
+      |    CAST(CAST('0x' || substr(h, 4 * (frame_idx - 1) + 1, 4) AS INT) AS BIGINT) AS prev
+      |  FROM f
+      |)
+      |SELECT doc_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+      |       CAST(abs(cur - prev) AS BIGINT) AS diff,
+      |       (abs(cur - prev) > 30000) AS is_cut
+      |FROM v ORDER BY doc_id, frame_idx LIMIT 700""".stripMargin) { (s, d) =>
+    implicit val spark: SparkSession = s
+    sceneCutStub(withPayload(Tables.documents(s, d)
+      .filter(col("doc_id") % 6 === 0)))
+      .orderBy("doc_id", "frame_idx")
+      .limit(700)
+  }
+
   val all: Seq[QueryDef] = Seq(multimodalDecode, multimodalFramesample,
     multimodalResize, multimodalFeatures, multimodalDedup,
-    multimodalAudioEnergy)
+    multimodalAudioEnergy, multimodalScenecut)
 }

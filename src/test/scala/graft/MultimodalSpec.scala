@@ -90,4 +90,26 @@ class MultimodalSpec extends AnyFunSuite {
     assert(rows(2) == ((1L, 2, 0L, true)))      // digital silence
     assert(rows(3) == ((1L, 3, 2L * 32767L * 32767L, false)))
   }
+
+  test("scene cut: planted boundaries — threshold strict, diffs exact") {
+    import spark.implicits._
+    implicit val s = spark
+    // frames: 0, 30000, 30000, 0, 65535, 65535, 65535, 30001
+    val payload = Array[Byte](
+      0x00, 0x00, 0x75, 0x30,                              // f0=0, f1=30000
+      0x75, 0x30, 0x00, 0x00,                              // f2=30000, f3=0
+      0xff.toByte, 0xff.toByte, 0xff.toByte, 0xff.toByte,  // f4=f5=65535
+      0xff.toByte, 0xff.toByte, 0x75, 0x31)                // f6=65535, f7=30001
+    val df = Seq((1L, payload)).toDF("doc_id", "payload")
+    val rows = graft.ops.Multimodal.sceneCutStub(df, cutAbove = 30000L)
+      .as[(Long, Int, Long, Boolean)].collect().sortBy(_._2)
+    // diff exactly AT the threshold is NOT a cut (strict >)
+    assert(rows(0) == ((1L, 1, 30000L, false)), s"strict > violated: ${rows(0)}")
+    assert(rows(1) == ((1L, 2, 0L, false)))
+    assert(rows(2) == ((1L, 3, 30000L, false)))
+    assert(rows(3) == ((1L, 4, 65535L, true)))   // hard cut
+    assert(rows(4) == ((1L, 5, 0L, false)))
+    assert(rows(5) == ((1L, 6, 0L, false)))
+    assert(rows(6) == ((1L, 7, 35534L, true)))   // cut just past threshold
+  }
 }
