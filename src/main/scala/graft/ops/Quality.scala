@@ -1,0 +1,125 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Data-quality expectation checking — the validation pass every
+  * production pipeline (and every LLM-data curation run) executes before
+  * a table is allowed downstream: declarative constraints (primary-key
+  * uniqueness, referential integrity, value ranges, domain membership)
+  * evaluated in bulk, reported as one (check, n_checked, n_violations,
+  * pass) relation. The public shape is the Deequ / dbt-test /
+  * Great-Expectations contract: constraints compile to aggregates, never
+  * row-by-row assertions.
+  *
+  * Scale shape: every check is either ONE combinable aggregate over its
+  * table (range/domain: a conditional sum riding a single scan;
+  * uniqueness: count minus count-distinct, Catalyst's two-phase
+  * distinct) or ONE key join + aggregate (referential integrity: LEFT
+  * join, null-partner conditional sum — at 100 TB the dim side
+  * broadcasts or bucket-joins and only keys travel). The six checks are
+  * independent single-pass jobs unioned into the report — embarrassingly
+  * parallel across tables, no cross-check dependency.
+  *
+  * Violation liveness (the fn_try / merge_cdc discipline): two checks
+  * take deterministic row-derived dirt so the FAIL branch is live at
+  * every SF (every 400th order key shifted onto its neighbor → duplicate
+  * PKs; every 97th event's user offset past the customer range → FK
+  * orphans), two fire on the natural data (acctbal outside [-900, 9900],
+  * discount above the 0.08 cap), and two hold on the clean data
+  * (lineitem→orders integrity, the 5-segment domain) so the PASS branch
+  * is live too. All counters exact BIGINTs; double comparisons are on
+  * stored values with shared literals — no arithmetic crosses engines.
+  */
+object Quality {
+
+  private val Segments =
+    Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
+
+  val qualityExpectations = QueryDef(
+    "quality_expectations",
+    s"""WITH u AS (
+       |  SELECT 'customer_acctbal_range' AS check_name,
+       |         CAST(count(*) AS BIGINT) AS n_checked,
+       |         CAST(sum(CASE WHEN c_acctbal < -900 OR c_acctbal > 9900
+       |                       THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+       |  FROM customer
+       |  UNION ALL
+       |  SELECT 'customer_mktsegment_domain',
+       |         CAST(count(*) AS BIGINT),
+       |         CAST(sum(CASE WHEN c_mktsegment NOT IN
+       |                       (${Segments.map("'" + _ + "'").mkString(", ")})
+       |                       THEN 1 ELSE 0 END) AS BIGINT)
+       |  FROM customer
+       |  UNION ALL
+       |  SELECT 'events_fk_customer', CAST(count(*) AS BIGINT),
+       |         CAST(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |  FROM (SELECT CASE WHEN event_id % 97 = 0 THEN user_id + 10000000
+       |                    ELSE user_id END AS u FROM events) e
+       |  LEFT JOIN customer c ON e.u = c.c_custkey
+       |  UNION ALL
+       |  SELECT 'lineitem_discount_cap', CAST(count(*) AS BIGINT),
+       |         CAST(sum(CASE WHEN l_discount > 0.08 THEN 1 ELSE 0 END) AS BIGINT)
+       |  FROM lineitem
+       |  UNION ALL
+       |  SELECT 'lineitem_fk_orders', CAST(count(*) AS BIGINT),
+       |         CAST(sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |  FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |  UNION ALL
+       |  SELECT 'orders_pk_unique', CAST(count(*) AS BIGINT),
+       |         CAST(count(*) - count(DISTINCT k) AS BIGINT)
+       |  FROM (SELECT CASE WHEN o_orderkey % 400 = 0 THEN o_orderkey + 1
+       |                    ELSE o_orderkey END AS k FROM orders)
+       |)
+       |SELECT check_name, n_checked, n_violations, n_violations = 0 AS pass
+       |FROM u ORDER BY check_name""".stripMargin) { (s, d) =>
+    val cust = Tables.customer(s, d)
+    val li = Tables.lineitem(s, d)
+    val acctbal = cust
+      .agg(count(lit(1)).as("n_checked"),
+        sum(when(col("c_acctbal") < -900 || col("c_acctbal") > 9900, 1L)
+          .otherwise(0L)).as("n_violations"))
+      .select(lit("customer_acctbal_range").as("check_name"),
+        col("n_checked"), col("n_violations"))
+    val domain = cust
+      .agg(count(lit(1)).as("n_checked"),
+        sum(when(!col("c_mktsegment").isin(Segments: _*), 1L).otherwise(0L))
+          .as("n_violations"))
+      .select(lit("customer_mktsegment_domain").as("check_name"),
+        col("n_checked"), col("n_violations"))
+    val evFk = Tables.events(s, d)
+      .select(when(col("event_id") % 97 === 0, col("user_id") + 10000000L)
+        .otherwise(col("user_id")).as("u"))
+      .join(cust.select(col("c_custkey")), col("u") === col("c_custkey"), "left")
+      .agg(count(lit(1)).as("n_checked"),
+        sum(when(col("c_custkey").isNull, 1L).otherwise(0L)).as("n_violations"))
+      .select(lit("events_fk_customer").as("check_name"),
+        col("n_checked"), col("n_violations"))
+    val discount = li
+      .agg(count(lit(1)).as("n_checked"),
+        sum(when(col("l_discount") > 0.08, 1L).otherwise(0L)).as("n_violations"))
+      .select(lit("lineitem_discount_cap").as("check_name"),
+        col("n_checked"), col("n_violations"))
+    val liFk = li.select(col("l_orderkey"))
+      .join(Tables.orders(s, d).select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"), "left")
+      .agg(count(lit(1)).as("n_checked"),
+        sum(when(col("o_orderkey").isNull, 1L).otherwise(0L)).as("n_violations"))
+      .select(lit("lineitem_fk_orders").as("check_name"),
+        col("n_checked"), col("n_violations"))
+    val pk = Tables.orders(s, d)
+      .select(when(col("o_orderkey") % 400 === 0, col("o_orderkey") + 1)
+        .otherwise(col("o_orderkey")).as("k"))
+      .agg(count(lit(1)).as("n_checked"),
+        (count(lit(1)) - countDistinct(col("k"))).as("n_violations"))
+      .select(lit("orders_pk_unique").as("check_name"),
+        col("n_checked"), col("n_violations"))
+    Seq(acctbal, domain, evFk, discount, liFk, pk)
+      .reduce(_ unionByName _)
+      .withColumn("pass", col("n_violations") === 0)
+      .orderBy("check_name")
+  }
+
+  val all: Seq[QueryDef] = Seq(qualityExpectations)
+}

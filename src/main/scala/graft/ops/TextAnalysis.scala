@@ -848,9 +848,13 @@ object TextAnalysis {
     * The oracle unrolls the identical 8 rounds as CTEs (the
     * sim_ann_kmeans / graph_sssp discipline). */
   /** The trainer core over a weighted vocabulary (w, wc) of [a-z]{2,}
-    * words: `rounds` greedy merges, returned as the learned merge table.
-    * Exposed separately so specs can drive it with planted corpora. */
-  def bpeTrain(vocab: DataFrame, rounds: Int): Seq[(Int, String, String, Long)] = {
+    * words: `rounds` greedy merges. Returns the learned merge table AND
+    * the post-merge vocabulary (seq, wc) — the ENCODED form every word
+    * holds after training, which `text_bpe_encode` consumes (a trainer
+    * that throws its final vocab away forces the apply pass to re-run
+    * all merges). Exposed so specs can drive it with planted corpora. */
+  def bpeTrainFull(vocab: DataFrame,
+      rounds: Int): (Seq[(Int, String, String, Long)], DataFrame) = {
     var v = vocab
       .select(regexp_replace(col("w"), "(.)", "($1)").as("seq"), col("wc"))
       .localCheckpoint()
@@ -877,8 +881,12 @@ object TextAnalysis {
       v = v.select(
         expr(s"replace(seq, '($x)($y)', '($x$y)')").as("seq"), col("wc"))
     }
-    merges.result()
+    (merges.result(), v)
   }
+
+  /** Merge-table-only form (the `text_bpe_merge` gate). */
+  def bpeTrain(vocab: DataFrame, rounds: Int): Seq[(Int, String, String, Long)] =
+    bpeTrainFull(vocab, rounds)._1
 
   val textBpeMerge = QueryDef(
     "text_bpe_merge",
@@ -899,6 +907,63 @@ object TextAnalysis {
       .filter(col("w").rlike("^[a-z]{2,}$"))
       .groupBy("w").agg(count(lit(1)).as("wc"))
     bpeTrain(vocab, BpeRounds).toDF("step", "x", "y", "cnt")
+  }
+
+  /** BPE ENCODING — the apply half of the tokenizer lineage
+    * (`text_bpe_pairs` = one round's statistic, `text_bpe_merge` = the
+    * training loop, THIS = the trained tokenizer applied to the corpus):
+    * per language, how many tokens the corpus costs under the learned
+    * 8-merge vocabulary vs its character count — the tokens-per-char
+    * compression report every tokenizer evaluation runs. The word is
+    * recovered from the trained sequence by stripping the wrappers
+    * (symbols concatenate back to the word — no side channel), so the
+    * encoded vocabulary (w, n_sym) is a dictionary the corpus word
+    * stream pays ONE join against (the text_lm_score dictionary shape);
+    * everything after is combinable integer sums + one exact micro
+    * ratio. Out-of-scope words (non-[a-z]{2,}) are not encodable by
+    * this vocabulary and drop at the join — in scope both engines. */
+  val textBpeEncode = QueryDef(
+    "text_bpe_encode",
+    s"""WITH w AS (
+       |  SELECT unnest(string_split(text, ' ')) AS w FROM documents
+       |), v0 AS (
+       |  SELECT regexp_replace(w, '(.)', '(\\1)', 'g') AS seq, count(*) AS wc
+       |  FROM w WHERE regexp_full_match(w, '[a-z]{2,}') GROUP BY w
+       |),
+       |${(1 to BpeRounds).map(bpeRoundCte).mkString(",\n")},
+       |enc AS (
+       |  SELECT translate(seq, '()', '') AS w,
+       |         CAST(len(string_split(substr(seq, 2, length(seq) - 2), ')(')) AS BIGINT) AS n_sym
+       |  FROM v$BpeRounds
+       |), tok AS (
+       |  SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents
+       |)
+       |SELECT t.lang, CAST(count(*) AS BIGINT) AS n_words,
+       |       CAST(sum(length(t.w)) AS BIGINT) AS sum_chars,
+       |       CAST(sum(e.n_sym) AS BIGINT) AS sum_tokens,
+       |       CAST((1000000 * sum(e.n_sym)) // sum(length(t.w)) AS BIGINT)
+       |         AS tok_per_char_micro
+       |FROM tok t JOIN enc e ON t.w = e.w
+       |GROUP BY t.lang ORDER BY t.lang""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val vocab = docs
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w").rlike("^[a-z]{2,}$"))
+      .groupBy("w").agg(count(lit(1)).as("wc"))
+    val vfinal = bpeTrainFull(vocab, BpeRounds)._2
+    val enc = vfinal.select(
+      translate(col("seq"), "()", "").as("w"),
+      size(split(expr("substring(seq, 2, length(seq) - 2)"), "\\)\\("))
+        .cast("long").as("n_sym"))
+    docs.select(col("lang"), explode(split(col("text"), " ")).as("w"))
+      .join(enc, "w")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_words"),
+        sum(length(col("w"))).as("sum_chars"),
+        sum(col("n_sym")).as("sum_tokens"),
+        expr("(1000000L * sum(n_sym)) div sum(length(w))")
+          .as("tok_per_char_micro"))
+      .orderBy("lang")
   }
 
   /** Bigram language-model scoring — the perplexity-filter analog that
@@ -1079,5 +1144,6 @@ object TextAnalysis {
     textPiiScrub, sampleSplit, sampleStratified, textPack, textDecontaminate,
     textNgrams, textTfidf, sampleShuffle, pipelineCleanse, textStripMarkup,
     textRepetition, sampleWeighted, textRarity, sampleMix, textBpePairs,
-    textLmScore, textBlocklist, sampleTemperature, textBpeMerge)
+    textLmScore, textBlocklist, sampleTemperature, textBpeMerge,
+    textBpeEncode)
 }
