@@ -416,8 +416,7 @@ object Ann {
        |WHERE af.vec_id <> 0
        |ORDER BY cos DESC, af.vec_id LIMIT 10""".stripMargin) { (s, d) =>
     val emb = Tables.embeddings(s, d)
-    val cents = kmeansCentroidsQuantized(prep(emb), c = 8, iters = 3)
-    ivfTopKWith(emb, queryId = 0L, cents, nprobe = 4, k = 10)
+    ivfTopKWith(emb, queryId = 0L, cachedKmeansCents(s, d), nprobe = 4, k = 10)
   }
 
   /** Int8 scalar quantization of the embedding table — the memory-scale
@@ -472,6 +471,43 @@ object Ann {
 
   private val NCentroids = 8
   private val centroidIds: Seq[Long] = (1L to NCentroids.toLong)
+
+  /** Trained-index cache: the k-means centroid relation and the PQ
+    * index are each trained IDENTICALLY by a gate key and its recall
+    * key (`sim_ann_kmeans`/`sim_ann_kmeans_recall`,
+    * `sim_ann_pq`/`sim_ann_pq_recall`) — one training per
+    * (session, sfDir), shared by both consumers: the graph family's
+    * landed-relation discipline applied to ANN (a production system
+    * trains an index once and amortizes it over the query stream, never
+    * per query). Training is deterministic (quantized Lloyd,
+    * deterministic seeds), so sharing cannot move any hash. Dead-session
+    * entries dropped first (the coocCache hygiene). */
+  private val indexCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), AnyRef]()
+
+  private def cachedIndex[T <: AnyRef](s: SparkSession, d: String, tag: String)(
+      build: => T): T = {
+    indexCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    indexCache.computeIfAbsent((s, d, tag), _ => build).asInstanceOf[T]
+  }
+
+  /** The quantized-Lloyd centroids of the gated kmeans keys (c=8,
+    * iters=3), trained once per (session, sfDir). The returned relation
+    * is a broadcast local DF of driver-held state — safe to share. */
+  private def cachedKmeansCents(s: SparkSession, d: String): DataFrame =
+    cachedIndex(s, d, "kmc") {
+      kmeansCentroidsQuantized(prep(Tables.embeddings(s, d)), c = 8, iters = 3)
+    }
+
+  /** The trained PQ index of the gated PQ keys (dim=64, m=8,
+    * codebook=16), trained once per (session, sfDir); codes are
+    * localCheckpointed so consumers re-read the encoded relation
+    * instead of re-running the assignment join per action. */
+  private def cachedPqIndex(s: SparkSession, d: String): PqIndex =
+    cachedIndex(s, d, "pqi") {
+      val ix = pqIndex(Tables.embeddings(s, d), dim = 64)
+      ix.copy(codes = ix.codes.localCheckpoint())
+    }
 
   val simAnnIvf = QueryDef(
     "sim_ann_ivf", {
@@ -682,8 +718,8 @@ object Ann {
        |FROM exact e JOIN ivf i ON e.qid = i.qid AND e.vec_id = i.vec_id
        |GROUP BY e.qid ORDER BY e.qid""".stripMargin) { (s, d) =>
     val emb = Tables.embeddings(s, d)
-    val cents = kmeansCentroidsQuantized(prep(emb), c = 8, iters = 3)
-    ivfRecallGate(emb, cents, qids = Seq(0L, 101L, 202L), nprobe = 4)
+    ivfRecallGate(emb, cachedKmeansCents(s, d),
+      qids = Seq(0L, 101L, 202L), nprobe = 4)
   }
 
   /** Product quantization ANN — the billion-scale compression path that
@@ -906,7 +942,7 @@ object Ann {
        |SELECT s.vec_id, round(list_dot_product(q0.qve, v.ve) / (q0.qnrm * v.nrm), 4) AS cos
        |FROM short s JOIN v ON s.vec_id = v.vec_id, q0
        |ORDER BY cos DESC, s.vec_id LIMIT 10""".stripMargin) { (s, d) =>
-    pqTopK(Tables.embeddings(s, d), queryId = 0L, dim = 64)
+    pqQueryTopK(cachedPqIndex(s, d), queryId = 0L)
   }
 
   /** Measured recall for the PQ path — the last approximate path whose
@@ -981,9 +1017,8 @@ object Ann {
        |       CAST(count(*) * 10 AS BIGINT) AS recall_pct
        |FROM exact e JOIN pqtop i ON e.qid = i.qid AND e.vec_id = i.vec_id
        |GROUP BY e.qid ORDER BY e.qid""".stripMargin) { (s, d) =>
-    val emb = Tables.embeddings(s, d)
     val qids = Seq(0L, 101L, 202L)
-    val ix = pqIndex(emb, dim = 64)
+    val ix = cachedPqIndex(s, d)
     val pq = qids.map(qid =>
         pqQueryTopK(ix, qid).select(lit(qid).as("qid"), col("vec_id")))
       .reduce(_ unionByName _)
