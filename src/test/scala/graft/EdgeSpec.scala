@@ -724,6 +724,25 @@ class EdgeSpec extends AnyFunSuite {
     assert(got == Set((10L, 20L), (20L, 10L)))
   }
 
+  test("skewTopK: equals the one-phase window, value ties broken by event_id across salts") {
+    // one hot key ("click") with VALUE TIES landing in different salt
+    // buckets (event_ids 8 and 9 differ mod 8), so the phase-2 re-rank
+    // must order tied survivors from different phase-1 partitions; a
+    // cold key ("view") pins the k > group-size edge
+    val ev = Seq(
+      (8L, "click", 50.0), (9L, "click", 50.0), (16L, "click", 50.0),
+      (1L, "click", 99.0), (2L, "click", 10.0), (3L, "click", 99.0),
+      (4L, "view", 7.0), (12L, "view", 7.0))
+      .toDF("event_id", "event_type", "value")
+    val got = graft.ops.Scale.skewTopK(ev, k = 3, salts = 8)
+      .as[(String, Int, Long, Double)].collect().toSet
+    // plain one-phase truth: click ranks 99.0@1, 99.0@3, then the 50.0
+    // tie block ordered by event_id -> 8; view has only 2 rows
+    assert(got == Set(
+      ("click", 1, 1L, 99.0), ("click", 2, 3L, 99.0), ("click", 3, 8L, 50.0),
+      ("view", 1, 4L, 7.0), ("view", 2, 12L, 7.0)), s"mismatch: $got")
+  }
+
   test("bpeTrain: greedy left-to-right merge, multi-char symbols, lexicographic ties") {
     // vocab: "aaa"×3, "abab"×2, "ba"×4.
     // round 1 pairs: (a,a): 2·3=6 [aaa has pairs (a,a),(a,a)],
