@@ -250,6 +250,56 @@ object Pipelines {
       .orderBy("supp_nation", "cust_nation", "l_year")
   }
 
+  /** TPC-H Q19 shape (discounted revenue, disjunctive predicate): the
+    * classic OR-of-ANDs spanning BOTH join sides — each branch conjoins
+    * a part attribute (brand) with RANGES on part (size) and on the fact
+    * (quantity), so no single-table filter expresses the predicate
+    * (adapted to this fixture's columns: the reference Q19's
+    * container/shipmode legs don't exist here; brand/size/quantity carry
+    * the same planner shape). The scale discipline is the pushdown
+    * RESIDUE of the OR: part pre-filters to the three brands (the union
+    * of branch brands) and lineitem to the covering quantity range at
+    * their scans — both reach PushedFilters — while the exact
+    * disjunction runs post-join where all its columns exist. Per-branch
+    * revenue + count certify every branch fires at every SF. */
+  val pipelineTpchQ19 = QueryDef(
+    "pipeline_tpch_q19",
+    """SELECT p_brand,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+      |  CAST(count(*) AS BIGINT) AS n_items
+      |FROM lineitem
+      |JOIN part ON l_partkey = p_partkey
+      |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+      |       AND l_quantity BETWEEN 1 AND 20)
+      |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+      |       AND l_quantity BETWEEN 10 AND 35)
+      |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
+      |       AND l_quantity BETWEEN 20 AND 50)
+      |GROUP BY p_brand
+      |ORDER BY p_brand""".stripMargin) { (s, d) =>
+    // scan-stage residues of the OR: the brand union on part, the
+    // covering quantity range on lineitem
+    val part = Tables.part(s, d)
+      .filter(col("p_brand").isin("Brand#1", "Brand#2", "Brand#3"))
+      .select("p_partkey", "p_brand", "p_size")
+    val li = Tables.lineitem(s, d)
+      .filter(col("l_quantity") >= 1 && col("l_quantity") <= 50)
+      .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+    li.join(part, col("l_partkey") === col("p_partkey"))
+      .filter(
+        (col("p_brand") === "Brand#1" && col("p_size").between(1, 15)
+          && col("l_quantity").between(1, 20)) ||
+        (col("p_brand") === "Brand#2" && col("p_size").between(10, 30)
+          && col("l_quantity").between(10, 35)) ||
+        (col("p_brand") === "Brand#3" && col("p_size").between(20, 50)
+          && col("l_quantity").between(20, 50)))
+      .groupBy("p_brand")
+      .agg(sum(money(col("l_extendedprice")) * (lit(1) - rate(col("l_discount"))))
+        .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("p_brand")
+  }
+
   val all: Seq[QueryDef] = Seq(pipelineTpchQ3, pipelineTpchQ18,
-    pipelineTpchQ5, pipelineTpchQ10, pipelineTpchQ7)
+    pipelineTpchQ5, pipelineTpchQ10, pipelineTpchQ7, pipelineTpchQ19)
 }

@@ -334,6 +334,16 @@ class PlanSpec extends AnyFunSuite {
       s"phase-1 exchange is not keyed on (event_type, salt):\n$p")
   }
 
+  test("pipeline_tpch_q19: the OR's residues reach both scans") {
+    val p = plan(graft.ops.Pipelines.pipelineTpchQ19)
+    // brand-union residue on the part scan, quantity range on lineitem
+    assert(p.contains("In(p_brand"), s"brand residue not pushed:\n$p")
+    assert(p.contains("GreaterThanOrEqual(l_quantity")
+      || p.contains("LessThanOrEqual(l_quantity"),
+      s"quantity residue not pushed:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("maintenance_analyze: ONE orders scan feeds all column stats (multi-distinct Expand)") {
     val p = plan(graft.ops.Scale.maintenanceAnalyze)
     assert("Scan parquet".r.findAllIn(p).length == 1,
