@@ -133,6 +133,44 @@ object Events {
         when(col("nxt_eus") <= col("eus") + toleranceUs, col("nxt_id")).as(outCol))
   }
 
+  /** Nearest as-of join — the bidirectional member that completes the
+    * asof family (backward = `asofJoin`, forward = `asofJoinFwd`, THIS =
+    * whichever right event is CLOSEST in time, either side): for each
+    * left event, the right event minimizing |Δt|, ties preferring the
+    * at/before side (the finance "nearest quote" rule), with each side
+    * keeping its own family tie convention (at/before: max event_id;
+    * after: min event_id). ONE shuffle on user_id + ONE sort serves BOTH
+    * directions: the backward candidate rides a PRECEDING `last(…,
+    * ignoreNulls)` frame and the forward candidate a FOLLOWING
+    * `first(…, ignoreNulls)` frame over the same sorted relation —
+    * still no join operator at any scale. Same-ts rights sort before
+    * lefts, so a Δt=0 match is the backward candidate and wins the tie
+    * by construction. */
+  def asofJoinNearest(events: DataFrame, leftType: String, rightType: String,
+      outCol: String): DataFrame = {
+    val tagged = events
+      .filter(col("event_type").isin(rightType, leftType))
+      .select(col("event_id"), col("user_id"), col("ts"), eus.as("eus"),
+        when(col("event_type") === rightType, 0).otherwise(1).as("tag"),
+        when(col("event_type") === rightType, col("event_id")).as("r_id"),
+        when(col("event_type") === rightType, eus).as("r_eus"))
+    val ord = Window.partitionBy("user_id").orderBy("ts", "tag", "event_id")
+    val wb = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    tagged
+      .withColumn("prev_id", last(col("r_id"), ignoreNulls = true).over(wb))
+      .withColumn("prev_eus", last(col("r_eus"), ignoreNulls = true).over(wb))
+      .withColumn("next_id", first(col("r_id"), ignoreNulls = true).over(wf))
+      .withColumn("next_eus", first(col("r_eus"), ignoreNulls = true).over(wf))
+      .filter(col("tag") === 1)
+      .select(col("event_id"), col("user_id"),
+        when(col("next_id").isNull, col("prev_id"))
+          .when(col("prev_id").isNull, col("next_id"))
+          .when(col("eus") - col("prev_eus") <= col("next_eus") - col("eus"),
+            col("prev_id"))
+          .otherwise(col("next_id")).as(outCol))
+  }
+
   /** 30-minute-gap sessionization: gap strictly greater than the threshold
     * starts a new session (gap == 30 min exactly → same session).
     * Batch analog of `session_window($"ts", "30 minutes")`; the

@@ -242,6 +242,27 @@ object Relational {
       .orderBy("event_id")
   }
 
+  /** The bidirectional member (round 10) — nearest click in EITHER
+    * direction by |Δt|, ties to the at/before side (the finance
+    * "nearest quote" rule); each side keeps its own family tie
+    * convention. One shuffle + one sort serves both directions
+    * (Events.asofJoinNearest); the oracle ranks candidates by
+    * (|Δt|, side, side-signed event_id). */
+  val joinAsofNearest = QueryDef(
+    "join_asof_nearest",
+    """SELECT e.event_id, e.user_id,
+      |  (SELECT c.event_id FROM events c
+      |   WHERE c.user_id = e.user_id AND c.event_type = 'click'
+      |   ORDER BY abs(epoch_us(c.ts) - epoch_us(e.ts)),
+      |            CASE WHEN c.ts <= e.ts THEN 0 ELSE 1 END,
+      |            CASE WHEN c.ts <= e.ts THEN -c.event_id ELSE c.event_id END
+      |   LIMIT 1) AS click_id
+      |FROM events e WHERE e.event_type = 'error'
+      |ORDER BY e.event_id""".stripMargin) { (s, d) =>
+    Events.asofJoinNearest(Tables.events(s, d), "error", "click", "click_id")
+      .orderBy("event_id")
+  }
+
   // ---------------------------------------------------------------- §2.4
   val aggGroupby = QueryDef(
     "agg_groupby",
@@ -562,7 +583,7 @@ object Relational {
   val all: Seq[QueryDef] = Seq(
     scanProject, scanCountStar, projectExpr, filterPred,
     joinInner, joinLeft, joinSemi, joinAnti, joinBroadcast, joinMultiway,
-    joinRange, joinAsof, joinAsofFwd,
+    joinRange, joinAsof, joinAsofFwd, joinAsofNearest,
     aggGroupby, aggDistinct, aggRollup, aggCube, aggGroupingSets, aggApproxDistinct,
     windowRank, windowRunning, windowLagLead, windowRangeFrame,
     sortMulti, setUnionAll, setUnion, setIntersect, setExcept,

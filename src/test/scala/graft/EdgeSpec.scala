@@ -33,6 +33,23 @@ class EdgeSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((1L, None), (4L, Some(3L)), (7L, Some(6L))))
   }
 
+  test("asofJoinNearest: |Δt| ties prefer the at/before side; per-side id conventions hold") {
+    val ev = events(
+      (1L, "2024-01-01 00:00:00", 1L, "click"),
+      (2L, "2024-01-01 00:00:10", 1L, "error"),  // equidistant 10s both ways → bwd click 1
+      (3L, "2024-01-01 00:00:20", 1L, "click"),
+      (10L, "2024-01-01 01:00:00", 2L, "error"), // only a LATER click exists → fwd
+      (11L, "2024-01-01 01:00:05", 2L, "click"),
+      (20L, "2024-01-01 02:00:00", 3L, "click"), // same-ts click: Δt=0 wins
+      (21L, "2024-01-01 02:00:00", 3L, "error"),
+      (30L, "2024-01-01 03:00:00", 4L, "error")) // no clicks → null
+    val got = Events.asofJoinNearest(ev, "error", "click", "click_id")
+      .orderBy("event_id")
+      .collect().map(r => (r.getLong(0), Option(r.get(2)).map(_.asInstanceOf[Long])))
+    assert(got.toSeq == Seq(
+      (2L, Some(1L)), (10L, Some(11L)), (21L, Some(20L)), (30L, None)))
+  }
+
   test("sessionize: gap of exactly 30 min stays; strictly greater splits") {
     val ev = events(
       (1L, "2024-01-01 00:00:00", 1L, "click"),
