@@ -95,19 +95,28 @@ object Bench {
     // "harness" tags the methodology: round-over-round totals are only
     // comparable when the tag matches (repeat-and-min vs the single-shot
     // harness of rounds 1-3).
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","harness":"repeat-and-min-v4-mirror","reps":$reps,"stat":"min","queries":$qs,"sf":"$sfDir"}"""
-    // The ONE "metric" stdout line prints FIRST, the moment it exists:
+    // a filtered A/B run marks itself in the JSON so a partial-suite
+    // total can never masquerade as a full-suite artifact
+    val filteredTag = if (only.isDefined) s""","filtered":${keys.size}""" else ""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","harness":"repeat-and-min-v4-mirror","reps":$reps,"stat":"min"$filteredTag,"queries":$qs,"sf":"$sfDir"}"""
+    // The "metric" stdout line prints FIRST, the moment it exists:
     // the driver's artifact window lost the line's head in r5 (tail-only
     // capture) and its tail in r7 — printing the line before any other
-    // post-run output maximizes what any truncation window keeps, and
-    // there is still exactly one "metric" match in the log.
+    // post-run output maximizes what any truncation window keeps. (It
+    // prints AGAIN as the final stdout line below; both copies are
+    // byte-identical, so any first- or last-match "metric" grep reads
+    // the same record.)
     println(line)
     // Belt-and-braces: persist the same JSON to a file the driver
     // snapshots (covers any stdout capture loss). The write target is
     // cwd-relative by the snapshot contract — print WHERE it landed (or
     // that it failed) so a run from the wrong directory can't leave a
     // stale committed BENCH.json masquerading as this run's result.
-    try {
+    if (only.isDefined) {
+      // never overwrite the committed full-suite artifact with a
+      // filtered A/B's partial total — the stdout line is the record
+      println("BENCH.json NOT written (SPARK_GRAFT_BENCH_ONLY filter active)")
+    } else try {
       val p = java.nio.file.Paths.get("BENCH.json").toAbsolutePath
       java.nio.file.Files.write(p, (line + "\n").getBytes("UTF-8"))
       println(s"BENCH.json written: $p")

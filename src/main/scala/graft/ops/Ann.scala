@@ -354,14 +354,24 @@ object Ann {
       |       CAST(100 AS BIGINT) AS recall_pct
       |FROM c""".stripMargin) { (s, d) =>
     val planted = plantNearDups(Tables.embeddings(s, d))
+    // each pair relation feeds its own count AND the overlap join —
+    // localCheckpoint materializes the two expensive kernels once
+    // instead of executing each subtree twice (Spark does no cross-
+    // subtree common-subexpression elimination)
     val exact = Dedup.embeddingNearDup(planted, 0.99).select("i", "j")
+      .localCheckpoint()
     val lsh = lshNearDup(planted, threshold = 0.99, dim = 64).select("i", "j")
+      .localCheckpoint()
     exact.agg(count(lit(1)).as("n_exact"))
       .crossJoin(lsh.agg(count(lit(1)).as("n_lsh")))
       .crossJoin(exact.join(lsh, Seq("i", "j"))
         .agg(count(lit(1)).as("n_overlap")))
       .select(col("n_exact"), col("n_lsh"), col("n_overlap"),
-        expr("(100 * n_overlap) div n_exact").as("recall_pct"))
+        // n_exact = 0 only on a degenerate (empty) corpus: recall is
+        // vacuously 100 there, matching the oracle's constant — a bare
+        // div would yield NULL and fail the hash for an unrelated reason
+        when(col("n_exact") === 0, lit(100L))
+          .otherwise(expr("(100 * n_overlap) div n_exact")).as("recall_pct"))
   }
 
   /** One Lloyd round of the oracle: assignment rank under the previous
@@ -583,7 +593,10 @@ object Ann {
     exactTopK(v, qids, k).join(approx, Seq("qid", "vec_id"))
       .groupBy("qid")
       .agg(count(lit(1)).as("n_overlap"),
-        (count(lit(1)) * (100 / k)).as("recall_pct"))
+        // count·100 div k, NOT count·(100/k): Scala Int division would
+        // silently mis-scale any k that does not divide 100 (k=3 →
+        // 3/3 reported as 99%); identical values for the gated k=10
+        expr(s"count(1) * 100 div $k").as("recall_pct"))
       .orderBy("qid")
 
   /** IVF-style recall gate against an explicit centroid relation: the

@@ -884,9 +884,31 @@ object TextAnalysis {
     (merges.result(), v)
   }
 
-  /** Merge-table-only form (the `text_bpe_merge` gate). */
+  /** Merge-table-only form (planted-corpus specs). */
   def bpeTrain(vocab: DataFrame, rounds: Int): Seq[(Int, String, String, Long)] =
     bpeTrainFull(vocab, rounds)._1
+
+  /** One corpus-vocabulary BPE training per (session, sfDir), shared by
+    * `text_bpe_merge` (consumes the merge table) and `text_bpe_encode`
+    * (consumes the trained vocabulary) — the trained-index discipline
+    * (Ann.cachedKmeansCents / Graph.landedOnce): training is
+    * deterministic, so sharing cannot move a hash, and the 8 driver-
+    * collect rounds run once instead of once per consumer. */
+  private val bpeCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), (Seq[(Int, String, String, Long)], DataFrame)]()
+
+  private def cachedBpe(s: SparkSession,
+      d: String): (Seq[(Int, String, String, Long)], DataFrame) = {
+    bpeCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    bpeCache.computeIfAbsent((s, d), { case (sess, dir) =>
+      val vocab = Tables.documents(sess, dir)
+        .select(explode(split(col("text"), " ")).as("w"))
+        .filter(col("w").rlike("^[a-z]{2,}$"))
+        .groupBy("w").agg(count(lit(1)).as("wc"))
+      val (merges, vfinal) = bpeTrainFull(vocab, BpeRounds)
+      (merges, vfinal.localCheckpoint())
+    })
+  }
 
   val textBpeMerge = QueryDef(
     "text_bpe_merge",
@@ -902,11 +924,7 @@ object TextAnalysis {
             .mkString("\nUNION ALL ")}
        |ORDER BY step""".stripMargin) { (s, d) =>
     import s.implicits._
-    val vocab = Tables.documents(s, d)
-      .select(explode(split(col("text"), " ")).as("w"))
-      .filter(col("w").rlike("^[a-z]{2,}$"))
-      .groupBy("w").agg(count(lit(1)).as("wc"))
-    bpeTrain(vocab, BpeRounds).toDF("step", "x", "y", "cnt")
+    cachedBpe(s, d)._1.toDF("step", "x", "y", "cnt")
   }
 
   /** BPE ENCODING — the apply half of the tokenizer lineage
@@ -946,11 +964,7 @@ object TextAnalysis {
        |FROM tok t JOIN enc e ON t.w = e.w
        |GROUP BY t.lang ORDER BY t.lang""".stripMargin) { (s, d) =>
     val docs = Tables.documents(s, d)
-    val vocab = docs
-      .select(explode(split(col("text"), " ")).as("w"))
-      .filter(col("w").rlike("^[a-z]{2,}$"))
-      .groupBy("w").agg(count(lit(1)).as("wc"))
-    val vfinal = bpeTrainFull(vocab, BpeRounds)._2
+    val vfinal = cachedBpe(s, d)._2
     val enc = vfinal.select(
       translate(col("seq"), "()", "").as("w"),
       size(split(expr("substring(seq, 2, length(seq) - 2)"), "\\)\\("))
