@@ -6,7 +6,7 @@
 // Requires the 10x tables (tools/tenx_build.scala) and the v4 bench mirror
 // (any Bench run builds it). Record results + co-measured controls in BASELINE.md.
 import graft.SparkEntry
-val keys = Seq("text_bpe_encode", "quality_expectations", "graph_pagerank", "graph_triangles", "graph_components", "graph_linkpred", "graph_khop", "graph_sssp", "scan_project", "window_ntile")
+val keys = Seq("pipeline_tpch_q19", "join_asof_nearest", "scan_project", "window_ntile")
 val dirs = Seq("sf01" -> "/tmp/graft_bench_mirror_ddbe1476c5607681e1c7241437b45958", "tenx" -> "/tmp/graft10x")
 val qs = SparkEntry.queries
 // codegen warmup at sf0.001
