@@ -354,24 +354,9 @@ object Ann {
       |       CAST(100 AS BIGINT) AS recall_pct
       |FROM c""".stripMargin) { (s, d) =>
     val planted = plantNearDups(Tables.embeddings(s, d))
-    // each pair relation feeds its own count AND the overlap join —
-    // localCheckpoint materializes the two expensive kernels once
-    // instead of executing each subtree twice (Spark does no cross-
-    // subtree common-subexpression elimination)
-    val exact = Dedup.embeddingNearDup(planted, 0.99).select("i", "j")
-      .localCheckpoint()
-    val lsh = lshNearDup(planted, threshold = 0.99, dim = 64).select("i", "j")
-      .localCheckpoint()
-    exact.agg(count(lit(1)).as("n_exact"))
-      .crossJoin(lsh.agg(count(lit(1)).as("n_lsh")))
-      .crossJoin(exact.join(lsh, Seq("i", "j"))
-        .agg(count(lit(1)).as("n_overlap")))
-      .select(col("n_exact"), col("n_lsh"), col("n_overlap"),
-        // n_exact = 0 only on a degenerate (empty) corpus: recall is
-        // vacuously 100 there, matching the oracle's constant — a bare
-        // div would yield NULL and fail the hash for an unrelated reason
-        when(col("n_exact") === 0, lit(100L))
-          .otherwise(expr("(100 * n_overlap) div n_exact")).as("recall_pct"))
+    Similarity.pairRecallReport(
+      Dedup.embeddingNearDup(planted, 0.99),
+      lshNearDup(planted, threshold = 0.99, dim = 64))
   }
 
   /** One Lloyd round of the oracle: assignment rank under the previous

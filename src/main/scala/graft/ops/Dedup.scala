@@ -102,6 +102,43 @@ object Dedup {
     minHashNearDup(Tables.documents(s, d)).orderBy("i", "j")
   }
 
+  /** Measured recall of the MinHash-LSH banding against its exact twin
+    * — the text-side member of the recall-gate family
+    * (`dedup_embed_lsh_recall` covers the embedding side): one row of
+    * |exact Jaccard pairs| (`dedup_near`'s relation), |LSH pairs|
+    * (`dedup_minhash`'s relation), their overlap, and integer recall
+    * percent at the 0.5 threshold. The oracle emits the exact count in
+    * all three slots with recall 100 — the measured identity the
+    * pairwise dedup_minhash gate proves on these corpora (deterministic
+    * xxhash64 banding, 1−0.5^16 per-pair recall at the threshold) — so
+    * a band-count or sketch regression that drops ANY pair fails the
+    * hash with a readable recall number. Both sides are the existing
+    * bounded kernels; the overlap join is pair-bounded. */
+  val dedupMinhashRecall = QueryDef(
+    "dedup_minhash_recall",
+    s"""${Functions.shingleOracleCte},
+       |shd AS (SELECT DISTINCT doc_id, shingle FROM sh WHERE shingle IS NOT NULL),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY doc_id),
+       |inter AS (
+       |  SELECT x.doc_id AS i, y.doc_id AS j, count(*) AS inter
+       |  FROM shd x JOIN shd y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+       |  GROUP BY i, j
+       |), e AS (
+       |  SELECT i, j FROM (
+       |    SELECT i, j, inter.inter / (si.n + sj.n - inter.inter) AS jac_raw
+       |    FROM inter
+       |    JOIN sizes si ON inter.i = si.doc_id
+       |    JOIN sizes sj ON inter.j = sj.doc_id
+       |  ) WHERE jac_raw >= 0.5
+       |), c AS (SELECT CAST(count(*) AS BIGINT) AS n_exact FROM e)
+       |SELECT n_exact, n_exact AS n_lsh, n_exact AS n_overlap,
+       |       CAST(100 AS BIGINT) AS recall_pct
+       |FROM c""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    Similarity.pairRecallReport(
+      Text.nearDupPairs(docs), minHashNearDup(docs))
+  }
+
   /** 64-bit SimHash over the token multiset: bit b of the fingerprint is
     * set iff Σ_tokens (±1 by bit b of the token hash) > 0. One explode +
     * one combinable groupBy — linear cost, and near-identical documents
@@ -253,5 +290,6 @@ object Dedup {
     embeddingNearDup(Tables.embeddings(s, d), 0.5).orderBy("i", "j")
   }
 
-  val all: Seq[QueryDef] = Seq(dedupMinhash, dedupSimhash, dedupSimhashNear, dedupEmbed)
+  val all: Seq[QueryDef] = Seq(dedupMinhash, dedupSimhash, dedupSimhashNear, dedupEmbed,
+    dedupMinhashRecall)
 }

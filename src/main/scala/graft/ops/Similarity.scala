@@ -323,6 +323,25 @@ object Similarity {
       .select(col("step"), col("vec_id"), round(col("rel_raw"), 4).as("rel"))
   }
 
+  /** One-row pair-set recall report — the shared shape of the dedup
+    * recall gates (`dedup_embed_lsh_recall`, `dedup_minhash_recall`):
+    * |exact pairs|, |approx pairs|, |overlap| and integer recall
+    * percent. Both inputs localCheckpoint (each feeds a count AND the
+    * overlap join — Spark does no cross-subtree CSE, so the expensive
+    * kernels would otherwise execute twice). A degenerate empty exact
+    * set reports the vacuous 100 (matching the constant-form oracles)
+    * instead of a NULL division. */
+  def pairRecallReport(exactPairs: DataFrame, approxPairs: DataFrame): DataFrame = {
+    val e = exactPairs.select("i", "j").localCheckpoint()
+    val a = approxPairs.select("i", "j").localCheckpoint()
+    e.agg(count(lit(1)).as("n_exact"))
+      .crossJoin(a.agg(count(lit(1)).as("n_lsh")))
+      .crossJoin(e.join(a, Seq("i", "j")).agg(count(lit(1)).as("n_overlap")))
+      .select(col("n_exact"), col("n_lsh"), col("n_overlap"),
+        when(col("n_exact") === 0, lit(100L))
+          .otherwise(expr("(100 * n_overlap) div n_exact")).as("recall_pct"))
+  }
+
   val all: Seq[QueryDef] = Seq(simKnn, simSearch, multimodalJoin, simMaxSim,
     simRerankMmr)
 }
