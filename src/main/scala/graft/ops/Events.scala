@@ -1327,10 +1327,82 @@ object Events {
       sum(length(col("seq")).cast("long")).as("n_events"))
   }
 
+  /** Seasonal-naive forecast BACKTEST — the evaluation loop every
+    * demand/traffic forecasting pipeline runs before trusting a model:
+    * predict each day's purchase count as the SAME WEEKDAY one week
+    * earlier (period-7 seasonal naive — the baseline every real model
+    * must beat) and report per-day actual, forecast and absolute error
+    * over the window that has a 7-day predecessor. Everything is exact
+    * integers (counts and their differences); the "model" is one
+    * date-shifted self-join of the per-day rollup — at 100 TB the daily
+    * rollup is the only corpus-touching pass (one combinable groupBy),
+    * and the backtest join runs on the days-sized relation. A real
+    * horizon/champion-challenger backtest swaps the forecast projection;
+    * the join-actuals-to-lagged-forecast shape is this one. */
+  val eventForecastBacktest = QueryDef(
+    "event_forecast_backtest",
+    """WITH daily AS (
+      |  SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n
+      |  FROM events WHERE event_type = 'purchase' GROUP BY day
+      |)
+      |SELECT a.day, a.n AS n_actual, f.n AS n_forecast,
+      |       CAST(abs(a.n - f.n) AS BIGINT) AS abs_err
+      |FROM daily a JOIN daily f ON a.day = f.day + 7
+      |ORDER BY a.day""".stripMargin) { (s, d) =>
+    val daily = Tables.events(s, d)
+      .filter(col("event_type") === "purchase")
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val fc = daily.select(date_add(col("day"), 7).as("day"),
+      col("n").as("n_forecast"))
+    daily.join(fc, "day")
+      .select(col("day"), col("n").as("n_actual"), col("n_forecast"),
+        abs(col("n") - col("n_forecast")).as("abs_err"))
+      .orderBy("day")
+  }
+
+  /** A/B experiment report — the analysis pass behind every product
+    * experiment: users assigned to variants by the deterministic md5
+    * keep rule (sample_split discipline — retry-safe, no rand(), the
+    * assignment an experimentation platform derives from the user id),
+    * per-variant exposed-user and converted-user counts (converted =
+    * ≥ 1 purchase), and the conversion rate in exact integer PPM. One
+    * per-user aggregate (combinable min/max over the event stream) +
+    * one ≤2-row variant rollup — two keyed shuffles at any corpus
+    * size; the lift computation is driver-free integer arithmetic. */
+  val eventAbTest = QueryDef(
+    "event_ab_test",
+    """WITH u AS (
+      |  SELECT user_id,
+      |    CASE WHEN CAST('0x' || substr(md5('ab:' || CAST(user_id AS VARCHAR)),
+      |      1, 8) AS BIGINT) % 2 = 0 THEN 'A' ELSE 'B' END AS variant,
+      |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+      |  FROM events GROUP BY user_id
+      |)
+      |SELECT variant, CAST(count(*) AS BIGINT) AS n_users,
+      |       CAST(sum(converted) AS BIGINT) AS n_converted,
+      |       CAST((1000000 * sum(converted)) // count(*) AS BIGINT) AS conv_ppm
+      |FROM u GROUP BY variant ORDER BY variant""".stripMargin) { (s, d) =>
+    val h = conv(substring(md5(concat(lit("ab:"),
+      col("user_id").cast("string"))), 1, 8), 16, 10).cast("long")
+    val u = Tables.events(s, d)
+      .select(col("user_id"),
+        when(h % 2 === 0, "A").otherwise("B").as("variant"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("p"))
+      .groupBy("user_id", "variant")
+      .agg(max(col("p")).as("converted"))
+    u.groupBy("variant")
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("converted")).as("n_converted"),
+        expr("(1000000L * sum(converted)) div count(1)").as("conv_ppm"))
+      .orderBy("variant")
+  }
+
   val all: Seq[QueryDef] = Seq(sessionizeQ, streamTumbling, streamSliding,
     streamWatermark, streamSession, windowTimeRange, streamDedup, eventFunnel,
     streamJoin, eventRetention, eventsResample, windowGapsIslands,
     eventAttribution, eventPaths, eventAnomaly, joinOverlap, streamFileSink,
     eventMarkov, streamJoinOuter, eventRfm, eventSeqMatch,
-    streamStatefulSession, streamUpsertSink, eventActiveUsers)
+    streamStatefulSession, streamUpsertSink, eventActiveUsers,
+    eventForecastBacktest, eventAbTest)
 }
