@@ -300,6 +300,184 @@ object Pipelines {
       .orderBy("p_brand")
   }
 
+  /** TPC-H Q1 shape (pricing summary report): the canonical single-scan
+    * wide aggregate — every measure family in one pass (sums of raw,
+    * discounted and charged money, quantity, a derived average, row
+    * count) over a 2-value × 2-value grouping. The whole query is ONE
+    * combinable groupBy with the date filter at the scan; at 100 TB this
+    * is the map-side-partial-aggregation showcase (4 groups mean the
+    * shuffle carries 4 rows per task regardless of corpus size). All
+    * money sums are §2.9 exact-DECIMAL cast to DOUBLE once; avg_qty is
+    * the one irreducibly-double output, built as the IDENTICAL division
+    * tree (exact-decimal sum cast to double ÷ count cast to double) on
+    * both engines, so the operands are bit-identical and IEEE 754 makes
+    * the quotient bit-identical too. */
+  val pipelineTpchQ1 = QueryDef(
+    "pipeline_tpch_q1",
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_qty,
+      |  CAST(count(*) AS BIGINT) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, d) =>
+    val disc = lit(1) - rate(col("l_discount"))
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") <= lit("2001-09-01").cast("timestamp_ntz"))
+      .select("l_returnflag", "l_linestatus", "l_quantity",
+        "l_extendedprice", "l_discount", "l_tax")
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+        sum(money(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+        sum(money(col("l_extendedprice")) * disc).cast("double").as("sum_disc_price"),
+        sum(money(col("l_extendedprice")) * disc * (lit(1) + rate(col("l_tax"))))
+          .cast("double").as("sum_charge"),
+        (sum(dec(col("l_quantity"))).cast("double") /
+          count(lit(1)).cast("double")).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  /** TPC-H Q4 shape (order-priority checking): orders in one quarter that
+    * had at least one LATE lineitem — an EXISTS whose predicate is
+    * CORRELATED ACROSS TABLES (l_shipdate compared against this order's
+    * own o_orderdate + 60 days), so it cannot be pushed to either scan
+    * alone; it runs as a left-semi join with a non-equi conjunct riding
+    * the key. (The reference Q4 compares commitdate/receiptdate; this
+    * fixture carries neither, so ship-lag vs order date stands in with
+    * the same correlated-exists planner shape.) The quarter filter IS
+    * scan-stage on orders; the semi join keeps the output bounded by the
+    * filtered order count, and duplicate matching lineitems never
+    * multiply rows (semi-join semantics — the reason this is not a plain
+    * join + distinct). */
+  val pipelineTpchQ4 = QueryDef(
+    "pipeline_tpch_q4",
+    """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+      |FROM orders o
+      |WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+      |  AND o_orderdate <  TIMESTAMP '1996-10-01'
+      |  AND EXISTS (SELECT 1 FROM lineitem l
+      |              WHERE l.l_orderkey = o.o_orderkey
+      |                AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+    val ord = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit("1996-07-01").cast("timestamp_ntz") &&
+        col("o_orderdate") < lit("1996-10-01").cast("timestamp_ntz"))
+      .select("o_orderkey", "o_orderdate", "o_orderpriority")
+    val li = Tables.lineitem(s, d).select("l_orderkey", "l_shipdate")
+    ord.join(li,
+        col("o_orderkey") === col("l_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAY"),
+        "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** TPC-H Q6 shape (forecast revenue change): the pure scan-aggregate —
+    * three conjunctive range predicates, ALL scan-stage (date range,
+    * discount band, quantity cap reach PushedFilters), no join, one
+    * global sum. At 100 TB this is the min/max-pruning showcase: with
+    * date-sorted files (maintenance_zorder) the date range skips whole
+    * row groups and the aggregate is a single combinable reduction.
+    * Revenue = extendedprice × discount in exact DECIMAL, cast once; the
+    * row count certifies the band is non-degenerate at every SF. */
+  val pipelineTpchQ6 = QueryDef(
+    "pipeline_tpch_q6",
+    """SELECT
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+      |  CAST(count(*) AS BIGINT) AS n_items
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |  AND l_shipdate <  TIMESTAMP '1997-01-01'
+      |  AND l_discount >= 0.05 AND l_discount <= 0.07
+      |  AND l_quantity < 24""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp_ntz") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp_ntz") &&
+        col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+        col("l_quantity") < 24)
+      .select("l_extendedprice", "l_discount")
+      .agg(sum(money(col("l_extendedprice")) * rate(col("l_discount")))
+        .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  /** TPC-H Q12 shape (shipping-priority split): fact⋈dim join whose
+    * AGGREGATE pivots on the JOINED side — per lineitem class
+    * (l_returnflag standing in for the reference's l_shipmode, which this
+    * fixture lacks), conditional counts of high- vs low-priority parent
+    * orders. The date window is scan-stage on lineitem; the join
+    * shuffles on the order key; both CASE sums ride ONE combinable
+    * groupBy (never two passes). Exact integer counts throughout. */
+  val pipelineTpchQ12 = QueryDef(
+    "pipeline_tpch_q12",
+    """SELECT l_returnflag,
+      |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |  AND l_shipdate <  TIMESTAMP '1997-01-01'
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+    val hi = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    val li = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp_ntz") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp_ntz"))
+      .select("l_orderkey", "l_returnflag")
+    li.join(Tables.orders(s, d).select("o_orderkey", "o_orderpriority"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_returnflag")
+      .agg(sum(when(hi, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(hi, 0L).otherwise(1L)).as("low_line_count"))
+      .orderBy("l_returnflag")
+  }
+
+  /** TPC-H Q14 shape (promotion effect): single-row ratio report — the
+    * share of one month's discounted revenue carried by PROMO-type
+    * parts. The month window is scan-stage on lineitem; the part join
+    * shuffles on the key (no broadcast hint — AQE decides from runtime
+    * size, §2.7b discipline); both CASE sums ride one combinable
+    * aggregate. The percentage is irreducibly double, so it is built as
+    * the IDENTICAL tree on both engines — exact-DECIMAL sums, each cast
+    * to DOUBLE, divided, then ×100 — making every intermediate
+    * bit-identical (the Q1 avg_qty discipline); promo_revenue and
+    * n_items certify the numerator is live at every SF. */
+  val pipelineTpchQ14 = QueryDef(
+    "pipeline_tpch_q14",
+    """SELECT
+      |  (CAST(sum(CASE WHEN p_type = 'PROMO' THEN CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) ELSE 0 END) AS DOUBLE)
+      |   / CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)) * 100 AS promo_pct,
+      |  CAST(sum(CASE WHEN p_type = 'PROMO' THEN CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) ELSE 0 END) AS DOUBLE) AS promo_revenue,
+      |  CAST(count(*) AS BIGINT) AS n_items
+      |FROM lineitem
+      |JOIN part ON l_partkey = p_partkey
+      |WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+      |  AND l_shipdate <  TIMESTAMP '1996-10-01'""".stripMargin) { (s, d) =>
+    val discPrice = money(col("l_extendedprice")) * (lit(1) - rate(col("l_discount")))
+    val promoSum = sum(when(col("p_type") === "PROMO", discPrice).otherwise(lit(0)))
+    val li = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1996-09-01").cast("timestamp_ntz") &&
+        col("l_shipdate") < lit("1996-10-01").cast("timestamp_ntz"))
+      .select("l_partkey", "l_extendedprice", "l_discount")
+    li.join(Tables.part(s, d).select("p_partkey", "p_type"),
+        col("l_partkey") === col("p_partkey"))
+      .agg(
+        ((promoSum.cast("double") / sum(discPrice).cast("double")) * 100)
+          .as("promo_pct"),
+        promoSum.cast("double").as("promo_revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
   val all: Seq[QueryDef] = Seq(pipelineTpchQ3, pipelineTpchQ18,
-    pipelineTpchQ5, pipelineTpchQ10, pipelineTpchQ7, pipelineTpchQ19)
+    pipelineTpchQ5, pipelineTpchQ10, pipelineTpchQ7, pipelineTpchQ19,
+    pipelineTpchQ1, pipelineTpchQ4, pipelineTpchQ6, pipelineTpchQ12,
+    pipelineTpchQ14)
 }

@@ -277,6 +277,57 @@ class PlanSpec extends AnyFunSuite {
       s"join degenerated to an unkeyed join:\n$p")
   }
 
+  test("pipeline_tpch_q1: date filter pushed; ONE two-phase aggregate carries all 7 measures") {
+    val p = plan(graft.ops.Pipelines.pipelineTpchQ1)
+    assert(p.contains("LessThanOrEqual(l_shipdate"),
+      s"shipdate filter not pushed to the scan:\n$p")
+    // all measures must ride one partial+final aggregate pair — a second
+    // aggregate pair would mean a second corpus pass
+    assert(hashExchanges(p) == 1, s"expected exactly 1 hash exchange:\n$p")
+  }
+
+  test("pipeline_tpch_q4: correlated EXISTS plans as a left-semi join; quarter filter pushed") {
+    val p = plan(graft.ops.Pipelines.pipelineTpchQ4)
+    assert(p.contains("LeftSemi"), s"EXISTS shape lost — no semi join:\n$p")
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"),
+      s"quarter filter not pushed to the orders scan:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"semi join degenerated to an unkeyed join:\n$p")
+  }
+
+  test("pipeline_tpch_q6: every predicate reaches the scan; no shuffle at all") {
+    val p = plan(graft.ops.Pipelines.pipelineTpchQ6)
+    // the PushedFilters list is TRUNCATED in plan toString (…), so assert
+    // on its stable prefix plus the in-plan Filter node for the later ones
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), IsNotNull(l_discount), IsNotNull(l_quantity)"),
+      s"scan carries no pushed filters:\n$p")
+    assert(p.contains("(l_discount#") && p.contains("(l_quantity#"),
+      s"discount band / quantity cap missing from the scan-stage filter:\n$p")
+    // single global aggregate: partials meet at one SinglePartition
+    // exchange — a hash exchange would mean a grouped shuffle snuck in
+    assert(hashExchanges(p) == 0, s"expected no hash exchange:\n$p")
+  }
+
+  test("pipeline_tpch_q12: date window pushed; both CASE counts in one aggregate pair") {
+    val p = plan(graft.ops.Pipelines.pipelineTpchQ12)
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"),
+      s"date window not pushed to the lineitem scan:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"order join degenerated:\n$p")
+  }
+
+  test("pipeline_tpch_q14: month window pushed; promo ratio is one aggregate, no second pass") {
+    val p = plan(graft.ops.Pipelines.pipelineTpchQ14)
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"),
+      s"month window not pushed to the lineitem scan:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"part join degenerated:\n$p")
+    // numerator and denominator must share one aggregate — two HashAggregate
+    // PAIRS would be two corpus passes (allow partial+final = 2 nodes)
+    assert("HashAggregate".r.findAllIn(p).length <= 2,
+      s"ratio split into multiple aggregate passes:\n$p")
+  }
+
   test("event_active_users: contribution explode carries no window; counts are keyed aggs") {
     val p = plan(graft.ops.Events.eventActiveUsers)
     // the rolling distinct must be explode + hash aggregates — a RANGE
