@@ -1398,11 +1398,66 @@ object Events {
       .orderBy("variant")
   }
 
+  /** Survival (churn) table over user lifespans — the Kaplan-Meier-style
+    * life table a retention analysis starts from: per observed lifespan t
+    * (days between a user's first and last event), how many users were
+    * still "alive" at t (n_at_risk — the reverse cumulative count) and
+    * how many ended exactly at t, plus the survival fraction in exact
+    * integer PPM of the cohort. Scale shape: ONE per-user combinable
+    * min/max aggregate is the only corpus-touching pass; everything
+    * after (the lifespan histogram, the reverse running sum, the ppm)
+    * runs on the days-sized relation, where the single-partition window
+    * is BOUNDED by the observation window length, not the corpus (the
+    * sort_nulls convention). Day bucketing on epoch-day BIGINTs so both
+    * engines bin identically; rows exist only at OBSERVED lifespans
+    * (the classic life table is event-time-indexed). */
+  val eventSurvival = QueryDef(
+    "event_survival",
+    """WITH e AS (
+      |  SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events
+      |), ls AS (
+      |  SELECT user_id, max(day) - min(day) AS t FROM e GROUP BY user_id
+      |), ended AS (
+      |  SELECT t, CAST(count(*) AS BIGINT) AS n_ended FROM ls GROUP BY t
+      |), sv AS (
+      |  SELECT t, n_ended,
+      |         CAST(sum(n_ended) OVER (ORDER BY t DESC) AS BIGINT) AS n_at_risk,
+      |         CAST(sum(n_ended) OVER () AS BIGINT) AS n_total
+      |  FROM ended
+      |)
+      |SELECT t, n_at_risk, n_ended,
+      |       (n_at_risk * 1000000) // n_total AS survival_ppm
+      |FROM sv ORDER BY t""".stripMargin) { (s, d) =>
+    survivalTable(Tables.events(s, d))
+  }
+
+  /** The life-table kernel behind `event_survival`, over any (user_id,
+    * ts) event stream — factored so EdgeSpec can pin the reverse
+    * cumulative and the ppm floor on a planted log. */
+  def survivalTable(ev: DataFrame): DataFrame = {
+    val ls = ev
+      .select(col("user_id"), eus.as("eus"))
+      .select(col("user_id"), floorDiv("eus", 86400000000L).as("day"))
+      .groupBy("user_id")
+      .agg((max(col("day")) - min(col("day"))).as("t"))
+    val ended = ls.groupBy("t").agg(count(lit(1)).as("n_ended"))
+    val cum = Window.orderBy(col("t").desc)
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy()
+    ended
+      .select(col("t"), col("n_ended"),
+        sum(col("n_ended")).over(cum).as("n_at_risk"),
+        sum(col("n_ended")).over(tot).as("n_total"))
+      .select(col("t"), col("n_at_risk"), col("n_ended"),
+        expr("(n_at_risk * 1000000) div n_total").as("survival_ppm"))
+      .orderBy("t")
+  }
+
   val all: Seq[QueryDef] = Seq(sessionizeQ, streamTumbling, streamSliding,
     streamWatermark, streamSession, windowTimeRange, streamDedup, eventFunnel,
     streamJoin, eventRetention, eventsResample, windowGapsIslands,
     eventAttribution, eventPaths, eventAnomaly, joinOverlap, streamFileSink,
     eventMarkov, streamJoinOuter, eventRfm, eventSeqMatch,
     streamStatefulSession, streamUpsertSink, eventActiveUsers,
-    eventForecastBacktest, eventAbTest)
+    eventForecastBacktest, eventAbTest, eventSurvival)
 }

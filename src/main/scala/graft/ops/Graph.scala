@@ -673,6 +673,80 @@ object Graph {
         coalesce(col("n_3hop"), lit(0L)).as("n_3hop"))
   }
 
+  /** Synchronous label-propagation core over a symmetric (u, v) edge
+    * relation: `iters` rounds of "every node adopts the MOST FREQUENT
+    * label among its neighbors, ties to the smallest label" — the
+    * mode-adoption community kernel (components = min-adoption
+    * reachability; this partitions by local label majority, a genuinely
+    * different fixpoint). Determinism needs a total order on (count,
+    * label), which both engines get from ONE integer: score =
+    * c·2⁴⁰ + (2⁴⁰−1−lbl), so max(score) is "max count, then min label"
+    * and the winning label is recovered arithmetically (no argmax/
+    * window, no engine-defined tie semantics). Safe while labels < 2⁴⁰
+    * and degree < 2²³ — both orders of magnitude beyond any SF here.
+    * Each round is one edge⋈label join (labels shuffle on the node key;
+    * the edge side stays partitioned) plus two combinable aggregates —
+    * the Pregel superstep as keyed shuffles, same as pagerank. */
+  def labelPropagate(e0: DataFrame, iters: Int): DataFrame = {
+    val B = 1099511627776L // 2^40
+    var labels = e0.select(col("u").as("node")).distinct()
+      .withColumn("lbl", col("node"))
+    for (_ <- 1 to iters) {
+      labels = e0.join(labels, col("v") === col("node"))
+        .groupBy(col("u"), col("lbl")).agg(count(lit(1)).as("c"))
+        .groupBy(col("u").as("node"))
+        .agg((lit(B - 1) -
+          (max(col("c") * B + (lit(B - 1) - col("lbl"))) % B)).as("lbl"))
+    }
+    labels
+  }
+
+  private val LpRound =
+    """SELECT node,
+      |  1099511627775 - (max(c * 1099511627776 + (1099511627775 - lbl))
+      |                   % 1099511627776) AS lbl
+      |FROM (SELECT e.u AS node, PREV.lbl AS lbl, count(*) AS c
+      |      FROM p2 e JOIN PREV ON e.v = PREV.node GROUP BY 1, 2)
+      |GROUP BY node""".stripMargin
+
+  /** Gated key: label-propagation communities of the part co-purchase
+    * graph — 4 fixed synchronous rounds over the SAME landed symmetric
+    * relation every other part-graph kernel shares (`partCoEdges` —
+    * derived once per session, read from file by all consumers). Four
+    * rounds is the classic LPA budget (most labels stabilize in 3–5
+    * sweeps on sparse graphs); fixed-round + total-order ties makes the
+    * result a deterministic relation both engines agree on exactly, the
+    * pagerank/kmeans bounded-iteration discipline. The oracle unrolls
+    * the 4 rounds as CTEs with the identical score arithmetic. */
+  val graphLabelprop = QueryDef(
+    "graph_labelprop",
+    s"""WITH pr AS (
+       |  SELECT DISTINCT a.l_orderkey AS ok, a.l_partkey AS u, b.l_partkey AS v
+       |  FROM lineitem a JOIN lineitem b
+       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+       |), p2 AS (
+       |  SELECT u, v FROM pr GROUP BY u, v HAVING count(*) >= 2
+       |), l0 AS (
+       |  SELECT DISTINCT u AS node, u AS lbl FROM p2
+       |), l1 AS (
+       |${LpRound.replace("PREV", "l0")}
+       |), l2 AS (
+       |${LpRound.replace("PREV", "l1")}
+       |), l3 AS (
+       |${LpRound.replace("PREV", "l2")}
+       |), l4 AS (
+       |${LpRound.replace("PREV", "l3")}
+       |)
+       |SELECT lbl AS community, CAST(count(*) AS BIGINT) AS size
+       |FROM l4 GROUP BY lbl
+       |ORDER BY size DESC, community LIMIT 15""".stripMargin) { (s, d) =>
+    labelPropagate(partCoEdges(s, d).select("u", "v"), 4)
+      .groupBy(col("lbl").as("community"))
+      .agg(count(lit(1)).as("size"))
+      .orderBy(col("size").desc, col("community"))
+      .limit(15)
+  }
+
   val all: Seq[QueryDef] = Seq(graphPagerank, graphTriangles, graphComponents,
-    graphLinkpred, graphKhop, graphSssp)
+    graphLinkpred, graphKhop, graphSssp, graphLabelprop)
 }

@@ -121,5 +121,67 @@ object Quality {
       .orderBy("check_name")
   }
 
-  val all: Seq[QueryDef] = Seq(qualityExpectations)
+  /** Distribution-drift report between two time windows — the monitoring
+    * pass a production pipeline runs to catch upstream shifts before they
+    * poison training data (the PSI / KS-test family, reduced to its
+    * engine-exact core): the event `value` measure binned into 10 fixed
+    * buckets, per-bucket counts for the early vs late half of the
+    * observation window, each half's bucket share in exact integer PPM,
+    * and the absolute share shift. The PSI's ln() term is deliberately
+    * NOT computed — libm ln differs across engines so it can never be
+    * hash-gated; the per-bucket share deltas are the auditable inputs a
+    * monitor thresholds anyway (Σ|Δ|/2 is total-variation distance, a
+    * bounded drift statistic in its own right, recoverable from this
+    * relation by one sum).
+    *
+    * Scale shape: ONE combinable groupBy over the corpus (both windows'
+    * counts as conditional sums in the same pass — never two scans); the
+    * share/window arithmetic runs on the 10-row bucket relation (the
+    * sort_nulls bounded-single-partition convention). Binning divides by
+    * the same double literal on both engines (identical operands,
+    * identical op ⇒ identical bin), floor to BIGINT. */
+  val qualityDrift = QueryDef(
+    "quality_drift",
+    """WITH b AS (
+      |  SELECT least(CAST(floor(value / 33.0) AS BIGINT), 9) AS bin,
+      |         CASE WHEN ts < TIMESTAMP '2024-01-15' THEN 1 ELSE 0 END AS early
+      |  FROM events
+      |), c AS (
+      |  SELECT bin,
+      |         CAST(sum(early) AS BIGINT) AS a_cnt,
+      |         CAST(sum(1 - early) AS BIGINT) AS b_cnt
+      |  FROM b GROUP BY bin
+      |), t AS (
+      |  SELECT bin, a_cnt, b_cnt,
+      |         CAST(sum(a_cnt) OVER () AS BIGINT) AS a_tot,
+      |         CAST(sum(b_cnt) OVER () AS BIGINT) AS b_tot
+      |  FROM c
+      |)
+      |SELECT bin, a_cnt, b_cnt,
+      |       (a_cnt * 1000000) // a_tot AS a_ppm,
+      |       (b_cnt * 1000000) // b_tot AS b_ppm,
+      |       abs((a_cnt * 1000000) // a_tot - (b_cnt * 1000000) // b_tot)
+      |         AS shift_ppm
+      |FROM t ORDER BY bin""".stripMargin) { (s, d) =>
+    val early = when(col("ts") < lit("2024-01-15").cast("timestamp_ntz"), 1L)
+      .otherwise(0L)
+    val c = Tables.events(s, d)
+      .select(least(floor(col("value") / lit(33.0)).cast("long"), lit(9L)).as("bin"),
+        early.as("early"))
+      .groupBy("bin")
+      .agg(sum(col("early")).as("a_cnt"),
+        sum(lit(1L) - col("early")).as("b_cnt"))
+    val tot = org.apache.spark.sql.expressions.Window.partitionBy()
+    c.select(col("bin"), col("a_cnt"), col("b_cnt"),
+        sum(col("a_cnt")).over(tot).as("a_tot"),
+        sum(col("b_cnt")).over(tot).as("b_tot"))
+      .select(col("bin"), col("a_cnt"), col("b_cnt"),
+        expr("(a_cnt * 1000000) div a_tot").as("a_ppm"),
+        expr("(b_cnt * 1000000) div b_tot").as("b_ppm"),
+        abs(expr("(a_cnt * 1000000) div a_tot") -
+          expr("(b_cnt * 1000000) div b_tot")).as("shift_ppm"))
+      .orderBy("bin")
+  }
+
+  val all: Seq[QueryDef] = Seq(qualityExpectations, qualityDrift)
 }

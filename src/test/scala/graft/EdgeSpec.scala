@@ -741,6 +741,53 @@ class EdgeSpec extends AnyFunSuite {
     assert(got == Set((10L, 20L), (20L, 10L)))
   }
 
+  test("labelPropagate: bridged triangles settle into two majority communities") {
+    // triangle {1,2,3} — triangle {10,11,12}, bridged 3–10: majority
+    // adoption must keep the two triangles as separate communities with
+    // the bridge endpoints claimed by their own triangle's majority.
+    // Hand-run of the 4 synchronous rounds (min-label ties):
+    //   r1: 1→2 2→1 3→1 10→3 11→10 12→10
+    //   r2: 1→1 2→1 3→1 10→10 11→3 12→3
+    //   r3: 1→1 2→1 3→1 10→3  11→3 12→3
+    //   r4: 1→1 2→1 3→1 10→3  11→3 12→3  (stable)
+    val und = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (10L, 11L), (10L, 12L), (11L, 12L), (3L, 10L))
+    val e0 = (und ++ und.map(_.swap)).toDF("u", "v")
+    val got = graft.ops.Graph.labelPropagate(e0, 4)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 3L, 11L -> 3L, 12L -> 3L), s"got $got")
+  }
+
+  test("labelPropagate: majority beats smaller label; tie falls to the min label") {
+    // star center 5 with neighbors 7,8 labeled by their own ids plus
+    // pendant 1: round 1 at node 5 sees labels {7,8,1} all count 1 →
+    // tie → min = 1. Node 9 (attached to 7 twice via symmetric dup? no
+    // — single edge) adopts 7. One round isolates the tie rule.
+    val und = Seq((5L, 7L), (5L, 8L), (5L, 1L), (9L, 7L))
+    val e0 = (und ++ und.map(_.swap)).toDF("u", "v")
+    val got = graft.ops.Graph.labelPropagate(e0, 1)
+      .as[(Long, Long)].collect().toMap
+    assert(got(5L) == 1L, s"tie must fall to min label: $got")
+    assert(got(9L) == 7L && got(1L) == 5L && got(7L) == 5L, s"got $got")
+  }
+
+  test("survivalTable: reverse cumulative at-risk counts and ppm floor on a planted log") {
+    // user 1: one day (t=0); users 2,3: three-day span (t=2) →
+    // ended = {0→1, 2→2}; at_risk = {0→3, 2→2}; ppm = 1000000, 666666
+    val ev = Seq(
+      (1L, "2024-01-01 10:00:00"),
+      (2L, "2024-01-01 09:00:00"), (2L, "2024-01-03 09:00:00"),
+      (3L, "2024-01-02 09:00:00"), (3L, "2024-01-04 23:00:00"))
+      .toDF("user_id", "tstr")
+      .select(col("user_id"),
+        to_timestamp(col("tstr")).cast("timestamp_ntz").as("ts"))
+    val got = Events.survivalTable(ev)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((0L, 3L, 1L, 1000000L), (2L, 2L, 2L, 666666L)),
+      s"got $got")
+  }
+
   test("skewTopK: equals the one-phase window, value ties broken by event_id across salts") {
     // one hot key ("click") with VALUE TIES landing in different salt
     // buckets (event_ids 8 and 9 differ mod 8), so the phase-2 re-rank
