@@ -476,8 +476,92 @@ object Pipelines {
         count(lit(1)).as("n_items"))
   }
 
+  /** TPC-H Q16 shape (parts/supplier relationship): DISTINCT-count
+    * aggregation behind an EXCLUSION subquery — supplier variety per
+    * part attribute triple, excluding a blacklisted supplier set (NOT IN
+    * a subquery; suppliers in the red stand in for the reference's
+    * complaint-comment scan, which this fixture lacks). The NOT IN
+    * compiles to a LEFT ANTI join against the (small, scan-filtered)
+    * exclusion side; count(DISTINCT l_suppkey) is Catalyst's two-phase
+    * Expand aggregate — distinct pairs first, counts second, both keyed
+    * shuffles. Part attribute filters are scan-stage; the final top-20
+    * is a total order (the grouping key completes the tie-break). */
+  val pipelineTpchQ16 = QueryDef(
+    "pipeline_tpch_q16",
+    """SELECT p_brand, p_type, p_size,
+      |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+      |FROM lineitem
+      |JOIN part ON l_partkey = p_partkey
+      |WHERE p_brand <> 'Brand#1' AND p_size IN (1, 9, 19, 29, 39, 49)
+      |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+      |GROUP BY p_brand, p_type, p_size
+      |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+      |LIMIT 20""".stripMargin) { (s, d) =>
+    val excl = Tables.supplier(s, d)
+      .filter(col("s_acctbal") < 0).select("s_suppkey")
+    val part = Tables.part(s, d)
+      .filter(col("p_brand") =!= "Brand#1" &&
+        col("p_size").isin(1, 9, 19, 29, 39, 49))
+      .select("p_partkey", "p_brand", "p_type", "p_size")
+    Tables.lineitem(s, d).select("l_partkey", "l_suppkey")
+      .join(part, col("l_partkey") === col("p_partkey"))
+      .join(excl, col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .groupBy("p_brand", "p_type", "p_size")
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+        col("p_size"))
+      .limit(20)
+  }
+
+  /** TPC-H Q22 shape (global-sales opportunity): rich dormant customers
+    * — above-average balance AND no recent orders — counted per nation.
+    * Two classic sub-shapes compose: a SCALAR subquery threshold and an
+    * anti-join existence test. The average comparison is CROSS-MULTIPLIED
+    * (c_acctbal · n > Σ, exact DECIMAL×BIGINT) instead of dividing —
+    * decimal division rounds engine-specifically and can never be
+    * hash-gated, while the cross-product form is exact in both engines
+    * (the §2.9 discipline applied to a threshold, not an output). The
+    * 1-row aggregate broadcasts to the customer scan; the anti join
+    * shuffles on the customer key with the order side pre-filtered to
+    * the recency window at its scan. (The reference's "no orders EVER"
+    * is empty on this fixture — every customer has orders — so the
+    * recency window carries the anti-join shape with live rows.) */
+  val pipelineTpchQ22 = QueryDef(
+    "pipeline_tpch_q22",
+    """WITH pos AS (
+      |  SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS s,
+      |         CAST(count(*) AS BIGINT) AS n
+      |  FROM customer WHERE c_acctbal > 0
+      |), nobuy AS (
+      |  SELECT c_nationkey, c_acctbal FROM customer c, pos
+      |  WHERE CAST(c_acctbal AS DECIMAL(18,4)) * pos.n > pos.s
+      |    AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+      |                    AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+      |)
+      |SELECT c_nationkey, CAST(count(*) AS BIGINT) AS numcust,
+      |       CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS totacctbal
+      |FROM nobuy GROUP BY c_nationkey
+      |ORDER BY c_nationkey""".stripMargin) { (s, d) =>
+    val pos = Tables.customer(s, d)
+      .filter(col("c_acctbal") > 0)
+      .agg(sum(dec(col("c_acctbal"))).cast("decimal(18,4)").as("s"),
+        count(lit(1)).as("n"))
+    val recent = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp_ntz"))
+      .select("o_custkey")
+    Tables.customer(s, d)
+      .select("c_custkey", "c_nationkey", "c_acctbal")
+      .crossJoin(broadcast(pos))
+      .filter(dec(col("c_acctbal")) * col("n") > col("s"))
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("c_nationkey")
+      .agg(count(lit(1)).as("numcust"),
+        sum(dec(col("c_acctbal"))).cast("double").as("totacctbal"))
+      .orderBy("c_nationkey")
+  }
+
   val all: Seq[QueryDef] = Seq(pipelineTpchQ3, pipelineTpchQ18,
     pipelineTpchQ5, pipelineTpchQ10, pipelineTpchQ7, pipelineTpchQ19,
     pipelineTpchQ1, pipelineTpchQ4, pipelineTpchQ6, pipelineTpchQ12,
-    pipelineTpchQ14)
+    pipelineTpchQ14, pipelineTpchQ16, pipelineTpchQ22)
 }

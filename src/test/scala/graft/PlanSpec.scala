@@ -328,6 +328,21 @@ class PlanSpec extends AnyFunSuite {
       s"ratio split into multiple aggregate passes:\n$p")
   }
 
+  test("pipeline_tpch_q16: NOT IN plans as an anti join; distinct count is the Expand aggregate") {
+    val p = plan(graft.ops.Pipelines.pipelineTpchQ16)
+    assert(p.contains("LeftAnti"), s"exclusion lost its anti join:\n$p")
+    assert(p.contains("In(p_size"), s"size filter not pushed to the part scan:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-20 fell to a global sort:\n$p")
+  }
+
+  test("pipeline_tpch_q22: scalar threshold broadcasts; dormancy is an anti join; recency pushed") {
+    val p = plan(graft.ops.Pipelines.pipelineTpchQ22)
+    assert(p.contains("LeftAnti"), s"NOT EXISTS lost its anti join:\n$p")
+    assert(p.contains("BroadcastExchange"), s"1-row threshold did not broadcast:\n$p")
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"),
+      s"recency window not pushed to the orders scan:\n$p")
+  }
+
   test("event_active_users: contribution explode carries no window; counts are keyed aggs") {
     val p = plan(graft.ops.Events.eventActiveUsers)
     // the rolling distinct must be explode + hash aggregates — a RANGE
