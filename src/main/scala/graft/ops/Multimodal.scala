@@ -422,7 +422,71 @@ object Multimodal {
       .limit(700)
   }
 
+  /** Silence TRIMMING over the audio-energy windows — the edit decision
+    * a speech pipeline derives from the VAD pass (`audioEnergyStub` is
+    * the detector; THIS is what a preprocessor does with it): per clip,
+    * the first and last voiced window, the silent-window count, and the
+    * kept-span length after trimming leading/trailing silence. The
+    * threshold is RAISED vs the energy key (6e8 ≈ the mean window
+    * energy of uniform samples) so roughly a third of windows are
+    * silent and whole-clip silence occurs naturally — both the trim
+    * arithmetic and the all-silent null branch stay live. One
+    * combinable per-clip aggregate over the iterator-side window
+    * fan-out; conditional min/max carry the span — no window function,
+    * no second pass. */
+  val multimodalSilenceTrim = QueryDef(
+    "multimodal_silence_trim",
+    // Oracle: the audio-energy sample parse (two's-complement 16-bit
+    // big-endian halves of md5(text)), aggregated per clip with the
+    // 600000000 trim threshold.
+    """WITH f AS (
+      |  SELECT doc_id, unnest([0, 1, 2, 3]) AS win_idx, md5(text) AS h
+      |  FROM documents WHERE doc_id % 5 = 0
+      |), r AS (
+      |  SELECT doc_id, win_idx,
+      |    CAST(CAST('0x' || substr(h, 8 * win_idx + 1, 4) AS INT) AS BIGINT) AS r0,
+      |    CAST(CAST('0x' || substr(h, 8 * win_idx + 5, 4) AS INT) AS BIGINT) AS r1
+      |  FROM f
+      |), v AS (
+      |  SELECT doc_id, win_idx,
+      |    CASE WHEN r0 >= 32768 THEN r0 - 65536 ELSE r0 END AS v0,
+      |    CASE WHEN r1 >= 32768 THEN r1 - 65536 ELSE r1 END AS v1
+      |  FROM r
+      |), w AS (
+      |  SELECT doc_id, win_idx,
+      |         (v0 * v0 + v1 * v1 < 600000000) AS silent
+      |  FROM v
+      |)
+      |SELECT doc_id,
+      |  CAST(min(CASE WHEN NOT silent THEN win_idx END) AS INTEGER) AS first_voiced,
+      |  CAST(max(CASE WHEN NOT silent THEN win_idx END) AS INTEGER) AS last_voiced,
+      |  CAST(sum(CASE WHEN silent THEN 1 ELSE 0 END) AS BIGINT) AS n_silent,
+      |  CAST(coalesce(max(CASE WHEN NOT silent THEN win_idx END)
+      |        - min(CASE WHEN NOT silent THEN win_idx END) + 1, 0) AS BIGINT)
+      |    AS n_kept
+      |FROM w GROUP BY doc_id ORDER BY doc_id LIMIT 500""".stripMargin) { (s, d) =>
+    implicit val spark: SparkSession = s
+    trimReport(audioEnergyStub(withPayload(Tables.documents(s, d)
+      .filter(col("doc_id") % 5 === 0)), silenceBelow = 600000000L))
+      .orderBy("doc_id")
+      .limit(500)
+  }
+
+  /** The per-clip trim aggregation behind `multimodal_silence_trim`,
+    * over any (doc_id, win_idx, silent) window relation — factored so
+    * MultimodalSpec can pin the span arithmetic and the all-silent
+    * branch on planted clips. */
+  def trimReport(windows: DataFrame): DataFrame =
+    windows.groupBy("doc_id")
+      .agg(
+        min(when(!col("silent"), col("win_idx"))).as("first_voiced"),
+        max(when(!col("silent"), col("win_idx"))).as("last_voiced"),
+        sum(when(col("silent"), 1L).otherwise(0L)).as("n_silent"),
+        coalesce(max(when(!col("silent"), col("win_idx"))) -
+          min(when(!col("silent"), col("win_idx"))) + 1, lit(0))
+          .cast("long").as("n_kept"))
+
   val all: Seq[QueryDef] = Seq(multimodalDecode, multimodalFramesample,
     multimodalResize, multimodalFeatures, multimodalDedup,
-    multimodalAudioEnergy, multimodalScenecut)
+    multimodalAudioEnergy, multimodalScenecut, multimodalSilenceTrim)
 }

@@ -112,4 +112,24 @@ class MultimodalSpec extends AnyFunSuite {
     assert(rows(5) == ((1L, 6, 0L, false)))
     assert(rows(6) == ((1L, 7, 35534L, true)))   // cut just past threshold
   }
+
+  test("silence trim: span arithmetic on a silent-edged clip; all-silent clip keeps nothing") {
+    import spark.implicits._
+    implicit val s = spark
+    // clip 1 windows: silent, voiced (0x7fff sample), voiced, silent →
+    // trim keeps windows 1..2; clip 2: digital silence throughout
+    val edged = Array[Byte](
+      0x00, 0x00, 0x00, 0x00,              // w0: 0,0      → silent
+      0x7f, 0xff.toByte, 0x00, 0x00,       // w1: 32767,0  → voiced
+      0x7f, 0xff.toByte, 0x00, 0x00,       // w2: 32767,0  → voiced
+      0x00, 0x00, 0x00, 0x00)              // w3: 0,0      → silent
+    val allSilent = Array.fill[Byte](16)(0x00)
+    val df = Seq((1L, edged), (2L, allSilent)).toDF("doc_id", "payload")
+    val win = graft.ops.Multimodal.audioEnergyStub(df, silenceBelow = 600000000L)
+    val got = graft.ops.Multimodal.trimReport(win)
+      .as[(Long, Option[Int], Option[Int], Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got(1L) == ((Some(1), Some(2), 2L, 2L)), s"got ${got(1L)}")
+    assert(got(2L) == ((None, None, 4L, 0L)), s"all-silent: ${got(2L)}")
+  }
 }
