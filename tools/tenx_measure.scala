@@ -6,12 +6,18 @@
 // Requires the 10x tables (tools/tenx_build.scala) and the v4 bench mirror
 // (any Bench run builds it). Record results + co-measured controls in BASELINE.md.
 import graft.SparkEntry
-val keys = Seq("pipeline_tpch_q19", "join_asof_nearest", "scan_project", "window_ntile")
+val keys = Seq(
+  "dedup_minhash_recall", "event_forecast_backtest", "event_ab_test",
+  "pipeline_tpch_q1", "pipeline_tpch_q4", "pipeline_tpch_q6",
+  "pipeline_tpch_q12", "pipeline_tpch_q14", "pipeline_tpch_q16",
+  "pipeline_tpch_q22", "graph_labelprop", "event_survival",
+  "quality_drift", "multimodal_silence_trim",
+  "scan_project", "window_ntile")
 val dirs = Seq("sf01" -> "/tmp/graft_bench_mirror_ddbe1476c5607681e1c7241437b45958", "tenx" -> "/tmp/graft10x")
 val qs = SparkEntry.queries
 // codegen warmup at sf0.001
 for (k <- keys) { try qs(k)(spark, "/root/testdata/sf0.001").count() catch { case e: Throwable => println("warmup fail " + k + ": " + e.getMessage) } }
 val best = scala.collection.mutable.HashMap[(String, String), Double]()
 for (rep <- 1 to 3; (tag, dir) <- dirs; k <- keys) { val t0 = System.nanoTime(); try qs(k)(spark, dir).count() catch { case e: Throwable => println("FAIL " + k + " " + tag + ": " + e.getMessage) }; val dt = (System.nanoTime() - t0) / 1e9; val kk = (k, tag); if (dt < best.getOrElse(kk, Double.MaxValue)) best(kk) = dt }
-for (k <- keys) { println(f"RESULT $k%-22s sf01=${best((k, "sf01"))}%6.2f tenx=${best((k, "tenx"))}%6.2f ratio=${best((k, "tenx")) / best((k, "sf01"))}%5.2f") }
+for (k <- keys) { println(f"RESULT $k%-24s sf01=${best((k, "sf01"))}%6.2f tenx=${best((k, "tenx"))}%6.2f ratio=${best((k, "tenx")) / best((k, "sf01"))}%5.2f") }
 System.exit(0)
