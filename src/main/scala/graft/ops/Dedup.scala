@@ -134,9 +134,51 @@ object Dedup {
        |SELECT n_exact, n_exact AS n_lsh, n_exact AS n_overlap,
        |       CAST(100 AS BIGINT) AS recall_pct
        |FROM c""".stripMargin) { (s, d) =>
-    val docs = Tables.documents(s, d)
-    Similarity.pairRecallReport(
-      Text.nearDupPairs(docs), minHashNearDup(docs))
+    minhashRecallCollapsed(Tables.documents(s, d))
+  }
+
+  /** The recall report computed KEEPER-FIRST — exactly `dedup_near` vs
+    * `dedup_minhash` pair counts over original doc_ids, without ever
+    * forming a pair between two copies of the same content (the r9
+    * containment remedy applied to the recall study, which would
+    * otherwise pay the exact kernel's quadratic-in-copy-count blowup on
+    * dup-heavy corpora — measured 17× at 10× data before this collapse).
+    * Sound because BOTH kernels are CONTENT-DETERMINED: Jaccard depends
+    * only on the shingle sets, and the MinHash banding only on xxhash64
+    * of the shingles — so for distinct contents c₁ ≠ c₂ either every
+    * (copy-of-c₁, copy-of-c₂) id-pair is found or none (m₁·m₂ pairs,
+    * weighted arithmetic), and same-content pairs (J = 1, identical
+    * signatures ⇒ every band collides) are found by both kernels
+    * whenever the content has ≥ 1 shingle — the C(m,2) term, added to
+    * all three counters. Contents under 3 tokens have no shingles in
+    * either kernel and contribute nothing, exactly as in the full
+    * computation. */
+  def minhashRecallCollapsed(docs: DataFrame): DataFrame = {
+    val hashed = docs.select(col("doc_id"), col("text"),
+      md5(col("text")).as("h"))
+    val reps = hashed.groupBy("h")
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("m"))
+      .join(hashed.select("doc_id", "text"), Seq("doc_id"))
+      .select("doc_id", "text", "m")
+      .localCheckpoint() // feeds both kernels, the multiplicities and the C(m,2) term
+    val er = Text.nearDupPairs(reps).select("i", "j").localCheckpoint()
+    val lr = minHashNearDup(reps).select("i", "j").localCheckpoint()
+    val mult = reps.select("doc_id", "m")
+    def weighted(p: DataFrame, name: String): DataFrame =
+      p.join(mult.toDF("doc_id", "mi"), col("i") === col("doc_id")).drop("doc_id")
+        .join(mult.toDF("doc_id", "mj"), col("j") === col("doc_id")).drop("doc_id")
+        .agg(coalesce(sum(col("mi") * col("mj")), lit(0L)).as(name))
+    val sTerm = reps
+      .filter(size(split(col("text"), " ")) >= 3 && col("m") >= 2)
+      .agg(coalesce(sum(expr("(m * (m - 1)) div 2")), lit(0L)).as("s"))
+    weighted(er, "ce").crossJoin(weighted(lr, "cl"))
+      .crossJoin(weighted(er.join(lr, Seq("i", "j")), "co"))
+      .crossJoin(sTerm)
+      .select((col("ce") + col("s")).as("n_exact"),
+        (col("cl") + col("s")).as("n_lsh"),
+        (col("co") + col("s")).as("n_overlap"),
+        when(col("ce") + col("s") === 0, lit(100L))
+          .otherwise(expr("(100 * (co + s)) div (ce + s)")).as("recall_pct"))
   }
 
   /** 64-bit SimHash over the token multiset: bit b of the fingerprint is

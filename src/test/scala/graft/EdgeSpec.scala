@@ -788,6 +788,31 @@ class EdgeSpec extends AnyFunSuite {
       s"got $got")
   }
 
+  test("minhashRecallCollapsed: equals the full-corpus recall report on a copy-heavy corpus") {
+    // content A ×3 copies, a near-dup A' ×2 copies, an unrelated B, and a
+    // 2-token doc ×2 (no shingles — must contribute NOTHING, same as the
+    // full kernels). The collapsed computation must reproduce the full
+    // pairRecallReport numbers exactly: C(m,2) same-content terms plus
+    // m_i·m_j cross-content weights.
+    val a = "the quick brown fox jumps over the lazy dog"
+    val a2 = "the quick brown fox jumps over the lazy cat" // high shingle overlap
+    val b = "completely different content with no shared shingles at all"
+    val docs = Seq(
+      (1L, a), (2L, a), (3L, a),
+      (10L, a2), (11L, a2),
+      (20L, b),
+      (30L, "too short"), (31L, "too short"))
+      .toDF("doc_id", "text")
+    val full = graft.ops.Similarity.pairRecallReport(
+      Text.nearDupPairs(docs), Dedup.minHashNearDup(docs))
+      .as[(Long, Long, Long, Long)].collect().head
+    val collapsed = Dedup.minhashRecallCollapsed(docs)
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(collapsed == full, s"collapsed $collapsed != full $full")
+    // liveness: same-content terms C(3,2)+C(2,2)=4 must be inside the count
+    assert(full._1 >= 4, s"planted duplicate pairs missing: $full")
+  }
+
   test("skewTopK: equals the one-phase window, value ties broken by event_id across salts") {
     // one hot key ("click") with VALUE TIES landing in different salt
     // buckets (event_ids 8 and 9 differ mod 8), so the phase-2 re-rank

@@ -7,12 +7,7 @@
 // (any Bench run builds it). Record results + co-measured controls in BASELINE.md.
 import graft.SparkEntry
 val keys = Seq(
-  "dedup_minhash_recall", "event_forecast_backtest", "event_ab_test",
-  "pipeline_tpch_q1", "pipeline_tpch_q4", "pipeline_tpch_q6",
-  "pipeline_tpch_q12", "pipeline_tpch_q14", "pipeline_tpch_q16",
-  "pipeline_tpch_q22", "graph_labelprop", "event_survival",
-  "quality_drift", "multimodal_silence_trim",
-  "scan_project", "window_ntile")
+  "dedup_minhash_recall", "scan_project", "window_ntile")
 val dirs = Seq("sf01" -> "/tmp/graft_bench_mirror_ddbe1476c5607681e1c7241437b45958", "tenx" -> "/tmp/graft10x")
 val qs = SparkEntry.queries
 // codegen warmup at sf0.001
