@@ -343,6 +343,23 @@ class PlanSpec extends AnyFunSuite {
       s"recency window not pushed to the orders scan:\n$p")
   }
 
+  test("graph_labelprop: every superstep join is keyed — no cartesian, no nested loop") {
+    val p = plan(graft.ops.Graph.graphLabelprop)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"a propagation round degenerated to an unkeyed join:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-15 fell to a global sort:\n$p")
+  }
+
+  test("maintenance_incremental_agg: refresh reads the LANDED MV; only the increment scans events") {
+    val p = plan(graft.ops.Scale.maintenanceIncrementalAgg)
+    assert(p.contains("graft_mv_daily"),
+      s"base rollup not read from the landed file — history recomputed:\n$p")
+    // the increment's cutoff must reach the events scan (one slice read,
+    // never the whole history)
+    assert(p.contains("GreaterThanOrEqual(ts"),
+      s"increment cutoff not pushed to the events scan:\n$p")
+  }
+
   test("event_active_users: contribution explode carries no window; counts are keyed aggs") {
     val p = plan(graft.ops.Events.eventActiveUsers)
     // the rolling distinct must be explode + hash aggregates — a RANGE
