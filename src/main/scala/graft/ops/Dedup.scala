@@ -44,8 +44,13 @@ object Dedup {
     * path must (and empirically does, at every SF) reach full recall at
     * the 0.5 threshold.
     */
-  def minHashNearDup(docs: DataFrame, k: Int = 16, threshold: Double = 0.5): DataFrame = {
-    val sh = Functions.shingles(docs)
+  def minHashNearDup(docs: DataFrame, k: Int = 16, threshold: Double = 0.5): DataFrame =
+    minHashNearDupFromShingles(Functions.shingles(docs), k, threshold)
+
+  /** The LSH near-dup kernel over an already-computed (doc_id, shingle)
+    * relation — the `nearDupPairsFromShingles` split, same motivation. */
+  def minHashNearDupFromShingles(sh: DataFrame, k: Int = 16,
+      threshold: Double = 0.5): DataFrame = {
     // signatures and set sizes come out of ONE doc_id aggregation — the
     // sketch buffer and the count ride the same shuffle
     val sig = sh.groupBy("doc_id")
@@ -161,8 +166,11 @@ object Dedup {
       .join(hashed.select("doc_id", "text"), Seq("doc_id"))
       .select("doc_id", "text", "m")
       .localCheckpoint() // feeds both kernels, the multiplicities and the C(m,2) term
-    val er = Text.nearDupPairs(reps).select("i", "j").localCheckpoint()
-    val lr = minHashNearDup(reps).select("i", "j").localCheckpoint()
+    // ONE shingle derivation feeds both kernels (each would otherwise
+    // explode + distinct the identical relation)
+    val sh = Functions.shingles(reps).localCheckpoint()
+    val er = Text.nearDupPairsFromShingles(sh).select("i", "j").localCheckpoint()
+    val lr = minHashNearDupFromShingles(sh).select("i", "j").localCheckpoint()
     val mult = reps.select("doc_id", "m")
     def weighted(p: DataFrame, name: String): DataFrame =
       p.join(mult.toDF("doc_id", "mi"), col("i") === col("doc_id")).drop("doc_id")

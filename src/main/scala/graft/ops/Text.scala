@@ -55,8 +55,14 @@ object Text {
     * scale-invariant for any candidate set with perfect recall at the
     * threshold.
     */
-  def nearDupPairs(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
-    val sh = Functions.shingles(docs)
+  def nearDupPairs(docs: DataFrame, threshold: Double = 0.5): DataFrame =
+    nearDupPairsFromShingles(Functions.shingles(docs), threshold)
+
+  /** The exact-Jaccard pair kernel over an ALREADY-COMPUTED (doc_id,
+    * shingle) relation — split out so a caller that runs BOTH dedup
+    * kernels (the recall gate) can derive the shingle relation once
+    * and feed each. */
+  def nearDupPairsFromShingles(sh: DataFrame, threshold: Double = 0.5): DataFrame = {
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = sh.as("x")
       .join(sh.as("y"),
