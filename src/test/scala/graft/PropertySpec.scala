@@ -399,4 +399,30 @@ class PropertySpec extends AnyFunSuite {
       col("top_bigram_ppm") <= 0 || col("top_bigram_ppm") > 1000000).count()
     assert(bad == 0)
   }
+
+  test("labelPropagate: labels are always graph node ids; reruns are bit-identical") {
+    // random sparse graphs: every adopted label must be some node's id
+    // (mode-of-neighbor-labels can never invent a value), and the
+    // score-arithmetic tie rule makes the whole fixpoint deterministic —
+    // a rerun on the same edges must produce the identical labeling.
+    val edgeGen: Gen[Seq[(Long, Long)]] = for {
+      n <- Gen.choose(3, 10)
+      m <- Gen.choose(2, 15)
+      es <- Gen.listOfN(m, for {
+        u <- Gen.choose(0L, n.toLong)
+        v <- Gen.choose(0L, n.toLong)
+      } yield (u, v))
+    } yield es.filter { case (u, v) => u != v }
+    for (es <- samples(edgeGen, 4) if es.nonEmpty) {
+      val e0 = (es ++ es.map(_.swap)).toDF("u", "v")
+      val nodes = es.flatMap { case (u, v) => Seq(u, v) }.toSet
+      val run1 = graft.ops.Graph.labelPropagate(e0, 4)
+        .as[(Long, Long)].collect().toMap
+      val run2 = graft.ops.Graph.labelPropagate(e0, 4)
+        .as[(Long, Long)].collect().toMap
+      assert(run1.keySet == nodes, s"node set mismatch: $run1 vs $nodes")
+      assert(run1.values.toSet.subsetOf(nodes), s"invented label: $run1")
+      assert(run1 == run2, s"nondeterministic: $run1 vs $run2")
+    }
+  }
 }
