@@ -560,8 +560,230 @@ object Pipelines {
       .orderBy("c_nationkey")
   }
 
+  /** TPC-H Q13 shape (customer distribution): the AGGREGATE-OF-AGGREGATE
+    * — orders per customer (a LEFT OUTER join whose FILTER RIDES THE
+    * JOIN CONDITION, so customers with only excluded orders still count
+    * as zero — a WHERE would wrongly drop them), then the histogram of
+    * those counts. Two keyed shuffles total (per-customer count, then
+    * per-count count); count(o_orderkey) counts non-null partners, which
+    * is what makes the zero bucket live. Priority exclusion stands in
+    * for the reference's comment-pattern filter (no comment column
+    * here); the distribution ordering is total (custdist, c_count). */
+  val pipelineTpchQ13 = QueryDef(
+    "pipeline_tpch_q13",
+    """WITH c_orders AS (
+      |  SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+      |  FROM customer LEFT JOIN orders
+      |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      |  GROUP BY c_custkey
+      |)
+      |SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+      |FROM c_orders GROUP BY c_count
+      |ORDER BY custdist DESC, c_count DESC""".stripMargin) { (s, d) =>
+    val co = Tables.customer(s, d).select("c_custkey")
+      .join(Tables.orders(s, d)
+          .select("o_custkey", "o_orderkey", "o_orderpriority"),
+        col("c_custkey") === col("o_custkey") &&
+          col("o_orderpriority") =!= "1-URGENT",
+        "left")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("c_count"))
+    co.groupBy("c_count").agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  /** TPC-H Q15 shape (top supplier): ARGMAX-BY-EQUALITY against a
+    * computed aggregate — quarterly revenue per supplier, then the
+    * supplier(s) whose revenue EQUALS the global max (ties all kept —
+    * the view-and-subquery formulation, not a LIMIT 1 that would drop
+    * ties). The equality compares exact DECIMALS (never doubles — §2.9:
+    * both engines computed the identical exact sums, so equality is
+    * engine-independent); the 1-row max broadcasts back over the
+    * supplier-sized revenue relation. */
+  val pipelineTpchQ15 = QueryDef(
+    "pipeline_tpch_q15",
+    """WITH revenue AS (
+      |  SELECT l_suppkey AS supplier_no,
+      |         sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS total_rev
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |    AND l_shipdate <  TIMESTAMP '1996-04-01'
+      |  GROUP BY l_suppkey
+      |)
+      |SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_revenue
+      |FROM supplier JOIN revenue ON s_suppkey = supplier_no
+      |WHERE total_rev = (SELECT max(total_rev) FROM revenue)
+      |ORDER BY s_suppkey""".stripMargin) { (s, d) =>
+    val revenue = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp_ntz") &&
+        col("l_shipdate") < lit("1996-04-01").cast("timestamp_ntz"))
+      .groupBy(col("l_suppkey").as("supplier_no"))
+      .agg(sum(money(col("l_extendedprice")) * (lit(1) - rate(col("l_discount"))))
+        .as("total_rev"))
+    val mx = revenue.agg(max(col("total_rev")).as("mx"))
+    Tables.supplier(s, d).select("s_suppkey", "s_name")
+      .join(revenue, col("s_suppkey") === col("supplier_no"))
+      .crossJoin(broadcast(mx))
+      .filter(col("total_rev") === col("mx"))
+      .select(col("s_suppkey"), col("s_name"),
+        col("total_rev").cast("double").as("total_revenue"))
+      .orderBy("s_suppkey")
+  }
+
+  /** TPC-H Q17 shape (small-quantity-order revenue): a CORRELATED
+    * PER-GROUP SCALAR threshold — lineitems of one brand whose quantity
+    * is below 20% of THAT PART's average quantity. The per-part average
+    * never divides: quantity < 0.2·(sq/n) is cross-multiplied to
+    * q·5·n < sq in exact DECIMAL×BIGINT (the q22 discipline — a divided
+    * average rounds engine-specifically). The per-part aggregate joins
+    * back on the part key (the q18 aggregate-rejoin family, but as a
+    * row-level threshold rather than a group filter); avg_yearly is the
+    * one irreducibly-double output, built as the identical ÷7.0 tree.
+    * The brand filter prunes the probe side at its scan; the per-part
+    * aggregate runs over ALL lineitems of those parts (correlation is
+    * on the key, not the brand — the reference semantics). */
+  val pipelineTpchQ17 = QueryDef(
+    "pipeline_tpch_q17",
+    """WITH pa AS (
+      |  SELECT l_partkey AS pk, sum(CAST(l_quantity AS DECIMAL(18,4))) AS sq,
+      |         CAST(count(*) AS BIGINT) AS n
+      |  FROM lineitem GROUP BY l_partkey
+      |)
+      |SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0 AS avg_yearly,
+      |       CAST(count(*) AS BIGINT) AS n_items
+      |FROM lineitem
+      |JOIN part ON l_partkey = p_partkey AND p_brand = 'Brand#3'
+      |JOIN pa ON l_partkey = pk
+      |WHERE CAST(l_quantity AS DECIMAL(18,4)) * 5 * n < sq""".stripMargin) { (s, d) =>
+    val pa = Tables.lineitem(s, d)
+      .groupBy(col("l_partkey").as("pk"))
+      .agg(sum(dec(col("l_quantity"))).as("sq"), count(lit(1)).as("n"))
+    val brand = Tables.part(s, d)
+      .filter(col("p_brand") === "Brand#3").select("p_partkey")
+    Tables.lineitem(s, d)
+      .select("l_partkey", "l_quantity", "l_extendedprice")
+      .join(brand, col("l_partkey") === col("p_partkey"))
+      .join(pa, col("l_partkey") === col("pk"))
+      .filter(dec(col("l_quantity")) * 5 * col("n") < col("sq"))
+      .agg((sum(money(col("l_extendedprice"))).cast("double") / 7.0)
+        .as("avg_yearly"),
+        count(lit(1)).as("n_items"))
+  }
+
+  /** TPC-H Q21 shape (suppliers who kept orders waiting): the
+    * DOUBLE-CORRELATED EXISTS / NOT-EXISTS — per (order, supplier) late
+    * pair, there EXISTS another supplier in the order (multi-supplier)
+    * and there does NOT EXIST another LATE supplier (sole culprit). Both
+    * subqueries decorrelate to one semi and one anti join against the
+    * SAME derived relations, each with the non-equi "different supplier"
+    * conjunct riding the order key; `late` is derived once and
+    * localCheckpointed — it feeds the probe side, the anti join AND the
+    * ship-lag predicate (lateness stands in for the fixture-absent
+    * commit/receipt dates, as in q4). All joins key on l_orderkey. */
+  val pipelineTpchQ21 = QueryDef(
+    "pipeline_tpch_q21",
+    """WITH late AS (
+      |  SELECT DISTINCT l_orderkey, l_suppkey
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+      |), members AS (
+      |  SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+      |)
+      |SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+      |FROM late l1
+      |JOIN supplier s ON l1.l_suppkey = s.s_suppkey
+      |WHERE EXISTS (SELECT 1 FROM members m
+      |              WHERE m.l_orderkey = l1.l_orderkey
+      |                AND m.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM late l2
+      |                  WHERE l2.l_orderkey = l1.l_orderkey
+      |                    AND l2.l_suppkey <> l1.l_suppkey)
+      |GROUP BY s.s_name
+      |ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin) { (s, d) =>
+    val li = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey", "l_shipdate")
+    val late = li
+      .join(Tables.orders(s, d).select("o_orderkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAY"))
+      .select("l_orderkey", "l_suppkey").distinct()
+      .localCheckpoint(eager = false)
+    val members = li.select("l_orderkey", "l_suppkey").distinct()
+    late
+      .join(members.toDF("m_ok", "m_sk"),
+        col("l_orderkey") === col("m_ok") && col("l_suppkey") =!= col("m_sk"),
+        "left_semi")
+      .join(late.toDF("o_ok", "o_sk"),
+        col("l_orderkey") === col("o_ok") && col("l_suppkey") =!= col("o_sk"),
+        "left_anti")
+      .join(Tables.supplier(s, d).select("s_suppkey", "s_name"),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy("s_name")
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(20)
+  }
+
+  /** TPC-H Q8 shape (national market share): per order-year, one
+    * nation's share of a region's import revenue — the GROUPED RATIO of
+    * a conditional sum to the total over a 7-table snowflake with BOTH
+    * nation roles joined (the q7 dual-role pattern meeting the q14
+    * ratio discipline: exact-DECIMAL sums, identical double division
+    * tree, ×nothing — the share stays in [0,1]). Region + date filters
+    * are scan-stage; the share's numerator condition (supplier nation)
+    * is a post-join CASE, not a filter — losing rows would corrupt the
+    * denominator. */
+  val pipelineTpchQ8 = QueryDef(
+    "pipeline_tpch_q8",
+    """SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+      |  (CAST(sum(CASE WHEN n2.n_name = 'NATION_13' THEN CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) ELSE 0 END) AS DOUBLE)
+      |   / CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)) AS mkt_share,
+      |  CAST(count(*) AS BIGINT) AS n_items
+      |FROM lineitem
+      |JOIN orders   ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      |JOIN region   ON n1.n_regionkey = r_regionkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      |WHERE r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o_orderdate <  TIMESTAMP '1998-01-01'
+      |GROUP BY o_year ORDER BY o_year""".stripMargin) { (s, d) =>
+    val discPrice = money(col("l_extendedprice")) * (lit(1) - rate(col("l_discount")))
+    val ord = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp_ntz") &&
+        col("o_orderdate") < lit("1998-01-01").cast("timestamp_ntz"))
+      .select("o_orderkey", "o_custkey", "o_orderdate")
+    val custAsia = Tables.customer(s, d).select("c_custkey", "c_nationkey")
+      .join(Tables.nation(s, d)
+          .select(col("n_nationkey").as("n1_key"), col("n_regionkey")),
+        col("c_nationkey") === col("n1_key"))
+      .join(Tables.region(s, d).filter(col("r_name") === "ASIA")
+          .select("r_regionkey"),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("c_custkey")
+    val suppNation = Tables.supplier(s, d).select("s_suppkey", "s_nationkey")
+      .join(Tables.nation(s, d)
+          .select(col("n_nationkey").as("n2_key"), col("n_name").as("supp_nation")),
+        col("s_nationkey") === col("n2_key"))
+      .select("s_suppkey", "supp_nation")
+    Tables.lineitem(s, d)
+      .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(custAsia, col("o_custkey") === col("c_custkey"))
+      .join(suppNation, col("l_suppkey") === col("s_suppkey"))
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg(
+        (sum(when(col("supp_nation") === "NATION_13", discPrice).otherwise(lit(0)))
+          .cast("double") / sum(discPrice).cast("double")).as("mkt_share"),
+        count(lit(1)).as("n_items"))
+      .orderBy("o_year")
+  }
+
   val all: Seq[QueryDef] = Seq(pipelineTpchQ3, pipelineTpchQ18,
     pipelineTpchQ5, pipelineTpchQ10, pipelineTpchQ7, pipelineTpchQ19,
     pipelineTpchQ1, pipelineTpchQ4, pipelineTpchQ6, pipelineTpchQ12,
-    pipelineTpchQ14, pipelineTpchQ16, pipelineTpchQ22)
+    pipelineTpchQ14, pipelineTpchQ16, pipelineTpchQ22,
+    pipelineTpchQ13, pipelineTpchQ15, pipelineTpchQ17, pipelineTpchQ21,
+    pipelineTpchQ8)
 }

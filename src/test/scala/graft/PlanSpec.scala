@@ -360,6 +360,44 @@ class PlanSpec extends AnyFunSuite {
       s"increment cutoff not pushed to the events scan:\n$p")
   }
 
+  test("pipeline_tpch_q13: filter rides the outer join (zero bucket survives); no cartesian") {
+    val p = plan(graft.ops.Pipelines.pipelineTpchQ13)
+    assert(p.contains("LeftOuter"), s"outer join lost — zero-order customers dropped:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"join degenerated:\n$p")
+  }
+
+  test("pipeline_tpch_q15: the 1-row max broadcasts; quarter filter reaches the scan") {
+    val p = plan(graft.ops.Pipelines.pipelineTpchQ15)
+    assert(p.contains("BroadcastExchange"), s"max did not broadcast:\n$p")
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"),
+      s"quarter filter not pushed:\n$p")
+  }
+
+  test("pipeline_tpch_q17: brand filter pushed; per-part aggregate joins back on the key") {
+    val p = plan(graft.ops.Pipelines.pipelineTpchQ17)
+    assert(p.contains("EqualTo(p_brand,Brand#3)"),
+      s"brand filter not pushed to the part scan:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"aggregate-rejoin degenerated:\n$p")
+  }
+
+  test("pipeline_tpch_q21: EXISTS/NOT EXISTS plan as semi + anti joins on the order key") {
+    val p = plan(graft.ops.Pipelines.pipelineTpchQ21)
+    assert(p.contains("LeftSemi"), s"multi-supplier EXISTS lost its semi join:\n$p")
+    assert(p.contains("LeftAnti"), s"sole-culprit NOT EXISTS lost its anti join:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-20 fell to a global sort:\n$p")
+  }
+
+  test("pipeline_tpch_q8: region + date filters reach the scans; 7-table join never cartesians") {
+    val p = plan(graft.ops.Pipelines.pipelineTpchQ8)
+    assert(p.contains("EqualTo(r_name,ASIA)"), s"region filter not pushed:\n$p")
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"),
+      s"date window not pushed to the orders scan:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"snowflake degenerated:\n$p")
+  }
+
   test("event_active_users: contribution explode carries no window; counts are keyed aggs") {
     val p = plan(graft.ops.Events.eventActiveUsers)
     // the rolling distinct must be explode + hash aggregates — a RANGE
