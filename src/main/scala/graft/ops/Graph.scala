@@ -747,6 +747,95 @@ object Graph {
       .limit(15)
   }
 
+  /** Bounded k-core peeling core over a symmetric (u, v) edge relation:
+    * `rounds` rounds of "compute degrees, drop every node with degree
+    * < k, restrict edges to survivors", emitting one census row per
+    * round over the POST-round graph — edge-bearing node count,
+    * directed edge count, and node-id checksums (sum/min/max) so a
+    * single wrongly-kept or wrongly-peeled node shifts the hash. The
+    * true core is the peel's fixpoint; a fixed round budget is the
+    * khop/sssp/labelprop gated-semantics discipline (sparse graphs
+    * stabilize in a handful of sweeps, and the census trajectory gates
+    * every intermediate state, not just the end). Each round is ONE
+    * combinable degree aggregate plus two semi-joins on the node key —
+    * the peel as keyed shuffles, nothing ever on the driver; a node
+    * whose every neighbor was peeled carries no edge and drops out of
+    * the census (degree-0 by definition of the edge-bearing graph). */
+  def kcoreCensus(e0: DataFrame, k: Int, rounds: Int): DataFrame = {
+    var edges = e0.select("u", "v")
+    var census: Seq[DataFrame] = Nil
+    for (r <- 1 to rounds) {
+      val surv = edges.groupBy("u").agg(count(lit(1)).as("dg"))
+        .filter(col("dg") >= k).select("u")
+      edges = edges
+        .join(surv, Seq("u"), "left_semi")
+        .join(surv.withColumnRenamed("u", "v"), Seq("v"), "left_semi")
+        .select("u", "v")
+        // one materialization per round: the census reads it twice and
+        // the next round's peel reads it again (graph_components'
+        // localCheckpoint discipline, keeps the per-round plan flat)
+        .localCheckpoint(eager = false)
+      census = census :+ edges
+        .agg(countDistinct(col("u")).as("n_nodes"),
+          count(lit(1)).as("n_edges"),
+          coalesce(sum_distinct(col("u")), lit(0L)).as("sum_node"),
+          coalesce(min(col("u")), lit(0L)).as("min_node"),
+          coalesce(max(col("u")), lit(0L)).as("max_node"))
+        .select(lit(r).cast("int").as("round"), col("n_nodes"),
+          col("n_edges"), col("sum_node"), col("min_node"), col("max_node"))
+    }
+    census.reduce(_ unionByName _)
+  }
+
+  private def KcRound(prev: String, k: Int): String =
+    s"""SELECT e.u, e.v FROM $prev e
+       |JOIN (SELECT u FROM $prev GROUP BY u HAVING count(*) >= $k) a ON e.u = a.u
+       |JOIN (SELECT u FROM $prev GROUP BY u HAVING count(*) >= $k) b ON e.v = b.u""".stripMargin
+
+  private def KcCensus(r: Int, rel: String): String =
+    s"""SELECT CAST($r AS INTEGER) AS round,
+       |  CAST(count(DISTINCT u) AS BIGINT) AS n_nodes,
+       |  CAST(count(*) AS BIGINT) AS n_edges,
+       |  CAST(coalesce(sum(DISTINCT u), 0) AS BIGINT) AS sum_node,
+       |  CAST(coalesce(min(u), 0) AS BIGINT) AS min_node,
+       |  CAST(coalesce(max(u), 0) AS BIGINT) AS max_node
+       |FROM $rel""".stripMargin
+
+  /** Gated key: 3-core peeling census of the part co-purchase graph —
+    * 4 fixed peel rounds over the SAME landed symmetric relation every
+    * other part-graph kernel shares (`partCoEdges`). k-core is the
+    * degeneracy kernel the family lacked (components = reachability,
+    * labelprop = majority adoption, THIS = iterated degree pruning —
+    * the standard dense-substructure / spam-subgraph filter); the
+    * census-per-round output gates the whole peel trajectory. Oracle
+    * unrolls the 4 rounds as CTEs; `sum(DISTINCT u)` is exact over the
+    * node set because ids are distinct values. */
+  val graphKcore = QueryDef(
+    "graph_kcore",
+    s"""WITH pr AS (
+       |  SELECT DISTINCT a.l_orderkey AS ok, a.l_partkey AS u, b.l_partkey AS v
+       |  FROM lineitem a JOIN lineitem b
+       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+       |), p2 AS (
+       |  SELECT u, v FROM pr GROUP BY u, v HAVING count(*) >= 2
+       |), e1 AS (
+       |${KcRound("p2", 3)}
+       |), e2 AS (
+       |${KcRound("e1", 3)}
+       |), e3 AS (
+       |${KcRound("e2", 3)}
+       |), e4 AS (
+       |${KcRound("e3", 3)}
+       |)
+       |${KcCensus(1, "e1")}
+       |UNION ALL ${KcCensus(2, "e2")}
+       |UNION ALL ${KcCensus(3, "e3")}
+       |UNION ALL ${KcCensus(4, "e4")}
+       |ORDER BY round""".stripMargin) { (s, d) =>
+    kcoreCensus(partCoEdges(s, d).select("u", "v"), 3, 4)
+      .orderBy("round")
+  }
+
   val all: Seq[QueryDef] = Seq(graphPagerank, graphTriangles, graphComponents,
-    graphLinkpred, graphKhop, graphSssp, graphLabelprop)
+    graphLinkpred, graphKhop, graphSssp, graphLabelprop, graphKcore)
 }

@@ -772,6 +772,37 @@ class EdgeSpec extends AnyFunSuite {
     assert(got(9L) == 7L && got(1L) == 5L && got(7L) == 5L, s"got $got")
   }
 
+  test("kcoreCensus: progressive peel — pendant, then bridge, then tail, then stable") {
+    // K4 {1,2,3,4} plus a tail: 5–{6,2,3}, 6–{5,1,7}, pendant 7–6.
+    // Hand-run of 4 peel rounds at k=3:
+    //   r1 peels 7 (deg 1)        → 6 nodes, 10 und. edges
+    //   r2 peels 6 (deg 2 after)  → 5 nodes,  8 und. edges
+    //   r3 peels 5 (deg 2 after)  → K4: 4 nodes, 6 und. edges
+    //   r4 stable (all deg 3)
+    val und = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (5L, 6L), (5L, 2L), (5L, 3L), (6L, 1L), (6L, 7L))
+    val e0 = (und ++ und.map(_.swap)).toDF("u", "v")
+    val got = graft.ops.Graph.kcoreCensus(e0, 3, 4)
+      .orderBy("round")
+      .as[(Int, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1, 6L, 20L, 21L, 1L, 6L),
+      (2, 5L, 16L, 15L, 1L, 5L),
+      (3, 4L, 12L, 10L, 1L, 4L),
+      (4, 4L, 12L, 10L, 1L, 4L)), s"got $got")
+  }
+
+  test("kcoreCensus: a graph that peels to empty reports zero census rows") {
+    // path 1–2–3: no node ever reaches degree 3 → round 1 empties it;
+    // the census must still emit all 4 rounds with zeroed checksums.
+    val und = Seq((1L, 2L), (2L, 3L))
+    val e0 = (und ++ und.map(_.swap)).toDF("u", "v")
+    val got = graft.ops.Graph.kcoreCensus(e0, 3, 4)
+      .orderBy("round")
+      .as[(Int, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq.tabulate(4)(r => (r + 1, 0L, 0L, 0L, 0L, 0L)), s"got $got")
+  }
+
   test("survivalTable: reverse cumulative at-risk counts and ppm floor on a planted log") {
     // user 1: one day (t=0); users 2,3: three-day span (t=2) →
     // ended = {0→1, 2→2}; at_risk = {0→3, 2→2}; ppm = 1000000, 666666
