@@ -1023,6 +1023,93 @@ object Ann {
     recallOverlap(ix.v, pq, qids, k = 10)
   }
 
+  /** Exact-integer POWER ITERATION for the top principal direction of
+    * the (uncentered) embedding Gram matrix — the dimension-reduction /
+    * index-rotation primitive an ANN pipeline runs before IVF or PQ
+    * (OPQ's rotation, spectral whitening, dominant-axis pruning all
+    * start from this vector). Floating-point matrix iteration is never
+    * hash-gateable (summation order changes the low bits), so every
+    * step here is EXACT integer arithmetic both engines reproduce:
+    * vectors quantize once to q = round(10⁴·x) (identical double
+    * product + half-away round on both sides), the iterate starts at
+    * all-ones, and each round is w_j = Σᵢ qᵢⱼ·(qᵢ·v) with the iterate
+    * rescaled by a truncating 10⁶ divide between rounds (div and
+    * DuckDB's // both truncate toward zero, signed values included —
+    * pinned in AnnSpec). Two rounds: the second's products can reach
+    * ~10²⁰, so its sums ride DECIMAL(38,0)/HUGEINT; with BIGINT terms
+    * capped near 8·10¹⁸ the fixed 10⁶ rescale has ~10⁵× corpus headroom
+    * beyond sf0.1 — at larger N the divisor is the parameter to grow
+    * (the fixed-shard-count convention).
+    *
+    * Scale shape: each round is ONE corpus pass — the per-row dot
+    * (qᵢ·v) needs no join (round 1's v is all-ones; round 2's rides a
+    * broadcast 1-row sorted array built by sort_array(collect_list))
+    * and the only shuffle is the 64-group combinable sum. No
+    * corpus-sized join, shuffle-by-vector, or driver collect anywhere.
+    * Output: per dim, the round-1 and round-2 rescaled iterates plus
+    * the Rayleigh-quotient proxy lam_ppm = ⌊10⁶·Σv2·v1 / Σv1·v1⌋ —
+    * an exact-integer eigenvalue witness (NULL on the degenerate
+    * all-zero iterate, both engines). */
+  def pcaPowerIterate(emb: DataFrame): DataFrame = {
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val base = emb
+      .select(col("vec_id"),
+        transform(Similarity.vecD(col("embedding")),
+          x => round(x * lit(10000.0)).cast("long")).as("qa"))
+    val w1 = base
+      .withColumn("s1", aggregate(col("qa"), lit(0L), (a, x) => a + x))
+      .selectExpr("posexplode(qa) as (j, q)", "s1")
+      .groupBy("j").agg(sum(col("q") * col("s1")).as("w1"))
+    val v1 = w1.select(col("j"), expr("w1 div 1000000").as("v1"))
+    // the 64-entry iterate as ONE broadcast row, j-sorted by construction
+    // (sort_array on (j, v1) structs — order-insensitive to the agg)
+    val v1row = v1
+      .agg(transform(array_sort(collect_list(struct(col("j"), col("v1")))),
+        s => s.getField("v1")).as("v1a"))
+    val w2 = base.crossJoin(broadcast(v1row))
+      .withColumn("s2",
+        aggregate(zip_with(col("qa"), col("v1a"), (q, w) => q * w),
+          lit(0L), (a, x) => a + x))
+      .selectExpr("posexplode(qa) as (j, q)", "s2")
+      .groupBy("j")
+      .agg(sum(col("q").cast(dec38) * col("s2")).as("w2r"))
+    val v2 = w2.select(col("j"), expr("CAST(w2r div 1000000 AS BIGINT)").as("v2"))
+    val dims = v1.join(v2, "j")
+    val ray = dims
+      .agg(sum(col("v1").cast(dec38) * col("v2")).as("num"),
+        sum(col("v1").cast(dec38) * col("v1")).as("den"))
+      .select(expr("CAST((num * 1000000) div NULLIF(den, 0) AS BIGINT)")
+        .as("lam_ppm"))
+    dims.crossJoin(broadcast(ray))
+      .select(col("j").cast("int").as("dim"), col("v1"), col("v2"),
+        col("lam_ppm"))
+      .orderBy("dim")
+  }
+
+  val simPcaPower = QueryDef(
+    "sim_pca_power",
+    """WITH e AS (
+      |  SELECT vec_id AS i, generate_subscripts(embedding, 1) - 1 AS j,
+      |         CAST(round(CAST(unnest(embedding) AS DOUBLE) * 10000) AS BIGINT) AS q
+      |  FROM embeddings
+      |), s1 AS (SELECT i, sum(q) AS s1 FROM e GROUP BY i),
+      |w1 AS (SELECT j, sum(e.q * s1.s1) AS w1 FROM e JOIN s1 USING (i) GROUP BY j),
+      |v1 AS (SELECT j, w1 // 1000000 AS v1 FROM w1),
+      |s2 AS (SELECT i, sum(e.q * v1.v1) AS s2 FROM e JOIN v1 USING (j) GROUP BY i),
+      |w2 AS (SELECT j, sum(CAST(e.q AS HUGEINT) * s2.s2) AS w2r
+      |       FROM e JOIN s2 USING (i) GROUP BY j),
+      |v2 AS (SELECT j, CAST(w2r // 1000000 AS BIGINT) AS v2 FROM w2),
+      |ray AS (SELECT CAST(sum(CAST(v1.v1 AS HUGEINT) * v2.v2) * 1000000
+      |                    // NULLIF(sum(CAST(v1.v1 AS HUGEINT) * v1.v1), 0)
+      |               AS BIGINT) AS lam_ppm
+      |        FROM v1 JOIN v2 USING (j))
+      |SELECT CAST(v1.j AS INTEGER) AS dim, CAST(v1.v1 AS BIGINT) AS v1,
+      |       v2.v2 AS v2, ray.lam_ppm
+      |FROM v1 JOIN v2 USING (j) CROSS JOIN ray
+      |ORDER BY dim""".stripMargin) { (s, d) =>
+    pcaPowerIterate(Tables.embeddings(s, d))
+  }
+
   val all: Seq[QueryDef] = Seq(simAnnIvf, dedupEmbedLsh, simAnnKmeans, simQuantize, simAnnRecall,
-    simAnnPq, simAnnKmeansRecall, simAnnPqRecall, dedupEmbedLshRecall)
+    simAnnPq, simAnnKmeansRecall, simAnnPqRecall, dedupEmbedLshRecall, simPcaPower)
 }

@@ -123,4 +123,36 @@ class AnnSpec extends AnyFunSuite {
       .limit(10).select("other").as[Long].collect().toSet
     assert((approx & exact).size >= 9)
   }
+
+  test("integral division truncates toward zero for signed longs AND decimals (the pca rescale contract)") {
+    // DuckDB's // truncates toward zero (-7 // 2 = -3, verified against
+    // 1.0.0); the pca iterate divides SIGNED values, so Spark's div must
+    // agree on longs and on the DECIMAL(38,0) round-2 sums.
+    val r = spark.sql(
+      """SELECT -7 div 2, 7 div 2, CAST(-7 AS DECIMAL(38,0)) div 2,
+        |       CAST(-2000000000000000000000 AS DECIMAL(38,0)) div 1000000
+        |""".stripMargin).head
+    assert(r.getLong(0) == -3L && r.getLong(1) == 3L)
+    assert(r.getLong(2) == -3L)
+    assert(r.getLong(3) == -2000000000000000L)
+  }
+
+  test("pcaPowerIterate: hand-run two rounds on a planted signed matrix") {
+    // vectors (1,0), (-1,0), (0,0.5): q rows (10000,0), (-10000,0), (0,5000)
+    //   s1 = (10000, -10000, 5000)
+    //   w1 = (10000·10000 + (-10000)(-10000), 5000·5000) = (2e8, 2.5e7)
+    //   v1 = w1 div 1e6 = (200, 25)
+    //   s2 = (2e6, -2e6, 125000)
+    //   w2 = (1e4·2e6 + (-1e4)(-2e6), 5000·125000) = (4e10, 6.25e8)
+    //   v2 = (40000, 625)
+    //   lam_ppm = (200·40000 + 25·625)·1e6 div (200² + 25²)
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(-1.0f, 0.0f)),
+      (2L, Array(0.0f, 0.5f))).toDF("vec_id", "embedding")
+    val got = Ann.pcaPowerIterate(emb)
+      .as[(Int, Long, Long, Long)].collect().toSeq
+    val lam = (200L * 40000L + 25L * 625L) * 1000000L / (200L * 200L + 25L * 25L)
+    assert(got == Seq((0, 200L, 40000L, lam), (1, 25L, 625L, lam)), s"got $got")
+  }
 }
