@@ -272,6 +272,43 @@ object Formats {
       .orderBy("shard")
   }
 
+  /** Avro OCF round-trip over customer via the hand-rolled
+    * `graft.sources.AvroFile` sink+source (the external spark-avro
+    * DataSource is not on this offline classpath; the avro core runtime
+    * is — so the container format is driven directly, the TfExample
+    * discipline). 4 deflate-compressed shard files written by the
+    * executors that own them, read back through one binaryFile scan
+    * with the schema taken from the container itself. The aggregate
+    * gates every scalar family the schema carries (long key sums,
+    * int nationkey sums, IEEE double acctbal through the exact-decimal
+    * cast, string segments as group keys) against the ORIGINAL parquet
+    * — DuckDB never reads Avro, which is exactly why the hash certifies
+    * the writer+reader pair preserves each value bit-exactly. */
+  val scanAvro = QueryDef(
+    "scan_avro",
+    """SELECT c_mktsegment,
+      |       CAST(count(*) AS BIGINT) AS n,
+      |       CAST(sum(c_custkey) AS BIGINT) AS sum_key,
+      |       CAST(sum(c_nationkey) AS BIGINT) AS sum_nat,
+      |       CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_bal
+      |FROM customer GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin) { (s, d) =>
+    val dir = fmtDir(d, "avro")
+    graft.sources.AvroFile.writeCustomerAvro(
+      Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+          col("c_acctbal"), col("c_mktsegment"))
+        .withColumn("shard", col("c_custkey") % 4),
+      dir)
+    graft.sources.AvroFile.readCustomerAvro(s, dir)
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"),
+        sum(col("c_custkey")).as("sum_key"),
+        sum(col("c_nationkey").cast("long")).as("sum_nat"),
+        sum(dec(col("c_acctbal"))).cast("double").as("sum_bal"))
+      .orderBy("c_mktsegment")
+  }
+
   val all: Seq[QueryDef] = Seq(scanCsv, scanJson, scanOrc, scanXml,
-    maintenanceCompact, scanEvolution, exportTfrecord)
+    maintenanceCompact, scanEvolution, exportTfrecord, scanAvro)
 }

@@ -140,6 +140,31 @@ class SourcesSpec extends AnyFunSuite {
       "json round-trip changed values")
   }
 
+  test("avro OCF round-trip preserves hostile values exactly; schema read from container") {
+    // adversarial rows for every schema field: non-representable and
+    // negative doubles, unicode + quote-hostile strings, negative int,
+    // Long.MinValue-adjacent key — all must survive the deflate-coded
+    // container byte-exactly, with the reader taking the schema from
+    // the file itself (null reader schema).
+    val src = Seq(
+      (0L, "plain", 7, 0.1, "AUTO"),
+      (3L, "comma, \"quoted\" — ünïcode", -3, 0.1 + 0.2, "HOUSE"),
+      (5L, "trailing space ", 0, -9.87e-300, "HOUSE"),
+      (9007199254740993L, "", 24, -0.0, "AUTO"))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+      .withColumn("shard", org.apache.spark.sql.functions.col("c_custkey") % 2)
+    val dir = sys.props("java.io.tmpdir") + "/graft_avro_spec"
+    graft.sources.AvroFile.writeCustomerAvro(src, dir)
+    val back = graft.sources.AvroFile.readCustomerAvro(spark, dir)
+    val want = src.drop("shard")
+    assert(back.except(want).isEmpty && want.except(back).isEmpty,
+      "avro round-trip changed values")
+    assert(back.count() == 4)
+    // shard ownership: one container file per shard value
+    val files = new java.io.File(dir).listFiles().map(_.getName).toSet
+    assert(files == Set("customer-000.avro", "customer-001.avro"), files)
+  }
+
   test("scan_partitioned declared key: partition-pruned to 2 of 5 directories") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     val df = graft.ops.Scale.scanPartitionedPlan(spark, "/root/testdata/sf0.001")
