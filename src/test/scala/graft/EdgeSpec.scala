@@ -772,6 +772,43 @@ class EdgeSpec extends AnyFunSuite {
     assert(got(9L) == 7L && got(1L) == 5L && got(7L) == 5L, s"got $got")
   }
 
+  test("winnowFingerprints matches an independent plain-Scala winnower (ties, prefix windows, short docs)") {
+    // reference implementation: 3-gram shingles at 1-based positions,
+    // h = first 10 hex chars of md5, per trailing <=4-window the
+    // (min h, rightmost pos) choice, fingerprints = distinct choices.
+    def md5h(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(5).map(b => f"$b%02x").mkString, 16)
+    }
+    def ref(text: String): Option[(Long, Long, Long, Long, Long)] = {
+      val t = text.split(" ")
+      if (t.length < 3) return None
+      val hs = (0 to t.length - 3).map(i => md5h(t.slice(i, i + 3).mkString(" ")))
+      val P = 1048576L
+      val scores = hs.zipWithIndex.map { case (h, i) => h * P + (P - 1 - (i + 1)) }
+      val sel = scores.indices.map(p =>
+        scores.slice(math.max(0, p - 3), p + 1).min).distinct
+      val fh = sel.map(_ / P)
+      Some((hs.size.toLong, fh.size.toLong,
+        fh.size.toLong * 1000000L / hs.size, fh.sum, fh.min))
+    }
+    val docs = Seq(
+      (1L, "t u v"),                         // single shingle
+      (2L, "a a a a a a a"),                 // all-tie: rightmost-min selects every window end
+      (3L, "the quick brown fox jumps over the lazy dog near the old quiet river bank today"),
+      (4L, "x y"))                           // too short: no row
+      .toDF("doc_id", "text")
+    val got = graft.ops.Text.winnowFingerprints(docs)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4, r._5, r._6)).toMap
+    val want = Seq(1L, 2L, 3L).flatMap(id =>
+      ref(docs.filter(col("doc_id") === id).head.getString(1)).map(id -> _)).toMap
+    assert(got == want, s"got $got\nwant $want")
+    // the all-tie doc pins the rightmost rule: every window end selected
+    assert(got(2L)._2 == got(2L)._1)
+  }
+
   test("kcoreCensus: progressive peel — pendant, then bridge, then tail, then stable") {
     // K4 {1,2,3,4} plus a tail: 5–{6,2,3}, 6–{5,1,7}, pendant 7–6.
     // Hand-run of 4 peel rounds at k=3:
