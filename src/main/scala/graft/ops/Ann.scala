@@ -1074,15 +1074,16 @@ object Ann {
       .groupBy("j")
       .agg(sum(col("q").cast(dec38) * col("s2")).as("w2r"))
     val v2 = w2.select(col("j"), expr("CAST(w2r div 1000000 AS BIGINT)").as("v2"))
-    val dims = v1.join(v2, "j")
-    val ray = dims
-      .agg(sum(col("v1").cast(dec38) * col("v2")).as("num"),
-        sum(col("v1").cast(dec38) * col("v1")).as("den"))
-      .select(expr("CAST((num * 1000000) div NULLIF(den, 0) AS BIGINT)")
-        .as("lam_ppm"))
-    dims.crossJoin(broadcast(ray))
+    // the Rayleigh scalar rides a single-partition window over the
+    // 64-row dim relation (the sort_nulls bounded-window convention) —
+    // one pass, no scalar crossJoin, no duplicated w2 subtree
+    val wAll = Window.partitionBy().rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    v1.join(v2, "j")
+      .withColumn("num", sum(col("v1").cast(dec38) * col("v2")).over(wAll))
+      .withColumn("den", sum(col("v1").cast(dec38) * col("v1")).over(wAll))
       .select(col("j").cast("int").as("dim"), col("v1"), col("v2"),
-        col("lam_ppm"))
+        expr("CAST((num * 1000000) div NULLIF(den, 0) AS BIGINT)").as("lam_ppm"))
       .orderBy("dim")
   }
 

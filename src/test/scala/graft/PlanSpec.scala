@@ -491,4 +491,36 @@ class PlanSpec extends AnyFunSuite {
       s"span report formed pairs:\n$p")
     assert(p.contains("TakeOrderedAndProject"), s"top-20 fell to a global sort:\n$p")
   }
+
+  test("graph_kcore: every peel round is keyed semi-join work — no cartesian, no nested loop") {
+    val p = plan(graft.ops.Graph.graphKcore)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"a peel round degenerated to an unkeyed join:\n$p")
+  }
+
+  test("sim_pca_power: two corpus passes, iterate rides a broadcast — never a corpus-sized join") {
+    val p = plan(graft.ops.Ann.simPcaPower)
+    // both matvec rounds must aggregate into the 64-dim groups without
+    // ever shuffling the corpus through a join: the round-2 iterate is a
+    // broadcast 1-row array, so any sort-merge/shuffled-hash join means
+    // the per-row dot product regressed to a q ⋈ s join
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"power-iteration round regressed to a corpus join:\n$p")
+    assert(p.contains("BroadcastExchange"),
+      s"the 64-entry iterate did not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"unkeyed shuffle join in the iterate plan:\n$p")
+    // the ONLY nested-loop is the 1-row Rayleigh scalar attach (the
+    // quantizeError broadcast-scalar pattern) — a second one would mean
+    // the 64-row dim join lost its hash key
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).length <= 1,
+      s"more than the scalar-attach nested loop:\n$p")
+  }
+
+  test("text_winnow: fingerprint selection is one doc-keyed window — never pairwise") {
+    val p = plan(graft.ops.Text.textWinnow)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"winnowing formed pairs:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-300 fell to a global sort:\n$p")
+  }
 }
