@@ -1453,11 +1453,72 @@ object Events {
       .orderBy("t")
   }
 
+  /** Forward-fill (LOCF) onto a per-user daily spine — the panel-data
+    * completion every feature store / sensor pipeline runs (pandas
+    * ffill at engine scale): `events_resample` fills COUNT gaps with
+    * zeros; THIS carries the last observed VALUE across gap days. Per
+    * user and day, the day's closing value (latest by (ts, event_id) —
+    * a keyed row_number pick, both engines' tie rule identical), a
+    * spine of every day in the user's own [first, last] activity span
+    * (sequence+explode — bounded by users × span days, never corpus
+    * size), and last-observation-carried-forward via the ignoreNulls
+    * last() frame. The first spine day is observed by construction
+    * (the span starts at an event), so the filled value is never null.
+    * The double value is CARRIED, never computed on (determinism class
+    * (a) — a raw stored double both engines pass through bit-exact).
+    *
+    * Scale shape: one (user, day)-keyed pick, one user-keyed min/max
+    * aggregate, one user-keyed LOCF window — all linear keyed shuffles;
+    * the spine join parallelizes on the same user key. */
+  val eventsFfill = QueryDef(
+    "events_ffill",
+    """WITH e AS (
+      |  SELECT user_id, event_id, value, epoch_us(ts) AS eus,
+      |         epoch_us(ts) // 86400000000 AS day
+      |  FROM events
+      |), obs AS (
+      |  SELECT user_id, day, value AS v FROM (
+      |    SELECT user_id, day, value,
+      |           row_number() OVER (PARTITION BY user_id, day
+      |                              ORDER BY eus DESC, event_id DESC) AS rn
+      |    FROM e) WHERE rn = 1
+      |), b AS (
+      |  SELECT user_id, min(day) AS lo, max(day) AS hi FROM e GROUP BY user_id
+      |), spine AS (
+      |  SELECT user_id, unnest(generate_series(lo, hi)) AS day FROM b
+      |), j AS (
+      |  SELECT s.user_id, s.day, obs.v
+      |  FROM spine s LEFT JOIN obs ON s.user_id = obs.user_id AND s.day = obs.day
+      |)
+      |SELECT user_id, CAST(day AS BIGINT) AS day,
+      |       last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY day
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_ffill,
+      |       (v IS NOT NULL) AS observed
+      |FROM j ORDER BY user_id, day LIMIT 500""".stripMargin) { (s, d) =>
+    val e = Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("value"), eus.as("eus"))
+      .withColumn("day", floorDiv("eus", 86400000000L))
+    val pick = Window.partitionBy("user_id", "day")
+      .orderBy(col("eus").desc, col("event_id").desc)
+    val obs = e.withColumn("rn", row_number().over(pick))
+      .filter(col("rn") === 1).select(col("user_id"), col("day"), col("value").as("v"))
+    val spine = e.groupBy("user_id")
+      .agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+      .select(col("user_id"), explode(sequence(col("lo"), col("hi"))).as("day"))
+    val locf = Window.partitionBy("user_id").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(obs, Seq("user_id", "day"), "left")
+      .select(col("user_id"), col("day"),
+        last(col("v"), ignoreNulls = true).over(locf).as("value_ffill"),
+        col("v").isNotNull.as("observed"))
+      .orderBy("user_id", "day").limit(500)
+  }
+
   val all: Seq[QueryDef] = Seq(sessionizeQ, streamTumbling, streamSliding,
     streamWatermark, streamSession, windowTimeRange, streamDedup, eventFunnel,
     streamJoin, eventRetention, eventsResample, windowGapsIslands,
     eventAttribution, eventPaths, eventAnomaly, joinOverlap, streamFileSink,
     eventMarkov, streamJoinOuter, eventRfm, eventSeqMatch,
     streamStatefulSession, streamUpsertSink, eventActiveUsers,
-    eventForecastBacktest, eventAbTest, eventSurvival)
+    eventForecastBacktest, eventAbTest, eventSurvival, eventsFfill)
 }

@@ -772,6 +772,30 @@ class EdgeSpec extends AnyFunSuite {
     assert(got(9L) == 7L && got(1L) == 5L && got(7L) == 5L, s"got $got")
   }
 
+  test("events_ffill: gap days carry the last observed value; same-day pick is latest (ts, event_id)") {
+    val day = 86400000000L
+    def ts(us: Long) = new java.sql.Timestamp(us / 1000)
+    // user 1: day 0 has TWO events (event 11 later → its value 9.5 wins),
+    // days 1-2 are gaps, day 3 observes 7.0; user 2: single day.
+    val ev = Seq(
+      (10L, 1L, 100L, 5.0),
+      (11L, 1L, 200L, 9.5),
+      (12L, 1L, 3 * day + 5L, 7.0),
+      (20L, 2L, day + 1L, 2.5))
+      .map { case (e, u, us, v) => (e, u, ts(us), v) }
+      .toDF("event_id", "user_id", "ts", "value")
+      .withColumn("ts", col("ts").cast("timestamp_ntz"))
+    val q = graft.ops.Events.all.find(_.name == "events_ffill").get
+    // drive the library form through a temp parquet so Tables.events reads it
+    val dir = sys.props("java.io.tmpdir") + "/graft_ffill_spec"
+    ev.write.mode("overwrite").parquet(dir + "/events.parquet")
+    val got = q.fn(spark, dir)
+      .as[(Long, Long, Double, Boolean)].collect().toSeq
+    assert(got == Seq(
+      (1L, 0L, 9.5, true), (1L, 1L, 9.5, false), (1L, 2L, 9.5, false),
+      (1L, 3L, 7.0, true), (2L, 1L, 2.5, true)), s"got $got")
+  }
+
   test("winnowFingerprints matches an independent plain-Scala winnower (ties, prefix windows, short docs)") {
     // reference implementation: 3-gram shingles at 1-based positions,
     // h = first 10 hex chars of md5, per trailing <=4-window the
