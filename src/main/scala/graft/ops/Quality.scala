@@ -183,5 +183,86 @@ object Quality {
       .orderBy("bin")
   }
 
-  val all: Seq[QueryDef] = Seq(qualityExpectations, qualityDrift)
+  /** IQR OUTLIER fence report per customer segment — the Tukey-fence
+    * robust-outlier pass a data-quality monitor runs beside the
+    * expectation checks (`quality_expectations` tests declared
+    * constraints; THIS finds the undeclared tails). Everything is
+    * EXACT INTEGER: acctbal lifts to cents once (round of the same
+    * double product — identical both engines), quartiles are the
+    * TYPE-1 (lower-value, no interpolation) order statistics at rank
+    * ⌊(n−1)/4⌋+1 and ⌊3(n−1)/4⌋+1 — the value AT a rank is multiset-
+    * determined, so row_number tie order cannot matter — and the
+    * 1.5·IQR fences compare cross-multiplied by 2 (2c < 2q1 − 3·IQR)
+    * so no fractional fence ever forms (the q22/q17 discipline applied
+    * to a robust statistic; interpolated quantiles inside a PREDICATE
+    * would be a 1-ulp hash hazard — rank statistics are not).
+    *
+    * Scale shape: one segment-keyed window sort for ranks, one
+    * combinable conditional aggregate for the quartiles (broadcast back
+    * — segments are bounded), one conditional-count pass for the
+    * fences. Nothing pairwise, nothing on the driver. */
+  val qualityOutliers = QueryDef(
+    "quality_outliers",
+    """WITH c AS (
+      |  SELECT c_mktsegment AS seg,
+      |         CASE WHEN c_custkey % 47 = 0
+      |                THEN CAST(round(c_acctbal * 100) AS BIGINT) + 5000000
+      |              WHEN c_custkey % 53 = 0
+      |                THEN CAST(round(c_acctbal * 100) AS BIGINT) - 5000000
+      |              ELSE CAST(round(c_acctbal * 100) AS BIGINT) END AS cents
+      |  FROM customer
+      |), r AS (
+      |  SELECT seg, cents,
+      |         row_number() OVER (PARTITION BY seg ORDER BY cents) AS rn,
+      |         count(*) OVER (PARTITION BY seg) AS n
+      |  FROM c
+      |), q AS (
+      |  SELECT seg, max(n) AS n,
+      |         max(CASE WHEN rn = (n - 1) // 4 + 1 THEN cents END) AS q1,
+      |         max(CASE WHEN rn = (3 * (n - 1)) // 4 + 1 THEN cents END) AS q3
+      |  FROM r GROUP BY seg
+      |)
+      |SELECT q.seg, CAST(q.n AS BIGINT) AS n, q.q1 AS q1_cents, q.q3 AS q3_cents,
+      |       CAST(sum(CASE WHEN 2 * c.cents < 2 * q.q1 - 3 * (q.q3 - q.q1)
+      |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_out_lo,
+      |       CAST(sum(CASE WHEN 2 * c.cents > 2 * q.q3 + 3 * (q.q3 - q.q1)
+      |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_out_hi,
+      |       min(c.cents) AS min_cents, max(c.cents) AS max_cents
+      |FROM c JOIN q ON c.seg = q.seg
+      |GROUP BY q.seg, q.n, q.q1, q.q3
+      |ORDER BY q.seg""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    // deterministic fat-tail dirt (the quality_expectations liveness
+    // discipline): every 47th key shifts +50 000.00 — always past the
+    // high fence — and every 53rd −50 000.00 — always past the low one,
+    // so both outlier branches are live at every SF; the ±5M cents sit
+    // ~3× beyond any fence this data can produce
+    val cents0 = round(col("c_acctbal") * 100).cast("long")
+    val c = Tables.customer(s, d)
+      .select(col("c_mktsegment").as("seg"),
+        when(col("c_custkey") % 47 === 0, cents0 + 5000000L)
+          .when(col("c_custkey") % 53 === 0, cents0 - 5000000L)
+          .otherwise(cents0).as("cents"))
+    val w = Window.partitionBy("seg")
+    val r = c
+      .withColumn("rn", row_number().over(w.orderBy("cents")))
+      .withColumn("n", count(lit(1)).over(w))
+    val q = r.groupBy("seg")
+      .agg(max(col("n")).as("n"),
+        max(when(col("rn") === expr("(n - 1) div 4 + 1"), col("cents"))).as("q1"),
+        max(when(col("rn") === expr("(3 * (n - 1)) div 4 + 1"), col("cents"))).as("q3"))
+    c.join(q, "seg")
+      .groupBy(col("seg"), col("n"), col("q1"), col("q3"))
+      .agg(
+        sum(when(lit(2) * col("cents") < lit(2) * col("q1") - lit(3) * (col("q3") - col("q1")),
+          1L).otherwise(0L)).as("n_out_lo"),
+        sum(when(lit(2) * col("cents") > lit(2) * col("q3") + lit(3) * (col("q3") - col("q1")),
+          1L).otherwise(0L)).as("n_out_hi"),
+        min(col("cents")).as("min_cents"), max(col("cents")).as("max_cents"))
+      .select(col("seg"), col("n"), col("q1").as("q1_cents"), col("q3").as("q3_cents"),
+        col("n_out_lo"), col("n_out_hi"), col("min_cents"), col("max_cents"))
+      .orderBy("seg")
+  }
+
+  val all: Seq[QueryDef] = Seq(qualityExpectations, qualityDrift, qualityOutliers)
 }

@@ -1154,10 +1154,71 @@ object TextAnalysis {
       .orderBy("lang")
   }
 
+  /** POISSONIZED BOOTSTRAP over the corpus — the one-pass scalable form
+    * of the bootstrap CI (the exact multinomial resample couples every
+    * row globally and cannot fan out; drawing each row's replica count
+    * i.i.d. Poisson(1) decouples rows and is the standard streaming/
+    * map-reduce bootstrap): 32 replicas, each row's count c ∈ 0..5
+    * derived from a 40-bit md5 draw against FIXED integer thresholds —
+    * the Poisson(1) CDF in 2⁴⁰ units, truncated at 5 (mass 8·10⁻⁴
+    * folded into the tail cap), so the draw is the sample_split md5
+    * discipline (deterministic, retry-safe, no rand()) and every count
+    * is an exact integer both engines recompute. Per replica: effective
+    * n, the n_chars sum, and the mean in exact integer micro-units —
+    * the spread across the 32 replica means IS the bootstrap CI of mean
+    * doc length. One corpus pass with a 32-way generator fan-out and a
+    * 32-group combinable sum — no resample materializes, nothing on the
+    * driver. */
+  val sampleBootstrap = QueryDef(
+    "sample_bootstrap",
+    """WITH d AS (
+      |  SELECT doc_id, n_chars, unnest(generate_series(0, 31)) AS r
+      |  FROM documents
+      |), u AS (
+      |  SELECT r, n_chars,
+      |    CAST('0x' || substr(md5('bs:' || CAST(doc_id AS VARCHAR) || ':' ||
+      |      CAST(r AS VARCHAR)), 1, 10) AS BIGINT) AS u
+      |  FROM d
+      |), c AS (
+      |  SELECT r, n_chars,
+      |    (CASE WHEN u >= 404487723187 THEN 1 ELSE 0 END) +
+      |    (CASE WHEN u >= 808975446375 THEN 1 ELSE 0 END) +
+      |    (CASE WHEN u >= 1011219307969 THEN 1 ELSE 0 END) +
+      |    (CASE WHEN u >= 1078633928500 THEN 1 ELSE 0 END) +
+      |    (CASE WHEN u >= 1095487583633 THEN 1 ELSE 0 END) AS c
+      |  FROM u
+      |)
+      |SELECT CAST(r AS INTEGER) AS replica,
+      |       CAST(sum(c) AS BIGINT) AS n_eff,
+      |       CAST(sum(c * n_chars) AS BIGINT) AS sum_chars,
+      |       CAST((sum(c * n_chars) * 1000000) // NULLIF(sum(c), 0) AS BIGINT)
+      |         AS mean_micro
+      |FROM c GROUP BY r ORDER BY replica""".stripMargin) { (s, d) =>
+    val u = conv(substring(md5(concat(lit("bs:"), col("doc_id").cast("string"),
+      lit(":"), col("r").cast("string"))), 1, 10), 16, 10).cast("long")
+    val cdf = Seq(404487723187L, 808975446375L, 1011219307969L,
+      1078633928500L, 1095487583633L)
+    val cExpr = cdf.map(t => when(col("u") >= t, 1L).otherwise(0L))
+      .reduce(_ + _)
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("n_chars"),
+        explode(sequence(lit(0), lit(31))).as("r"))
+      .select(col("r"), col("n_chars"), u.as("u"))
+      .select(col("r"), col("n_chars"), cExpr.as("c"))
+      .groupBy("r")
+      .agg(sum(col("c")).as("n_eff"),
+        sum(col("c") * col("n_chars")).as("sum_chars"),
+        expr("CAST((sum(c * n_chars) * 1000000) div NULLIF(sum(c), 0) AS BIGINT)")
+          .as("mean_micro"))
+      .select(col("r").cast("int").as("replica"), col("n_eff"),
+        col("sum_chars"), col("mean_micro"))
+      .orderBy("replica")
+  }
+
   val all: Seq[QueryDef] = Seq(textLangid, textQuality, textTokens, textFingerprint,
     textPiiScrub, sampleSplit, sampleStratified, textPack, textDecontaminate,
     textNgrams, textTfidf, sampleShuffle, pipelineCleanse, textStripMarkup,
     textRepetition, sampleWeighted, textRarity, sampleMix, textBpePairs,
     textLmScore, textBlocklist, sampleTemperature, textBpeMerge,
-    textBpeEncode)
+    textBpeEncode, sampleBootstrap)
 }

@@ -772,6 +772,35 @@ class EdgeSpec extends AnyFunSuite {
     assert(got(9L) == 7L && got(1L) == 5L && got(7L) == 5L, s"got $got")
   }
 
+  test("sample_bootstrap matches an independent plain-Scala Poissonized resampler") {
+    def u40(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(5).map(b => f"$b%02x").mkString, 16)
+    }
+    val cdf = Seq(404487723187L, 808975446375L, 1011219307969L,
+      1078633928500L, 1095487583633L)
+    val docs = (1L to 10L).map(i => (i, "t" * i.toInt, 7 * i)).toSeq
+    val want = (0 until 32).map { r =>
+      val cs = docs.map { case (id, _, n) =>
+        (cdf.count(t => u40(s"bs:$id:$r") >= t).toLong, n)
+      }
+      val nEff = cs.map(_._1).sum
+      val sumC = cs.map { case (c, n) => c * n }.sum
+      (r, nEff, sumC, if (nEff == 0) null else (sumC * 1000000L / nEff): Any)
+    }
+    val df = docs.toDF("doc_id", "text", "n_chars")
+    val dir = sys.props("java.io.tmpdir") + "/graft_bs_spec"
+    df.write.mode("overwrite").parquet(dir + "/documents.parquet")
+    val q = graft.ops.TextAnalysis.all.find(_.name == "sample_bootstrap").get
+    val got = q.fn(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) null else r.getLong(3): Any)).toSeq
+    assert(got == want, s"got $got\nwant $want")
+    // the resample must actually vary across replicas
+    assert(got.map(_._2).distinct.size > 1)
+  }
+
   test("events_ffill: gap days carry the last observed value; same-day pick is latest (ts, event_id)") {
     val day = 86400000000L
     def ts(us: Long) = new java.sql.Timestamp(us / 1000)
