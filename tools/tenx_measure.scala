@@ -7,7 +7,7 @@
 // (any Bench run builds it). Record results + co-measured controls in BASELINE.md.
 import graft.SparkEntry
 val keys = Seq(
-  "graph_kcore", "sim_pca_power", "scan_avro", "text_winnow", "events_ffill",
+  "quality_outliers", "sample_bootstrap",
   "scan_project", "window_ntile")
 val dirs = Seq("sf01" -> "/tmp/graft_bench_mirror_ddbe1476c5607681e1c7241437b45958", "tenx" -> "/tmp/graft10x")
 val qs = SparkEntry.queries
