@@ -425,4 +425,55 @@ class PropertySpec extends AnyFunSuite {
       assert(run1 == run2, s"nondeterministic: $run1 vs $run2")
     }
   }
+
+  test("kcoreCensus: the census is monotone non-increasing and matches a plain-Scala peeler") {
+    val edgeGen: Gen[Seq[(Long, Long)]] = for {
+      n <- Gen.choose(4, 12)
+      m <- Gen.choose(3, 25)
+      es <- Gen.listOfN(m, for {
+        u <- Gen.choose(0L, n.toLong)
+        v <- Gen.choose(0L, n.toLong)
+      } yield (u, v))
+    } yield es.filter { case (u, v) => u != v }.distinct
+    def refPeel(und: Set[(Long, Long)], k: Int, rounds: Int): Seq[(Long, Long)] = {
+      var e = und.flatMap(p => Set(p, p.swap))
+      (1 to rounds).map { _ =>
+        val deg = e.groupBy(_._1).view.mapValues(_.size).toMap
+        val surv = deg.filter(_._2 >= k).keySet
+        e = e.filter { case (u, v) => surv(u) && surv(v) }
+        (e.map(_._1).toSet.size.toLong, e.size.toLong)
+      }
+    }
+    for (es <- samples(edgeGen, 4) if es.nonEmpty) {
+      val e0 = (es ++ es.map(_.swap)).distinct.toDF("u", "v")
+      val got = graft.ops.Graph.kcoreCensus(e0, 3, 4)
+        .orderBy("round")
+        .as[(Int, Long, Long, Long, Long, Long)].collect().toSeq
+      val want = refPeel(es.toSet, 3, 4)
+      assert(got.map(r => (r._2, r._3)) == want,
+        s"census mismatch: got $got want $want (edges $es)")
+      // peeling only removes: node and edge counts never increase
+      assert(got.map(_._2) == got.map(_._2).sorted.reverse, s"nodes grew: $got")
+      assert(got.map(_._3) == got.map(_._3).sorted.reverse, s"edges grew: $got")
+    }
+  }
+
+  test("winnowFingerprints: the every-window coverage guarantee holds on random corpora") {
+    // winnowing's defining property: every window of w consecutive
+    // shingle positions contains at least one selected fingerprint
+    // position (selection = each window's min-score decode).
+    for (corpus <- samples(corpusGen, 3)) {
+      val docs = corpus.zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val sel = graft.ops.Text.winnowFingerprints(docs, w = 4)
+      // recover the selected positions by re-deriving them: min_h rides
+      // the relation, but positions need the internal sel column — use
+      // density instead: n_fp >= ceil(n_shingles / 4) is implied by
+      // coverage (each fingerprint covers <= 4 window ends)
+      val bad = sel.filter(col("n_fp") * 4 < col("n_shingles")).count()
+      assert(bad == 0, "a doc has too few fingerprints for full window coverage")
+      // and selection can never exceed the shingle count
+      assert(sel.filter(col("n_fp") > col("n_shingles")).count() == 0)
+    }
+  }
 }
