@@ -780,10 +780,241 @@ object Pipelines {
       .orderBy("o_year")
   }
 
+  /** Derived PARTSUPP dimension — the one TPC-H table the fixture lacks.
+    * Defined as the OBSERVED supply relation: the distinct
+    * (l_partkey, l_suppkey) pairs of lineitem (so every fact row has a
+    * partsupp partner by construction — the alignment dbgen guarantees),
+    * with stock/cost columns derived from the keys by exact integer
+    * arithmetic so both engines compute the identical dimension from the
+    * same scan with no extra fixture. ps_supplycost is cents/100 pinned
+    * to DECIMAL(12,2) — exact in any engine. Scale shape: one map-side-
+    * combinable distinct on the two join keys (≈ |lineitem| once, then
+    * key-bounded), and the cost columns are per-row key arithmetic — no
+    * second scan, no shuffle beyond the distinct. The DuckDB oracles of
+    * q2/q9/q11/q20 carry the identical CTE. */
+  private def partsupp(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .select(col("l_partkey").as("ps_partkey"), col("l_suppkey").as("ps_suppkey"))
+      .distinct()
+      .select(col("ps_partkey"), col("ps_suppkey"),
+        (lit(1) + (col("ps_partkey") * 7 + col("ps_suppkey") * 11) % 9999)
+          .as("ps_availqty"),
+        ((lit(100) + (col("ps_partkey") * 31 + col("ps_suppkey") * 17) % 99900)
+          .cast(org.apache.spark.sql.types.DecimalType(18, 4)) / lit(100))
+          .cast(org.apache.spark.sql.types.DecimalType(12, 2))
+          .as("ps_supplycost"))
+
+  /** The shared partsupp CTE text for the DuckDB oracles (identical
+    * derivation, DuckDB dialect). */
+  private val PartsuppCte =
+    """partsupp AS (
+      |  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+      |         1 + (l_partkey * 7 + l_suppkey * 11) % 9999 AS ps_availqty,
+      |         CAST(CAST(100 + (l_partkey * 31 + l_suppkey * 17) % 99900 AS DECIMAL(18,4)) / 100 AS DECIMAL(12,2)) AS ps_supplycost
+      |  FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+      |)""".stripMargin
+
+  /** TPC-H Q2 shape (minimum-cost supplier): for each small ECONOMY part,
+    * the EUROPE supplier(s) achieving the region-wide minimum supply
+    * cost — the correlated-min subquery, decorrelated the aggregate-then-
+    * rejoin way (min per part, equi-rejoin on (part, cost)). The region
+    * restriction prunes the eligible relation BEFORE the min, so the
+    * aggregate is region-bounded; the part filter lands on the part scan.
+    * The top-k order carries (p_partkey, ps_suppkey) so the LIMIT slice
+    * is total-ordered even across s_acctbal ties (two suppliers can tie
+    * at a part's min cost — both rows are kept, keys break the tie). */
+  val pipelineTpchQ2 = QueryDef(
+    "pipeline_tpch_q2",
+    s"""WITH $PartsuppCte,
+       |eligible AS (
+       |  SELECT ps_partkey, ps_suppkey, ps_supplycost, s_name, s_acctbal, n_name
+       |  FROM partsupp
+       |  JOIN supplier ON ps_suppkey = s_suppkey
+       |  JOIN nation ON s_nationkey = n_nationkey
+       |  JOIN region ON n_regionkey = r_regionkey
+       |  WHERE r_name = 'EUROPE'
+       |),
+       |mincost AS (SELECT ps_partkey AS mk, min(ps_supplycost) AS mc FROM eligible GROUP BY 1)
+       |SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
+       |       CAST(ps_supplycost AS DOUBLE) AS supplycost
+       |FROM eligible JOIN mincost ON ps_partkey = mk AND ps_supplycost = mc
+       |JOIN part ON p_partkey = ps_partkey
+       |WHERE p_size <= 15 AND p_type = 'ECONOMY'
+       |ORDER BY s_acctbal DESC, p_partkey, ps_suppkey
+       |LIMIT 100""".stripMargin) { (s, d) =>
+    val eligible = partsupp(s, d)
+      .join(Tables.supplier(s, d)
+          .select("s_suppkey", "s_name", "s_acctbal", "s_nationkey"),
+        col("ps_suppkey") === col("s_suppkey"))
+      .join(Tables.nation(s, d).select("n_nationkey", "n_name", "n_regionkey"),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(Tables.region(s, d).filter(col("r_name") === "EUROPE")
+          .select("r_regionkey"),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("ps_partkey", "ps_suppkey", "ps_supplycost", "s_name",
+        "s_acctbal", "n_name")
+    val mincost = eligible.groupBy(col("ps_partkey").as("mk"))
+      .agg(min(col("ps_supplycost")).as("mc"))
+    eligible
+      .join(mincost, col("ps_partkey") === col("mk") &&
+        col("ps_supplycost") === col("mc"))
+      .join(Tables.part(s, d)
+          .filter(col("p_size") <= 15 && col("p_type") === "ECONOMY")
+          .select("p_partkey", "p_name"),
+        col("ps_partkey") === col("p_partkey"))
+      .orderBy(col("s_acctbal").desc, col("p_partkey"), col("ps_suppkey"))
+      .limit(100)
+      .select(col("s_acctbal"), col("s_name"), col("n_name"),
+        col("p_partkey"), col("p_name"),
+        col("ps_supplycost").cast("double").as("supplycost"))
+  }
+
+  /** TPC-H Q9 shape (product-type profit): per (supplier nation, order
+    * year), revenue minus supply cost over parts matching a name token —
+    * the 6-way snowflake where the FACT joins the DERIVED dim on BOTH
+    * keys (l_partkey, l_suppkey) — the only suite query exercising a
+    * composite-key fact⋈dim join. Profit stays in exact DECIMAL end to
+    * end (discounted price minus cost×quantity), cast once after the
+    * sum. The name filter prunes part at its scan; partsupp is derived
+    * from lineitem's own keys so the composite join is total (every fact
+    * row finds its partner — the dbgen alignment, by construction). */
+  val pipelineTpchQ9 = QueryDef(
+    "pipeline_tpch_q9",
+    s"""WITH $PartsuppCte
+       |SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+       |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))
+       |         - ps_supplycost * CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS profit
+       |FROM lineitem
+       |JOIN partsupp ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+       |JOIN supplier ON s_suppkey = l_suppkey
+       |JOIN part ON p_partkey = l_partkey
+       |JOIN orders ON o_orderkey = l_orderkey
+       |JOIN nation ON s_nationkey = n_nationkey
+       |WHERE p_name LIKE '%widget%'
+       |GROUP BY 1, 2
+       |ORDER BY nation, o_year DESC""".stripMargin) { (s, d) =>
+    val suppNation = Tables.supplier(s, d).select("s_suppkey", "s_nationkey")
+      .join(Tables.nation(s, d).select("n_nationkey", "n_name"),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey", "n_name")
+    Tables.lineitem(s, d)
+      .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+        "l_extendedprice", "l_discount")
+      .join(partsupp(s, d),
+        col("l_partkey") === col("ps_partkey") &&
+          col("l_suppkey") === col("ps_suppkey"))
+      .join(Tables.part(s, d).filter(col("p_name").like("%widget%"))
+          .select("p_partkey"),
+        col("l_partkey") === col("p_partkey"))
+      .join(Tables.orders(s, d).select("o_orderkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(suppNation, col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("n_name").as("nation"),
+        year(col("o_orderdate")).as("o_year"))
+      .agg(sum(money(col("l_extendedprice")) * (lit(1) - rate(col("l_discount")))
+          - col("ps_supplycost") * dec(col("l_quantity")))
+        .cast("double").as("profit"))
+      .orderBy(col("nation"), col("o_year").desc)
+  }
+
+  /** TPC-H Q11 shape (important stock): parts whose EUROPE supply value
+    * clears a corpus-relative threshold — the scalar-subquery HAVING,
+    * made SCALE-FREE: TPC-H's fixed fraction (0.0001/SF) empties at the
+    * wrong SF, so the gate is value > 2× the mean, compared CROSS-
+    * MULTIPLIED in exact DECIMAL (val·n > 2·t — the q16/q22 discipline,
+    * no division ever forms). One aggregate over the region-pruned
+    * derived dim, one single-row total joined back — the total is
+    * broadcast-sized by construction at any corpus. */
+  val pipelineTpchQ11 = QueryDef(
+    "pipeline_tpch_q11",
+    s"""WITH $PartsuppCte,
+       |v AS (
+       |  SELECT ps_partkey, sum(ps_supplycost * ps_availqty) AS val
+       |  FROM partsupp
+       |  JOIN supplier ON ps_suppkey = s_suppkey
+       |  JOIN nation ON s_nationkey = n_nationkey
+       |  JOIN region ON n_regionkey = r_regionkey
+       |  WHERE r_name = 'EUROPE'
+       |  GROUP BY 1),
+       |tot AS (SELECT sum(val) AS t, count(*) AS n FROM v)
+       |SELECT ps_partkey, CAST(val AS DOUBLE) AS supply_value
+       |FROM v, tot WHERE val * n > t * 2
+       |ORDER BY supply_value DESC, ps_partkey""".stripMargin) { (s, d) =>
+    val v = partsupp(s, d)
+      .join(Tables.supplier(s, d).select("s_suppkey", "s_nationkey"),
+        col("ps_suppkey") === col("s_suppkey"))
+      .join(Tables.nation(s, d).select("n_nationkey", "n_regionkey"),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(Tables.region(s, d).filter(col("r_name") === "EUROPE")
+          .select("r_regionkey"),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy("ps_partkey")
+      .agg(sum(col("ps_supplycost") * col("ps_availqty")).as("val"))
+    val tot = v.agg(sum(col("val")).as("t"), count(lit(1)).as("n"))
+    v.crossJoin(tot)
+      .filter(col("val") * col("n") > col("t") * 2)
+      .select(col("ps_partkey"), col("val").cast("double").as("supply_value"))
+      .orderBy(col("supply_value").desc, col("ps_partkey"))
+  }
+
+  /** TPC-H Q20 shape (excess-stock suppliers): AFRICA suppliers holding
+    * more than half a year's shipped quantity of any 'large' part — the
+    * NESTED SEMI-JOIN CHAIN (partsupp⋈part⋈shipped-agg filters to
+    * supplier keys, then two semi joins gate the supplier scan). The
+    * availqty > qty/2 comparison is cross-multiplied DECIMAL
+    * (availqty·2 > qty); the date window prunes lineitem at its scan;
+    * the name prefix prunes part at its scan. Nothing wider than supplier
+    * keys crosses the second semi join. */
+  val pipelineTpchQ20 = QueryDef(
+    "pipeline_tpch_q20",
+    s"""WITH $PartsuppCte,
+       |shipped AS (
+       |  SELECT l_partkey, l_suppkey, sum(CAST(l_quantity AS DECIMAL(18,4))) AS qty
+       |  FROM lineitem
+       |  WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+       |  GROUP BY 1, 2),
+       |excess AS (
+       |  SELECT DISTINCT ps_suppkey
+       |  FROM partsupp
+       |  JOIN part ON p_partkey = ps_partkey AND p_name LIKE 'large%'
+       |  JOIN shipped ON l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+       |  WHERE CAST(ps_availqty AS DECIMAL(18,4)) * 2 > qty)
+       |SELECT s_suppkey, s_name
+       |FROM supplier
+       |WHERE s_suppkey IN (SELECT ps_suppkey FROM excess)
+       |  AND s_nationkey IN (SELECT n_nationkey FROM nation n JOIN region r ON n_regionkey = r_regionkey WHERE r_name = 'AFRICA')
+       |ORDER BY s_suppkey""".stripMargin) { (s, d) =>
+    val shipped = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp_ntz") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp_ntz"))
+      .groupBy("l_partkey", "l_suppkey")
+      .agg(sum(dec(col("l_quantity"))).as("qty"))
+    val excess = partsupp(s, d)
+      .join(Tables.part(s, d).filter(col("p_name").like("large%"))
+          .select("p_partkey"),
+        col("ps_partkey") === col("p_partkey"))
+      .join(shipped, col("ps_partkey") === col("l_partkey") &&
+        col("ps_suppkey") === col("l_suppkey"))
+      .filter(col("ps_availqty")
+        .cast(org.apache.spark.sql.types.DecimalType(18, 4)) * 2 > col("qty"))
+      .select("ps_suppkey").distinct()
+    val afrNations = Tables.nation(s, d)
+      .join(Tables.region(s, d).filter(col("r_name") === "AFRICA")
+          .select("r_regionkey"),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("n_nationkey")
+    Tables.supplier(s, d)
+      .join(excess, col("s_suppkey") === col("ps_suppkey"), "left_semi")
+      .join(afrNations, col("s_nationkey") === col("n_nationkey"), "left_semi")
+      .select("s_suppkey", "s_name")
+      .orderBy("s_suppkey")
+  }
+
   val all: Seq[QueryDef] = Seq(pipelineTpchQ3, pipelineTpchQ18,
     pipelineTpchQ5, pipelineTpchQ10, pipelineTpchQ7, pipelineTpchQ19,
     pipelineTpchQ1, pipelineTpchQ4, pipelineTpchQ6, pipelineTpchQ12,
     pipelineTpchQ14, pipelineTpchQ16, pipelineTpchQ22,
     pipelineTpchQ13, pipelineTpchQ15, pipelineTpchQ17, pipelineTpchQ21,
-    pipelineTpchQ8)
+    pipelineTpchQ8, pipelineTpchQ2, pipelineTpchQ9, pipelineTpchQ11,
+    pipelineTpchQ20)
 }
