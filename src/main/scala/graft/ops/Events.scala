@@ -1514,11 +1514,93 @@ object Events {
       .orderBy("user_id", "day").limit(500)
   }
 
+  /** Max concurrent sessions per day — the interval-concurrency SWEEP
+    * LINE, the analytics shape `join_overlap` (pairwise) and `sessionize`
+    * (derivation) both stop short of: how many sessions are open AT ONCE.
+    * Sessions are the 30-min-gap sessionization scoped per (user, day);
+    * each contributes a +1 at its start and a −1 at its end, and the
+    * running sum of deltas ordered by (ts, delta DESC) — starts before
+    * ends at the same instant, i.e. touching sessions overlap, and the
+    * RANGE frame aggregates tied points together so the order within a
+    * tie never matters — is the concurrency profile. Peak = max of the
+    * profile; peak_ts = the earliest instant achieving it.
+    *
+    * Scale shape: the day is the partition key, so every window is
+    * day-bounded — the sweep parallelizes across days (no global-order
+    * single-reducer tail; at 100 TB the same sweep runs per day/hour
+    * bucket with per-bucket offsets, the bucketed-prefix-sum
+    * discipline). Everything is exact integers on µs timestamps. */
+  val eventConcurrency = QueryDef(
+    "event_concurrency",
+    """WITH e AS (
+      |  SELECT user_id, event_id, ts, CAST(ts AS DATE) AS day, epoch_us(ts) AS eus,
+      |         lag(epoch_us(ts), 1) OVER (PARTITION BY user_id, CAST(ts AS DATE) ORDER BY ts, event_id) AS prev_eus
+      |  FROM events
+      |), f AS (
+      |  SELECT *, CASE WHEN prev_eus IS NULL OR eus - prev_eus > 1800000000 THEN 1 ELSE 0 END AS new_sess
+      |  FROM e
+      |), sid AS (
+      |  SELECT *, CAST(sum(new_sess) OVER (PARTITION BY user_id, day ORDER BY ts, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      |  FROM f
+      |), sess AS (
+      |  SELECT user_id, day, session_id, min(ts) AS st, max(ts) AS en
+      |  FROM sid GROUP BY user_id, day, session_id
+      |), pts AS (
+      |  SELECT day, st AS ts, 1 AS delta FROM sess
+      |  UNION ALL
+      |  SELECT day, en, -1 FROM sess
+      |), run AS (
+      |  SELECT day, ts, delta,
+      |         CAST(sum(delta) OVER (PARTITION BY day ORDER BY ts, delta DESC) AS INT) AS conc
+      |  FROM pts
+      |), mx AS (
+      |  SELECT day, max(conc) AS max_concurrent FROM run GROUP BY day
+      |), ns AS (
+      |  SELECT day, CAST(count(*) AS BIGINT) AS n_sessions FROM sess GROUP BY day
+      |)
+      |SELECT mx.day, ns.n_sessions, mx.max_concurrent, min(run.ts) AS peak_ts
+      |FROM run JOIN mx ON run.day = mx.day AND run.conc = mx.max_concurrent
+      |JOIN ns ON mx.day = ns.day
+      |GROUP BY mx.day, ns.n_sessions, mx.max_concurrent
+      |ORDER BY mx.day""".stripMargin) { (s, d) =>
+    val wUser = Window.partitionBy("user_id", "day").orderBy("ts", "event_id")
+    val sess = Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        col("ts").cast("date").as("day"), eus.as("eus"))
+      .withColumn("prev_eus", lag(col("eus"), 1).over(wUser))
+      .withColumn("new_sess",
+        when(col("prev_eus").isNull || col("eus") - col("prev_eus") > 1800000000L, 1)
+          .otherwise(0))
+      .withColumn("session_id",
+        sum(col("new_sess"))
+          .over(wUser.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("long"))
+      .groupBy("user_id", "day", "session_id")
+      .agg(min(col("ts")).as("st"), max(col("ts")).as("en"))
+    val pts = sess.select(col("day"), col("st").as("ts"), lit(1).as("delta"))
+      .unionByName(sess.select(col("day"), col("en").as("ts"),
+        lit(-1).as("delta")))
+    val run = pts.withColumn("conc",
+      sum(col("delta"))
+        .over(Window.partitionBy("day").orderBy(col("ts"), col("delta").desc))
+        .cast("int"))
+    val mx = run.groupBy("day").agg(max(col("conc")).as("max_concurrent"))
+    val ns = sess.groupBy("day").agg(count(lit(1)).as("n_sessions"))
+    run.join(mx, Seq("day")).filter(col("conc") === col("max_concurrent"))
+      .join(ns, Seq("day"))
+      .groupBy("day", "n_sessions", "max_concurrent")
+      .agg(min(col("ts")).as("peak_ts"))
+      .select("day", "n_sessions", "max_concurrent", "peak_ts")
+      .orderBy("day")
+  }
+
   val all: Seq[QueryDef] = Seq(sessionizeQ, streamTumbling, streamSliding,
     streamWatermark, streamSession, windowTimeRange, streamDedup, eventFunnel,
     streamJoin, eventRetention, eventsResample, windowGapsIslands,
     eventAttribution, eventPaths, eventAnomaly, joinOverlap, streamFileSink,
     eventMarkov, streamJoinOuter, eventRfm, eventSeqMatch,
     streamStatefulSession, streamUpsertSink, eventActiveUsers,
-    eventForecastBacktest, eventAbTest, eventSurvival, eventsFfill)
+    eventForecastBacktest, eventAbTest, eventSurvival, eventsFfill,
+    eventConcurrency)
 }

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -264,5 +264,109 @@ object Quality {
       .orderBy("seg")
   }
 
-  val all: Seq[QueryDef] = Seq(qualityExpectations, qualityDrift, qualityOutliers)
+  /** Column-profiling report — the DISCOVERY half of data quality
+    * (`quality_expectations` checks declared constraints; THIS computes
+    * the per-column statistics you write constraints FROM — the
+    * Deequ-profiler / `ANALYZE`-for-humans surface): per column, row
+    * count, null count, exact distinct count, and type-aware min/max
+    * (numeric → DOUBLE, string → lexicographic VARCHAR, timestamp →
+    * counts only: cross-engine timestamp RENDERING is not hash-safe, so
+    * the profile declines to stringify it — the §2.9 discipline applied
+    * to a schema decision). One nullable derived column
+    * (non-BUILDING segment) keeps the null-count branch live.
+    *
+    * Scale shape: ONE aggregate pass per table computes every column's
+    * statistics simultaneously (the n exact distincts share a single
+    * Expand-based aggregate — one scan, not one scan per column), then
+    * the single stats row explodes into the long-format report. At
+    * 100 TB the profile is one combinable job per table; columns never
+    * cause extra scans. */
+  val qualityProfile = QueryDef(
+    "quality_profile", {
+      def num(t: String, c: String) =
+        s"""SELECT '$t' AS tbl, '$c' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+           |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+           |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+           |  CAST(min($c) AS DOUBLE) AS min_num, CAST(max($c) AS DOUBLE) AS max_num,
+           |  CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+           |FROM $t""".stripMargin
+      def str(t: String, c: String, expr: String) =
+        s"""SELECT '$t', '$c', CAST(count(*) AS BIGINT),
+           |  CAST(sum(CASE WHEN $expr IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           |  CAST(count(DISTINCT $expr) AS BIGINT),
+           |  CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           |  min($expr), max($expr)
+           |FROM $t""".stripMargin
+      def ts(t: String, c: String) =
+        s"""SELECT '$t', '$c', CAST(count(*) AS BIGINT),
+           |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           |  CAST(count(DISTINCT $c) AS BIGINT),
+           |  CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           |  CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+           |FROM $t""".stripMargin
+      Seq(
+        num("customer", "c_custkey"),
+        str("customer", "c_name", "c_name"),
+        num("customer", "c_nationkey"),
+        num("customer", "c_acctbal"),
+        str("customer", "c_mktsegment", "c_mktsegment"),
+        str("customer", "seg_nonbuilding",
+          "CASE WHEN c_mktsegment = 'BUILDING' THEN NULL ELSE c_mktsegment END"),
+        num("orders", "o_orderkey"),
+        num("orders", "o_custkey"),
+        str("orders", "o_orderstatus", "o_orderstatus"),
+        num("orders", "o_totalprice"),
+        ts("orders", "o_orderdate")
+      ).mkString("", "\nUNION ALL\n", "\nORDER BY tbl, col_name")
+    }) { (s, d) =>
+    def nNull(c: Column) = sum(when(c.isNull, 1L).otherwise(0L))
+    def profile(df: DataFrame, tbl: String,
+        cols: Seq[(String, Column, String)]): DataFrame = {
+      // kind: "num" | "str" | "ts" — decides which min/max slot is
+      // populated in the long-format row.
+      val aggs = cols.zipWithIndex.flatMap { case ((_, c, kind), i) =>
+        Seq(nNull(c).as(s"nn_$i"), countDistinct(c).as(s"nd_$i")) ++
+          (kind match {
+            case "num" => Seq(min(c).cast("double").as(s"mn_$i"),
+              max(c).cast("double").as(s"mx_$i"))
+            case "str" => Seq(min(c).as(s"mns_$i"), max(c).as(s"mxs_$i"))
+            case _     => Seq.empty
+          })
+      }
+      val one = df.agg(count(lit(1)).as("n_rows"), aggs: _*)
+      val rows = cols.zipWithIndex.map { case ((name, _, kind), i) =>
+        struct(
+          lit(tbl).as("tbl"), lit(name).as("col_name"), col("n_rows"),
+          col(s"nn_$i").as("n_null"), col(s"nd_$i").as("n_distinct"),
+          (if (kind == "num") col(s"mn_$i") else lit(null).cast("double"))
+            .as("min_num"),
+          (if (kind == "num") col(s"mx_$i") else lit(null).cast("double"))
+            .as("max_num"),
+          (if (kind == "str") col(s"mns_$i") else lit(null).cast("string"))
+            .as("min_str"),
+          (if (kind == "str") col(s"mxs_$i") else lit(null).cast("string"))
+            .as("max_str"))
+      }
+      one.select(explode(array(rows: _*)).as("r")).select("r.*")
+    }
+    val cust = profile(Tables.customer(s, d), "customer", Seq(
+      ("c_custkey", col("c_custkey"), "num"),
+      ("c_name", col("c_name"), "str"),
+      ("c_nationkey", col("c_nationkey"), "num"),
+      ("c_acctbal", col("c_acctbal"), "num"),
+      ("c_mktsegment", col("c_mktsegment"), "str"),
+      ("seg_nonbuilding",
+        when(col("c_mktsegment") === "BUILDING", lit(null))
+          .otherwise(col("c_mktsegment")), "str")))
+    val ord = profile(Tables.orders(s, d), "orders", Seq(
+      ("o_orderkey", col("o_orderkey"), "num"),
+      ("o_custkey", col("o_custkey"), "num"),
+      ("o_orderstatus", col("o_orderstatus"), "str"),
+      ("o_totalprice", col("o_totalprice"), "num"),
+      ("o_orderdate", col("o_orderdate"), "ts")))
+    cust.unionByName(ord).orderBy("tbl", "col_name")
+  }
+
+  val all: Seq[QueryDef] = Seq(qualityExpectations, qualityDrift, qualityOutliers,
+    qualityProfile)
 }

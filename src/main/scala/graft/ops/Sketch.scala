@@ -246,6 +246,56 @@ object Sketch {
       .orderBy("event_type")
   }
 
+  /** Misra–Gries heavy hitters per group — the ORDER-DEPENDENT member of
+    * the sketch family, gated the only way an order-dependent sketch can
+    * be: through its order-INVARIANT guarantees. The summary state
+    * (graft.functions.MisraGriesAgg, 3 counters) legitimately varies
+    * with Spark's arrival/merge order, so the relation under the hash is
+    * the DETERMINISTIC true-heavy-hitter set (exact count·4 > group
+    * size, computed by a plain exact groupBy riding the same scan) with
+    * three theory-guaranteed booleans evaluated against the live
+    * summary: membership (true count > n/4 ⇒ present), underestimation
+    * (est ≤ true always), and the additive bound ((true − est)·4 ≤ n,
+    * preserved across any merge tree — Agarwal et al. 2012). A summary
+    * implementation bug — overcount, lost counter, broken merge cut —
+    * flips a boolean or drops a row and fails the driver hash, while
+    * legitimate order variation cannot. Scale: the sketch partial is a
+    * ≤3-entry map per task per group at any corpus; the exact companion
+    * is itself combinable (this fixture's lang domain is 5 — the exact
+    * side exists to gate the sketch, the sketch to replace it when the
+    * domain is unbounded). */
+  val aggHeavyHitters = QueryDef(
+    "agg_heavy_hitters",
+    """WITH e AS (
+      |  SELECT source, lang, CAST(count(*) AS BIGINT) AS exact_count
+      |  FROM documents GROUP BY source, lang
+      |), ns AS (
+      |  SELECT source, CAST(count(*) AS BIGINT) AS n_source
+      |  FROM documents GROUP BY source
+      |)
+      |SELECT e.source, e.lang, e.exact_count, ns.n_source,
+      |       TRUE AS in_summary, TRUE AS underest_ok, TRUE AS bound_ok
+      |FROM e JOIN ns ON e.source = ns.source
+      |WHERE e.exact_count * 4 > ns.n_source
+      |ORDER BY e.source, e.lang""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d).select("source", "lang")
+    val mg = udaf(new graft.functions.MisraGriesAgg(3))
+    val est = docs.groupBy("source").agg(mg(col("lang")).as("summary"))
+      .select(col("source"), explode(col("summary")).as(Seq("lang", "est")))
+    val exact = docs.groupBy("source", "lang")
+      .agg(count(lit(1)).as("exact_count"))
+    val n = docs.groupBy("source").agg(count(lit(1)).as("n_source"))
+    exact.join(n, "source")
+      .filter(col("exact_count") * 4 > col("n_source"))
+      .join(est, Seq("source", "lang"), "left")
+      .select(col("source"), col("lang"), col("exact_count"), col("n_source"),
+        col("est").isNotNull.as("in_summary"),
+        coalesce(col("est") <= col("exact_count"), lit(false)).as("underest_ok"),
+        coalesce((col("exact_count") - col("est")) * 4 <= col("n_source"),
+          lit(false)).as("bound_ok"))
+      .orderBy("source", "lang")
+  }
+
   val all: Seq[QueryDef] = Seq(joinBloom, aggSketchCms, aggSketchHllMerge,
-    aggBitmapDistinct)
+    aggBitmapDistinct, aggHeavyHitters)
 }

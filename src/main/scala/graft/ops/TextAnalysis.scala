@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -1215,10 +1216,48 @@ object TextAnalysis {
       .orderBy("replica")
   }
 
+  /** Fixed-SIZE deterministic sample per stratum — the bottom-k-by-hash
+    * companion to the fixed-RATE samplers (split/stratified keep a hash
+    * fraction; THIS keeps exactly k per language): rank docs inside each
+    * language by md5(text ‖ doc_id) — a uniform, rerun-stable priority,
+    * doc_id appended so the sf0.1 duplicate texts still get distinct
+    * priorities — and keep row_number ≤ k. This is the classic bottom-k
+    * / priority-sample construction: the k smallest hashes of any stream
+    * are a uniform without-replacement sample, and two nodes' bottom-k
+    * sets MERGE by taking the bottom-k of the union (how a 1000-executor
+    * sample coordinates without a shuffle of everything: Spark's
+    * WindowGroupLimit pushes the rank filter to a per-partition top-k
+    * heap BEFORE the exchange, so only ≤k rows per partition per
+    * language travel). */
+  val sampleBottomk = QueryDef(
+    "sample_bottomk",
+    """WITH p AS (
+      |  SELECT lang, doc_id, md5(text || CAST(doc_id AS VARCHAR)) AS pri
+      |  FROM documents
+      |), r AS (
+      |  SELECT lang, doc_id, pri,
+      |         row_number() OVER (PARTITION BY lang ORDER BY pri, doc_id) AS rk
+      |  FROM p
+      |)
+      |SELECT lang, CAST(rk AS INT) AS rk, doc_id, pri
+      |FROM r WHERE rk <= 5
+      |ORDER BY lang, rk""".stripMargin) { (s, d) =>
+    val pri = Tables.documents(s, d)
+      .select(col("lang"), col("doc_id"),
+        md5(concat(col("text"), col("doc_id").cast("string")).cast("binary"))
+          .as("pri"))
+    pri
+      .withColumn("rk",
+        row_number().over(Window.partitionBy("lang").orderBy("pri", "doc_id")))
+      .filter(col("rk") <= 5)
+      .select(col("lang"), col("rk"), col("doc_id"), col("pri"))
+      .orderBy("lang", "rk")
+  }
+
   val all: Seq[QueryDef] = Seq(textLangid, textQuality, textTokens, textFingerprint,
     textPiiScrub, sampleSplit, sampleStratified, textPack, textDecontaminate,
     textNgrams, textTfidf, sampleShuffle, pipelineCleanse, textStripMarkup,
     textRepetition, sampleWeighted, textRarity, sampleMix, textBpePairs,
     textLmScore, textBlocklist, sampleTemperature, textBpeMerge,
-    textBpeEncode, sampleBootstrap)
+    textBpeEncode, sampleBootstrap, sampleBottomk)
 }

@@ -523,4 +523,37 @@ class PlanSpec extends AnyFunSuite {
       s"winnowing formed pairs:\n$p")
     assert(p.contains("TakeOrderedAndProject"), s"top-300 fell to a global sort:\n$p")
   }
+
+  test("sample_bottomk: rank filter pushes to two-phase WindowGroupLimit (partial heap before the exchange)") {
+    val p = plan(graft.ops.TextAnalysis.sampleBottomk)
+    // the 100 TB shape: a per-partition top-k heap BEFORE the lang
+    // shuffle and the final group limit after — only <=k rows per
+    // (partition, lang) ever travel
+    assert("WindowGroupLimit".r.findAllIn(p).length >= 2,
+      s"bottom-k lost the pre-shuffle partial group limit:\n$p")
+  }
+
+  test("agg_heavy_hitters: MG summary aggregates object-hash with map-side partials, no pairs") {
+    val p = plan(graft.ops.Sketch.aggHeavyHitters)
+    assert(p.contains("ObjectHashAggregate"),
+      s"typed MG aggregator fell off object-hash aggregation:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"heavy-hitter gate formed pairs:\n$p")
+  }
+
+  test("quality_profile: every column's statistics ride ONE aggregate pass per table") {
+    val p = plan(graft.ops.Quality.qualityProfile)
+    assert("Scan parquet".r.findAllIn(p).length == 2,
+      s"per-column profiling re-scanned a table:\n$p")
+  }
+
+  test("event_concurrency: day-partitioned sweep — no global-order window, no pairs") {
+    val p = plan(graft.ops.Events.eventConcurrency)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"concurrency sweep formed pairs:\n$p")
+    // every window carries a partition spec (user/day or day) — a
+    // missing spec would collapse the sweep to one reducer
+    assert(!p.toLowerCase.contains("windowspecdefinition()"),
+      s"unpartitioned window in the sweep:\n$p")
+  }
 }

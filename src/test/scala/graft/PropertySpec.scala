@@ -476,4 +476,44 @@ class PropertySpec extends AnyFunSuite {
       assert(sel.filter(col("n_fp") > col("n_shingles")).count() == 0)
     }
   }
+
+  test("MisraGriesAgg: order-invariant guarantees hold over random streams and merge trees") {
+    // The agg_heavy_hitters gate rests on three theory bounds that must
+    // hold for ANY partitioning and ANY merge order (Spark fixes
+    // neither). Exercise them directly (no Spark — the Aggregator's own
+    // reduce/merge): random Zipf-ish streams, random partition cuts,
+    // random left/right merge fold.
+    val counters = 3
+    val streamGen: Gen[(List[String], List[Int], Long)] = for {
+      n <- Gen.choose(1, 300)
+      xs <- Gen.listOfN(n, Gen.frequency(
+        8 -> Gen.const("hot"), 3 -> Gen.const("warm"),
+        1 -> Gen.oneOf("c1", "c2", "c3", "c4", "c5", "c6")))
+      nCuts <- Gen.choose(0, 6)
+      cuts <- Gen.listOfN(nCuts, Gen.choose(0, n))
+      mergeSeed <- Gen.choose(0L, Long.MaxValue)
+    } yield (xs, cuts, mergeSeed)
+    for ((xs, cuts, mergeSeed) <- samples(streamGen, 25)) {
+      val agg = new graft.functions.MisraGriesAgg(counters)
+      val parts = (0 +: cuts.sorted :+ xs.length).distinct.sorted
+        .sliding(2).map { case Seq(a, b) => xs.slice(a, b) }.toList
+      val bufs = parts.map(p => p.foldLeft(agg.zero)(agg.reduce))
+      val rnd = new scala.util.Random(mergeSeed)
+      val merged = rnd.shuffle(bufs).reduceLeft(agg.merge)
+      val est = agg.finish(merged)
+      val exact = xs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val n = xs.length.toLong
+      assert(est.size <= counters, s"summary overflowed: $est")
+      est.foreach { case (k, e) =>
+        assert(e <= exact(k), s"overestimate for $k: $e > ${exact(k)}")
+      }
+      exact.foreach { case (k, f) =>
+        val e = est.getOrElse(k, 0L)
+        assert((f - e) * (counters + 1) <= n,
+          s"additive bound broken for $k: exact $f est $e n $n")
+        if (f * (counters + 1) > n)
+          assert(est.contains(k), s"true heavy hitter $k missing from $est")
+      }
+    }
+  }
 }
