@@ -309,6 +309,44 @@ object Formats {
       .orderBy("c_mktsegment")
   }
 
+  /** MERGE-ON-READ delete-vector scan — the lakehouse read pattern the
+    * maintenance family stops short of (compact rewrites files, zorder
+    * re-clusters; neither DELETES): a write lands the base table
+    * untouched plus a side DELETE VECTOR file (the keys of deleted rows
+    * — every 37th doc), and the read applies the vector as a LEFT ANTI
+    * join before anything downstream sees a row. This is how
+    * Delta/Iceberg/Hudi serve deletes without rewriting data files:
+    * deletion cost is O(|deleted keys|) at write time, reads pay one
+    * key-bounded anti join until the next compaction folds the vector
+    * in. The vector is broadcast-sized by construction (keys only);
+    * at 100 TB position-based vectors additionally partition-align so
+    * each task reads only its own file's vector — the key-based form
+    * gated here is the engine-semantics half. Oracle recomputes from
+    * the original table with the same key rule, certifying no row is
+    * lost or resurrected across the base+vector split. */
+  val scanMorDeletes = QueryDef(
+    "scan_mor_deletes",
+    """SELECT lang, CAST(count(*) AS BIGINT) AS n_live,
+      |       CAST(sum(n_chars) AS BIGINT) AS chars_live
+      |FROM documents WHERE doc_id % 37 <> 0
+      |GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
+    val root = fmtDir(d, "mor")
+    val docs = graft.Tables.documents(s, d)
+    docs.write.mode("overwrite").parquet(root + "/base")
+    docs.filter(col("doc_id") % 37 === 0).select("doc_id")
+      .write.mode("overwrite").parquet(root + "/deletes")
+    val base = s.read.parquet(root + "/base")
+    val dv = s.read.parquet(root + "/deletes")
+      .withColumnRenamed("doc_id", "del_id")
+    base
+      .join(broadcast(dv), col("doc_id") === col("del_id"), "left_anti")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_live"),
+        sum(col("n_chars")).as("chars_live"))
+      .orderBy("lang")
+  }
+
   val all: Seq[QueryDef] = Seq(scanCsv, scanJson, scanOrc, scanXml,
-    maintenanceCompact, scanEvolution, exportTfrecord, scanAvro)
+    maintenanceCompact, scanEvolution, exportTfrecord, scanAvro,
+    scanMorDeletes)
 }

@@ -1254,10 +1254,57 @@ object TextAnalysis {
       .orderBy("lang", "rk")
   }
 
+  /** Per-document keyword extraction — top-3 tokens by tf × quantized
+    * idf. `text_tfidf` emits the score; THIS ranks by it, and ranking is
+    * where cross-engine doubles bite: two candidates within an ulp of
+    * ln() would make the top-3 slice engine-dependent. So the RANKING
+    * score is exact-integer: idf quantized to the power-of-two bucket of
+    * the document frequency via bit length (33 − length(bin(df)) — both
+    * engines' `bin` is exact), score = tf · bucket, ties by token ASC —
+    * a total integer order, the §2.9 discipline applied to ranking
+    * (real retrieval stacks quantize scores for exactly this stability
+    * reason). Two keyed shuffles (token for df, doc for the top-3) and
+    * the rank filter gets the same two-phase WindowGroupLimit push as
+    * sample_bottomk — ≤3 rows per partition per doc travel. */
+  val textKeywords = QueryDef(
+    "text_keywords",
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+      |), tf AS (
+      |  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+      |  FROM tok GROUP BY doc_id, token
+      |), dfx AS (
+      |  SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY token
+      |), sc AS (
+      |  SELECT doc_id, token, tf, df,
+      |         tf * (33 - length(bin(df))) AS score
+      |  FROM tf JOIN dfx USING (token)
+      |), rk AS (
+      |  SELECT doc_id, token, tf, df, score,
+      |         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, token) AS rnk
+      |  FROM sc WHERE doc_id % 7 = 0
+      |)
+      |SELECT doc_id, CAST(rnk AS INT) AS rnk, token, tf, df, score
+      |FROM rk WHERE rnk <= 3
+      |ORDER BY doc_id, rnk""".stripMargin) { (s, d) =>
+    val tok = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+    val tf = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val sc = tf
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("token")))
+      .filter(col("doc_id") % 7 === 0)
+      .withColumn("score", col("tf") * (lit(33) - length(bin(col("df")))))
+    sc.withColumn("rnk", row_number()
+        .over(Window.partitionBy("doc_id").orderBy(col("score").desc, col("token"))))
+      .filter(col("rnk") <= 3)
+      .select("doc_id", "rnk", "token", "tf", "df", "score")
+      .orderBy("doc_id", "rnk")
+  }
+
   val all: Seq[QueryDef] = Seq(textLangid, textQuality, textTokens, textFingerprint,
     textPiiScrub, sampleSplit, sampleStratified, textPack, textDecontaminate,
     textNgrams, textTfidf, sampleShuffle, pipelineCleanse, textStripMarkup,
     textRepetition, sampleWeighted, textRarity, sampleMix, textBpePairs,
     textLmScore, textBlocklist, sampleTemperature, textBpeMerge,
-    textBpeEncode, sampleBootstrap, sampleBottomk)
+    textBpeEncode, sampleBootstrap, sampleBottomk, textKeywords)
 }
