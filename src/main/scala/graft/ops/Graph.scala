@@ -836,6 +836,39 @@ object Graph {
       .orderBy("round")
   }
 
+  /** The bipartite-projection edge relation ITSELF, gated — every graph
+    * kernel here consumes the part co-purchase projection (order ⋈ part
+    * bipartite incidence → part–part repeat-affinity edges), but until
+    * this key only the kernels' OUTPUTS were hashed; a projection bug
+    * that two kernels happened to absorb symmetrically was invisible.
+    * This emits the top-200 heaviest edges of the landed shared relation
+    * (u < v half, weight = distinct co-orders, total (c, u, v) order) —
+    * so the derivation the whole family rides is now pinned byte-exact,
+    * and the landedOnce cache means the key costs one parquet read when
+    * any kernel already ran. Scale: the projection meets on l_orderkey
+    * (pairs bounded by per-order basket size, never |parts|²) and the
+    * ≥2-distinct-orders filter keeps it sparse — the standard
+    * bipartite-projection discipline. */
+  val graphProjectBipartite = QueryDef(
+    "graph_project_bipartite",
+    """WITH pr AS (
+      |  SELECT DISTINCT a.l_orderkey AS ok, a.l_partkey AS u, b.l_partkey AS v
+      |  FROM lineitem a JOIN lineitem b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |)
+      |SELECT u, v, c FROM (
+      |  SELECT u, v, CAST(count(*) AS BIGINT) AS c
+      |  FROM pr GROUP BY u, v HAVING count(*) >= 2
+      |)
+      |ORDER BY c DESC, u, v LIMIT 200""".stripMargin) { (s, d) =>
+    partCoEdges(s, d)
+      .filter(col("u") < col("v"))
+      .select("u", "v", "c")
+      .orderBy(col("c").desc, col("u"), col("v"))
+      .limit(200)
+  }
+
   val all: Seq[QueryDef] = Seq(graphPagerank, graphTriangles, graphComponents,
-    graphLinkpred, graphKhop, graphSssp, graphLabelprop, graphKcore)
+    graphLinkpred, graphKhop, graphSssp, graphLabelprop, graphKcore,
+    graphProjectBipartite)
 }

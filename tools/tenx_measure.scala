@@ -7,7 +7,9 @@
 // (any Bench run builds it). Record results + co-measured controls in BASELINE.md.
 import graft.SparkEntry
 val keys = Seq(
-  "quality_outliers", "sample_bootstrap",
+  "pipeline_tpch_q2", "pipeline_tpch_q9", "pipeline_tpch_q11", "pipeline_tpch_q20",
+  "agg_heavy_hitters", "event_concurrency", "sample_bottomk", "quality_profile",
+  "text_keywords", "scan_mor_deletes", "graph_project_bipartite",
   "scan_project", "window_ntile")
 val dirs = Seq("sf01" -> "/tmp/graft_bench_mirror_ddbe1476c5607681e1c7241437b45958", "tenx" -> "/tmp/graft10x")
 val qs = SparkEntry.queries
