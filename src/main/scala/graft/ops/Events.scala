@@ -1564,13 +1564,19 @@ object Events {
       |JOIN ns ON mx.day = ns.day
       |GROUP BY mx.day, ns.n_sessions, mx.max_concurrent
       |ORDER BY mx.day""".stripMargin) { (s, d) =>
+    concurrencyByDay(Tables.events(s, d)).orderBy("day")
+  }
+
+  /** The event_concurrency kernel on any events-shaped frame (EdgeSpec
+    * plants boundary intervals through this). */
+  def concurrencyByDay(events: DataFrame, gapUs: Long = 1800000000L): DataFrame = {
     val wUser = Window.partitionBy("user_id", "day").orderBy("ts", "event_id")
-    val sess = Tables.events(s, d)
+    val sess = events
       .select(col("user_id"), col("event_id"), col("ts"),
         col("ts").cast("date").as("day"), eus.as("eus"))
       .withColumn("prev_eus", lag(col("eus"), 1).over(wUser))
       .withColumn("new_sess",
-        when(col("prev_eus").isNull || col("eus") - col("prev_eus") > 1800000000L, 1)
+        when(col("prev_eus").isNull || col("eus") - col("prev_eus") > gapUs, 1)
           .otherwise(0))
       .withColumn("session_id",
         sum(col("new_sess"))
@@ -1592,7 +1598,6 @@ object Events {
       .groupBy("day", "n_sessions", "max_concurrent")
       .agg(min(col("ts")).as("peak_ts"))
       .select("day", "n_sessions", "max_concurrent", "peak_ts")
-      .orderBy("day")
   }
 
   val all: Seq[QueryDef] = Seq(sessionizeQ, streamTumbling, streamSliding,

@@ -1287,18 +1287,27 @@ object TextAnalysis {
       |SELECT doc_id, CAST(rnk AS INT) AS rnk, token, tf, df, score
       |FROM rk WHERE rnk <= 3
       |ORDER BY doc_id, rnk""".stripMargin) { (s, d) =>
-    val tok = Tables.documents(s, d)
+    keywordsTopK(Tables.documents(s, d), col("doc_id") % 7 === 0, k = 3)
+      .orderBy("doc_id", "rnk")
+  }
+
+  /** The text_keywords kernel: top-k tokens by tf × power-of-two-
+    * quantized idf for the docs matching `keepPred`, with document
+    * frequencies from the WHOLE corpus (the subset must not shift
+    * everyone's idf — keepPred applies after the df window). Split out
+    * so EdgeSpec can plant score ties. */
+  def keywordsTopK(corpus: DataFrame, keepPred: Column, k: Int): DataFrame = {
+    val tf = corpus
       .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
-    val tf = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
     val sc = tf
       .withColumn("df", count(lit(1)).over(Window.partitionBy("token")))
-      .filter(col("doc_id") % 7 === 0)
+      .filter(keepPred)
       .withColumn("score", col("tf") * (lit(33) - length(bin(col("df")))))
     sc.withColumn("rnk", row_number()
         .over(Window.partitionBy("doc_id").orderBy(col("score").desc, col("token"))))
-      .filter(col("rnk") <= 3)
+      .filter(col("rnk") <= k)
       .select("doc_id", "rnk", "token", "tf", "df", "score")
-      .orderBy("doc_id", "rnk")
   }
 
   val all: Seq[QueryDef] = Seq(textLangid, textQuality, textTokens, textFingerprint,

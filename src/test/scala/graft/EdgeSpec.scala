@@ -969,4 +969,45 @@ class EdgeSpec extends AnyFunSuite {
     assert(got == Seq((1, "a", "a", 6L), (2, "b", "a", 6L), (3, "aa", "a", 3L)),
       s"merge table mismatch: $got")
   }
+
+  test("concurrencyByDay: touching sessions both count; gap splits; peak_ts is the earliest max instant") {
+    // user 1: one session 00:00–00:10 (two events, 10-min gap).
+    // user 2: session 00:10–00:10 (single event) — STARTS at the instant
+    //   user 1's session is still open (inclusive overlap → conc 2) and
+    //   its own end at the same instant must not cancel before counting.
+    // user 3: events at 01:00 and 01:40 — 40-min gap > 30 → TWO
+    //   single-event sessions, never concurrent with anything.
+    // day 2: one lone session (peak 1, its own start).
+    val ev = events(
+      (1L, "2024-01-01 00:00:00", 1L, "view"),
+      (2L, "2024-01-01 00:10:00", 1L, "view"),
+      (3L, "2024-01-01 00:10:00", 2L, "view"),
+      (4L, "2024-01-01 01:00:00", 3L, "view"),
+      (5L, "2024-01-01 01:40:00", 3L, "view"),
+      (6L, "2024-01-02 09:00:00", 1L, "view"))
+    val got = Events.concurrencyByDay(ev).orderBy("day")
+      // peak_ts is TIMESTAMP_NTZ → collects as LocalDateTime
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1), r.getInt(2),
+        r.getAs[java.time.LocalDateTime](3).toString))
+    assert(got.toSeq == Seq(
+      ("2024-01-01", 4L, 2, "2024-01-01T00:10"),
+      ("2024-01-02", 1L, 1, "2024-01-02T09:00")), s"mismatch: ${got.toSeq}")
+  }
+
+  test("keywordsTopK: integer score ranks, token ASC breaks exact score ties") {
+    // corpus of 4 docs; "rare" df=1 (bucket 33−1=32), "zz"/"aa" df=1 too.
+    // doc 0: rare×2 → score 64 top; then aa and zz both ×1 score 32 —
+    //   EXACT tie → token ASC puts aa before zz.
+    // "common" df=4 → bucket 33−3=30 (bin(4)=100), score 30 sits below
+    //   both despite df being the only difference.
+    val docs = Seq(
+      (0L, "rare rare aa zz common"),
+      (1L, "common x1"), (2L, "common x2"), (3L, "common x3"))
+      .toDF("doc_id", "text")
+    val got = graft.ops.TextAnalysis.keywordsTopK(docs, col("doc_id") === 0, 3)
+      .orderBy("rnk")
+      .collect().map(r => (r.getInt(1), r.getString(2), r.getLong(5)))
+    assert(got.toSeq == Seq((1, "rare", 64L), (2, "aa", 32L), (3, "zz", 32L)),
+      s"mismatch: ${got.toSeq}")
+  }
 }
