@@ -30,23 +30,9 @@ object Graph {
     * kernels. Entries owned by stopped sessions are dropped first (the
     * coocCache hygiene); the landed path is tmpRoot-stable within a
     * process, so bench reps overwrite nothing and reuse the file. */
-  private val landCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), String]()
-
-  /** Lands `build` to parquet once per (session, sfDir, tag) and returns
-    * a reader over the landed file. `build` must not recurse into
-    * landedOnce (ConcurrentHashMap forbids re-entrant computeIfAbsent) —
-    * derived-relation helpers force their base OUTSIDE the closure. */
   private def landedOnce(s: SparkSession, d: String, tag: String)(
-      build: => DataFrame): DataFrame = {
-    landCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
-    val path = landCache.computeIfAbsent((s, d, tag), { _ =>
-      val root = QueryDef.tmpRoot("gr_" + tag, d)
-      build.write.mode("overwrite").parquet(root)
-      root
-    })
-    s.read.parquet(path)
-  }
+      build: => DataFrame): DataFrame =
+    Landed.once(s, d, "gr_" + tag)(build)
 
   /** The 1996 supplier co-engagement graph, degree-carrying (u, v, d) —
     * the shared base of `graph_pagerank` and (via orientation)

@@ -793,16 +793,21 @@ object Pipelines {
     * second scan, no shuffle beyond the distinct. The DuckDB oracles of
     * q2/q9/q11/q20 carry the identical CTE. */
   private def partsupp(s: SparkSession, d: String): DataFrame =
-    Tables.lineitem(s, d)
-      .select(col("l_partkey").as("ps_partkey"), col("l_suppkey").as("ps_suppkey"))
-      .distinct()
-      .select(col("ps_partkey"), col("ps_suppkey"),
-        (lit(1) + (col("ps_partkey") * 7 + col("ps_suppkey") * 11) % 9999)
-          .as("ps_availqty"),
-        ((lit(100) + (col("ps_partkey") * 31 + col("ps_suppkey") * 17) % 99900)
-          .cast(org.apache.spark.sql.types.DecimalType(18, 4)) / lit(100))
-          .cast(org.apache.spark.sql.types.DecimalType(12, 2))
-          .as("ps_supplycost"))
+    // landed once per (session, dataset) — four keys consume it, and at
+    // 100 TB partsupp is a maintained table beside the facts, not a
+    // per-query derivation (Landed scaladoc, QueryDef.scala)
+    Landed.once(s, d, "ps") {
+      Tables.lineitem(s, d)
+        .select(col("l_partkey").as("ps_partkey"), col("l_suppkey").as("ps_suppkey"))
+        .distinct()
+        .select(col("ps_partkey"), col("ps_suppkey"),
+          (lit(1) + (col("ps_partkey") * 7 + col("ps_suppkey") * 11) % 9999)
+            .as("ps_availqty"),
+          ((lit(100) + (col("ps_partkey") * 31 + col("ps_suppkey") * 17) % 99900)
+            .cast(org.apache.spark.sql.types.DecimalType(18, 4)) / lit(100))
+            .cast(org.apache.spark.sql.types.DecimalType(12, 2))
+            .as("ps_supplycost"))
+    }
 
   /** The shared partsupp CTE text for the DuckDB oracles (identical
     * derivation, DuckDB dialect). */
