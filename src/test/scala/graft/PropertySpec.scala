@@ -477,6 +477,66 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("concurrencyByDay matches a plain-Scala sweep on random interval sets") {
+    // random per-user event minutes over two days; the reference
+    // recomputes sessions (30-min gap) and the RANGE-frame sweep
+    // semantics directly: at instant t, the +1 peer group sees all
+    // starts at t (touching sessions overlap), the -1 group adds the
+    // ends; peak_ts is the earliest instant whose group value hits max.
+    val evGen: Gen[Seq[(Long, Long, Int, Int)]] = for {
+      nU <- Gen.choose(1, 4)
+      evs <- Gen.listOfN(nU * 4, for {
+        u <- Gen.choose(1L, nU.toLong)
+        day <- Gen.choose(0, 1)
+        minute <- Gen.choose(0, 24 * 60 - 1)
+      } yield (u, day, minute))
+    } yield evs.zipWithIndex.map { case ((u, day, m), i) => (i.toLong, u, day, m) }
+    for (evs <- samples(evGen, 6) if evs.nonEmpty) {
+      val df = evs.toDF("event_id", "user_id", "day0", "minute")
+        .select(col("event_id"), col("user_id"),
+          // 2024-03-01 00:00:00 UTC = 1709251200; UTC session → the ntz
+          // cast keeps the wall clock
+          timestamp_seconds(lit(1709251200L) + col("day0") * 86400L +
+            col("minute") * 60L).cast("timestamp_ntz").as("ts"))
+      val got = graft.ops.Events.concurrencyByDay(df).orderBy("day")
+        .collect().map(r => (r.getDate(0).toString, r.getLong(1), r.getInt(2),
+          r.getAs[java.time.LocalDateTime](3)))
+      // reference
+      val want = evs.groupBy(e => (e._2, e._3)).toSeq.flatMap { case ((u, day), es) =>
+        val ms = es.map(_._4).sorted
+        val sessions = ms.foldLeft(List.empty[(Int, Int)]) {
+          case (Nil, m)             => List((m, m))
+          case ((st, en) :: t, m)   =>
+            if (m - en > 30) (m, m) :: (st, en) :: t else (st, m) :: t
+        }
+        sessions.map { case (st, en) => (day, st, en) }
+      }
+      val wantByDay = want.groupBy(_._1).toSeq.sortBy(_._1).map { case (day, ss) =>
+        val starts = ss.groupBy(_._2).view.mapValues(_.size).toMap
+        val ends = ss.groupBy(_._3).view.mapValues(_.size).toMap
+        val instants = (starts.keySet ++ ends.keySet).toSeq.sorted
+        var prefix = 0
+        var best = Int.MinValue
+        var peak = -1
+        for (t <- instants) {
+          val cPlus = prefix + starts.getOrElse(t, 0)
+          val cMinus = cPlus - ends.getOrElse(t, 0)
+          for (c <- Seq(cPlus, cMinus) if c > best) { best = c; peak = t }
+          prefix = cMinus
+        }
+        (day, ss.size.toLong, best, peak)
+      }
+      assert(got.length == wantByDay.length, s"day count: ${got.toSeq} vs $wantByDay")
+      got.zip(wantByDay).foreach { case ((gd, gn, gc, gts), (day, n, c, peak)) =>
+        assert(gd == f"2024-03-${day + 1}%02d", s"day: $gd vs $day")
+        assert(gn == n, s"n_sessions @$gd: $gn vs $n (${evs})")
+        assert(gc == c, s"max_concurrent @$gd: $gc vs $c (${evs})")
+        val gMin = gts.getHour * 60 + gts.getMinute
+        assert(gMin == peak, s"peak @$gd: $gMin vs $peak (${evs})")
+      }
+    }
+  }
+
   test("MisraGriesAgg: order-invariant guarantees hold over random streams and merge trees") {
     // The agg_heavy_hitters gate rests on three theory bounds that must
     // hold for ANY partitioning and ANY merge order (Spark fixes
