@@ -817,10 +817,15 @@ object Ann {
     * (codes + the broadcast distance table only — corpus vectors never
     * join) then exact-cosine re-rank of the fetched shortlist. */
   def pqQueryTopK(ix: PqIndex, queryId: Long, shortlist: Int = 100,
-      k: Int = 10): DataFrame = {
+      k: Int = 10, restrictTo: Option[DataFrame] = None): DataFrame = {
     val s = ix.v.sparkSession
     import s.implicits._
-    val PqIndex(v, subv, cents, codes, m) = ix
+    val PqIndex(v, subv, cents, codes0, m) = ix
+    // optional IVF-style candidate restriction (sim_ann_ivf_pq): only
+    // codes of the member set participate in the ADC aggregate — the
+    // coarse index prunes BEFORE the fine scoring, never after
+    val codes = restrictTo.fold(codes0)(mem =>
+      codes0.join(mem.select(col("vec_id")), Seq("vec_id"), "left_semi"))
     // ADC distance table: query subvector · every codebook centroid —
     // m × codebook rows, computed on the driver and broadcast everywhere
     val qsub: Map[Int, Array[Double]] =
@@ -1111,6 +1116,125 @@ object Ann {
     pcaPowerIterate(Tables.embeddings(s, d))
   }
 
+  /** IVF + PQ composed (the production FAISS `IVFx,PQy`-flat shape):
+    * the coarse index prunes candidates to the nprobe nearest buckets,
+    * the PQ codes ADC-score ONLY those members, the exact re-rank fetches
+    * only the shortlist. At 100 TB this is the serving topology — the
+    * corpus is partitioned by coarse bucket, a query touches nprobe
+    * partitions, and per-vector work inside them is m code lookups
+    * against a broadcast distance table; neither full vectors nor
+    * non-member codes ever move. Both component indexes are the cached
+    * per-(session, dataset) trained forms their own gate keys verify
+    * (data-vector coarse centroids = sim_ann_ivf; quantized-Lloyd
+    * codebooks = sim_ann_pq), so the composition adds exactly one
+    * semi-join. The relation folds the measured-recall discipline in:
+    * each of the top-10 carries `in_exact10`, so composition-induced
+    * recall loss (coarse pruning can drop true neighbors the flat PQ
+    * scan would keep) is hash-gated in the same row set. */
+  val simAnnIvfPq = QueryDef(
+    "sim_ann_ivf_pq", {
+      val cidList = centroidIds.mkString("(", ", ", ")")
+      s"""WITH v0 AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+         |  FROM embeddings
+         |), v AS (
+         |  SELECT vec_id, ve, sqrt(list_dot_product(ve, ve)) AS nrm FROM v0
+         |), sv AS (
+         |  SELECT vec_id, CAST(t.sub AS INT) AS sub,
+         |         list_slice(ve, t.sub * 8 + 1, t.sub * 8 + 8) AS sve
+         |  FROM v, (SELECT unnest(generate_series(0, 7)) AS sub) t
+         |), qsv AS (
+         |  SELECT vec_id, sub, CAST(generate_subscripts(sve, 1) AS INT) AS j,
+         |         CAST(round(unnest(sve) * 1000) AS BIGINT) AS q
+         |  FROM sv
+         |), pc0 AS (
+         |  SELECT sub, vec_id AS cid, sve AS cve, list_dot_product(sve, sve) / 2 AS chalf
+         |  FROM sv WHERE vec_id IN (SELECT vec_id FROM v ORDER BY vec_id LIMIT 16)
+         |),
+         |${pqRoundCte(1)},
+         |${pqRoundCte(2)},
+         |codes AS (SELECT vec_id, sub, cid FROM (
+         |  SELECT s.vec_id, s.sub, c.cid, row_number() OVER (PARTITION BY s.sub, s.vec_id
+         |    ORDER BY list_dot_product(s.sve, c.cve) - c.chalf DESC, c.cid) AS rn
+         |  FROM sv s JOIN pc2 c ON s.sub = c.sub) WHERE rn = 1),
+         |cents AS (
+         |  SELECT vec_id AS ccid, ve AS ccve, nrm AS ccnrm FROM v WHERE vec_id IN $cidList
+         |), assigned AS (
+         |  SELECT vec_id, ccid AS bucket FROM (
+         |    SELECT v.vec_id, c.ccid,
+         |      row_number() OVER (PARTITION BY v.vec_id
+         |        ORDER BY list_dot_product(v.ve, c.ccve) / (v.nrm * c.ccnrm) DESC, c.ccid) AS rn
+         |    FROM v, cents c
+         |  ) WHERE rn = 1
+         |), q0 AS (
+         |  SELECT ve AS qve, nrm AS qnrm FROM v WHERE vec_id = 0
+         |), probed AS (
+         |  SELECT ccid AS pbucket FROM cents, q0
+         |  ORDER BY list_dot_product(qve, ccve) / (qnrm * ccnrm) DESC, ccid
+         |  LIMIT 2
+         |), members AS (
+         |  SELECT a.vec_id FROM assigned a JOIN probed ON a.bucket = pbucket
+         |),
+         |qs AS (SELECT sub, sve AS qsve FROM sv WHERE vec_id = 0),
+         |dtab AS (SELECT c.sub, c.cid, list_dot_product(q.qsve, c.cve) AS dpart
+         |  FROM pc2 c JOIN qs q ON c.sub = q.sub),
+         |adc AS (SELECT vec_id,
+         |    sum(CASE WHEN sub = 0 THEN dpart END) AS d0,
+         |    sum(CASE WHEN sub = 1 THEN dpart END) AS d1,
+         |    sum(CASE WHEN sub = 2 THEN dpart END) AS d2,
+         |    sum(CASE WHEN sub = 3 THEN dpart END) AS d3,
+         |    sum(CASE WHEN sub = 4 THEN dpart END) AS d4,
+         |    sum(CASE WHEN sub = 5 THEN dpart END) AS d5,
+         |    sum(CASE WHEN sub = 6 THEN dpart END) AS d6,
+         |    sum(CASE WHEN sub = 7 THEN dpart END) AS d7
+         |  FROM codes JOIN dtab USING (sub, cid)
+         |  WHERE vec_id IN (SELECT vec_id FROM members)
+         |  GROUP BY vec_id),
+         |short AS (SELECT a.vec_id,
+         |    (d0 + d1 + d2 + d3 + d4 + d5 + d6 + d7) / (v.nrm * q0.qnrm) AS acos
+         |  FROM adc a JOIN v ON a.vec_id = v.vec_id, q0
+         |  WHERE a.vec_id <> 0
+         |  ORDER BY acos DESC, a.vec_id LIMIT 100),
+         |topk AS (
+         |  SELECT s.vec_id, round(list_dot_product(q0.qve, v.ve) / (q0.qnrm * v.nrm), 4) AS cos
+         |  FROM short s JOIN v ON s.vec_id = v.vec_id, q0
+         |  ORDER BY cos DESC, s.vec_id LIMIT 10),
+         |ex AS (
+         |  SELECT vec_id FROM (
+         |    SELECT v.vec_id, row_number() OVER (
+         |      ORDER BY list_dot_product(v.ve, q0.qve) / (v.nrm * q0.qnrm) DESC, v.vec_id) AS rn
+         |    FROM v, q0 WHERE v.vec_id <> 0
+         |  ) WHERE rn <= 10)
+         |SELECT t.vec_id, t.cos, e.vec_id IS NOT NULL AS in_exact10
+         |FROM topk t LEFT JOIN ex e ON t.vec_id = e.vec_id
+         |ORDER BY t.cos DESC, t.vec_id""".stripMargin
+    }) { (s, d) =>
+    val ix = cachedPqIndex(s, d)
+    val v = ix.v
+    val cdf = centroidsFromIds(v, centroidIds)
+    val assigned = assignTo(v, cdf)
+    val q = v.filter(col("vec_id") === 0L)
+      .select(col("ve").as("qve"), col("nrm").as("qnrm"))
+    val probed = cdf.crossJoin(broadcast(q))
+      .select(col("cid").as("pbucket"),
+        (Similarity.dot(col("qve"), col("cve")) / (col("qnrm") * col("cnrm")))
+          .as("pcos"))
+      .orderBy(col("pcos").desc, col("pbucket"))
+      .limit(2)
+      .select("pbucket")
+    val members = assigned
+      .join(broadcast(probed), col("bucket") === col("pbucket"))
+      .select("vec_id")
+    val top = pqQueryTopK(ix, queryId = 0L, restrictTo = Some(members))
+    top
+      .join(exactTopK(v, Seq(0L), 10).select(col("vec_id").as("evid")),
+        col("vec_id") === col("evid"), "left")
+      .select(col("vec_id"), col("cos"),
+        col("evid").isNotNull.as("in_exact10"))
+      .orderBy(col("cos").desc, col("vec_id"))
+  }
+
   val all: Seq[QueryDef] = Seq(simAnnIvf, dedupEmbedLsh, simAnnKmeans, simQuantize, simAnnRecall,
-    simAnnPq, simAnnKmeansRecall, simAnnPqRecall, dedupEmbedLshRecall, simPcaPower)
+    simAnnPq, simAnnKmeansRecall, simAnnPqRecall, dedupEmbedLshRecall, simPcaPower,
+    simAnnIvfPq)
 }

@@ -547,6 +547,14 @@ class PlanSpec extends AnyFunSuite {
       s"per-column profiling re-scanned a table:\n$p")
   }
 
+  test("sim_ann_ivf_pq: coarse pruning is a pre-ADC semi-join; no cartesian") {
+    val p = plan(graft.ops.Ann.simAnnIvfPq)
+    assert(p.contains("LeftSemi"),
+      s"IVF membership did not restrict the codes before ADC:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"unkeyed corpus join in the composed plan:\n$p")
+  }
+
   test("event_concurrency: day-partitioned sweep — no global-order window, no pairs") {
     val p = plan(graft.ops.Events.eventConcurrency)
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
