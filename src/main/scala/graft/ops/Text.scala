@@ -698,7 +698,37 @@ object Text {
       .orderBy("doc_id").limit(300)
   }
 
+  /** Prefix-bucket dedup — the boilerplate heuristic production crawls
+    * run BEFORE content hashing (pages sharing a long leading span are
+    * mirror/template copies even when tails differ; the fixture plants
+    * the truth: 228 docs share a 60-char prefix with another at sf0.1,
+    * 22 at sf0.01, so the key is live at every SF while `dedup_exact`'s
+    * whole-content buckets stay almost all singletons). Same linear
+    * shape as dedup_exact — the bucket key is substr(text, 1, 60)
+    * instead of md5(text), one combinable groupBy, min-id keeper,
+    * ≥2-member buckets reported. The 60-char key is what shuffles, not
+    * the document — at 100 TB hash the prefix for a fixed-width key
+    * (here it stays raw so the oracle pins the bucket contents
+    * byte-exactly). */
+  val textDedupPrefix = QueryDef(
+    "text_dedup_prefix",
+    """SELECT substr(text, 1, 60) AS prefix,
+      |  CAST(count(*) AS BIGINT) AS n_docs,
+      |  min(doc_id) AS keeper,
+      |  CAST(sum(n_chars) AS BIGINT) AS bucket_chars
+      |FROM documents
+      |GROUP BY prefix HAVING count(*) >= 2
+      |ORDER BY prefix""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .groupBy(substring(col("text"), 1, 60).as("prefix"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keeper"),
+        sum(col("n_chars")).as("bucket_chars"))
+      .filter(col("n_docs") >= 2)
+      .orderBy("prefix")
+  }
+
   val all: Seq[QueryDef] = Seq(textStats, dedupExact, dedupNear, dedupKeeper,
     textEditdist, textEditdistDedup, dedupContainment, dedupContainmentDedup,
-    dedupIncremental, textSpanDedup, textDedupUrl, textWinnow)
+    dedupIncremental, textSpanDedup, textDedupUrl, textWinnow,
+    textDedupPrefix)
 }
