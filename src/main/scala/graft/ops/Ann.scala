@@ -51,19 +51,26 @@ object Ann {
 
   /** Top-k by cosine for the query vector against an explicit centroid
     * relation, scanning only the nprobe buckets nearest the query. */
+  /** The nprobe coarse buckets nearest a prepped 1-row query relation
+    * (qve, qnrm), by centroid cosine with the centroid-id tie-break —
+    * the probe stage is a hash-gated determinism contract shared by
+    * `ivfTopKWith` AND the composed `sim_ann_ivf_pq`, so it has exactly
+    * one implementation. */
+  def probedBuckets(cents: DataFrame, q: DataFrame, nprobe: Int): DataFrame =
+    cents.crossJoin(broadcast(q))
+      .select(col("cid").as("pbucket"),
+        (Similarity.dot(col("qve"), col("cve")) / (col("qnrm") * col("cnrm"))).as("pcos"))
+      .orderBy(col("pcos").desc, col("pbucket"))
+      .limit(nprobe)
+      .select("pbucket")
+
   def ivfTopKWith(emb: DataFrame, queryId: Long, cents: DataFrame,
       nprobe: Int, k: Int): DataFrame = {
     val v = prep(emb)
     val assigned = assignTo(v, cents)
     val q = v.filter(col("vec_id") === queryId)
       .select(col("ve").as("qve"), col("nrm").as("qnrm"))
-    // nprobe buckets nearest the query (by centroid cosine, ties → id)
-    val probed = cents.crossJoin(broadcast(q))
-      .select(col("cid").as("pbucket"),
-        (Similarity.dot(col("qve"), col("cve")) / (col("qnrm") * col("cnrm"))).as("pcos"))
-      .orderBy(col("pcos").desc, col("pbucket"))
-      .limit(nprobe)
-      .select("pbucket")
+    val probed = probedBuckets(cents, q, nprobe)
     assigned
       .join(broadcast(probed), col("bucket") === col("pbucket"))
       .filter(col("vec_id") =!= queryId)
@@ -1215,13 +1222,7 @@ object Ann {
     val assigned = assignTo(v, cdf)
     val q = v.filter(col("vec_id") === 0L)
       .select(col("ve").as("qve"), col("nrm").as("qnrm"))
-    val probed = cdf.crossJoin(broadcast(q))
-      .select(col("cid").as("pbucket"),
-        (Similarity.dot(col("qve"), col("cve")) / (col("qnrm") * col("cnrm")))
-          .as("pcos"))
-      .orderBy(col("pcos").desc, col("pbucket"))
-      .limit(2)
-      .select("pbucket")
+    val probed = probedBuckets(cdf, q, nprobe = 2)
     val members = assigned
       .join(broadcast(probed), col("bucket") === col("pbucket"))
       .select("vec_id")

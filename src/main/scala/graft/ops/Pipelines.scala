@@ -819,6 +819,22 @@ object Pipelines {
       |  FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
       |)""".stripMargin
 
+  /** The region-pruned supplier dimension (s_suppkey, s_name, s_acctbal,
+    * n_name) — the supplier⋈nation⋈region prune chain shared by q2 and
+    * q11 (one implementation of the join-and-filter contract both keys'
+    * oracles mirror; consumers that need only keys project and Catalyst
+    * prunes the unused columns back to the scans). */
+  private def suppliersInRegion(s: SparkSession, d: String,
+      region: String): DataFrame =
+    Tables.supplier(s, d)
+      .select("s_suppkey", "s_name", "s_acctbal", "s_nationkey")
+      .join(Tables.nation(s, d).select("n_nationkey", "n_name", "n_regionkey"),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(Tables.region(s, d).filter(col("r_name") === region)
+          .select("r_regionkey"),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+
   /** TPC-H Q2 shape (minimum-cost supplier): for each small ECONOMY part,
     * the EUROPE supplier(s) achieving the region-wide minimum supply
     * cost — the correlated-min subquery, decorrelated the aggregate-then-
@@ -848,14 +864,8 @@ object Pipelines {
        |ORDER BY s_acctbal DESC, p_partkey, ps_suppkey
        |LIMIT 100""".stripMargin) { (s, d) =>
     val eligible = partsupp(s, d)
-      .join(Tables.supplier(s, d)
-          .select("s_suppkey", "s_name", "s_acctbal", "s_nationkey"),
+      .join(suppliersInRegion(s, d, "EUROPE"),
         col("ps_suppkey") === col("s_suppkey"))
-      .join(Tables.nation(s, d).select("n_nationkey", "n_name", "n_regionkey"),
-        col("s_nationkey") === col("n_nationkey"))
-      .join(Tables.region(s, d).filter(col("r_name") === "EUROPE")
-          .select("r_regionkey"),
-        col("n_regionkey") === col("r_regionkey"))
       .select("ps_partkey", "ps_suppkey", "ps_supplycost", "s_name",
         "s_acctbal", "n_name")
     val mincost = eligible.groupBy(col("ps_partkey").as("mk"))
@@ -946,13 +956,8 @@ object Pipelines {
        |FROM v, tot WHERE val * n > t * 2
        |ORDER BY supply_value DESC, ps_partkey""".stripMargin) { (s, d) =>
     val v = partsupp(s, d)
-      .join(Tables.supplier(s, d).select("s_suppkey", "s_nationkey"),
+      .join(suppliersInRegion(s, d, "EUROPE").select("s_suppkey"),
         col("ps_suppkey") === col("s_suppkey"))
-      .join(Tables.nation(s, d).select("n_nationkey", "n_regionkey"),
-        col("s_nationkey") === col("n_nationkey"))
-      .join(Tables.region(s, d).filter(col("r_name") === "EUROPE")
-          .select("r_regionkey"),
-        col("n_regionkey") === col("r_regionkey"))
       .groupBy("ps_partkey")
       .agg(sum(col("ps_supplycost") * col("ps_availqty")).as("val"))
     val tot = v.agg(sum(col("val")).as("t"), count(lit(1)).as("n"))

@@ -91,7 +91,12 @@ object Landed {
       build: => DataFrame): DataFrame = {
     cache.keySet.removeIf(k => k._1.sparkContext.isStopped)
     val path = cache.computeIfAbsent((s, d, tag), { _ =>
-      val root = QueryDef.tmpRoot("ld_" + tag, d)
+      // the path embeds the OWNING SESSION (identity hash), not just
+      // pid+dataset: two live sessions in one JVM get separate cache
+      // entries, and without this one's overwrite would delete the
+      // directory the other is lazily scanning mid-read
+      val root = QueryDef.tmpRoot(
+        "ld_" + tag + "_s" + Integer.toHexString(System.identityHashCode(s)), d)
       build.write.mode("overwrite").parquet(root)
       root
     })
