@@ -547,6 +547,29 @@ class PlanSpec extends AnyFunSuite {
       s"per-column profiling re-scanned a table:\n$p")
   }
 
+  test("tpch q2/q9/q11/q20: keyed joins only; q20's gate is a semi-join chain; q2 pushes the part filters") {
+    import graft.ops.Pipelines
+    for (q <- Seq(Pipelines.pipelineTpchQ2, Pipelines.pipelineTpchQ9,
+        Pipelines.pipelineTpchQ11, Pipelines.pipelineTpchQ20)) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"),
+        s"${q.name}: unkeyed join in the partsupp pipeline:\n$p")
+    }
+    val p20 = plan(Pipelines.pipelineTpchQ20)
+    assert("LeftSemi".r.findAllIn(p20).length >= 2,
+      s"q20 lost a semi-join of its gate chain:\n$p20")
+    val p2 = plan(Pipelines.pipelineTpchQ2)
+    assert(p2.contains("LessThanOrEqual(p_size") || p2.contains("p_size#"),
+      s"q2's part size filter did not reach the scan:\n$p2")
+  }
+
+  test("scan_mor_deletes: the delete vector applies as a broadcast anti join before the aggregate") {
+    val p = plan(graft.ops.Formats.scanMorDeletes)
+    assert(p.contains("LeftAnti"), s"deletes did not apply as an anti join:\n$p")
+    assert(p.contains("BroadcastExchange"),
+      s"the key-only delete vector did not broadcast:\n$p")
+  }
+
   test("sim_ann_ivf_pq: coarse pruning is a pre-ADC semi-join; no cartesian") {
     val p = plan(graft.ops.Ann.simAnnIvfPq)
     assert(p.contains("LeftSemi"),
