@@ -346,7 +346,67 @@ object Formats {
       .orderBy("lang")
   }
 
+  /** PARTITION RETENTION enforcement — the lifecycle op that completes
+    * the maintenance family (compact rewrites files, zorder re-clusters,
+    * mor_deletes removes rows; THIS removes whole PARTITIONS by age, the
+    * way every production table enforces a TTL): events land
+    * day-partitioned (`partitionBy` — the layout that makes retention an
+    * O(1) metadata/directory operation instead of a data rewrite), the
+    * enforcement pass deletes partition directories older than the
+    * cutoff, and the read-back proves three things under one hash — the
+    * drop removed exactly the expired days (partition accounting), the
+    * surviving rows are byte-intact (count + exact-decimal sum), and the
+    * partition column round-trips as a real DATE (directory-name type
+    * inference). At 100 TB the delete is per-directory against the
+    * manifest/filesystem, no executor touches surviving data, and
+    * readers after the drop prune to surviving partitions by
+    * construction. Oracle recomputes from the original table with the
+    * same cutoff rule. */
+  val maintenanceRetention = QueryDef(
+    "maintenance_retention",
+    """WITH e AS (
+      |  SELECT CAST(ts AS DATE) AS day, value FROM events
+      |), acct AS (
+      |  SELECT CAST(count(DISTINCT CASE WHEN day >= DATE '2024-01-15' THEN day END) AS BIGINT) AS n_days_kept,
+      |         CAST(count(DISTINCT CASE WHEN day <  DATE '2024-01-15' THEN day END) AS BIGINT) AS n_days_dropped
+      |  FROM e
+      |)
+      |SELECT acct.n_days_kept, acct.n_days_dropped,
+      |       CAST(count(*) AS BIGINT) AS n_rows_live,
+      |       min(day) AS min_day, max(day) AS max_day,
+      |       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+      |FROM e, acct
+      |WHERE day >= DATE '2024-01-15'
+      |GROUP BY acct.n_days_kept, acct.n_days_dropped""".stripMargin) { (s, d) =>
+    val root = fmtDir(d, "retention")
+    val cutoff = java.time.LocalDate.parse("2024-01-15")
+    graft.Tables.events(s, d)
+      .select(col("event_id"), col("value"), to_date(col("ts")).as("day"))
+      .write.mode("overwrite").partitionBy("day").parquet(root + "/t")
+    // the enforcement pass: drop expired partition DIRECTORIES — a
+    // metadata-level operation, no data rewrite, no executor involvement
+    val base = new java.io.File(root + "/t")
+    val dropped = Option(base.listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.startsWith("day="))
+      .filter(f => java.time.LocalDate
+        .parse(f.getName.stripPrefix("day=")).isBefore(cutoff))
+    dropped.foreach { dir =>
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).toSeq.flatten.foreach(rm); f.delete(): Unit
+      }
+      rm(dir)
+    }
+    val live = s.read.parquet(root + "/t")
+    live
+      .agg(count(lit(1)).as("n_rows_live"),
+        countDistinct(col("day")).as("n_days_kept"),
+        min(col("day")).as("min_day"), max(col("day")).as("max_day"),
+        sum(Det.dec(col("value"))).cast("double").as("sum_value"))
+      .select(col("n_days_kept"), lit(dropped.size.toLong).as("n_days_dropped"),
+        col("n_rows_live"), col("min_day"), col("max_day"), col("sum_value"))
+  }
+
   val all: Seq[QueryDef] = Seq(scanCsv, scanJson, scanOrc, scanXml,
     maintenanceCompact, scanEvolution, exportTfrecord, scanAvro,
-    scanMorDeletes)
+    scanMorDeletes, maintenanceRetention)
 }
