@@ -296,6 +296,76 @@ object Sketch {
       .orderBy("source", "lang")
   }
 
+  /** HLL set-operation analytics — AUDIENCE OVERLAP by inclusion–
+    * exclusion: |A∩B| ≈ est(A) + est(B) − est(A∪B), the only way a
+    * register sketch answers intersections (HLL registers union
+    * losslessly via max; they cannot intersect), and the standard
+    * audience-overlap estimator at 100 TB where the exact answer needs
+    * a distinct-join of two id streams. Per audience pair the relation
+    * gates the EXACT companions (|A|, |B|, |A∪B|, |A∩B| — plain
+    * distinct aggregates riding the same scan) plus a bounded-error
+    * boolean: |est∩ − exact∩| · 20 ≤ |A∪B| (5% of the union — the
+    * inclusion–exclusion error is relative to the UNION, not the
+    * intersection; lgk=12 ⇒ ~1.6% rse per term). The sketches are
+    * order-invariant (registers max-merge), so the boolean is
+    * deterministic on these corpora — the agg_sketch_hll_merge
+    * discipline extended from counts to set algebra. Partials stay
+    * (type, shard)-combinable; the union sketch merges the SAME
+    * partials, so both audiences and their union ride one scan. */
+  val aggHllIntersect = QueryDef(
+    "agg_hll_intersect",
+    """WITH u AS (SELECT DISTINCT event_type, user_id FROM events),
+      |pairs(ta, tb) AS (VALUES ('click', 'purchase'), ('view', 'signup')),
+      |x AS (
+      |  SELECT ta, tb,
+      |    (SELECT count(*) FROM u WHERE event_type = ta) AS exact_a,
+      |    (SELECT count(*) FROM u WHERE event_type = tb) AS exact_b,
+      |    (SELECT count(DISTINCT user_id) FROM u WHERE event_type IN (ta, tb)) AS exact_union,
+      |    (SELECT count(*) FROM
+      |       (SELECT user_id FROM u WHERE event_type = ta)
+      |       NATURAL JOIN (SELECT user_id FROM u WHERE event_type = tb)) AS exact_inter
+      |  FROM pairs
+      |)
+      |SELECT ta AS type_a, tb AS type_b,
+      |  CAST(exact_a AS BIGINT) AS exact_a, CAST(exact_b AS BIGINT) AS exact_b,
+      |  CAST(exact_union AS BIGINT) AS exact_union,
+      |  CAST(exact_inter AS BIGINT) AS exact_inter,
+      |  TRUE AS inter_within_5pct_of_union
+      |FROM x ORDER BY type_a""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d)
+    val partial = ev
+      .groupBy(col("event_type"), pmod(col("user_id"), lit(8)).as("shard"))
+      .agg(hll_sketch_agg(col("user_id"), lit(12)).as("sk"))
+      .localCheckpoint() // three estimates per pair ride the same partials
+    val users = ev.select("event_type", "user_id").distinct()
+    def audiencePair(ta: String, tb: String): DataFrame = {
+      def estOf(types: Seq[String], name: String) =
+        partial.filter(col("event_type").isin(types: _*))
+          .agg(hll_sketch_estimate(hll_union_agg(col("sk"), lit(false)))
+            .as(name))
+      def exactOf(types: Seq[String], name: String) =
+        users.filter(col("event_type").isin(types: _*))
+          .agg(countDistinct(col("user_id")).as(name))
+      val inter = users.filter(col("event_type") === ta).select("user_id")
+        .join(users.filter(col("event_type") === tb).select("user_id"), "user_id")
+        .agg(count(lit(1)).as("exact_inter"))
+      estOf(Seq(ta), "est_a").crossJoin(estOf(Seq(tb), "est_b"))
+        .crossJoin(estOf(Seq(ta, tb), "est_union"))
+        .crossJoin(exactOf(Seq(ta), "exact_a"))
+        .crossJoin(exactOf(Seq(tb), "exact_b"))
+        .crossJoin(exactOf(Seq(ta, tb), "exact_union"))
+        .crossJoin(inter)
+        .select(lit(ta).as("type_a"), lit(tb).as("type_b"),
+          col("exact_a"), col("exact_b"), col("exact_union"), col("exact_inter"),
+          (abs(col("est_a") + col("est_b") - col("est_union")
+            - col("exact_inter")) * 20 <= col("exact_union"))
+            .as("inter_within_5pct_of_union"))
+    }
+    audiencePair("click", "purchase")
+      .unionByName(audiencePair("view", "signup"))
+      .orderBy("type_a")
+  }
+
   val all: Seq[QueryDef] = Seq(joinBloom, aggSketchCms, aggSketchHllMerge,
-    aggBitmapDistinct, aggHeavyHitters)
+    aggBitmapDistinct, aggHeavyHitters, aggHllIntersect)
 }
