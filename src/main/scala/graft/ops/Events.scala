@@ -1514,6 +1514,95 @@ object Events {
       .orderBy("user_id", "day").limit(500)
   }
 
+  /** REAL WATERMARK LATE-DROP under the driver hash — the third member
+    * of the real checkpointed streaming family (stateful_session gates
+    * event-time timers, upsert_sink gates CDC merge; THIS gates the
+    * append-mode watermark contract: a window EMITS EXACTLY ONCE when
+    * the watermark passes it, its state is evicted, and any row arriving
+    * for it afterwards is DROPPED — never re-emitted, never re-opened).
+    * Three staged file batches consume in a forced order (explicit
+    * increasing mtimes, alphabetical tie-break, maxFilesPerTrigger=1
+    * through a real checkpoint): b0 = days 1–10 minus the odd-event_id
+    * rows of days 1–8; b1 = days 11–30 (advances the watermark past the
+    * day-1–8 windows, which emit and evict); b2 = the held-back odd
+    * rows of days 1–8, arriving AFTER their windows were finalized —
+    * the engine must drop every one. A far-future sentinel then flushes
+    * the surviving windows. The oracle computes daily counts WITHOUT
+    * the late rows; a leak would either re-emit the day-1–8 windows
+    * (duplicate window rows) or inflate their counts — both fail the
+    * hash. (Spark's semantics permit KEEPING a late row whose window is
+    * still open — observed in this key's first design — so the gated
+    * claim is the hard half of the contract: finalized windows are
+    * immutable.)
+    *
+    * At 100 TB the same query shape runs with trigger-sized batches;
+    * lateness capacity is the watermark delay, state is bounded by the
+    * windows in flight, and exactly-once emission is what makes an
+    * append-mode sink usable as a fact table. */
+  val streamLateDrop = QueryDef(
+    "stream_late_drop",
+    """WITH e AS (
+      |  SELECT CAST(ts AS DATE) AS d, event_id FROM events
+      |  WHERE NOT (CAST(ts AS DATE) <= DATE '2024-01-08' AND event_id % 2 = 1)
+      |)
+      |SELECT epoch_us(CAST(d AS TIMESTAMP)) AS win_start_eus,
+      |       CAST(count(*) AS BIGINT) AS n
+      |FROM e GROUP BY d ORDER BY win_start_eus""".stripMargin) { (s, d) =>
+    val root = QueryDef.tmpRoot("latedrop", d)
+    deleteTree(root)
+    // watermarks require TIMESTAMP (not NTZ); the UTC session makes the
+    // cast instant-identical to the oracle's NTZ arithmetic
+    val ev = Tables.events(s, d)
+      .select(col("ts").cast("timestamp").as("ts"), col("event_id"))
+    val day = col("ts").cast("date")
+    val lateSlice = day <= lit("2024-01-08").cast("date") &&
+      col("event_id") % 2 === 1
+    def stage(sub: String, order: Int, pred: org.apache.spark.sql.Column): Unit = {
+      val dir = s"$root/in/$sub"
+      ev.filter(pred).select("ts").coalesce(1).write.parquet(dir)
+      // force the consumption order: FileStreamSource picks oldest-mtime
+      // first — pin mtimes to a fixed increasing ladder so the staging
+      // wall clock can never reorder the batches
+      Option(new java.io.File(dir).listFiles()).toSeq.flatten
+        .foreach(f => f.setLastModified(1700000000000L + order * 60000L): Unit)
+    }
+    stage("b0", 0, day <= lit("2024-01-10").cast("date") && !lateSlice)
+    stage("b1", 1, day >= lit("2024-01-11").cast("date"))
+    stage("b2", 2, lateSlice)
+    val schema = s.read.option("recursiveFileLookup", "true")
+      .parquet(root + "/in").schema
+    val q = s.readStream.schema(schema)
+      .option("recursiveFileLookup", "true")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(root + "/in")
+      .withWatermark("ts", "24 hours")
+      .groupBy(window(col("ts"), "1 day").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_micros(col("w.start").cast("timestamp")).as("win_start_eus"),
+        col("n"))
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", root + "/ckpt")
+      .foreachBatch(graft.streaming.StreamOps.parquetBatchWriter(root + "/out"))
+      .start()
+    try {
+      q.processAllAvailable()
+      // flush: a 2025 sentinel (written after every staged file is
+      // consumed, so it is a LATER discovery regardless of mtime)
+      // advances the watermark past every real window
+      s.range(1)
+        .select(lit("2025-01-01 00:00:00").cast(schema("ts").dataType).as("ts"))
+        .write.mode("append").parquet(root + "/in/b1")
+      q.processAllAvailable()
+    } finally q.stop()
+    s.read.parquet(root + "/out")
+      // drop the sentinel's own window (it never emits — the watermark
+      // stops at it — but guard against a future flush convention)
+      .filter(col("win_start_eus") < 1706745600000000L)
+      .select("win_start_eus", "n")
+      .orderBy("win_start_eus")
+  }
+
   /** Max concurrent sessions per day — the interval-concurrency SWEEP
     * LINE, the analytics shape `join_overlap` (pairwise) and `sessionize`
     * (derivation) both stop short of: how many sessions are open AT ONCE.
@@ -1607,5 +1696,5 @@ object Events {
     eventMarkov, streamJoinOuter, eventRfm, eventSeqMatch,
     streamStatefulSession, streamUpsertSink, eventActiveUsers,
     eventForecastBacktest, eventAbTest, eventSurvival, eventsFfill,
-    eventConcurrency)
+    eventConcurrency, streamLateDrop)
 }
