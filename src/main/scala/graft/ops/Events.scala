@@ -855,16 +855,7 @@ object Events {
     * checkpoint's batch ids restart from 0 and reps stay independent. */
   private def sinkDir(d: String): String = QueryDef.tmpRoot("ssink", d)
 
-  private def deleteTree(root: String): Unit = {
-    val p = java.nio.file.Paths.get(root)
-    if (java.nio.file.Files.exists(p)) {
-      val walk = java.nio.file.Files.walk(p)
-      try
-        walk.sorted(java.util.Comparator.reverseOrder())
-          .forEach(f => java.nio.file.Files.delete(f))
-      finally walk.close()
-    }
-  }
+  private def deleteTree(root: String): Unit = Staging.deleteTree(root)
 
   /** End-to-end streaming INGESTION under the driver's hash — the one
     * streaming surface the other `stream_*` keys (whose gated relations
@@ -1557,18 +1548,22 @@ object Events {
     val day = col("ts").cast("date")
     val lateSlice = day <= lit("2024-01-08").cast("date") &&
       col("event_id") % 2 === 1
-    def stage(sub: String, order: Int, pred: org.apache.spark.sql.Column): Unit = {
-      val dir = s"$root/in/$sub"
-      ev.filter(pred).select("ts").coalesce(1).write.parquet(dir)
-      // force the consumption order: FileStreamSource picks oldest-mtime
-      // first — pin mtimes to a fixed increasing ladder so the staging
-      // wall clock can never reorder the batches
-      Option(new java.io.File(dir).listFiles()).toSeq.flatten
+    // ONE partitioned write stages all three batches (one scan, not
+    // three — the stream_file_sink staging shape); the batch tag lives
+    // only in the directory name (recursiveFileLookup keeps it out of
+    // the data)
+    ev.select(col("ts"),
+        when(lateSlice, lit(2))
+          .when(day <= lit("2024-01-10").cast("date"), lit(0))
+          .otherwise(lit(1)).as("b"))
+      .repartition(1)
+      .write.partitionBy("b").parquet(root + "/in")
+    // force the consumption order: FileStreamSource picks oldest-mtime
+    // first — pin each batch directory's files to a fixed increasing
+    // ladder so the staging wall clock can never reorder the batches
+    for (order <- 0 to 2; dir = new java.io.File(s"$root/in/b=$order"))
+      Option(dir.listFiles()).toSeq.flatten
         .foreach(f => f.setLastModified(1700000000000L + order * 60000L): Unit)
-    }
-    stage("b0", 0, day <= lit("2024-01-10").cast("date") && !lateSlice)
-    stage("b1", 1, day >= lit("2024-01-11").cast("date"))
-    stage("b2", 2, lateSlice)
     val schema = s.read.option("recursiveFileLookup", "true")
       .parquet(root + "/in").schema
     val q = s.readStream.schema(schema)
@@ -1592,7 +1587,7 @@ object Events {
       // advances the watermark past every real window
       s.range(1)
         .select(lit("2025-01-01 00:00:00").cast(schema("ts").dataType).as("ts"))
-        .write.mode("append").parquet(root + "/in/b1")
+        .write.mode("append").parquet(root + "/in/b=1")
       q.processAllAvailable()
     } finally q.stop()
     s.read.parquet(root + "/out")

@@ -370,32 +370,36 @@ object Formats {
       |  SELECT CAST(count(DISTINCT CASE WHEN day >= DATE '2024-01-15' THEN day END) AS BIGINT) AS n_days_kept,
       |         CAST(count(DISTINCT CASE WHEN day <  DATE '2024-01-15' THEN day END) AS BIGINT) AS n_days_dropped
       |  FROM e
+      |), live AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_rows_live,
+      |         min(day) AS min_day, max(day) AS max_day,
+      |         CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+      |  FROM e WHERE day >= DATE '2024-01-15'
       |)
       |SELECT acct.n_days_kept, acct.n_days_dropped,
-      |       CAST(count(*) AS BIGINT) AS n_rows_live,
-      |       min(day) AS min_day, max(day) AS max_day,
-      |       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
-      |FROM e, acct
-      |WHERE day >= DATE '2024-01-15'
-      |GROUP BY acct.n_days_kept, acct.n_days_dropped""".stripMargin) { (s, d) =>
+      |       live.n_rows_live, live.min_day, live.max_day, live.sum_value
+      |FROM acct, live""".stripMargin) { (s, d) =>
+    // the oracle's ungrouped `live` aggregate yields its one row even on
+    // a fixture with ZERO surviving days (count 0, null min/max/sum) —
+    // matching the Spark side's global agg, so a degenerate input is a
+    // legitimate 1-row relation, not a 0-vs-1-row shape mismatch (the
+    // stream_file_sink round-8 guard class)
     val root = fmtDir(d, "retention")
     val cutoff = java.time.LocalDate.parse("2024-01-15")
     graft.Tables.events(s, d)
       .select(col("event_id"), col("value"), to_date(col("ts")).as("day"))
       .write.mode("overwrite").partitionBy("day").parquet(root + "/t")
     // the enforcement pass: drop expired partition DIRECTORIES — a
-    // metadata-level operation, no data rewrite, no executor involvement
+    // metadata-level operation, no data rewrite, no executor involvement.
+    // Non-date partition names (day=__HIVE_DEFAULT_PARTITION__ from a
+    // null day) are RETAINED, not crashed on — retention only ever
+    // drops provably-expired partitions.
     val base = new java.io.File(root + "/t")
     val dropped = Option(base.listFiles()).toSeq.flatten
       .filter(f => f.isDirectory && f.getName.startsWith("day="))
-      .filter(f => java.time.LocalDate
-        .parse(f.getName.stripPrefix("day=")).isBefore(cutoff))
-    dropped.foreach { dir =>
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).toSeq.flatten.foreach(rm); f.delete(): Unit
-      }
-      rm(dir)
-    }
+      .filter(f => scala.util.Try(java.time.LocalDate
+        .parse(f.getName.stripPrefix("day="))).toOption.exists(_.isBefore(cutoff)))
+    dropped.foreach(dir => Staging.deleteTree(dir.getPath))
     val live = s.read.parquet(root + "/t")
     live
       .agg(count(lit(1)).as("n_rows_live"),

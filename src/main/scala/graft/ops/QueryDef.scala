@@ -103,3 +103,20 @@ object Landed {
     s.read.parquet(path)
   }
 }
+
+/** Shared filesystem staging helpers (the Events/Formats tmp-dir
+  * lifecycle): failures THROW (java.nio) — a silently-failed delete
+  * surfaces later as an opaque driver hash mismatch, an IOException
+  * surfaces here with the path in hand. */
+object Staging {
+  def deleteTree(root: String): Unit = {
+    val p = java.nio.file.Paths.get(root)
+    if (java.nio.file.Files.exists(p)) {
+      val walk = java.nio.file.Files.walk(p)
+      try
+        walk.sorted(java.util.Comparator.reverseOrder())
+          .forEach(f => java.nio.file.Files.delete(f))
+      finally walk.close()
+    }
+  }
+}

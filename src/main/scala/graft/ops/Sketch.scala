@@ -338,6 +338,8 @@ object Sketch {
       .agg(hll_sketch_agg(col("user_id"), lit(12)).as("sk"))
       .localCheckpoint() // three estimates per pair ride the same partials
     val users = ev.select("event_type", "user_id").distinct()
+      .localCheckpoint() // ~10 exact-companion branches read it — without
+      // this each branch re-scans events and re-runs the distinct
     def audiencePair(ta: String, tb: String): DataFrame = {
       def estOf(types: Seq[String], name: String) =
         partial.filter(col("event_type").isin(types: _*))

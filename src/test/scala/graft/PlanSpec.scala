@@ -559,8 +559,11 @@ class PlanSpec extends AnyFunSuite {
     assert("LeftSemi".r.findAllIn(p20).length >= 2,
       s"q20 lost a semi-join of its gate chain:\n$p20")
     val p2 = plan(Pipelines.pipelineTpchQ2)
-    assert(p2.contains("LessThanOrEqual(p_size") || p2.contains("p_size#"),
-      s"q2's part size filter did not reach the scan:\n$p2")
+    // anchored to PushedFilters — a post-scan Filter node referencing
+    // p_size must NOT satisfy this (the first draft's `p_size#` fallback
+    // was vacuously true)
+    assert(p2.contains("LessThanOrEqual(p_size"),
+      s"q2's part size filter did not reach the parquet scan:\n$p2")
   }
 
   test("scan_mor_deletes: the delete vector applies as a broadcast anti join before the aggregate") {
