@@ -410,7 +410,59 @@ object Formats {
         col("n_rows_live"), col("min_day"), col("max_day"), col("sum_value"))
   }
 
+  /** TIME-TRAVEL READ over a versioned table — the last lakehouse read
+    * surface beside MOR deletes, retention and compaction: a table lands
+    * as version snapshots (v=0 baseline; v=1 after a deterministic
+    * update wave — every 10th customer's balance +100.00), and ONE
+    * relation reads BOTH versions after v=1 exists. The hash certifies
+    * version ISOLATION — writing v=1 must not disturb a single v=0
+    * byte (v=0's aggregates equal the pre-update oracle exactly) — and
+    * snapshot correctness (v=1 equals the post-update rule). Snapshot-
+    * per-version is the simplest time-travel layout; production tables
+    * keep deltas + manifests, but the READ semantics certified here
+    * (address a version, get exactly that version's data) are the
+    * contract, and `stream_upsert_sink` already gates the incremental-
+    * delta construction of such versions. Exact cents arithmetic
+    * end-to-end. */
+  val scanTimeTravel = QueryDef(
+    "scan_time_travel",
+    """WITH base AS (
+      |  SELECT c_custkey, c_mktsegment,
+      |         CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+      |  FROM customer
+      |), v1 AS (
+      |  SELECT c_mktsegment,
+      |         CASE WHEN c_custkey % 10 = 0 THEN cents + 10000 ELSE cents END AS cents
+      |  FROM base
+      |)
+      |SELECT 0 AS version, c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+      |       CAST(sum(cents) AS BIGINT) AS sum_cents
+      |FROM base GROUP BY c_mktsegment
+      |UNION ALL
+      |SELECT 1, c_mktsegment, CAST(count(*) AS BIGINT), CAST(sum(cents) AS BIGINT)
+      |FROM v1 GROUP BY c_mktsegment
+      |ORDER BY version, c_mktsegment""".stripMargin) { (s, d) =>
+    val root = fmtDir(d, "timetravel")
+    val base = graft.Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_mktsegment"),
+        round(col("c_acctbal") * 100).cast("long").as("cents"))
+    base.write.mode("overwrite").parquet(root + "/v=0")
+    base
+      .withColumn("cents",
+        when(col("c_custkey") % 10 === 0, col("cents") + 10000L)
+          .otherwise(col("cents")))
+      .write.mode("overwrite").parquet(root + "/v=1")
+    def versionAgg(v: Int): DataFrame =
+      s.read.parquet(s"$root/v=$v")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
+        .select(lit(v).as("version"), col("c_mktsegment"), col("n"),
+          col("sum_cents"))
+    versionAgg(0).unionByName(versionAgg(1))
+      .orderBy("version", "c_mktsegment")
+  }
+
   val all: Seq[QueryDef] = Seq(scanCsv, scanJson, scanOrc, scanXml,
     maintenanceCompact, scanEvolution, exportTfrecord, scanAvro,
-    scanMorDeletes, maintenanceRetention)
+    scanMorDeletes, maintenanceRetention, scanTimeTravel)
 }
