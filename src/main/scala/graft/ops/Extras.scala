@@ -619,9 +619,71 @@ object Extras {
       .orderBy("l_returnflag")
   }
 
+  /** Bounded-horizon EWMA — the RECURSIVE smoothing the moving average
+    * can't express (window_moving weighs the frame uniformly; EWMA
+    * decays): smoothed_t = Σ_{k=0..7} 2^(7-k)·v_{t-k} / Σ 2^(7-k) over
+    * the available lags, i.e. α = 1/2 exponential decay truncated at
+    * horizon 8 and renormalized at sequence heads. The truncation is
+    * what makes it hash-exact: the infinite recurrence accumulates
+    * float error in order-dependent ways, while the 8-term form is a
+    * finite weighted sum of INTEGER CENTS with power-of-two weights —
+    * num and den are exact BIGINTs in both engines and the one boundary
+    * division of identical IEEE operands is deterministic. Plan: one
+    * window node (8 lags share the frame), one shuffle by user_id —
+    * unchanged at 100 TB where the partition key is the series id. */
+  val windowEwma = QueryDef(
+    "window_ewma",
+    {
+      val lags = (1 to 7).map(k => s"lag(cents, $k) OVER w AS c$k").mkString(",\n      |    ")
+      val num = "128 * c0 + " + (1 to 7).map(k => s"coalesce(${1L << (7 - k)} * c$k, 0)").mkString(" + ")
+      val den = "128 + " + (1 to 7).map(k => s"CASE WHEN c$k IS NOT NULL THEN ${1L << (7 - k)} ELSE 0 END").mkString(" + ")
+      s"""WITH c AS (
+      |  SELECT user_id, event_id, ts,
+      |         CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+      |  FROM events WHERE user_id % 10 = 1
+      |), l AS (
+      |  SELECT user_id, event_id, cents AS c0,
+      |    $lags
+      |  FROM c WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |)
+      |SELECT user_id, event_id, num, den,
+      |       CAST(num AS DOUBLE) / (den * 100) AS ewma
+      |FROM (
+      |  SELECT user_id, event_id,
+      |         CAST($num AS BIGINT) AS num,
+      |         CAST($den AS BIGINT) AS den
+      |  FROM l
+      |) ORDER BY user_id, event_id""".stripMargin
+    }) { (s, d) =>
+    ewmaReport(Tables.events(s, d).filter(col("user_id") % 10 === 1))
+      .orderBy("user_id", "event_id")
+  }
+
+  /** The EWMA kernel over an (user_id, event_id, ts, value) relation —
+    * split out so EdgeSpec can pin the head-renormalization and weight
+    * arithmetic on planted series. */
+  def ewmaReport(events: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val cents = (col("value").cast(org.apache.spark.sql.types.DecimalType(12, 2)) * 100)
+      .cast("long")
+    val withLags = events
+      .withColumn("cents", cents)
+      .select(Seq(col("user_id"), col("event_id"), col("cents").as("c0")) ++
+        (1 to 7).map(k => lag(col("cents"), k).over(w).as(s"c$k")): _*)
+    val num = (lit(128L) * col("c0")) +
+      (1 to 7).map(k => coalesce(lit(1L << (7 - k)) * col(s"c$k"), lit(0L))).reduce(_ + _)
+    val den = lit(128L) +
+      (1 to 7).map(k =>
+        when(col(s"c$k").isNotNull, lit(1L << (7 - k))).otherwise(lit(0L))).reduce(_ + _)
+    withLags
+      .select(col("user_id"), col("event_id"),
+        num.cast("long").as("num"), den.cast("long").as("den"))
+      .withColumn("ewma", col("num").cast("double") / (col("den") * 100))
+  }
+
   val all: Seq[QueryDef] = Seq(aggStats, windowDistribution, fnConditional,
     joinFull, joinCross, aggPivot, aggPercentile,
     aggCorr, fnBitwise, windowFirstLast, aggHistogram, joinBucketed, aggMode,
     aggListagg, joinNullSafe, aggBool, aggArgMinmax, aggUnpivot, aggGroupingId,
-    windowMoving, aggRegression)
+    windowMoving, aggRegression, windowEwma)
 }

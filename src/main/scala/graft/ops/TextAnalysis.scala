@@ -1310,10 +1310,79 @@ object TextAnalysis {
       .select("doc_id", "rnk", "token", "tf", "df", "score")
   }
 
+  /** Gopher-style RULE-SET document filter (Rae et al. 2021's repetition
+    * / length / stop-word heuristics, adapted so every rule has both
+    * branches live on this corpus): per-document booleans for five
+    * published-filter rules plus the conjunction. Unlike `text_quality`
+    * (one blended score), the rule report keeps each signal auditable —
+    * the form production filters actually ship, because a corpus owner
+    * needs to know WHICH rule fired before tuning it. Every test is
+    * exact INTEGER arithmetic (ratio thresholds cross-multiplied:
+    * mean-word-length ∈ [3.6, 4.4] becomes 10·cw between 36·nw and
+    * 44·nw), so no float ever forms and the hash is trivially stable.
+    *
+    * Plan: one explode to (doc, token) counts, then ONE combinable
+    * per-doc aggregate carrying all five statistics (total/distinct/max
+    * frequency/char mass/stop-word mass ride the same shuffle) — linear
+    * in corpus tokens, the dedup_exact scan shape, unchanged at 100 TB. */
+  val textGopherRules = QueryDef(
+    "text_gopher_rules",
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+      |), pt AS (
+      |  SELECT doc_id, tok, count(*) AS cnt FROM toks GROUP BY doc_id, tok
+      |), pd AS (
+      |  SELECT doc_id,
+      |    CAST(sum(cnt) AS BIGINT) AS nw,
+      |    CAST(sum(length(tok) * cnt) AS BIGINT) AS cw,
+      |    CAST(count(*) AS BIGINT) AS nd,
+      |    CAST(max(cnt) AS BIGINT) AS maxf,
+      |    CAST(sum(CASE WHEN tok IN ('the','a','to','of','and','in','is','on')
+      |             THEN cnt ELSE 0 END) AS BIGINT) AS n_stop
+      |  FROM pt GROUP BY doc_id
+      |)
+      |SELECT doc_id, nw AS n_words,
+      |  nw BETWEEN 30 AND 90 AS word_count_ok,
+      |  10 * cw BETWEEN 36 * nw AND 44 * nw AS mean_len_ok,
+      |  n_stop >= 2 AS stopword_ok,
+      |  2 * nd >= nw AS ttr_ok,
+      |  10 * maxf <= nw AS rep_ok,
+      |  (nw BETWEEN 30 AND 90 AND 10 * cw BETWEEN 36 * nw AND 44 * nw
+      |   AND n_stop >= 2 AND 2 * nd >= nw AND 10 * maxf <= nw) AS keep
+      |FROM pd ORDER BY doc_id""".stripMargin) { (s, d) =>
+    gopherRules(Tables.documents(s, d)).orderBy("doc_id")
+  }
+
+  /** The rule-report kernel over a (doc_id, text) relation — split out so
+    * EdgeSpec can fire each rule on planted documents. */
+  def gopherRules(docs: DataFrame): DataFrame = {
+    val stopSet = Seq("the", "a", "to", "of", "and", "in", "is", "on")
+    val pt = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("cnt"))
+    val pd = pt.groupBy("doc_id").agg(
+      sum(col("cnt")).as("nw"),
+      sum(length(col("tok")) * col("cnt")).as("cw"),
+      count(lit(1)).as("nd"),
+      max(col("cnt")).as("maxf"),
+      sum(when(col("tok").isInCollection(stopSet), col("cnt")).otherwise(0L))
+        .as("n_stop"))
+    val wordCountOk = col("nw").between(30, 90)
+    val meanLenOk = (lit(10) * col("cw")).between(lit(36) * col("nw"), lit(44) * col("nw"))
+    val stopwordOk = col("n_stop") >= 2
+    val ttrOk = lit(2) * col("nd") >= col("nw")
+    val repOk = lit(10) * col("maxf") <= col("nw")
+    pd.select(col("doc_id"), col("nw").as("n_words"),
+      wordCountOk.as("word_count_ok"), meanLenOk.as("mean_len_ok"),
+      stopwordOk.as("stopword_ok"), ttrOk.as("ttr_ok"), repOk.as("rep_ok"),
+      (wordCountOk && meanLenOk && stopwordOk && ttrOk && repOk).as("keep"))
+  }
+
   val all: Seq[QueryDef] = Seq(textLangid, textQuality, textTokens, textFingerprint,
     textPiiScrub, sampleSplit, sampleStratified, textPack, textDecontaminate,
     textNgrams, textTfidf, sampleShuffle, pipelineCleanse, textStripMarkup,
     textRepetition, sampleWeighted, textRarity, sampleMix, textBpePairs,
     textLmScore, textBlocklist, sampleTemperature, textBpeMerge,
-    textBpeEncode, sampleBootstrap, sampleBottomk, textKeywords)
+    textBpeEncode, sampleBootstrap, sampleBottomk, textKeywords,
+    textGopherRules)
 }

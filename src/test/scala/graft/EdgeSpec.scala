@@ -1010,4 +1010,43 @@ class EdgeSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((1, "rare", 64L), (2, "aa", 32L), (3, "zz", 32L)),
       s"mismatch: ${got.toSeq}")
   }
+
+  test("ewmaReport: head renormalization, power-of-two weights, exact num/den") {
+    // one user, values 1.00, 2.00, 3.00 → cents 100, 200, 300
+    val ev = Seq((1L, "2024-01-01 00:00:01", 7L, 1.00),
+      (2L, "2024-01-01 00:00:02", 7L, 2.00),
+      (3L, "2024-01-01 00:00:03", 7L, 3.00))
+      .toDF("event_id", "tstr", "user_id", "value")
+      .select(col("event_id"), to_timestamp(col("tstr")).cast("timestamp_ntz").as("ts"),
+        col("user_id"), col("value"))
+    val got = graft.ops.Extras.ewmaReport(ev).orderBy("event_id")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    // row1: num=128·100, den=128 → ewma = 1.0 exactly (head = raw value)
+    // row2: num=128·200+64·100, den=192 → 32000/19200 = 5/3
+    // row3: num=128·300+64·200+32·100, den=224 → 54400/22400 = 17/7
+    assert(got.toSeq == Seq(
+      (1L, 12800L, 128L, 1.0),
+      (2L, 32000L, 192L, 32000.0 / 19200),
+      (3L, 54400L, 224L, 54400.0 / 22400)), s"mismatch: ${got.toSeq}")
+  }
+
+  test("gopherRules: each rule fires on its planted violator") {
+    def words(w: String, n: Int) = Seq.fill(n)(w).mkString(" ")
+    val docs = Seq(
+      (0L, "the a short"),                                   // 3 words → word_count_ok false
+      (1L, "the a " + (1 to 48).map(i => f"wordy$i%02d").mkString(" ")), // mean len 6.8 → mean_len_ok false
+      (2L, (1 to 40).map(i => f"tok$i%02d").mkString(" ")),  // no stopwords → stopword_ok false
+      (3L, "the a " + words("dup", 38)),                     // maxf=38 of 40 → rep_ok+ttr_ok false
+      // 40 words, 2 stop, each wrdN ×2 (maxf=2), nd=21, cw=174 → mean 4.35 → all pass
+      (4L, "the a " + (1 to 38).map(i => "wrd" + (i % 19)).mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = graft.ops.TextAnalysis.gopherRules(docs).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getBoolean(2), r.getBoolean(3),
+        r.getBoolean(4), r.getBoolean(5), r.getBoolean(6), r.getBoolean(7)))
+    assert(got(0)._2 == false && got(0)._7 == false, s"doc0 ${got(0)}")
+    assert(got(1)._2 && !got(1)._3 && !got(1)._7, s"doc1 ${got(1)}")
+    assert(!got(2)._4 && got(2)._2, s"doc2 ${got(2)}")
+    assert(!got(3)._5 && !got(3)._6 && !got(3)._7, s"doc3 ${got(3)}")
+    assert(got(4) == ((4L, true, true, true, true, true, true)), s"doc4 ${got(4)}")
+  }
 }
