@@ -340,6 +340,77 @@ object Dedup {
     embeddingNearDup(Tables.embeddings(s, d), 0.5).orderBy("i", "j")
   }
 
+  /** Rolling-hash window for content-defined boundaries: polynomial hash
+    * of the 8 chars ending at position i (base 31, exact in a BIGINT —
+    * max Σ 127·31⁷ < 2⁴⁰), boundary where H % 16 == 0. Shared between the
+    * Spark lambda and the DuckDB oracle so both engines cut at identical
+    * offsets; `ascii`/`ord` of an out-of-range substr is 0 in both. */
+  private def cdcPoly(ascii: String): String =
+    (0 to 7).map(j => s"CAST($ascii(substr(text, i - ${7 - j}, 1)) AS BIGINT) * ${math.pow(31, 7 - j).toLong}")
+      .mkString(" + ")
+
+  /** CONTENT-DEFINED CHUNKING over (doc_id, text): boundaries where the
+    * rolling hash of the trailing 8-char window ≡ 0 (mod 16) — the
+    * rsync/LBFS cut rule, giving ~16-char mean chunks whose positions
+    * move WITH the content: an insertion early in a document shifts
+    * every fixed-shingle window but only disturbs the one chunk it
+    * lands in, so all other chunks still hash-match across versions.
+    * Entirely a per-row ARRAY pipeline (filter → concat → transform on
+    * the boundary list): zero shuffle until the chunk explode — the
+    * whole chunker rides the scan stage at 100 TB. */
+  def cdcChunks(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("text"))
+      .withColumn("bpos",
+        expr(s"filter(sequence(8, greatest(length(text) - 1, 8)), " +
+          s"i -> i < length(text) AND (${cdcPoly("ascii")}) % 16 = 0)"))
+      .withColumn("bb",
+        expr("concat(array(0), bpos, array(length(text)))"))
+      .select(col("doc_id"),
+        explode(expr("transform(sequence(1, size(bb) - 1), k -> " +
+          "substring(text, element_at(bb, k) + 1, element_at(bb, k + 1) - element_at(bb, k)))"))
+          .as("chunk"))
+
+  val dedupCdcChunks = QueryDef(
+    "dedup_cdc_chunks",
+    // Chunks under 8 chars are excluded from the report (the min-chunk
+    // rule every CDC deployment applies — tiny chunks match incidentally
+    // and carry no dedup value), expressed declaratively as a length
+    // filter rather than stateful boundary suppression so both engines
+    // stay pure array pipelines.
+    s"""WITH b AS (
+       |  SELECT doc_id, text,
+       |    list_filter(range(8, length(text)), i -> (${cdcPoly("ord")}) % 16 = 0) AS bpos
+       |  FROM documents
+       |), ball AS (
+       |  SELECT doc_id, text,
+       |    list_concat(list_concat([CAST(0 AS BIGINT)], bpos),
+       |                [CAST(length(text) AS BIGINT)]) AS bb
+       |  FROM b
+       |), ch AS (
+       |  SELECT doc_id, unnest(list_transform(range(1, len(bb)), k ->
+       |    substr(text, CAST(bb[k] AS INT) + 1, CAST(bb[k+1] - bb[k] AS INT)))) AS chunk
+       |  FROM ball
+       |)
+       |SELECT md5(chunk) AS chunk_hash,
+       |  CAST(min(length(chunk)) AS BIGINT) AS chunk_len,
+       |  CAST(count(*) AS BIGINT) AS n_occ,
+       |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       |  min(doc_id) AS first_doc
+       |FROM ch WHERE length(chunk) >= 8
+       |GROUP BY chunk_hash HAVING count(DISTINCT doc_id) >= 2
+       |ORDER BY n_docs DESC, chunk_hash LIMIT 50""".stripMargin) { (s, d) =>
+    cdcChunks(Tables.documents(s, d))
+      .filter(length(col("chunk")) >= 8)
+      .groupBy(md5(col("chunk")).as("chunk_hash"))
+      .agg(min(length(col("chunk"))).cast("long").as("chunk_len"),
+        count(lit(1)).as("n_occ"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        min(col("doc_id")).as("first_doc"))
+      .filter(col("n_docs") >= 2)
+      .orderBy(col("n_docs").desc, col("chunk_hash"))
+      .limit(50)
+  }
+
   val all: Seq[QueryDef] = Seq(dedupMinhash, dedupSimhash, dedupSimhashNear, dedupEmbed,
-    dedupMinhashRecall)
+    dedupMinhashRecall, dedupCdcChunks)
 }

@@ -367,6 +367,59 @@ object Quality {
     cust.unionByName(ord).orderBy("tbl", "col_name")
   }
 
+  /** HOT-KEY SKEW diagnostic — the report a 100 TB operator runs BEFORE
+    * choosing a remedy (the suite gates three remedies — `join_salted`,
+    * `window_skew_topk`, `swivel_cooc_salted` — this key gates the
+    * detector that says WHICH keys need them): per join-key, its row
+    * count, exact integer skew ratio vs the mean key (×100), corpus
+    * share in basis points, the hot flag (count > 2× mean), and the
+    * actionable output — the salt count (⌈count/mean⌉, capped at 16)
+    * that would level the key, i.e. exactly the `Salts` parameter the
+    * remedy keys take. All arithmetic is integer cross-multiplication
+    * (cnt·K vs 2·T — no float ever forms).
+    *
+    * The fixture's natural keys are uniform (dead hot branch), so the
+    * key is a DERIVED Zipf-ish id (the text_dedup_url synthesized-dirt
+    * convention): every 4th user collapses onto key 0 (~25% of rows,
+    * ~16× mean), the rest spread over 64 — both branches live at every
+    * SF. Plan: ONE map-side-combinable count per key + a broadcast
+    * 1-row totals join — two aggregates, no window, no sort until the
+    * bounded top-20. */
+  val qualitySkew = QueryDef(
+    "quality_skew",
+    """WITH k AS (
+      |  SELECT CASE WHEN user_id % 4 = 0 THEN 0 ELSE user_id % 64 END AS zkey
+      |  FROM events
+      |), pk AS (
+      |  SELECT zkey, CAST(count(*) AS BIGINT) AS cnt FROM k GROUP BY zkey
+      |), tot AS (
+      |  SELECT CAST(sum(cnt) AS BIGINT) AS t, CAST(count(*) AS BIGINT) AS nk
+      |  FROM pk
+      |)
+      |SELECT zkey, cnt,
+      |  (100 * cnt * nk) // t AS skew_x100,
+      |  (10000 * cnt) // t AS share_bp,
+      |  cnt * nk > 2 * t AS is_hot,
+      |  CASE WHEN cnt * nk > 2 * t
+      |       THEN least(16, (cnt * nk + t - 1) // t) ELSE 1 END AS salts
+      |FROM pk, tot
+      |ORDER BY cnt DESC, zkey LIMIT 20""".stripMargin) { (s, d) =>
+    val pk = Tables.events(s, d)
+      .select(when(col("user_id") % 4 === 0, 0L)
+        .otherwise(col("user_id") % 64).as("zkey"))
+      .groupBy("zkey").agg(count(lit(1)).as("cnt"))
+    val tot = pk.agg(sum(col("cnt")).as("t"), count(lit(1)).as("nk"))
+    pk.crossJoin(broadcast(tot))
+      .select(col("zkey"), col("cnt"),
+        expr("(100 * cnt * nk) div t").as("skew_x100"),
+        expr("(10000 * cnt) div t").as("share_bp"),
+        (col("cnt") * col("nk") > lit(2) * col("t")).as("is_hot"),
+        when(col("cnt") * col("nk") > lit(2) * col("t"),
+          least(lit(16L), expr("(cnt * nk + t - 1) div t"))).otherwise(1L).as("salts"))
+      .orderBy(col("cnt").desc, col("zkey"))
+      .limit(20)
+  }
+
   val all: Seq[QueryDef] = Seq(qualityExpectations, qualityDrift, qualityOutliers,
-    qualityProfile)
+    qualityProfile, qualitySkew)
 }

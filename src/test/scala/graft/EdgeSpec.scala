@@ -1049,4 +1049,22 @@ class EdgeSpec extends AnyFunSuite {
     assert(!got(3)._5 && !got(3)._6 && !got(3)._7, s"doc3 ${got(3)}")
     assert(got(4) == ((4L, true, true, true, true, true, true)), s"doc4 ${got(4)}")
   }
+
+  test("cdcChunks: boundaries move with content (prefix insertion preserves tail chunks)") {
+    val t = (1 to 60).map(i => Seq("scan", "table", "filter", "window", "batch",
+      "column", "join")(i % 7)).mkString(" ")
+    val docs = Seq((0L, t), (1L, "zqj xvw " + t), (2L, "tiny")).toDF("doc_id", "text")
+    val ch = Dedup.cdcChunks(docs).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getString(1)).toSet).toMap
+    // chunk concatenation reconstructs the document exactly
+    val ordered = Dedup.cdcChunks(docs).collect().filter(_.getLong(0) == 0L).map(_.getString(1))
+    assert(ordered.mkString("") == t, "chunks must partition the text")
+    // sub-window doc → one chunk, the whole text
+    assert(ch(2L) == Set("tiny"))
+    // the CDC property: a head insertion disturbs only chunks touching
+    // the junction — every other chunk of doc 0 reappears in doc 1
+    val missing = ch(0L) -- ch(1L)
+    assert(ch(0L).size >= 4, s"need several chunks, got ${ch(0L).size}")
+    assert(missing.size <= 1, s"prefix insertion broke tail chunks: $missing")
+  }
 }
