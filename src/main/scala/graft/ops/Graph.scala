@@ -854,7 +854,62 @@ object Graph {
       .limit(200)
   }
 
+  /** DEGREE ASSORTATIVITY of the part co-purchase graph — the one-number
+    * mixing summary (Newman 2002: Pearson correlation of endpoint
+    * degrees over directed edges; r > 0 hubs link hubs, r < 0 hubs link
+    * leaves) that tells an operator whether the graph's hubs cluster —
+    * the property that decides if the hub cap (`graph_linkpred`) and
+    * salting actually matter. The agg_regression discipline verbatim:
+    * degrees are exact integers, the five moment sums accumulate as
+    * BIGINTs (deg ≤ 10³, edges ≤ 10⁶ keeps every product < 2⁶³), and
+    * the closed-form correlation is ONE double tree over identical
+    * operands. Plan: one degree aggregate + two key joins against the
+    * landed edges + one scalar aggregate — no iteration, no window. */
+  val graphAssortativity = QueryDef(
+    "graph_assortativity",
+    """WITH pr AS (
+      |  SELECT DISTINCT a.l_orderkey AS ok, a.l_partkey AS u, b.l_partkey AS v
+      |  FROM lineitem a JOIN lineitem b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+      |), e AS (
+      |  SELECT u, v FROM pr GROUP BY u, v HAVING count(*) >= 2
+      |), deg AS (
+      |  SELECT u AS n, CAST(count(*) AS BIGINT) AS d FROM e GROUP BY u
+      |), m AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS s,
+      |    CAST(sum(du.d) AS BIGINT) AS sx, CAST(sum(dv.d) AS BIGINT) AS sy,
+      |    CAST(sum(du.d * du.d) AS BIGINT) AS sxx,
+      |    CAST(sum(dv.d * dv.d) AS BIGINT) AS syy,
+      |    CAST(sum(du.d * dv.d) AS BIGINT) AS sxy
+      |  FROM e JOIN deg du ON e.u = du.n JOIN deg dv ON e.v = dv.n
+      |)
+      |SELECT (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_nodes,
+      |  s AS n_edges,
+      |  round((CAST(s AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+      |    / (sqrt(CAST(s AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+      |       * sqrt(CAST(s AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 6)
+      |    AS assortativity
+      |FROM m""".stripMargin) { (s, d) =>
+    val e = partCoEdges(s, d).select("u", "v")
+    val deg = e.groupBy("u").agg(count(lit(1)).as("d"))
+      .select(col("u").as("n"), col("d"))
+    val m = e.join(deg.select(col("n"), col("d").as("du")), col("u") === col("n")).drop("n")
+      .join(deg.select(col("n"), col("d").as("dv")), col("v") === col("n")).drop("n")
+      .agg(count(lit(1)).as("s"),
+        sum(col("du")).as("sx"), sum(col("dv")).as("sy"),
+        sum(col("du") * col("du")).as("sxx"),
+        sum(col("dv") * col("dv")).as("syy"),
+        sum(col("du") * col("dv")).as("sxy"))
+    val nNodes = deg.agg(count(lit(1)).as("n_nodes"))
+    m.crossJoin(broadcast(nNodes))
+      .select(col("n_nodes"), col("s").as("n_edges"),
+        round((col("s").cast("double") * col("sxy") - col("sx").cast("double") * col("sy"))
+          / (sqrt(col("s").cast("double") * col("sxx") - col("sx").cast("double") * col("sx"))
+            * sqrt(col("s").cast("double") * col("syy") - col("sy").cast("double") * col("sy"))), 6)
+          .as("assortativity"))
+  }
+
   val all: Seq[QueryDef] = Seq(graphPagerank, graphTriangles, graphComponents,
     graphLinkpred, graphKhop, graphSssp, graphLabelprop, graphKcore,
-    graphProjectBipartite)
+    graphProjectBipartite, graphAssortativity)
 }

@@ -1378,11 +1378,79 @@ object TextAnalysis {
       (wordCountOk && meanLenOk && stopwordOk && ttrOk && repOk).as("keep"))
   }
 
+  /** GROUP-AWARE train/val split with a gated LEAKAGE CERTIFICATE — the
+    * splitter a dedup-aware corpus actually needs: `sample_split` hashes
+    * per document, so near-identical documents from one source can (and
+    * do) straddle the train/val boundary and leak; hashing the GROUP key
+    * (source) sends every document of a group to the same side. The
+    * relation gates both methods side by side — per method, train/val
+    * doc counts and the number of straddling groups — so the hash
+    * certifies the property itself: group_hash rows must show 0
+    * straddlers while doc_hash shows ~every group straddling. Subset
+    * membership stays a pure row function (md5, no rand() — the
+    * hashSplit discipline); one source-keyed combinable aggregate + a
+    * two-row rollup, no shuffle beyond the group key at any scale. */
+  val sampleGroupSplit = QueryDef(
+    "sample_group_split",
+    """WITH d AS (
+      |  SELECT doc_id, source,
+      |    CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'b'
+      |      THEN 'train' ELSE 'val' END AS doc_subset,
+      |    CASE WHEN substr(md5(source), 1, 1) <= 'b'
+      |      THEN 'train' ELSE 'val' END AS grp_subset
+      |  FROM documents
+      |), per_src AS (
+      |  SELECT source,
+      |    count(DISTINCT doc_subset) AS ds,
+      |    count(DISTINCT grp_subset) AS gs,
+      |    sum(CASE WHEN doc_subset = 'train' THEN 1 ELSE 0 END) AS doc_train,
+      |    sum(CASE WHEN grp_subset = 'train' THEN 1 ELSE 0 END) AS grp_train,
+      |    count(*) AS n
+      |  FROM d GROUP BY source
+      |)
+      |SELECT method, n_train, n_val, n_straddling_groups FROM (
+      |  SELECT 'doc_hash' AS method,
+      |    CAST(sum(doc_train) AS BIGINT) AS n_train,
+      |    CAST(sum(n - doc_train) AS BIGINT) AS n_val,
+      |    CAST(sum(CASE WHEN ds = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_straddling_groups
+      |  FROM per_src
+      |  UNION ALL
+      |  SELECT 'group_hash',
+      |    CAST(sum(grp_train) AS BIGINT), CAST(sum(n - grp_train) AS BIGINT),
+      |    CAST(sum(CASE WHEN gs = 2 THEN 1 ELSE 0 END) AS BIGINT)
+      |  FROM per_src
+      |) ORDER BY method""".stripMargin) { (s, d) =>
+    val dd = Tables.documents(s, d).select(col("doc_id"), col("source"),
+      when(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 1) <= "b",
+        "train").otherwise("val").as("doc_subset"),
+      when(substring(md5(col("source").cast("binary")), 1, 1) <= "b",
+        "train").otherwise("val").as("grp_subset"))
+    val perSrc = dd.groupBy("source").agg(
+      countDistinct(col("doc_subset")).as("ds"),
+      countDistinct(col("grp_subset")).as("gs"),
+      sum(when(col("doc_subset") === "train", 1L).otherwise(0L)).as("doc_train"),
+      sum(when(col("grp_subset") === "train", 1L).otherwise(0L)).as("grp_train"),
+      count(lit(1)).as("n"))
+    val docRow = perSrc.agg(
+      sum(col("doc_train")).as("n_train"),
+      sum(col("n") - col("doc_train")).as("n_val"),
+      sum(when(col("ds") === 2, 1L).otherwise(0L)).as("n_straddling_groups"))
+      .select(lit("doc_hash").as("method"), col("n_train"), col("n_val"),
+        col("n_straddling_groups"))
+    val grpRow = perSrc.agg(
+      sum(col("grp_train")).as("n_train"),
+      sum(col("n") - col("grp_train")).as("n_val"),
+      sum(when(col("gs") === 2, 1L).otherwise(0L)).as("n_straddling_groups"))
+      .select(lit("group_hash").as("method"), col("n_train"), col("n_val"),
+        col("n_straddling_groups"))
+    docRow.unionByName(grpRow).orderBy("method")
+  }
+
   val all: Seq[QueryDef] = Seq(textLangid, textQuality, textTokens, textFingerprint,
     textPiiScrub, sampleSplit, sampleStratified, textPack, textDecontaminate,
     textNgrams, textTfidf, sampleShuffle, pipelineCleanse, textStripMarkup,
     textRepetition, sampleWeighted, textRarity, sampleMix, textBpePairs,
     textLmScore, textBlocklist, sampleTemperature, textBpeMerge,
     textBpeEncode, sampleBootstrap, sampleBottomk, textKeywords,
-    textGopherRules)
+    textGopherRules, sampleGroupSplit)
 }
