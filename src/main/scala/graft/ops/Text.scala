@@ -481,6 +481,43 @@ object Text {
       .orderBy("i", "j")
   }
 
+  /** N-GRAM NOVELTY — the per-document CONTRIBUTION metric curation
+    * pipelines rank by (what does this document add that the corpus
+    * ordered before it didn't have?): for each doc, its distinct 3-gram
+    * count, how many of those the doc INTRODUCES (no lower doc_id
+    * carries them — id order standing in for crawl order), and the
+    * integer novelty percentage. The span/dedup keys ask "what repeats";
+    * this asks the curator's dual — "what is new" — and a boilerplate-
+    * heavy document scores near 0 while a fresh one scores near 100.
+    * Scale: ONE shingle-keyed min aggregate (combinable — first_doc is
+    * a min) + one doc-keyed rollup; both shuffles are linear in corpus
+    * shingles, never pairwise, and at 100 TB shingles travel hashed. */
+  val textNgramNovelty = QueryDef(
+    "text_ngram_novelty",
+    s"""${Functions.shingleOracleCte},
+       |shd AS (SELECT DISTINCT doc_id, shingle FROM sh WHERE shingle IS NOT NULL),
+       |firsts AS (
+       |  SELECT shingle, min(doc_id) AS first_doc FROM shd GROUP BY shingle
+       |)
+       |SELECT s.doc_id,
+       |  CAST(count(*) AS BIGINT) AS n_shingles,
+       |  CAST(sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+       |  CAST((100 * sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)) // count(*) AS BIGINT) AS novelty_pct
+       |FROM shd s JOIN firsts f ON s.shingle = f.shingle
+       |GROUP BY s.doc_id
+       |ORDER BY s.doc_id LIMIT 400""".stripMargin) { (s, d) =>
+    val shd = Functions.shingles(Tables.documents(s, d))
+    val firsts = shd.groupBy("shingle").agg(min(col("doc_id")).as("first_doc"))
+    shd.join(firsts, "shingle")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+      .select(col("doc_id"), col("n_shingles"), col("n_novel"),
+        expr("(100 * n_novel) div n_shingles").as("novelty_pct"))
+      .orderBy("doc_id")
+      .limit(400)
+  }
+
   /** SPAN-level duplication — the substring signal doc-level dedup can't
     * see (the "Deduplicating Training Data Makes Language Models Better"
     * finding, approximated at fixed span length): every 8-token span
@@ -730,5 +767,5 @@ object Text {
   val all: Seq[QueryDef] = Seq(textStats, dedupExact, dedupNear, dedupKeeper,
     textEditdist, textEditdistDedup, dedupContainment, dedupContainmentDedup,
     dedupIncremental, textSpanDedup, textDedupUrl, textWinnow,
-    textDedupPrefix)
+    textDedupPrefix, textNgramNovelty)
 }
