@@ -1063,6 +1063,66 @@ object Scale {
       .orderBy("day", "event_type")
   }
 
+  /** CLUSTERING-DEPTH metric — the layout-quality number OPTIMIZE
+    * reports and the diagnostic that MOTIVATES `maintenance_zorder`:
+    * for each zone (the zonemap's 90-day file stand-ins), how many
+    * zones' [min, max] intervals on a column overlap it — i.e. how many
+    * files a point query on that column must read. A perfectly
+    * clustered column has depth 1 (every zone overlaps only itself); an
+    * unclustered one approaches the zone count. The relation gates both
+    * dimensions of the same layout side by side: ship (the sort key —
+    * avg depth ≈ 1×) vs orderkey (unclustered — depth ≈ n_zones), the
+    * quantified version of zonemap's "skips on dates but NOT on
+    * orderkeys". Scale shape: per-zone min/max is ONE combinable
+    * aggregate over the fact; the overlap join runs on the ZONE
+    * relation — file-count-sized METADATA, exactly what a table format
+    * stores in its manifest — never on rows. */
+  val maintenanceClusteringDepth = QueryDef(
+    "maintenance_clustering_depth",
+    """WITH z AS (
+      |  SELECT (CAST(l_shipdate AS DATE) - DATE '1970-01-01') // 90 AS zone,
+      |         (CAST(l_shipdate AS DATE) - DATE '1970-01-01') AS day, l_orderkey
+      |  FROM lineitem
+      |), zm AS (
+      |  SELECT zone,
+      |         CAST(min(day) AS BIGINT) AS lo_s, CAST(max(day) AS BIGINT) AS hi_s,
+      |         CAST(min(l_orderkey) AS BIGINT) AS lo_k, CAST(max(l_orderkey) AS BIGINT) AS hi_k
+      |  FROM z GROUP BY zone
+      |), dims AS (
+      |  SELECT 'ship' AS dim, zone, lo_s AS lo, hi_s AS hi FROM zm
+      |  UNION ALL
+      |  SELECT 'okey', zone, lo_k, hi_k FROM zm
+      |), ov AS (
+      |  SELECT a.dim, a.zone, CAST(count(*) AS BIGINT) AS depth
+      |  FROM dims a JOIN dims b
+      |    ON a.dim = b.dim AND a.lo <= b.hi AND b.lo <= a.hi
+      |  GROUP BY a.dim, a.zone
+      |)
+      |SELECT dim, CAST(count(*) AS BIGINT) AS n_zones,
+      |       CAST((100 * sum(depth)) // count(*) AS BIGINT) AS avg_depth_x100,
+      |       max(depth) AS max_depth
+      |FROM ov GROUP BY dim ORDER BY dim""".stripMargin) { (s, d) =>
+    val zm = Tables.lineitem(s, d)
+      .select(expr("datediff(CAST(l_shipdate AS DATE), DATE '1970-01-01')").as("day"),
+        col("l_orderkey"))
+      .withColumn("zone", expr("day div 90"))
+      .groupBy("zone")
+      .agg(min(col("day")).cast("long").as("lo_s"), max(col("day")).cast("long").as("hi_s"),
+        min(col("l_orderkey")).cast("long").as("lo_k"),
+        max(col("l_orderkey")).cast("long").as("hi_k"))
+    val dims = zm.select(lit("ship").as("dim"), col("zone"), col("lo_s").as("lo"), col("hi_s").as("hi"))
+      .unionByName(zm.select(lit("okey").as("dim"), col("zone"), col("lo_k").as("lo"), col("hi_k").as("hi")))
+    val ov = dims.as("a").join(dims.as("b"),
+        col("a.dim") === col("b.dim") && col("a.lo") <= col("b.hi") && col("b.lo") <= col("a.hi"))
+      .groupBy(col("a.dim").as("dim"), col("a.zone").as("zone"))
+      .agg(count(lit(1)).as("depth"))
+    ov.groupBy("dim")
+      .agg(count(lit(1)).as("n_zones"),
+        expr("(100 * sum(depth)) div count(*)").as("avg_depth_x100"),
+        max(col("depth")).as("max_depth"))
+      .orderBy("dim")
+  }
+
   val all: Seq[QueryDef] = Seq(
     scanPartitioned, joinSalted, sqlFrontend,
     windowNtile, aggFiltered, aggApproxPercentile,
@@ -1070,5 +1130,5 @@ object Scale {
     subqueryIn, sortNulls, sortOffset, mergeScd2,
     joinDpp, subqueryExists, maintenanceZonemap, joinPit,
     maintenanceAnalyze, mergeCdc, maintenanceZorder, windowSkewTopk,
-    maintenanceIncrementalAgg)
+    maintenanceIncrementalAgg, maintenanceClusteringDepth)
 }

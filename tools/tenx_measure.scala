@@ -7,10 +7,10 @@
 // (any Bench run builds it). Record results + co-measured controls in BASELINE.md.
 import graft.SparkEntry
 val keys = Seq(
-  "pipeline_tpch_q2", "pipeline_tpch_q9", "pipeline_tpch_q11", "pipeline_tpch_q20",
-  "agg_heavy_hitters", "event_concurrency", "sample_bottomk", "quality_profile",
-  "text_keywords", "scan_mor_deletes", "graph_project_bipartite",
-  "scan_project", "window_ntile")
+  "window_ewma", "text_gopher_rules", "quality_skew", "dedup_cdc_chunks",
+  "sim_jl_projection", "sample_group_split", "graph_assortativity",
+  "text_ngram_novelty",
+  "window_moving", "text_quality", "scan_project", "graph_components")
 val dirs = Seq("sf01" -> "/tmp/graft_bench_mirror_ddbe1476c5607681e1c7241437b45958", "tenx" -> "/tmp/graft10x")
 val qs = SparkEntry.queries
 // codegen warmup at sf0.001
