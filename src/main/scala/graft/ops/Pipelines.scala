@@ -1020,11 +1020,97 @@ object Pipelines {
       .orderBy("s_suppkey")
   }
 
+  /** DATASET CARD — the per-source datasheet a corpus release ships
+    * (the "datasheets for datasets" report, composed from the suite's
+    * own gated kernels rather than ad-hoc stats): per source + an ALL
+    * rollup, the size triple (docs / whitespace tokens / chars), the
+    * exact-dup percentage (docs minus distinct md5 contents — the
+    * dedup_exact statistic), and the Gopher-rule keep percentage (the
+    * text_gopher_rules conjunction, re-aggregated per source). All
+    * integer arithmetic; one token-level aggregate feeds the rule
+    * kernel, one source-keyed rollup + a 1-row ALL union on top — the
+    * whole card is two combinable aggregation layers over one corpus
+    * scan, embarrassingly source-parallel at 100 TB. */
+  val pipelineDatasetCard = QueryDef(
+    "pipeline_dataset_card",
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+      |), pt AS (
+      |  SELECT doc_id, tok, count(*) AS cnt FROM toks GROUP BY doc_id, tok
+      |), pd AS (
+      |  SELECT doc_id,
+      |    CAST(sum(cnt) AS BIGINT) AS nw,
+      |    CAST(sum(length(tok) * cnt) AS BIGINT) AS cw,
+      |    CAST(count(*) AS BIGINT) AS nd,
+      |    CAST(max(cnt) AS BIGINT) AS maxf,
+      |    CAST(sum(CASE WHEN tok IN ('the','a','to','of','and','in','is','on')
+      |             THEN cnt ELSE 0 END) AS BIGINT) AS n_stop
+      |  FROM pt GROUP BY doc_id
+      |), k AS (
+      |  SELECT doc_id,
+      |    (nw BETWEEN 30 AND 90 AND 10 * cw BETWEEN 36 * nw AND 44 * nw
+      |     AND n_stop >= 2 AND 2 * nd >= nw AND 10 * maxf <= nw) AS keep
+      |  FROM pd
+      |), dk AS (
+      |  SELECT d.source, d.doc_id, length(d.text) AS n_chars_txt,
+      |    len(string_split(d.text, ' ')) AS nw, md5(d.text) AS h, k.keep
+      |  FROM documents d JOIN k ON d.doc_id = k.doc_id
+      |), per AS (
+      |  SELECT source,
+      |    CAST(count(*) AS BIGINT) AS n_docs,
+      |    CAST(sum(nw) AS BIGINT) AS n_tokens,
+      |    CAST(sum(n_chars_txt) AS BIGINT) AS n_chars,
+      |    CAST(count(*) - count(DISTINCT h) AS BIGINT) AS n_dup,
+      |    CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep
+      |  FROM dk GROUP BY source
+      |)
+      |SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+      |  CAST(n_tokens AS BIGINT) AS n_tokens, CAST(n_chars AS BIGINT) AS n_chars,
+      |  CAST((10000 * n_dup) // n_docs AS BIGINT) AS dup_bp,
+      |  CAST((100 * n_keep) // n_docs AS BIGINT) AS keep_pct
+      |FROM (
+      |  SELECT * FROM per
+      |  UNION ALL
+      |  -- the ALL row recomputes n_dup at CORPUS scope (cross-source
+      |  -- duplicates are invisible to every per-source row)
+      |  SELECT 'ALL', sum(n_docs), sum(n_tokens), sum(n_chars),
+      |         (SELECT count(*) - count(DISTINCT md5(text)) FROM documents),
+      |         sum(n_keep) FROM per
+      |) ORDER BY source""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val keep = TextAnalysis.gopherRules(docs).select(col("doc_id"), col("keep"))
+    val dk = docs.join(keep, "doc_id")
+      .select(col("source"),
+        length(col("text")).cast("long").as("n_chars_txt"),
+        size(split(col("text"), " ")).cast("long").as("nw"),
+        md5(col("text")).as("h"), col("keep"))
+    val per = dk.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("nw")).as("n_tokens"),
+        sum(col("n_chars_txt")).as("n_chars"),
+        (count(lit(1)) - countDistinct(col("h"))).as("n_dup"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_keep"))
+    // corpus-scope dup count: cross-source duplicates are invisible to
+    // every per-source row, so the ALL row recomputes its own distinct
+    val corpusDup = dk.agg((count(lit(1)) - countDistinct(col("h"))).as("n_dup"))
+    val allRow = per.agg(sum(col("n_docs")).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"), sum(col("n_chars")).as("n_chars"),
+        sum(col("n_keep")).as("n_keep"))
+      .crossJoin(broadcast(corpusDup))
+      .select(lit("ALL").as("source"), col("n_docs"), col("n_tokens"),
+        col("n_chars"), col("n_dup"), col("n_keep"))
+    per.unionByName(allRow)
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("n_chars"),
+        expr("(10000 * n_dup) div n_docs").as("dup_bp"),
+        expr("(100 * n_keep) div n_docs").as("keep_pct"))
+      .orderBy("source")
+  }
+
   val all: Seq[QueryDef] = Seq(pipelineTpchQ3, pipelineTpchQ18,
     pipelineTpchQ5, pipelineTpchQ10, pipelineTpchQ7, pipelineTpchQ19,
     pipelineTpchQ1, pipelineTpchQ4, pipelineTpchQ6, pipelineTpchQ12,
     pipelineTpchQ14, pipelineTpchQ16, pipelineTpchQ22,
     pipelineTpchQ13, pipelineTpchQ15, pipelineTpchQ17, pipelineTpchQ21,
     pipelineTpchQ8, pipelineTpchQ2, pipelineTpchQ9, pipelineTpchQ11,
-    pipelineTpchQ20)
+    pipelineTpchQ20, pipelineDatasetCard)
 }
