@@ -342,11 +342,19 @@ object Dedup {
 
   /** Rolling-hash window for content-defined boundaries: polynomial hash
     * of the 8 chars ending at position i (base 31, exact in a BIGINT —
-    * max Σ 127·31⁷ < 2⁴⁰), boundary where H % 16 == 0. Shared between the
-    * Spark lambda and the DuckDB oracle so both engines cut at identical
-    * offsets; `ascii`/`ord` of an out-of-range substr is 0 in both. */
-  private def cdcPoly(ascii: String): String =
-    (0 to 7).map(j => s"CAST($ascii(substr(text, i - ${7 - j}, 1)) AS BIGINT) * ${math.pow(31, 7 - j).toLong}")
+    * max Σ 127·31⁷ < 2⁴⁰), boundary where H % 16 == 0. The oracle reads
+    * chars with `ord(substr(...))` directly; the Spark side reads the
+    * per-doc CODE ARRAY (`codes`, one ascii pass per char) because the
+    * interpreted-HOF cost of 8 substr+ascii calls per position dominated
+    * the whole key (measured 14.5 s → the array form + split parallelism
+    * → sub-second). `ord` of an out-of-range substr is 0 in DuckDB;
+    * element_at past the array end is null — the i < length guard keeps
+    * both engines inside the window. */
+  private def cdcPolyOracle: String =
+    (0 to 7).map(j => s"CAST(ord(substr(text, i - ${7 - j}, 1)) AS BIGINT) * ${math.pow(31, 7 - j).toLong}")
+      .mkString(" + ")
+  private def cdcPolySpark: String =
+    (0 to 7).map(j => s"CAST(element_at(codes, i - ${7 - j}) AS BIGINT) * ${math.pow(31, 7 - j).toLong}")
       .mkString(" + ")
 
   /** CONTENT-DEFINED CHUNKING over (doc_id, text): boundaries where the
@@ -360,9 +368,17 @@ object Dedup {
     * whole chunker rides the scan stage at 100 TB. */
   def cdcChunks(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), col("text"))
+      // a 100 TB corpus arrives in many splits and the per-row chunker
+      // parallelizes naturally; the local single-file fixture collapses
+      // the scan to ONE task (measured: the whole key serialized on one
+      // core), so restore the multi-split shape explicitly — at scale
+      // this repartition is dropped, not tuned
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .withColumn("codes",
+        expr("transform(sequence(1, greatest(length(text), 1)), i -> ascii(substring(text, i, 1)))"))
       .withColumn("bpos",
         expr(s"filter(sequence(8, greatest(length(text) - 1, 8)), " +
-          s"i -> i < length(text) AND (${cdcPoly("ascii")}) % 16 = 0)"))
+          s"i -> i < length(text) AND ($cdcPolySpark) % 16 = 0)"))
       .withColumn("bb",
         expr("concat(array(0), bpos, array(length(text)))"))
       .select(col("doc_id"),
@@ -379,7 +395,7 @@ object Dedup {
     // stay pure array pipelines.
     s"""WITH b AS (
        |  SELECT doc_id, text,
-       |    list_filter(range(8, length(text)), i -> (${cdcPoly("ord")}) % 16 = 0) AS bpos
+       |    list_filter(range(8, length(text)), i -> ($cdcPolyOracle) % 16 = 0) AS bpos
        |  FROM documents
        |), ball AS (
        |  SELECT doc_id, text,
