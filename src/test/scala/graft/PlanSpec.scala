@@ -590,4 +590,40 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.toLowerCase.contains("windowspecdefinition()"),
       s"unpartitioned window in the sweep:\n$p")
   }
+
+  test("window_ewma: the 8 lags share ONE window node (one user_id shuffle)") {
+    val p = plan(graft.ops.Extras.windowEwma)
+    assert("Window ".r.findAllIn(p).length == 1,
+      s"the 8 lag expressions split into multiple Window nodes:\n$p")
+  }
+
+  test("quality_skew: totals side broadcasts; per-key count is two-phase") {
+    val p = plan(graft.ops.Quality.qualitySkew)
+    assert(p.contains("BroadcastExchange"),
+      s"the 1-row totals relation did not broadcast:\n$p")
+    assert("HashAggregate".r.findAllIn(p).length >= 2,
+      s"per-key count lost its map-side partial:\n$p")
+  }
+
+  test("dedup_cdc_chunks: no join anywhere — chunker is scan-stage, then one aggregate") {
+    val p = plan(graft.ops.Dedup.dedupCdcChunks)
+    assert(!p.contains("Join"), s"the array chunker should need no join:\n$p")
+  }
+
+  test("sim_jl_projection: sign matrix folds to literals (no join for the matrix)") {
+    val p = plan(graft.ops.Similarity.simJlProjection)
+    // exactly the one vec_id self-join; a matrix-as-relation mistake
+    // would add a second join or a nested loop
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"JL projection planned an unkeyed join:\n$p")
+  }
+
+  test("graph_assortativity / maintenance_clustering_depth: no cartesian in the metadata joins") {
+    for (q <- Seq(graft.ops.Graph.graphAssortativity,
+        graft.ops.Scale.maintenanceClusteringDepth)) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"),
+        s"${q.name}: metadata join degenerated to a cartesian:\n$p")
+    }
+  }
 }
