@@ -78,5 +78,70 @@ object Typed {
       .orderBy("label")
   }
 
-  val all: Seq[QueryDef] = Seq(udafCentroid, simEmbeddingDrift)
+  /** NEAREST-CENTROID probe — the cheapest supervised read on embedding
+    * quality (the linear-probe stand-in every embedding eval starts
+    * with): per-label centroids, every vector assigned to its nearest
+    * centroid, and the k×k CONFUSION MATRIX gated. A representation
+    * that separates classes puts the diagonal high; a collapsed or
+    * shuffled embedding flattens it — and unlike `sim_embedding_drift`
+    * (same-label geometry over time) this gates CROSS-label geometry.
+    *
+    * Determinism: centroids carry ulp-level association noise (the
+    * udaf_centroid precedent), so they are QUANTIZED to 4dp per
+    * dimension before any distance forms — from there every distance is
+    * the same sequential fold over identical operands in both engines,
+    * and the argmin (ties by label ASC via the row_number total order)
+    * is exact. Scale: one combinable centroid aggregate, k centroids
+    * broadcast against the corpus (k·d doubles — the classic
+    * MLlib-style assign step), one vec-keyed rank, one k×k rollup. */
+  val simNearestCentroid = QueryDef(
+    "sim_nearest_centroid",
+    """WITH dims AS (
+      |  SELECT label,
+      |         generate_subscripts(embedding, 1) AS dim,
+      |         CAST(unnest(embedding) AS DOUBLE) AS v
+      |  FROM embeddings
+      |), cd AS (
+      |  SELECT label, dim, round(sum(v) / count(*), 4) AS c
+      |  FROM dims GROUP BY label, dim
+      |), cent AS (
+      |  SELECT label AS clabel, list(c ORDER BY dim) AS cv FROM cd GROUP BY label
+      |), v AS (
+      |  SELECT vec_id, label,
+      |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+      |  FROM embeddings
+      |), dist AS (
+      |  SELECT v.vec_id, v.label, cent.clabel,
+      |    list_dot_product(list_transform(range(1, 65), k -> v.ve[k] - cent.cv[k]),
+      |                     list_transform(range(1, 65), k -> v.ve[k] - cent.cv[k])) AS d2
+      |  FROM v, cent
+      |), ranked AS (
+      |  SELECT vec_id, label, clabel,
+      |    row_number() OVER (PARTITION BY vec_id ORDER BY d2, clabel) AS rn
+      |  FROM dist
+      |)
+      |SELECT label, clabel AS pred_label, CAST(count(*) AS BIGINT) AS n_vecs
+      |FROM ranked WHERE rn = 1
+      |GROUP BY label, pred_label ORDER BY label, pred_label""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val centroid = udaf(CentroidAgg)
+    val cent = Tables.embeddings(s, d)
+      .groupBy(col("label").as("clabel"))
+      .agg(centroid(Similarity.vecD(col("embedding"))).as("craw"))
+      .select(col("clabel"), transform(col("craw"), x => round(x, 4)).as("cv"))
+    val v = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"), Similarity.vecD(col("embedding")).as("ve"))
+    val dist = v.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("label"), col("clabel"),
+        Similarity.dot(zip_with(col("ve"), col("cv"), _ - _),
+          zip_with(col("ve"), col("cv"), _ - _)).as("d2"))
+    dist.withColumn("rn",
+        row_number().over(Window.partitionBy("vec_id").orderBy(col("d2"), col("clabel"))))
+      .filter(col("rn") === 1)
+      .groupBy(col("label"), col("clabel").as("pred_label"))
+      .agg(count(lit(1)).as("n_vecs"))
+      .orderBy("label", "pred_label")
+  }
+
+  val all: Seq[QueryDef] = Seq(udafCentroid, simEmbeddingDrift, simNearestCentroid)
 }
