@@ -1598,6 +1598,80 @@ object Events {
       .orderBy("win_start_eus")
   }
 
+  /** REAL CHECKPOINTED STREAM-STREAM JOIN — the fourth real streaming
+    * key (file_sink: append aggregation; stateful_session: event-time
+    * timers; upsert_sink: CDC merge; late_drop: watermark eviction;
+    * THIS: two-sided JOIN STATE). The signup and purchase sides read
+    * the same staged files as two independent FileStreamSources at
+    * maxFilesPerTrigger=1, and batches are split by event_id % 3 —
+    * INTERLEAVED, so ~8/9 of matched pairs have their two sides arrive
+    * in DIFFERENT microbatches and can only match through the join's
+    * checkpointed state buffers; a state loss or premature eviction
+    * drops pairs and fails the driver hash against the batch-join
+    * oracle. No watermark on purpose: an inner stream-stream join
+    * without one legally buffers both sides forever, which is exactly
+    * what makes every pair's emission GUARANTEED independent of arrival
+    * order (the interleaved split makes event time non-monotonic across
+    * batches, so any watermark would drop real rows); the production
+    * trade-off — watermarks to bound state at the cost of a lateness
+    * contract — is `stream_late_drop`'s gated subject. At scale the
+    * join state shuffles on user_id like any keyed state; the landed
+    * relation re-aggregates per user. */
+  val streamJoinSink = QueryDef(
+    "stream_join_sink",
+    """WITH p AS (
+      |  SELECT v.user_id, epoch_us(c.ts) - epoch_us(v.ts) AS gap_us
+      |  FROM events v JOIN events c
+      |    ON v.user_id = c.user_id
+      |   AND v.event_type = 'signup' AND c.event_type = 'purchase'
+      |   AND epoch_us(c.ts) - epoch_us(v.ts) > 0
+      |   AND epoch_us(c.ts) - epoch_us(v.ts) <= 7200000000
+      |)
+      |SELECT user_id, CAST(count(*) AS BIGINT) AS n_pairs,
+      |       CAST(min(gap_us) AS BIGINT) AS min_gap_us,
+      |       CAST(max(gap_us) AS BIGINT) AS max_gap_us
+      |FROM p GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
+    val root = QueryDef.tmpRoot("sjoin", d)
+    deleteTree(root)
+    val ev = Tables.events(s, d)
+      .filter(col("event_type").isin("signup", "purchase"))
+      .select(col("ts").cast("timestamp").as("ts"), col("user_id"),
+        col("event_type"), col("event_id"))
+    ev.withColumn("b", pmod(col("event_id"), lit(3)).cast("int"))
+      .repartition(1)
+      .write.partitionBy("b").parquet(root + "/in")
+    for (order <- 0 to 2; dir = new java.io.File(s"$root/in/b=$order"))
+      Option(dir.listFiles()).toSeq.flatten
+        .foreach(f => f.setLastModified(1700000000000L + order * 60000L): Unit)
+    val schema = s.read.option("recursiveFileLookup", "true")
+      .parquet(root + "/in").schema
+    def side(tpe: String, pre: String) =
+      s.readStream.schema(schema)
+        .option("recursiveFileLookup", "true")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(root + "/in")
+        .filter(col("event_type") === tpe)
+        .select(col("user_id").as(s"${pre}_user"), col("ts").as(s"${pre}_ts"),
+          col("event_id").as(s"${pre}_id"))
+    val joined = side("signup", "l").join(side("purchase", "r"),
+      expr("l_user = r_user AND r_ts > l_ts AND r_ts <= l_ts + interval 2 hours"))
+    val q = joined
+      .select(col("l_user").as("user_id"),
+        (unix_micros(col("r_ts")) - unix_micros(col("l_ts"))).as("gap_us"))
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", root + "/ckpt")
+      .foreachBatch(graft.streaming.StreamOps.parquetBatchWriter(root + "/out"))
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    s.read.parquet(root + "/out")
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_pairs"),
+        min(col("gap_us")).as("min_gap_us"),
+        max(col("gap_us")).as("max_gap_us"))
+      .orderBy("user_id")
+  }
+
   /** Max concurrent sessions per day — the interval-concurrency SWEEP
     * LINE, the analytics shape `join_overlap` (pairwise) and `sessionize`
     * (derivation) both stop short of: how many sessions are open AT ONCE.
@@ -1691,5 +1765,5 @@ object Events {
     eventMarkov, streamJoinOuter, eventRfm, eventSeqMatch,
     streamStatefulSession, streamUpsertSink, eventActiveUsers,
     eventForecastBacktest, eventAbTest, eventSurvival, eventsFfill,
-    eventConcurrency, streamLateDrop)
+    eventConcurrency, streamLateDrop, streamJoinSink)
 }
