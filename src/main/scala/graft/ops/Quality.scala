@@ -420,6 +420,53 @@ object Quality {
       .limit(20)
   }
 
+  /** VOLUME-ANOMALY monitor — the single most-deployed production data
+    * quality check (did today's partition arrive at the expected size?):
+    * per ingest day, its row count, the trailing 7-day baseline, and an
+    * integer cross-multiplied alarm when the day falls outside
+    * [60%, 140%] of the trailing mean (n·cnt·10 < 6·sum / > 14·sum — no
+    * float, no division). The baseline EXCLUDES the current day (an
+    * anomalous day must not defend itself) and arms only after 3
+    * baseline days. Dirt: one day is deterministically thinned to 30%
+    * (the quality_expectations planted-violation convention) so the
+    * alarm branch is live at every SF. Scale shape: the fact pays ONE
+    * combinable per-day count; the trailing window runs on the per-day
+    * relation — calendar-sized METADATA (365 rows/year), where a
+    * global-order window is free (the clustering_depth precedent). */
+  val qualityVolumeAnomaly = QueryDef(
+    "quality_volume_anomaly",
+    """WITH e AS (
+      |  SELECT CAST(ts AS DATE) AS day, event_id FROM events
+      |  WHERE NOT (CAST(ts AS DATE) = DATE '2024-01-15' AND event_id % 10 >= 3)
+      |), pd AS (
+      |  SELECT day, CAST(count(*) AS BIGINT) AS n FROM e GROUP BY day
+      |), w AS (
+      |  SELECT day, n,
+      |    CAST(sum(n) OVER t AS BIGINT) AS base_sum,
+      |    CAST(count(*) OVER t AS BIGINT) AS base_days
+      |  FROM pd WINDOW t AS (ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+      |)
+      |SELECT day, n, base_sum, base_days,
+      |  (base_days >= 3 AND (10 * n * base_days < 6 * base_sum
+      |                       OR 10 * n * base_days > 14 * base_sum)) AS alarm
+      |FROM w ORDER BY day""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val pd = Tables.events(s, d)
+      .select(col("ts").cast("date").as("day"), col("event_id"))
+      .filter(!(col("day") === lit("2024-01-15").cast("date") &&
+        col("event_id") % 10 >= 3))
+      .groupBy("day").agg(count(lit(1)).as("n"))
+    val t = Window.orderBy("day").rowsBetween(-7, -1)
+    pd.select(col("day"), col("n"),
+        sum(col("n")).over(t).as("base_sum"),
+        count(lit(1)).over(t).as("base_days"))
+      .withColumn("alarm",
+        col("base_days") >= 3 &&
+          (lit(10) * col("n") * col("base_days") < lit(6) * col("base_sum") ||
+           lit(10) * col("n") * col("base_days") > lit(14) * col("base_sum")))
+      .orderBy("day")
+  }
+
   val all: Seq[QueryDef] = Seq(qualityExpectations, qualityDrift, qualityOutliers,
-    qualityProfile, qualitySkew)
+    qualityProfile, qualitySkew, qualityVolumeAnomaly)
 }
