@@ -368,6 +368,85 @@ object Sketch {
       .orderBy("type_a")
   }
 
+  /** KMV (k-minimum-values / theta) sketch with SET DIFFERENCE — the
+    * estimator family HLL structurally lacks (`agg_hll_intersect` gets
+    * intersection by inclusion–exclusion but difference error compounds;
+    * a theta sketch carries SAMPLES, so any set expression is a filter
+    * over the union sample): the 256 smallest normalized hashes of the
+    * (user, day) activity union, each carrying its inA/inB membership,
+    * estimate |A∪B| = (k−1)/u_(k) and |A∩B| / |A\B| / |B\A| as kept-
+    * fraction shares. The union bottom-k IS `sample_bottomk`'s machinery
+    * (global top-k → per-partition heaps, TakeOrderedAndProject) — the
+    * sketch is that sample plus membership flags.
+    *
+    * The sketch values never cross the engine boundary (xxhash64 has no
+    * DuckDB analog — the agg_approx_distinct convention): the gated
+    * relation carries the EXACT companions (full-outer membership
+    * aggregate) plus Spark-computed bounded-error booleans (each
+    * estimate within 20% of the UNION — ~3σ at k=256), which the oracle
+    * asserts TRUE; deterministic hashing makes the booleans stable, and
+    * the union sizes (264 / 2 614 / 26 460 across SFs) keep k < n so
+    * the estimating branch — not a degenerate exact copy — is what the
+    * gate exercises at every SF. */
+  val aggSketchKmv = QueryDef(
+    "agg_sketch_kmv",
+    """WITH p AS (
+      |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+      |  WHERE event_type = 'purchase'
+      |), c AS (
+      |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+      |  WHERE event_type = 'click'
+      |), u AS (
+      |  SELECT coalesce(p.user_id, c.user_id) AS user_id,
+      |         coalesce(p.d, c.d) AS d,
+      |         p.user_id IS NOT NULL AS in_a, c.user_id IS NOT NULL AS in_b
+      |  FROM p FULL OUTER JOIN c ON p.user_id = c.user_id AND p.d = c.d
+      |)
+      |SELECT CAST(count(*) AS BIGINT) AS exact_union,
+      |  CAST(sum(CASE WHEN in_a AND in_b THEN 1 ELSE 0 END) AS BIGINT) AS exact_intersect,
+      |  CAST(sum(CASE WHEN in_a AND NOT in_b THEN 1 ELSE 0 END) AS BIGINT) AS exact_a_only,
+      |  CAST(sum(CASE WHEN in_b AND NOT in_a THEN 1 ELSE 0 END) AS BIGINT) AS exact_b_only,
+      |  TRUE AS union_within_20pct, TRUE AS intersect_within_20pct,
+      |  TRUE AS diff_within_20pct
+      |FROM u""".stripMargin) { (s, d) =>
+    val k = 256
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("ts").cast("date").as("d"), col("event_type"))
+    def side(tpe: String) =
+      ev.filter(col("event_type") === tpe).select("user_id", "d").distinct()
+    val a = side("purchase").withColumn("in_a", lit(true))
+    val b = side("click").withColumn("in_b", lit(true))
+    val u = a.join(b, Seq("user_id", "d"), "full_outer")
+      .select(col("user_id"), col("d"),
+        coalesce(col("in_a"), lit(false)).as("in_a"),
+        coalesce(col("in_b"), lit(false)).as("in_b"))
+    val exact = u.agg(count(lit(1)).as("exact_union"),
+      sum(when(col("in_a") && col("in_b"), 1L).otherwise(0L)).as("exact_intersect"),
+      sum(when(col("in_a") && !col("in_b"), 1L).otherwise(0L)).as("exact_a_only"),
+      sum(when(col("in_b") && !col("in_a"), 1L).otherwise(0L)).as("exact_b_only"))
+    // normalized hash in (0, 1): signed xxhash64 shifted to unsigned scale
+    val sk = u.withColumn("uh",
+        (xxhash64(col("user_id"), col("d")).cast("double") / 1.8446744073709552e19) + 0.5)
+      .orderBy("uh").limit(k)
+    val est = sk.agg(max(col("uh")).as("uk"),
+        sum(when(col("in_a") && col("in_b"), 1L).otherwise(0L)).as("k_int"),
+        sum(when(col("in_a") && !col("in_b"), 1L).otherwise(0L)).as("k_a"),
+        sum(when(col("in_b") && !col("in_a"), 1L).otherwise(0L)).as("k_b"))
+      .select(((lit(k) - 1) / col("uk")).as("est_union"),
+        col("k_int"), col("k_a"), col("k_b"))
+    exact.crossJoin(broadcast(est))
+      .select(col("exact_union"), col("exact_intersect"),
+        col("exact_a_only"), col("exact_b_only"),
+        (abs(col("est_union") - col("exact_union")) * 5 <= col("exact_union"))
+          .as("union_within_20pct"),
+        (abs(col("est_union") * col("k_int") / k - col("exact_intersect")) * 5
+          <= col("exact_union")).as("intersect_within_20pct"),
+        (abs(col("est_union") * col("k_a") / k - col("exact_a_only")) * 5
+          <= col("exact_union") &&
+         abs(col("est_union") * col("k_b") / k - col("exact_b_only")) * 5
+          <= col("exact_union")).as("diff_within_20pct"))
+  }
+
   val all: Seq[QueryDef] = Seq(joinBloom, aggSketchCms, aggSketchHllMerge,
-    aggBitmapDistinct, aggHeavyHitters, aggHllIntersect)
+    aggBitmapDistinct, aggHeavyHitters, aggHllIntersect, aggSketchKmv)
 }

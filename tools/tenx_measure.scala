@@ -7,10 +7,9 @@
 // (any Bench run builds it). Record results + co-measured controls in BASELINE.md.
 import graft.SparkEntry
 val keys = Seq(
-  "window_ewma", "text_gopher_rules", "quality_skew", "dedup_cdc_chunks",
-  "sim_jl_projection", "sample_group_split", "graph_assortativity",
-  "text_ngram_novelty",
-  "window_moving", "text_quality", "scan_project", "graph_components")
+  "sim_nearest_centroid", "stream_join_sink", "quality_volume_anomaly",
+  "pipeline_dataset_card",
+  "udaf_centroid", "stream_late_drop", "text_gopher_rules", "scan_project")
 val dirs = Seq("sf01" -> "/tmp/graft_bench_mirror_ddbe1476c5607681e1c7241437b45958", "tenx" -> "/tmp/graft10x")
 val qs = SparkEntry.queries
 // codegen warmup at sf0.001
