@@ -47,24 +47,30 @@ object TextAnalysis {
     scored.withColumn("predicted_lang", pred)
   }
 
+  /** DuckDB SQL fragments for the langid argmax — shared by the
+    * text_langid relation and the text_langid_confusion rollup. */
+  private def langidScoreColsSql: String = langMarkers.map { case (l, ms) =>
+    val inList = ms.map(m => s"'$m'").mkString("(", ", ", ")")
+    s"CAST(len(list_filter(string_split(text, ' '), t -> t IN $inList)) AS BIGINT) AS s_$l"
+  }.mkString(",\n  ")
+  private def langidPredSql: String = {
+    val langs = langMarkers.map(_._1)
+    langs.zipWithIndex.reverse.foldLeft(s"'${langs.head}'") {
+      case (els, (l, i)) =>
+        val conds = langs.take(i).map(o => s"s_$l > s_$o") ++
+          langs.drop(i + 1).map(o => s"s_$l >= s_$o")
+        val cond = if (conds.isEmpty) "TRUE" else conds.mkString(" AND ")
+        s"CASE WHEN $cond THEN '$l' ELSE $els END"
+    }
+  }
+
   val textLangid = QueryDef(
     "text_langid", {
-      val scoreCols = langMarkers.map { case (l, ms) =>
-        val inList = ms.map(m => s"'$m'").mkString("(", ", ", ")")
-        s"CAST(len(list_filter(string_split(text, ' '), t -> t IN $inList)) AS BIGINT) AS s_$l"
-      }.mkString(",\n  ")
       val langs = langMarkers.map(_._1)
-      val pred = langs.zipWithIndex.reverse.foldLeft(s"'${langs.head}'") {
-        case (els, (l, i)) =>
-          val conds = langs.take(i).map(o => s"s_$l > s_$o") ++
-            langs.drop(i + 1).map(o => s"s_$l >= s_$o")
-          val cond = if (conds.isEmpty) "TRUE" else conds.mkString(" AND ")
-          s"CASE WHEN $cond THEN '$l' ELSE $els END"
-      }
-      s"""SELECT doc_id, lang, $pred AS predicted_lang,
+      s"""SELECT doc_id, lang, $langidPredSql AS predicted_lang,
          |  ${langs.map(l => s"s_$l").mkString(", ")}
          |FROM (SELECT doc_id, lang,
-         |  $scoreCols
+         |  $langidScoreColsSql
          |  FROM documents)
          |ORDER BY doc_id LIMIT 200""".stripMargin
     }) { (s, d) =>
@@ -73,6 +79,70 @@ object TextAnalysis {
         langMarkers.map { case (l, _) => col(s"s_$l") }): _*)
       .orderBy("doc_id")
       .limit(200)
+  }
+
+  /** Deterministic marker injection for the langid benchmark corpus:
+    * three markers of the doc's LABEL language appended (en unchanged
+    * — its markers occur naturally). The fixture's lang column is a
+    * label uncorrelated with its English-ish text, so measuring the
+    * classifier against it raw would gate noise; the injected corpus
+    * (the text_dedup_url synthesized-dirt convention) makes the label
+    * recoverable but CONTESTED — three injected markers beat weak
+    * natural English evidence and lose to strong, so both the diagonal
+    * and the en-column misclassifications stay live. */
+  private val langidInjectSql: String =
+    """text || CASE lang
+      |    WHEN 'de' THEN ' der die das'
+      |    WHEN 'es' THEN ' el la los'
+      |    WHEN 'fr' THEN ' le les et'
+      |    WHEN 'zh' THEN ' 的 是 了' ELSE '' END""".stripMargin
+  private def langidInject(docs: DataFrame): DataFrame =
+    docs.withColumn("text", concat(col("text"),
+      when(col("lang") === "de", " der die das")
+        .when(col("lang") === "es", " el la los")
+        .when(col("lang") === "fr", " le les et")
+        .when(col("lang") === "zh", " 的 是 了")
+        .otherwise("")))
+
+  /** LANGID CONFUSION MATRIX — the measured-quality gate for the marker
+    * heuristic (the sim_nearest_centroid discipline applied to text:
+    * the classifier exists since round 4; THIS hashes how well it
+    * recovers a planted label under contested evidence): per
+    * (label, predicted) pair the doc count, plus integer recall percent
+    * on the diagonal — a marker-list regression (dropped stop word,
+    * broken tie order) now moves gated numbers instead of silently
+    * degrading the filter downstream. One scan + one (lang, pred)
+    * rollup + a broadcast per-lang totals join. */
+  val textLangidConfusion = QueryDef(
+    "text_langid_confusion",
+    s"""WITH inj AS (
+       |  SELECT doc_id, lang, $langidInjectSql AS text FROM documents
+       |), scored AS (
+       |  SELECT doc_id, lang, $langidScoreColsSql
+       |  FROM inj
+       |), pred AS (
+       |  SELECT lang, $langidPredSql AS predicted_lang FROM scored
+       |), cm AS (
+       |  SELECT lang, predicted_lang, CAST(count(*) AS BIGINT) AS n_docs
+       |  FROM pred GROUP BY lang, predicted_lang
+       |), tot AS (
+       |  SELECT lang, CAST(sum(n_docs) AS BIGINT) AS n_lang FROM cm GROUP BY lang
+       |)
+       |SELECT cm.lang, cm.predicted_lang, cm.n_docs,
+       |  CAST(CASE WHEN cm.lang = cm.predicted_lang
+       |       THEN (100 * cm.n_docs) // tot.n_lang ELSE NULL END AS BIGINT) AS recall_pct
+       |FROM cm JOIN tot ON cm.lang = tot.lang
+       |ORDER BY cm.lang, cm.predicted_lang""".stripMargin) { (s, d) =>
+    val cm = languageId(langidInject(Tables.documents(s, d)))
+      .groupBy("lang", "predicted_lang")
+      .agg(count(lit(1)).as("n_docs"))
+    val tot = cm.groupBy("lang").agg(sum(col("n_docs")).as("n_lang"))
+    cm.join(broadcast(tot), "lang")
+      .select(col("lang"), col("predicted_lang"), col("n_docs"),
+        when(col("lang") === col("predicted_lang"),
+          expr("(100 * n_docs) div n_lang")).otherwise(lit(null).cast("long"))
+          .as("recall_pct"))
+      .orderBy("lang", "predicted_lang")
   }
 
   /** Per-document quality features + composite score: token count, mean
@@ -1452,5 +1522,5 @@ object TextAnalysis {
     textRepetition, sampleWeighted, textRarity, sampleMix, textBpePairs,
     textLmScore, textBlocklist, sampleTemperature, textBpeMerge,
     textBpeEncode, sampleBootstrap, sampleBottomk, textKeywords,
-    textGopherRules, sampleGroupSplit)
+    textGopherRules, sampleGroupSplit, textLangidConfusion)
 }
