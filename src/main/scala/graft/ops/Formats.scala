@@ -61,6 +61,77 @@ object Formats {
       .orderBy("c_mktsegment")
   }
 
+  /** CSV QUARANTINE — the ingestion pattern `scan_csv` stops short of:
+    * real feeds carry malformed rows, and production readers run
+    * PERMISSIVE with a corrupt-record column so bad rows are COUNTED
+    * AND KEPT (quarantined) instead of killing the job (FAILFAST) or
+    * vanishing (DROPMALFORMED). Dirt is planted deterministically in
+    * the writer (every 37th key gets an unparseable numeric, every
+    * 41st a truncated line — the quality_expectations convention), the
+    * reader classifies via `_corrupt_record`, and the gate carries the
+    * quarantine ledger: totals per failure class plus exact aggregates
+    * over the SURVIVING rows only — which certifies the quarantine
+    * boundary itself (a row leaking either way moves a sum). The
+    * oracle derives the same ledger from the clean table. Scale: the
+    * malformed-row path is scan-stage per-row work; one aggregate.
+    *
+    * The ledger references EVERY schema column on purpose: Spark's CSV
+    * column pruning (spark.sql.csv.parser.columnPruning.enabled) only
+    * flags a row corrupt if a PARSED column is malformed, so an
+    * aggregate that skipped c_mktsegment would silently un-quarantine
+    * the truncated rows — measured 3-row leak before this guard. */
+  val scanCsvQuarantine = QueryDef(
+    "scan_csv_quarantine",
+    """WITH cls AS (
+      |  SELECT c_custkey, c_acctbal, c_nationkey, c_mktsegment,
+      |    c_custkey % 37 = 0 AS bad_num,
+      |    c_custkey % 41 = 0 AND c_custkey % 37 <> 0 AS short_row
+      |  FROM customer
+      |)
+      |SELECT CAST(count(*) AS BIGINT) AS n_total,
+      |  CAST(sum(CASE WHEN NOT bad_num AND NOT short_row THEN 1 ELSE 0 END) AS BIGINT) AS n_good,
+      |  CAST(sum(CASE WHEN bad_num OR short_row THEN 1 ELSE 0 END) AS BIGINT) AS n_quarantined,
+      |  CAST(sum(CASE WHEN bad_num THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_number,
+      |  CAST(sum(CASE WHEN short_row THEN 1 ELSE 0 END) AS BIGINT) AS n_short_row,
+      |  CAST(sum(CASE WHEN NOT bad_num AND NOT short_row THEN c_custkey END) AS BIGINT) AS sum_key_good,
+      |  CAST(sum(CASE WHEN NOT bad_num AND NOT short_row
+      |           THEN CAST(c_acctbal AS DECIMAL(18,4)) END) AS DOUBLE) AS sum_bal_good,
+      |  CAST(sum(CASE WHEN NOT bad_num AND NOT short_row THEN c_nationkey END) AS BIGINT) AS sum_nat_good,
+      |  CAST(count(DISTINCT CASE WHEN NOT bad_num AND NOT short_row THEN c_mktsegment END) AS BIGINT) AS n_segments_good
+      |FROM cls""".stripMargin) { (s, d) =>
+    val dir = fmtDir(d, "csvq")
+    Tables.customer(s, d).select(
+        when(col("c_custkey") % 37 === 0,
+          concat_ws(",", col("c_custkey"), col("c_nationkey"), lit("12.3oops"),
+            col("c_mktsegment")))
+        .when(col("c_custkey") % 41 === 0,
+          concat_ws(",", col("c_custkey"), col("c_nationkey")))
+        .otherwise(concat_ws(",", col("c_custkey"), col("c_nationkey"),
+          col("c_acctbal"), col("c_mktsegment")))
+        .as("value"))
+      .write.mode("overwrite").text(dir)
+    val schema = StructType(Seq(
+      StructField("c_custkey", LongType),
+      StructField("c_nationkey", IntegerType),
+      StructField("c_acctbal", DoubleType),
+      StructField("c_mktsegment", StringType),
+      StructField("_corrupt_record", StringType)))
+    val r = s.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .csv(dir)
+    val q = col("_corrupt_record").isNotNull
+    r.agg(count(lit(1)).as("n_total"),
+        sum(when(!q, 1L).otherwise(0L)).as("n_good"),
+        sum(when(q, 1L).otherwise(0L)).as("n_quarantined"),
+        sum(when(q && col("c_custkey") % 37 === 0, 1L).otherwise(0L)).as("n_bad_number"),
+        sum(when(q && col("c_custkey") % 37 =!= 0, 1L).otherwise(0L)).as("n_short_row"),
+        sum(when(!q, col("c_custkey"))).as("sum_key_good"),
+        sum(when(!q, dec(col("c_acctbal")))).cast("double").as("sum_bal_good"),
+        sum(when(!q, col("c_nationkey"))).as("sum_nat_good"),
+        countDistinct(when(!q, col("c_mktsegment"))).as("n_segments_good"))
+  }
+
   /** JSON-lines round-trip over orders (status/price/key — the timestamp
     * column stays out: JSON carries no type metadata and timestamp
     * serialization is format-config surface, not this key's subject):
@@ -464,5 +535,5 @@ object Formats {
 
   val all: Seq[QueryDef] = Seq(scanCsv, scanJson, scanOrc, scanXml,
     maintenanceCompact, scanEvolution, exportTfrecord, scanAvro,
-    scanMorDeletes, maintenanceRetention, scanTimeTravel)
+    scanMorDeletes, maintenanceRetention, scanTimeTravel, scanCsvQuarantine)
 }
