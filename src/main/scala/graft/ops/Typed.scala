@@ -123,13 +123,20 @@ object Typed {
       |SELECT label, clabel AS pred_label, CAST(count(*) AS BIGINT) AS n_vecs
       |FROM ranked WHERE rn = 1
       |GROUP BY label, pred_label ORDER BY label, pred_label""".stripMargin) { (s, d) =>
+    nearestCentroidConfusion(Tables.embeddings(s, d))
+  }
+
+  /** The confusion-matrix kernel over a (vec_id, label, embedding)
+    * relation — split out so EdgeSpec can pin a separable planted
+    * clustering to a perfect diagonal. */
+  def nearestCentroidConfusion(emb: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val centroid = udaf(CentroidAgg)
-    val cent = Tables.embeddings(s, d)
+    val cent = emb
       .groupBy(col("label").as("clabel"))
       .agg(centroid(Similarity.vecD(col("embedding"))).as("craw"))
       .select(col("clabel"), transform(col("craw"), x => round(x, 4)).as("cv"))
-    val v = Tables.embeddings(s, d)
+    val v = emb
       .select(col("vec_id"), col("label"), Similarity.vecD(col("embedding")).as("ve"))
     val dist = v.crossJoin(broadcast(cent))
       .select(col("vec_id"), col("label"), col("clabel"),

@@ -1067,4 +1067,20 @@ class EdgeSpec extends AnyFunSuite {
     assert(ch(0L).size >= 4, s"need several chunks, got ${ch(0L).size}")
     assert(missing.size <= 1, s"prefix insertion broke tail chunks: $missing")
   }
+
+  test("nearestCentroidConfusion: separable clusters give a perfect diagonal; a planted outlier defects") {
+    // two well-separated 4-d clusters + one label-0 vector sitting inside
+    // cluster 1 → exactly one off-diagonal cell (0 → 1)
+    def v(xs: Double*) = xs.map(_.toFloat).toArray
+    val emb = Seq(
+      (0L, 0, v(1, 0, 0, 0)), (1L, 0, v(1.1, 0, 0, 0)), (2L, 0, v(0.9, 0, 0, 0)),
+      (3L, 1, v(0, 5, 0, 0)), (4L, 1, v(0, 5.1, 0, 0)), (5L, 1, v(0, 4.9, 0, 0)),
+      (6L, 0, v(0, 5.05, 0, 0))) // labeled 0, lives in cluster 1
+      .toDF("vec_id", "label", "embedding")
+    val got = graft.ops.Typed.nearestCentroidConfusion(emb)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSet
+    // centroid of label 0 is dragged toward cluster 1 by the outlier but
+    // stays nearest for the three x-axis vectors; the outlier lands on 1
+    assert(got == Set((0, 0, 3L), (0, 1, 1L), (1, 1, 3L)), s"mismatch: $got")
+  }
 }
