@@ -1548,24 +1548,12 @@ object Events {
     val day = col("ts").cast("date")
     val lateSlice = day <= lit("2024-01-08").cast("date") &&
       col("event_id") % 2 === 1
-    // ONE partitioned write stages all three batches (one scan, not
-    // three — the stream_file_sink staging shape); the batch tag lives
-    // only in the directory name (recursiveFileLookup keeps it out of
-    // the data)
-    ev.select(col("ts"),
+    val schema = graft.streaming.StreamOps.stageBatches(
+      ev.select(col("ts"),
         when(lateSlice, lit(2))
           .when(day <= lit("2024-01-10").cast("date"), lit(0))
-          .otherwise(lit(1)).as("b"))
-      .repartition(1)
-      .write.partitionBy("b").parquet(root + "/in")
-    // force the consumption order: FileStreamSource picks oldest-mtime
-    // first — pin each batch directory's files to a fixed increasing
-    // ladder so the staging wall clock can never reorder the batches
-    for (order <- 0 to 2; dir = new java.io.File(s"$root/in/b=$order"))
-      Option(dir.listFiles()).toSeq.flatten
-        .foreach(f => f.setLastModified(1700000000000L + order * 60000L): Unit)
-    val schema = s.read.option("recursiveFileLookup", "true")
-      .parquet(root + "/in").schema
+          .otherwise(lit(1)).as("b")),
+      3, root + "/in")
     val q = s.readStream.schema(schema)
       .option("recursiveFileLookup", "true")
       .option("maxFilesPerTrigger", "1")
@@ -1637,14 +1625,9 @@ object Events {
       .filter(col("event_type").isin("signup", "purchase"))
       .select(col("ts").cast("timestamp").as("ts"), col("user_id"),
         col("event_type"), col("event_id"))
-    ev.withColumn("b", pmod(col("event_id"), lit(3)).cast("int"))
-      .repartition(1)
-      .write.partitionBy("b").parquet(root + "/in")
-    for (order <- 0 to 2; dir = new java.io.File(s"$root/in/b=$order"))
-      Option(dir.listFiles()).toSeq.flatten
-        .foreach(f => f.setLastModified(1700000000000L + order * 60000L): Unit)
-    val schema = s.read.option("recursiveFileLookup", "true")
-      .parquet(root + "/in").schema
+    val schema = graft.streaming.StreamOps.stageBatches(
+      ev.withColumn("b", pmod(col("event_id"), lit(3)).cast("int")),
+      3, root + "/in")
     def side(tpe: String, pre: String) =
       s.readStream.schema(schema)
         .option("recursiveFileLookup", "true")

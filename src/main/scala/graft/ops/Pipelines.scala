@@ -1033,23 +1033,8 @@ object Pipelines {
     * scan, embarrassingly source-parallel at 100 TB. */
   val pipelineDatasetCard = QueryDef(
     "pipeline_dataset_card",
-    """WITH toks AS (
-      |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
-      |), pt AS (
-      |  SELECT doc_id, tok, count(*) AS cnt FROM toks GROUP BY doc_id, tok
-      |), pd AS (
-      |  SELECT doc_id,
-      |    CAST(sum(cnt) AS BIGINT) AS nw,
-      |    CAST(sum(length(tok) * cnt) AS BIGINT) AS cw,
-      |    CAST(count(*) AS BIGINT) AS nd,
-      |    CAST(max(cnt) AS BIGINT) AS maxf,
-      |    CAST(sum(CASE WHEN tok IN ('the','a','to','of','and','in','is','on')
-      |             THEN cnt ELSE 0 END) AS BIGINT) AS n_stop
-      |  FROM pt GROUP BY doc_id
-      |), k AS (
-      |  SELECT doc_id,
-      |    (nw BETWEEN 30 AND 90 AND 10 * cw BETWEEN 36 * nw AND 44 * nw
-      |     AND n_stop >= 2 AND 2 * nd >= nw AND 10 * maxf <= nw) AS keep
+    s"""WITH ${TextAnalysis.gopherStatsCteSql}, k AS (
+      |  SELECT doc_id, ${TextAnalysis.gopherKeepSql} AS keep
       |  FROM pd
       |), dk AS (
       |  SELECT d.source, d.doc_id, length(d.text) AS n_chars_txt,
@@ -1091,8 +1076,10 @@ object Pipelines {
         (count(lit(1)) - countDistinct(col("h"))).as("n_dup"),
         sum(when(col("keep"), 1L).otherwise(0L)).as("n_keep"))
     // corpus-scope dup count: cross-source duplicates are invisible to
-    // every per-source row, so the ALL row recomputes its own distinct
-    val corpusDup = dk.agg((count(lit(1)) - countDistinct(col("h"))).as("n_dup"))
+    // every per-source row, so the ALL row recomputes its own distinct —
+    // straight off documents (one scan), not through dk's explode lineage
+    val corpusDup = docs.agg(
+      (count(lit(1)) - countDistinct(md5(col("text")))).as("n_dup"))
     val allRow = per.agg(sum(col("n_docs")).as("n_docs"),
         sum(col("n_tokens")).as("n_tokens"), sum(col("n_chars")).as("n_chars"),
         sum(col("n_keep")).as("n_keep"))

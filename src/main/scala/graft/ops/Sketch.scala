@@ -428,22 +428,30 @@ object Sketch {
     val sk = u.withColumn("uh",
         (xxhash64(col("user_id"), col("d")).cast("double") / 1.8446744073709552e19) + 0.5)
       .orderBy("uh").limit(k)
-    val est = sk.agg(max(col("uh")).as("uk"),
+    // standard KMV under-full rule: while the sketch holds every element
+    // (n < k) the "estimate" IS the exact kept count — (k−1)/u_(k) is
+    // only the k-th order statistic's estimator once the sketch is full
+    // (review finding: the smallest SF's union sits 8 elements above k,
+    // so the fallback guards a thinner fixture, not the current gates)
+    val est = sk.agg(max(col("uh")).as("uk"), count(lit(1)).as("n_kept"),
         sum(when(col("in_a") && col("in_b"), 1L).otherwise(0L)).as("k_int"),
         sum(when(col("in_a") && !col("in_b"), 1L).otherwise(0L)).as("k_a"),
         sum(when(col("in_b") && !col("in_a"), 1L).otherwise(0L)).as("k_b"))
-      .select(((lit(k) - 1) / col("uk")).as("est_union"),
-        col("k_int"), col("k_a"), col("k_b"))
+      .select(when(col("n_kept") < k, col("n_kept").cast("double"))
+          .otherwise((lit(k) - 1) / col("uk")).as("est_union"),
+        col("n_kept"), col("k_int"), col("k_a"), col("k_b"))
     exact.crossJoin(broadcast(est))
       .select(col("exact_union"), col("exact_intersect"),
         col("exact_a_only"), col("exact_b_only"),
         (abs(col("est_union") - col("exact_union")) * 5 <= col("exact_union"))
           .as("union_within_20pct"),
-        (abs(col("est_union") * col("k_int") / k - col("exact_intersect")) * 5
+        // share denominators use n_kept (= k when full, = n when under-
+        // full) so the under-full branch degrades to exact shares too
+        (abs(col("est_union") * col("k_int") / col("n_kept") - col("exact_intersect")) * 5
           <= col("exact_union")).as("intersect_within_20pct"),
-        (abs(col("est_union") * col("k_a") / k - col("exact_a_only")) * 5
+        (abs(col("est_union") * col("k_a") / col("n_kept") - col("exact_a_only")) * 5
           <= col("exact_union") &&
-         abs(col("est_union") * col("k_b") / k - col("exact_b_only")) * 5
+         abs(col("est_union") * col("k_b") / col("n_kept") - col("exact_b_only")) * 5
           <= col("exact_union")).as("diff_within_20pct"))
   }
 

@@ -1395,9 +1395,13 @@ object TextAnalysis {
     * per-doc aggregate carrying all five statistics (total/distinct/max
     * frequency/char mass/stop-word mass ride the same shuffle) — linear
     * in corpus tokens, the dedup_exact scan shape, unchanged at 100 TB. */
-  val textGopherRules = QueryDef(
-    "text_gopher_rules",
-    """WITH toks AS (
+  /** Shared DuckDB fragments for the Gopher rule statistics — used by
+    * the text_gopher_rules oracle AND pipeline_dataset_card's keep_pct
+    * (the langidScoreColsSql convention: one source of truth so a
+    * threshold tune cannot silently diverge the two oracles). Starts
+    * mid-WITH; callers open the WITH. */
+  private[ops] val gopherStatsCteSql: String =
+    """toks AS (
       |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
       |), pt AS (
       |  SELECT doc_id, tok, count(*) AS cnt FROM toks GROUP BY doc_id, tok
@@ -1410,15 +1414,21 @@ object TextAnalysis {
       |    CAST(sum(CASE WHEN tok IN ('the','a','to','of','and','in','is','on')
       |             THEN cnt ELSE 0 END) AS BIGINT) AS n_stop
       |  FROM pt GROUP BY doc_id
-      |)
+      |)""".stripMargin
+  private[ops] val gopherKeepSql: String =
+    """(nw BETWEEN 30 AND 90 AND 10 * cw BETWEEN 36 * nw AND 44 * nw
+      |   AND n_stop >= 2 AND 2 * nd >= nw AND 10 * maxf <= nw)""".stripMargin
+
+  val textGopherRules = QueryDef(
+    "text_gopher_rules",
+    s"""WITH $gopherStatsCteSql
       |SELECT doc_id, nw AS n_words,
       |  nw BETWEEN 30 AND 90 AS word_count_ok,
       |  10 * cw BETWEEN 36 * nw AND 44 * nw AS mean_len_ok,
       |  n_stop >= 2 AS stopword_ok,
       |  2 * nd >= nw AS ttr_ok,
       |  10 * maxf <= nw AS rep_ok,
-      |  (nw BETWEEN 30 AND 90 AND 10 * cw BETWEEN 36 * nw AND 44 * nw
-      |   AND n_stop >= 2 AND 2 * nd >= nw AND 10 * maxf <= nw) AS keep
+      |  $gopherKeepSql AS keep
       |FROM pd ORDER BY doc_id""".stripMargin) { (s, d) =>
     gopherRules(Tables.documents(s, d)).orderBy("doc_id")
   }

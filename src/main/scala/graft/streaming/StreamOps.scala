@@ -281,6 +281,29 @@ object StreamOps {
     * At scale the per-batch write is a normal distributed parquet job;
     * dynamic overwrite touches only the replayed batch's partition, never
     * the table. */
+  /** Stage a batch-tagged relation for a forced-order FileStreamSource
+    * read: ONE partitioned write (one scan — the stream_file_sink
+    * staging shape; the batch tag lives only in the directory name,
+    * recursiveFileLookup keeps it out of the data), then each batch
+    * directory's mtimes pinned to a fixed increasing ladder so the
+    * staging wall clock can never reorder the batches (FileStreamSource
+    * picks oldest-mtime first). Returns the stream-read schema. Shared
+    * by stream_late_drop and stream_join_sink (review finding: the
+    * block was copy-pasted and a staging-discipline fix would have had
+    * to land in every copy). */
+  /** `tagged` carries the stream's data columns plus the int batch tag
+    * `b`; the tag becomes the partition directory and never reaches the
+    * data files. */
+  def stageBatches(tagged: DataFrame, nBatches: Int,
+      inDir: String): org.apache.spark.sql.types.StructType = {
+    tagged.repartition(1).write.partitionBy("b").parquet(inDir)
+    for (order <- 0 until nBatches; dir = new java.io.File(s"$inDir/b=$order"))
+      Option(dir.listFiles()).toSeq.flatten
+        .foreach(f => f.setLastModified(1700000000000L + order * 60000L): Unit)
+    tagged.sparkSession.read.option("recursiveFileLookup", "true")
+      .parquet(inDir).schema
+  }
+
   def parquetBatchWriter(outDir: String): (DataFrame, Long) => Unit =
     (batch: DataFrame, batchId: Long) =>
       batch.withColumn("batch_id", lit(batchId))

@@ -7,9 +7,8 @@
 // (any Bench run builds it). Record results + co-measured controls in BASELINE.md.
 import graft.SparkEntry
 val keys = Seq(
-  "sim_nearest_centroid", "stream_join_sink", "quality_volume_anomaly",
-  "pipeline_dataset_card",
-  "udaf_centroid", "stream_late_drop", "text_gopher_rules", "scan_project")
+  "agg_sketch_kmv", "text_langid_confusion", "scan_csv_quarantine",
+  "agg_hll_intersect", "text_langid", "scan_csv")
 val dirs = Seq("sf01" -> "/tmp/graft_bench_mirror_ddbe1476c5607681e1c7241437b45958", "tenx" -> "/tmp/graft10x")
 val qs = SparkEntry.queries
 // codegen warmup at sf0.001
