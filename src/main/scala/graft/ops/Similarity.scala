@@ -422,6 +422,50 @@ object Similarity {
       .orderBy("i")
   }
 
+  /** HARD-NEGATIVE MINING — the triplet/contrastive-training data op
+    * (for each anchor, the most-similar vectors of a DIFFERENT label
+    * are exactly the negatives that carry gradient; random negatives
+    * are trivially separable): per anchor from the bounded query set,
+    * the top-3 cross-label candidates by cosine, ranked. Label-aware
+    * where `sim_knn` is label-blind — the mined relation is what a
+    * dataloader joins against at training time. Scale: the 20-row
+    * anchor set broadcasts against the streaming corpus (the
+    * sim_search shape ×20), then one anchor-keyed top-k rank (20
+    * partitions, WindowGroupLimit heaps); no corpus×corpus pair ever
+    * forms. */
+  val simHardNegatives = QueryDef(
+    "sim_hard_negatives",
+    s"""$vecCte
+       |SELECT anchor, rnk, neg_id, neg_label, cos FROM (
+       |  SELECT a.vec_id AS anchor,
+       |         b.vec_id AS neg_id, b.label AS neg_label,
+       |         round(list_dot_product(a.ve, b.ve) / (a.nrm * b.nrm), 4) AS cos,
+       |         row_number() OVER (
+       |           PARTITION BY a.vec_id
+       |           ORDER BY list_dot_product(a.ve, b.ve) / (a.nrm * b.nrm) DESC,
+       |                    b.vec_id) AS rnk
+       |  FROM n a JOIN n b ON b.label <> a.label
+       |  WHERE a.vec_id < 20
+       |) WHERE rnk <= 3
+       |ORDER BY anchor, rnk""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val n = vecs(s, d)
+    val anchors = n.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("anchor"), col("label").as("albl"),
+        col("ve").as("ave"), col("nrm").as("anrm"))
+    val w = Window.partitionBy("anchor")
+      .orderBy(col("cos_raw").desc, col("neg_id"))
+    n.crossJoin(broadcast(anchors))
+      .filter(col("label") =!= col("albl"))
+      .select(col("anchor"), col("vec_id").as("neg_id"), col("label").as("neg_label"),
+        (dot(col("ave"), col("ve")) / (col("anrm") * col("nrm"))).as("cos_raw"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 3)
+      .select(col("anchor"), col("rnk"), col("neg_id"), col("neg_label"),
+        round(col("cos_raw"), 4).as("cos"))
+      .orderBy("anchor", "rnk")
+  }
+
   val all: Seq[QueryDef] = Seq(simKnn, simSearch, multimodalJoin, simMaxSim,
-    simRerankMmr, simJlProjection)
+    simRerankMmr, simJlProjection, simHardNegatives)
 }
