@@ -533,7 +533,68 @@ object Formats {
       .orderBy("version", "c_mktsegment")
   }
 
+  /** VACUUM — the version GC that closes the lakehouse write loop
+    * (`stream_upsert_sink` builds versions, `scan_time_travel`
+    * addresses them, `maintenance_retention` expires ROWS; THIS expires
+    * SNAPSHOTS): four staged versions, retention = keep latest 2, the
+    * two expired version directories physically deleted. The gate
+    * carries the surviving versions' per-segment aggregates — certifying
+    * vacuum touched nothing it retained — plus the ledger (versions
+    * before/after, and a filesystem-checked boolean that the expired
+    * directories are really gone, which the oracle asserts TRUE). At
+    * scale vacuum is a metadata operation: list version dirs, drop those
+    * below the watermark — no data scan of retained versions beyond
+    * this key's own verification read. */
+  val maintenanceVacuum = QueryDef(
+    "maintenance_vacuum",
+    """WITH base AS (
+      |  SELECT c_custkey, c_mktsegment,
+      |         CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+      |  FROM customer
+      |), vs AS (
+      |  SELECT v, c_mktsegment,
+      |         CASE WHEN c_custkey % 10 = v THEN cents + 10000 * v ELSE cents END AS cents
+      |  FROM base, (SELECT unnest([2, 3]) AS v)
+      |)
+      |SELECT CAST(v AS INTEGER) AS version, c_mktsegment,
+      |       CAST(count(*) AS BIGINT) AS n, CAST(sum(cents) AS BIGINT) AS sum_cents,
+      |       CAST(4 AS BIGINT) AS n_versions_before,
+      |       CAST(2 AS BIGINT) AS n_versions_after,
+      |       TRUE AS expired_gone
+      |FROM vs GROUP BY v, c_mktsegment
+      |ORDER BY version, c_mktsegment""".stripMargin) { (s, d) =>
+    val root = fmtDir(d, "vacuum")
+    val base = graft.Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_mktsegment"),
+        round(col("c_acctbal") * 100).cast("long").as("cents"))
+    for (v <- 0 to 3)
+      base.withColumn("cents",
+          when(col("c_custkey") % 10 === v, col("cents") + 10000L * v)
+            .otherwise(col("cents")))
+        .write.mode("overwrite").parquet(s"$root/v=$v")
+    val before = Option(new java.io.File(root).listFiles()).toSeq.flatten
+      .count(f => f.isDirectory && f.getName.startsWith("v="))
+    for (v <- 0 to 1) Staging.deleteTree(s"$root/v=$v")
+    val after = Option(new java.io.File(root).listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.startsWith("v="))
+      .map(_.getName.stripPrefix("v=").toInt).sorted
+    val gone = !new java.io.File(s"$root/v=0").exists() &&
+      !new java.io.File(s"$root/v=1").exists()
+    after.map { v =>
+      s.read.parquet(s"$root/v=$v")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
+        .select(lit(v).as("version"), col("c_mktsegment"), col("n"),
+          col("sum_cents"),
+          lit(before.toLong).as("n_versions_before"),
+          lit(after.size.toLong).as("n_versions_after"),
+          lit(gone).as("expired_gone"))
+    }.reduce(_ unionByName _)
+      .orderBy("version", "c_mktsegment")
+  }
+
   val all: Seq[QueryDef] = Seq(scanCsv, scanJson, scanOrc, scanXml,
     maintenanceCompact, scanEvolution, exportTfrecord, scanAvro,
-    scanMorDeletes, maintenanceRetention, scanTimeTravel, scanCsvQuarantine)
+    scanMorDeletes, maintenanceRetention, scanTimeTravel, scanCsvQuarantine,
+    maintenanceVacuum)
 }
