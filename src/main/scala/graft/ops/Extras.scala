@@ -681,9 +681,65 @@ object Extras {
       .withColumn("ewma", col("num").cast("double") / (col("den") * 100))
   }
 
+  /** ROBUST rolling statistics — median + MAD over the centered 7-row
+    * frame, the outlier detector that survives what the mean-based ones
+    * can't (a single spike drags a rolling mean and its σ, so z-score
+    * flags its own neighbors; the median/MAD pair is 50%-breakdown):
+    * flag where |x − med| > 3·MAD. EVERYTHING stays integer via the
+    * doubled-median trick: med_x2 = the two middle order statistics'
+    * sum (= 2·median for odd AND even frames), deviations |2x − med_x2|
+    * (= 2·|x − med|), mad_x4 = their doubled median (= 4·MAD), and the
+    * flag is 2·|2x − med_x2| > 3·mad_x4 — cross-multiplied, no float
+    * ever forms, both engines agree bit-for-bit. Plan: one window node
+    * (frame collect + sort of ≤ 7 elements per row), one user_id
+    * shuffle — the window_moving shape with array-order statistics. */
+  val windowRobustStats = QueryDef(
+    "window_robust_stats",
+    """WITH c AS (
+      |  SELECT user_id, event_id, ts,
+      |         CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+      |  FROM events WHERE user_id % 10 = 3
+      |), f AS (
+      |  SELECT user_id, event_id, cents, list_sort(list(cents) OVER w) AS a
+      |  FROM c WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+      |                      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+      |), m AS (
+      |  SELECT user_id, event_id, cents, CAST(len(a) AS BIGINT) AS n_frame,
+      |    a[(len(a)+1)//2] + a[len(a)//2+1] AS med_x2,
+      |    list_sort(list_transform(a,
+      |      x -> abs(2*x - (a[(len(a)+1)//2] + a[len(a)//2+1])))) AS dv
+      |  FROM f
+      |)
+      |SELECT user_id, event_id, cents, n_frame,
+      |  CAST(med_x2 AS BIGINT) AS med_x2,
+      |  CAST(dv[(n_frame+1)//2] + dv[n_frame//2+1] AS BIGINT) AS mad_x4,
+      |  2 * abs(2*cents - med_x2) > 3 * (dv[(n_frame+1)//2] + dv[n_frame//2+1])
+      |    AS is_outlier
+      |FROM m ORDER BY user_id, event_id""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-3, 3)
+    Tables.events(s, d)
+      .filter(col("user_id") % 10 === 3)
+      .withColumn("cents",
+        (col("value").cast(org.apache.spark.sql.types.DecimalType(12, 2)) * 100)
+          .cast("long"))
+      .withColumn("a", sort_array(collect_list(col("cents")).over(w)))
+      .select(col("user_id"), col("event_id"), col("cents"),
+        size(col("a")).cast("long").as("n_frame"),
+        expr("a[((size(a)+1) div 2) - 1] + a[(size(a) div 2 + 1) - 1]").as("med_x2"),
+        expr("sort_array(transform(a, x -> abs(2*x - " +
+          "(a[((size(a)+1) div 2) - 1] + a[(size(a) div 2 + 1) - 1]))))").as("dv"))
+      .select(col("user_id"), col("event_id"), col("cents"), col("n_frame"),
+        col("med_x2"),
+        expr("dv[((n_frame+1) div 2) - 1] + dv[(n_frame div 2 + 1) - 1]").as("mad_x4"))
+      .withColumn("is_outlier",
+        lit(2) * abs(lit(2) * col("cents") - col("med_x2")) > lit(3) * col("mad_x4"))
+      .orderBy("user_id", "event_id")
+  }
+
   val all: Seq[QueryDef] = Seq(aggStats, windowDistribution, fnConditional,
     joinFull, joinCross, aggPivot, aggPercentile,
     aggCorr, fnBitwise, windowFirstLast, aggHistogram, joinBucketed, aggMode,
     aggListagg, joinNullSafe, aggBool, aggArgMinmax, aggUnpivot, aggGroupingId,
-    windowMoving, aggRegression, windowEwma)
+    windowMoving, aggRegression, windowEwma, windowRobustStats)
 }
