@@ -1655,6 +1655,67 @@ object Events {
       .orderBy("user_id")
   }
 
+  /** BOT-REGULARITY detection — the abuse-filter read on event cadence
+    * (humans arrive bursty; automation arrives on a clock): per user,
+    * the squared coefficient of variation of inter-event gaps, flagged
+    * bot when CV² < 0.1 — cross-multiplied to exact integers
+    * (10·(n·Σg² − (Σg)²) < (Σg)², gaps in SECONDS so every product
+    * stays far under 2⁶³). Every 29th user's events are deterministically
+    * RE-TIMED onto a perfect 300 s grid (first-event anchor + rank·300 —
+    * the planted-dirt convention) so the bot branch is live at every SF
+    * while the other 28/29 exercise the human branch. Plan: two
+    * user-keyed window passes (rank/anchor, then lag) + one combinable
+    * moment aggregate — the agg_regression shape on a derived series. */
+  val eventBotRegularity = QueryDef(
+    "event_bot_regularity",
+    """WITH e AS (
+      |  SELECT user_id, event_id, ts,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+      |    min(epoch_us(ts)) OVER (PARTITION BY user_id) AS t0
+      |  FROM events
+      |), t AS (
+      |  SELECT user_id, event_id,
+      |    CASE WHEN user_id % 29 = 0 THEN t0 + (rn - 1) * 300000000
+      |         ELSE epoch_us(ts) END AS eus
+      |  FROM e
+      |), g AS (
+      |  SELECT user_id,
+      |    (eus - lag(eus) OVER (PARTITION BY user_id ORDER BY eus, event_id)) // 1000000 AS gs
+      |  FROM t
+      |), m AS (
+      |  SELECT user_id, CAST(count(gs) AS BIGINT) AS n_gaps,
+      |    CAST(sum(gs) AS BIGINT) AS sg, CAST(sum(gs * gs) AS BIGINT) AS sgg
+      |  FROM g WHERE gs IS NOT NULL GROUP BY user_id HAVING count(gs) >= 5
+      |)
+      |SELECT user_id, n_gaps,
+      |  CAST(sg // n_gaps AS BIGINT) AS mean_gap_s,
+      |  CAST((1000 * (n_gaps * sgg - sg * sg)) // (sg * sg) AS BIGINT) AS cv2_x1000,
+      |  10 * (n_gaps * sgg - sg * sg) < sg * sg AS is_bot
+      |FROM m ORDER BY user_id""".stripMargin) { (s, d) =>
+    val wRank = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val wUser = Window.partitionBy("user_id")
+    val wLag = Window.partitionBy("user_id").orderBy(col("eus"), col("event_id"))
+    val m = Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("ts"), eus.as("raw_eus"))
+      .withColumn("rn", row_number().over(wRank))
+      .withColumn("t0", min(col("raw_eus")).over(wUser))
+      .withColumn("eus",
+        when(col("user_id") % 29 === 0, col("t0") + (col("rn") - 1) * 300000000L)
+          .otherwise(col("raw_eus")))
+      .withColumn("gs", expr("(eus - lag(eus) over (partition by user_id order by eus, event_id)) div 1000000"))
+      .filter(col("gs").isNotNull)
+      .groupBy("user_id")
+      .agg(count(col("gs")).as("n_gaps"), sum(col("gs")).as("sg"),
+        sum(col("gs") * col("gs")).as("sgg"))
+      .filter(col("n_gaps") >= 5)
+    m.select(col("user_id"), col("n_gaps"),
+        expr("sg div n_gaps").as("mean_gap_s"),
+        expr("(1000 * (n_gaps * sgg - sg * sg)) div (sg * sg)").as("cv2_x1000"),
+        (lit(10) * (col("n_gaps") * col("sgg") - col("sg") * col("sg")) <
+          col("sg") * col("sg")).as("is_bot"))
+      .orderBy("user_id")
+  }
+
   /** Max concurrent sessions per day — the interval-concurrency SWEEP
     * LINE, the analytics shape `join_overlap` (pairwise) and `sessionize`
     * (derivation) both stop short of: how many sessions are open AT ONCE.
@@ -1748,5 +1809,5 @@ object Events {
     eventMarkov, streamJoinOuter, eventRfm, eventSeqMatch,
     streamStatefulSession, streamUpsertSink, eventActiveUsers,
     eventForecastBacktest, eventAbTest, eventSurvival, eventsFfill,
-    eventConcurrency, streamLateDrop, streamJoinSink)
+    eventConcurrency, streamLateDrop, streamJoinSink, eventBotRegularity)
 }
