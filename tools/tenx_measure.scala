@@ -7,8 +7,9 @@
 // (any Bench run builds it). Record results + co-measured controls in BASELINE.md.
 import graft.SparkEntry
 val keys = Seq(
-  "agg_sketch_kmv", "text_langid_confusion", "scan_csv_quarantine",
-  "agg_hll_intersect", "text_langid", "scan_csv")
+  "sim_hard_negatives", "maintenance_vacuum", "window_robust_stats",
+  "event_bot_regularity",
+  "sim_search", "scan_time_travel", "window_moving", "event_rfm")
 val dirs = Seq("sf01" -> "/tmp/graft_bench_mirror_ddbe1476c5607681e1c7241437b45958", "tenx" -> "/tmp/graft10x")
 val qs = SparkEntry.queries
 // codegen warmup at sf0.001
