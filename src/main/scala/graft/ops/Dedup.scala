@@ -427,6 +427,71 @@ object Dedup {
       .limit(50)
   }
 
+  /** BLOOM-GATED INCREMENTAL DEDUP — the constant-memory twin of
+    * `dedup_incremental` (that key joins the increment against the full
+    * base index; THIS carries only an m-bit filter of the base's
+    * content hashes — the shape a long-running ingest keeps resident
+    * when the base index no longer fits): every incoming doc probes two
+    * md5-derived bits, hits fall through to the exact check (the
+    * join_bloom candidate→verify discipline), and the gate pins the
+    * whole ledger — bloom hits, true duplicates, FALSE POSITIVES (the
+    * sketch's actual cost, deterministic md5 collisions both engines
+    * reproduce) and the bit fill. m = 4096 on purpose: at sf0.1 the
+    * base SATURATES the filter (~90% fill → most hits are false) and
+    * the gated fill/false-positive numbers document the sizing law a
+    * production filter must obey (m ∝ base size) instead of hiding it. */
+  val dedupBloomIncremental = QueryDef(
+    "dedup_bloom_incremental",
+    """WITH base AS (
+      |  SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 10 <> 0
+      |), bits AS (
+      |  SELECT DISTINCT CAST('0x'||substr(md5(h),1,8) AS BIGINT) % 4096 AS b FROM base
+      |  UNION
+      |  SELECT DISTINCT CAST('0x'||substr(md5(h),9,8) AS BIGINT) % 4096 AS b FROM base
+      |), incr AS (
+      |  SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 10 = 0
+      |), probed AS (
+      |  SELECT i.doc_id, i.h,
+      |    (CAST('0x'||substr(md5(i.h),1,8) AS BIGINT) % 4096 IN (SELECT b FROM bits)
+      |     AND CAST('0x'||substr(md5(i.h),9,8) AS BIGINT) % 4096 IN (SELECT b FROM bits)) AS hit,
+      |    EXISTS (SELECT 1 FROM base WHERE base.h = i.h) AS is_dup
+      |  FROM incr i
+      |)
+      |SELECT (SELECT CAST(count(*) AS BIGINT) FROM base) AS n_base_distinct,
+      |  CAST(count(*) AS BIGINT) AS n_incr,
+      |  CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS n_bloom_hits,
+      |  CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_true_dups,
+      |  CAST(sum(CASE WHEN hit AND NOT is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM bits) AS n_bits_set
+      |FROM probed""".stripMargin) { (s, d) =>
+    val m = 4096
+    val docs = Tables.documents(s, d)
+    val isIncr = col("doc_id") % 10 === 0
+    val base = docs.filter(!isIncr).select(md5(col("text")).as("h")).distinct()
+    val incr = docs.filter(isIncr).select(col("doc_id"), md5(col("text")).as("h"))
+    def slice(c: Column, k: Int) =
+      conv(substring(md5(c), 1 + 8 * k, 8), 16, 10).cast("long") % m
+    val bits = base.select(explode(array(slice(col("h"), 0), slice(col("h"), 1))).as("b"))
+      .distinct()
+    val probed = incr
+      .withColumn("h1", slice(col("h"), 0)).withColumn("h2", slice(col("h"), 1))
+      .join(broadcast(bits.select(col("b").as("h1"), lit(true).as("p1"))), Seq("h1"), "left")
+      .join(broadcast(bits.select(col("b").as("h2"), lit(true).as("p2"))), Seq("h2"), "left")
+      .join(broadcast(base.select(col("h"), lit(true).as("in_base"))), Seq("h"), "left")
+      .select(col("doc_id"),
+        (coalesce(col("p1"), lit(false)) && coalesce(col("p2"), lit(false))).as("hit"),
+        coalesce(col("in_base"), lit(false)).as("is_dup"))
+    val nBase = base.agg(count(lit(1)).as("n_base_distinct"))
+    val nBits = bits.agg(count(lit(1)).as("n_bits_set"))
+    probed.agg(count(lit(1)).as("n_incr"),
+        sum(when(col("hit"), 1L).otherwise(0L)).as("n_bloom_hits"),
+        sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_true_dups"),
+        sum(when(col("hit") && !col("is_dup"), 1L).otherwise(0L)).as("n_false_pos"))
+      .crossJoin(broadcast(nBase)).crossJoin(broadcast(nBits))
+      .select(col("n_base_distinct"), col("n_incr"), col("n_bloom_hits"),
+        col("n_true_dups"), col("n_false_pos"), col("n_bits_set"))
+  }
+
   val all: Seq[QueryDef] = Seq(dedupMinhash, dedupSimhash, dedupSimhashNear, dedupEmbed,
-    dedupMinhashRecall, dedupCdcChunks)
+    dedupMinhashRecall, dedupCdcChunks, dedupBloomIncremental)
 }
