@@ -1235,7 +1235,84 @@ object Ann {
       .orderBy(col("cos").desc, col("vec_id"))
   }
 
+  /** NPROBE TUNING CURVE — the gated form of the tradeoff an ANN
+    * operator actually tunes (`sim_ann_recall` pins ONE operating
+    * point; a deployment picks nprobe by reading the recall curve and
+    * paying for the knee): per (nprobe ∈ {1, 2, 4}, query), measured
+    * top-10 overlap with the exact answer — so the whole curve, not one
+    * sample of it, sits under the driver hash, and recall is
+    * structurally non-decreasing in nprobe (probed buckets are nested).
+    * Same bucketed machinery as sim_ann_recall; the three settings
+    * share the assignment relation and differ only in the probe-rank
+    * cut, so the added cost is two more bucket-bounded top-k passes. */
+  val simAnnNprobeCurve = QueryDef(
+    "sim_ann_nprobe_curve", {
+      val cidList = centroidIds.mkString("(", ", ", ")")
+      val perNp = Seq(1, 2, 4).map { np =>
+        s"""probed$np AS (
+           |  SELECT qid, cid AS pbucket FROM (
+           |    SELECT q.qid, c.cid, row_number() OVER (PARTITION BY q.qid
+           |      ORDER BY list_dot_product(q.qve, c.cve) / (q.qnrm * c.cnrm) DESC, c.cid) AS rn
+           |    FROM qs q, cents c
+           |  ) WHERE rn <= $np
+           |), ivf$np AS (
+           |  SELECT qid, vec_id FROM (
+           |    SELECT p.qid, a.vec_id, row_number() OVER (PARTITION BY p.qid
+           |      ORDER BY round(list_dot_product(q.qve, a.ve) / (q.qnrm * a.nrm), 4) DESC,
+           |               a.vec_id) AS rn
+           |    FROM assigned a
+           |    JOIN probed$np p ON a.bucket = p.pbucket
+           |    JOIN qs q ON q.qid = p.qid
+           |    WHERE a.vec_id <> p.qid
+           |  ) WHERE rn <= 10
+           |), r$np AS (
+           |  SELECT CAST($np AS BIGINT) AS nprobe, e.qid,
+           |         CAST(count(*) AS BIGINT) AS n_overlap,
+           |         CAST(count(*) * 10 AS BIGINT) AS recall_pct
+           |  FROM exact e JOIN ivf$np i ON e.qid = i.qid AND e.vec_id = i.vec_id
+           |  GROUP BY e.qid
+           |)""".stripMargin
+      }.mkString(", ")
+      s"""WITH v0 AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+         |  FROM embeddings
+         |), v AS (
+         |  SELECT vec_id, ve, sqrt(list_dot_product(ve, ve)) AS nrm FROM v0
+         |), cents AS (
+         |  SELECT vec_id AS cid, ve AS cve, nrm AS cnrm FROM v WHERE vec_id IN $cidList
+         |), assigned AS (
+         |  SELECT vec_id, ve, nrm, cid AS bucket FROM (
+         |    SELECT v.vec_id, v.ve, v.nrm, c.cid,
+         |      row_number() OVER (PARTITION BY v.vec_id
+         |        ORDER BY list_dot_product(v.ve, c.cve) / (v.nrm * c.cnrm) DESC, c.cid) AS rn
+         |    FROM v, cents c
+         |  ) WHERE rn = 1
+         |), qs AS (
+         |  SELECT vec_id AS qid, ve AS qve, nrm AS qnrm FROM v
+         |  WHERE vec_id IN (0, 101, 202)
+         |), exact AS (
+         |  SELECT qid, vec_id FROM (
+         |    SELECT q.qid, v.vec_id, row_number() OVER (PARTITION BY q.qid
+         |      ORDER BY list_dot_product(q.qve, v.ve) / (q.qnrm * v.nrm) DESC,
+         |               v.vec_id) AS rn
+         |    FROM v, qs q WHERE v.vec_id <> q.qid
+         |  ) WHERE rn <= 10
+         |), $perNp
+         |SELECT * FROM (
+         |  SELECT * FROM r1 UNION ALL SELECT * FROM r2 UNION ALL SELECT * FROM r4
+         |) ORDER BY nprobe, qid""".stripMargin
+    }) { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    val cents = centroidsFromIds(prep(emb), centroidIds)
+    Seq(1, 2, 4).map(np =>
+        ivfRecallGate(emb, cents, Seq(0L, 101L, 202L), np)
+          .select(lit(np.toLong).as("nprobe"), col("qid"), col("n_overlap"),
+            col("recall_pct")))
+      .reduce(_ unionByName _)
+      .orderBy("nprobe", "qid")
+  }
+
   val all: Seq[QueryDef] = Seq(simAnnIvf, dedupEmbedLsh, simAnnKmeans, simQuantize, simAnnRecall,
     simAnnPq, simAnnKmeansRecall, simAnnPqRecall, dedupEmbedLshRecall, simPcaPower,
-    simAnnIvfPq)
+    simAnnIvfPq, simAnnNprobeCurve)
 }
