@@ -1526,11 +1526,52 @@ object TextAnalysis {
     docRow.unionByName(grpRow).orderBy("method")
   }
 
+  /** K-FOLD assignment — the cross-validation completion of the split
+    * family (`sample_split` is one holdout; k-fold gives every doc
+    * exactly one validation turn): fold = first md5 byte of
+    * "fold:doc_id" mod 5, a pure row function (hashSplit discipline —
+    * no rand(), partitioning/rerun/engine invariant), and the gated
+    * report carries per fold both sides of the rotation — validation
+    * size/token mass and the complementary train size — plus the
+    * conservation row making "every doc in exactly one fold" a hashed
+    * fact (Σ n_val = corpus). One scan + one 5-group combinable
+    * aggregate + a broadcast totals join. */
+  val sampleKfold = QueryDef(
+    "sample_kfold",
+    """WITH f AS (
+      |  SELECT doc_id,
+      |    CAST('0x' || substr(md5('fold:' || CAST(doc_id AS VARCHAR)), 1, 2) AS INTEGER) % 5 AS fold,
+      |    len(string_split(text, ' ')) AS nw
+      |  FROM documents
+      |), per AS (
+      |  SELECT fold, CAST(count(*) AS BIGINT) AS n_val,
+      |         CAST(sum(nw) AS BIGINT) AS n_tokens_val
+      |  FROM f GROUP BY fold
+      |), tot AS (
+      |  SELECT CAST(sum(n_val) AS BIGINT) AS n_total FROM per
+      |)
+      |SELECT CAST(fold AS BIGINT) AS fold, n_val,
+      |       CAST(n_total - n_val AS BIGINT) AS n_train, n_tokens_val
+      |FROM per, tot ORDER BY fold""".stripMargin) { (s, d) =>
+    val f = Tables.documents(s, d)
+      .select(col("doc_id"),
+        (conv(substring(md5(concat(lit("fold:"), col("doc_id").cast("string"))
+          .cast("binary")), 1, 2), 16, 10).cast("int") % 5).as("fold"),
+        size(split(col("text"), " ")).cast("long").as("nw"))
+    val per = f.groupBy("fold")
+      .agg(count(lit(1)).as("n_val"), sum(col("nw")).as("n_tokens_val"))
+    val tot = per.agg(sum(col("n_val")).as("n_total"))
+    per.crossJoin(broadcast(tot))
+      .select(col("fold").cast("long").as("fold"), col("n_val"),
+        (col("n_total") - col("n_val")).as("n_train"), col("n_tokens_val"))
+      .orderBy("fold")
+  }
+
   val all: Seq[QueryDef] = Seq(textLangid, textQuality, textTokens, textFingerprint,
     textPiiScrub, sampleSplit, sampleStratified, textPack, textDecontaminate,
     textNgrams, textTfidf, sampleShuffle, pipelineCleanse, textStripMarkup,
     textRepetition, sampleWeighted, textRarity, sampleMix, textBpePairs,
     textLmScore, textBlocklist, sampleTemperature, textBpeMerge,
     textBpeEncode, sampleBootstrap, sampleBottomk, textKeywords,
-    textGopherRules, sampleGroupSplit, textLangidConfusion)
+    textGopherRules, sampleGroupSplit, textLangidConfusion, sampleKfold)
 }
