@@ -678,6 +678,74 @@ object Events {
     linearAttribution(Tables.events(s, d), lookbackUs = 604800000000L)
   }
 
+  /** POSITION-BASED (U-shaped) attribution — the other published credit
+    * model (`event_attribution` splits evenly; marketers' 40/20/40
+    * gives discovery and closing touches the weight): per purchase the
+    * touches rank by (time, click_id), the first and last take 40%
+    * each, the middle splits the remaining 20% evenly; 1-touch paths
+    * take 100%, 2-touch 50/50 (the standard degenerations — first=last
+    * never double-pays because the CASE tests rank boundaries in
+    * order). Same micro-cent integer discipline and floor-loss
+    * convention as the linear model; one extra rank window over the
+    * same purchase-keyed pairs, no new shuffle key. */
+  val eventAttributionPosition = QueryDef(
+    "event_attribution_position",
+    """WITH c AS (
+      |  SELECT event_id AS click_id, user_id, epoch_us(ts) AS c_eus
+      |  FROM events WHERE event_type = 'click'
+      |), p AS (
+      |  SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS p_eus,
+      |         CAST(round(value * 100, 0) AS BIGINT) AS value_cents
+      |  FROM events WHERE event_type = 'purchase'
+      |), pairs AS (
+      |  SELECT c.click_id, c.user_id, p.purchase_id, p.value_cents, c.c_eus
+      |  FROM c JOIN p ON c.user_id = p.user_id
+      |   AND p.p_eus > c.c_eus AND p.p_eus <= c.c_eus + 604800000000
+      |), t AS (
+      |  SELECT *,
+      |    count(*) OVER (PARTITION BY purchase_id) AS n_touch,
+      |    row_number() OVER (PARTITION BY purchase_id ORDER BY c_eus, click_id) AS rn
+      |  FROM pairs
+      |), credited AS (
+      |  SELECT click_id, user_id,
+      |    CASE WHEN n_touch = 1 THEN value_cents * 1000000
+      |         WHEN n_touch = 2 THEN (value_cents * 1000000) // 2
+      |         WHEN rn = 1 OR rn = n_touch THEN (value_cents * 1000000 * 40) // 100
+      |         ELSE (value_cents * 1000000 * 20) // (100 * (n_touch - 2)) END AS credit
+      |  FROM t
+      |)
+      |SELECT click_id, user_id,
+      |       CAST(count(*) AS BIGINT) AS n_purchases,
+      |       CAST(sum(credit) AS BIGINT) AS credit_microcents
+      |FROM credited GROUP BY click_id, user_id
+      |ORDER BY click_id""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d)
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), eus.as("c_eus"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        eus.as("p_eus"), round(col("value") * 100, 0).cast("long").as("value_cents"))
+    val pairs = c.join(p, col("user_id") === col("p_user") &&
+        col("p_eus") > col("c_eus") &&
+        col("p_eus") <= col("c_eus") + 604800000000L)
+      .select(col("click_id"), col("user_id"), col("purchase_id"),
+        col("value_cents"), col("c_eus"))
+    val wCnt = Window.partitionBy("purchase_id")
+    val wRnk = Window.partitionBy("purchase_id").orderBy(col("c_eus"), col("click_id"))
+    pairs
+      .withColumn("n_touch", count(lit(1)).over(wCnt))
+      .withColumn("rn", row_number().over(wRnk))
+      .withColumn("credit",
+        when(col("n_touch") === 1, col("value_cents") * 1000000L)
+          .when(col("n_touch") === 2, expr("(value_cents * 1000000) div 2"))
+          .when(col("rn") === 1 || col("rn") === col("n_touch"),
+            expr("(value_cents * 1000000 * 40) div 100"))
+          .otherwise(expr("(value_cents * 1000000 * 20) div (100 * (n_touch - 2))")))
+      .groupBy("click_id", "user_id")
+      .agg(count(lit(1)).as("n_purchases"), sum(col("credit")).as("credit_microcents"))
+      .orderBy("click_id")
+  }
+
   /** Top-20 user journey trigrams — path mining over the per-user event
     * sequence (the "common paths" product-analytics op): each user's
     * events in (ts, event_id) order yield sliding event-type 3-grams via
@@ -1809,5 +1877,5 @@ object Events {
     eventMarkov, streamJoinOuter, eventRfm, eventSeqMatch,
     streamStatefulSession, streamUpsertSink, eventActiveUsers,
     eventForecastBacktest, eventAbTest, eventSurvival, eventsFfill,
-    eventConcurrency, streamLateDrop, streamJoinSink, eventBotRegularity)
+    eventConcurrency, streamLateDrop, streamJoinSink, eventBotRegularity, eventAttributionPosition)
 }
