@@ -420,6 +420,13 @@ object Sketch {
       .select(col("user_id"), col("d"),
         coalesce(col("in_a"), lit(false)).as("in_a"),
         coalesce(col("in_b"), lit(false)).as("in_b"))
+    kmvLedger(u, k)
+  }
+
+  /** The KMV ledger kernel over a (user_id, d, in_a, in_b) membership
+    * relation — split out so SketchSpec can pin the under-full branch
+    * (n < k ⇒ the estimate IS the exact count) on a planted set. */
+  def kmvLedger(u: DataFrame, k: Int): DataFrame = {
     val exact = u.agg(count(lit(1)).as("exact_union"),
       sum(when(col("in_a") && col("in_b"), 1L).otherwise(0L)).as("exact_intersect"),
       sum(when(col("in_a") && !col("in_b"), 1L).otherwise(0L)).as("exact_a_only"),

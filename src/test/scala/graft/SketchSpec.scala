@@ -48,4 +48,19 @@ class SketchSpec extends AnyFunSuite {
     assert(est.exists { case (_, ex, e) => e > ex },
       s"expected a live overestimate at width 4: ${est.mkString(",")}")
   }
+
+  test("kmvLedger under-full branch: n < k makes every estimate exact (booleans with zero slack)") {
+    import spark.implicits._
+    // 10 elements, k = 256 → the sketch holds everything; the review-fix
+    // fallback must report est_union == exact and exact shares, so every
+    // within-20pct boolean holds with ZERO estimator error
+    val u = (1L to 10L).map(i => (i, java.sql.Date.valueOf("2024-01-01"),
+        i <= 6, i >= 4)) // A = 1..6, B = 4..10 → ∩ = 3, A\B = 3, B\A = 4
+      .toDF("user_id", "d", "in_a", "in_b")
+    val r = graft.ops.Sketch.kmvLedger(u, 256).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((10L, 3L, 3L, 4L)), s"exact companions wrong: $r")
+    assert(r.getBoolean(4) && r.getBoolean(5) && r.getBoolean(6),
+      s"under-full estimates must be exact: $r")
+  }
 }

@@ -7,9 +7,9 @@
 // (any Bench run builds it). Record results + co-measured controls in BASELINE.md.
 import graft.SparkEntry
 val keys = Seq(
-  "sim_hard_negatives", "maintenance_vacuum", "window_robust_stats",
-  "event_bot_regularity",
-  "sim_search", "scan_time_travel", "window_moving", "event_rfm")
+  "dedup_bloom_incremental", "sim_ann_nprobe_curve", "sample_kfold",
+  "event_attribution_position",
+  "dedup_incremental", "sim_ann_recall", "sample_split", "event_attribution")
 val dirs = Seq("sf01" -> "/tmp/graft_bench_mirror_ddbe1476c5607681e1c7241437b45958", "tenx" -> "/tmp/graft10x")
 val qs = SparkEntry.queries
 // codegen warmup at sf0.001
