@@ -353,7 +353,10 @@ object Dedup {
   private def cdcPolyOracle: String =
     (0 to 7).map(j => s"CAST(ord(substr(text, i - ${7 - j}, 1)) AS BIGINT) * ${math.pow(31, 7 - j).toLong}")
       .mkString(" + ")
-  private def cdcPolySpark: String =
+  /** The pre-Expression HOF formulation of the same polynomial, kept as
+    * the independent reference CdcBoundariesSpec checks the native
+    * rolling hash against. */
+  private[graft] def cdcPolySpark: String =
     (0 to 7).map(j => s"CAST(element_at(codes, i - ${7 - j}) AS BIGINT) * ${math.pow(31, 7 - j).toLong}")
       .mkString(" + ")
 
@@ -374,11 +377,11 @@ object Dedup {
       // core), so restore the multi-split shape explicitly — at scale
       // this repartition is dropped, not tuned
       .repartition(docs.sparkSession.sparkContext.defaultParallelism)
-      .withColumn("codes",
-        expr("transform(sequence(1, greatest(length(text), 1)), i -> ascii(substring(text, i, 1)))"))
-      .withColumn("bpos",
-        expr(s"filter(sequence(8, greatest(length(text) - 1, 8)), " +
-          s"i -> i < length(text) AND ($cdcPolySpark) % 16 = 0)"))
+      // native codegen rolling hash (graft.functions.CdcBoundaries):
+      // one multiply-add per byte instead of 8 interpreted lambda
+      // evaluations per position — CdcBoundariesSpec pins bit-equality
+      // with the HOF formulation this replaced
+      .withColumn("bpos", graft.functions.CdcBoundaries.boundaries(col("text")))
       .withColumn("bb",
         expr("concat(array(0), bpos, array(length(text)))"))
       .select(col("doc_id"),
