@@ -626,4 +626,18 @@ class PlanSpec extends AnyFunSuite {
         s"${q.name}: metadata join degenerated to a cartesian:\n$p")
     }
   }
+
+  test("cdc boundary scan runs as the native expression inside whole-stage codegen") {
+    val docs = graft.Tables.documents(spark, d)
+    val df = docs.select(org.apache.spark.sql.functions.col("doc_id"),
+      graft.functions.CdcBoundaries.boundaries(
+        org.apache.spark.sql.functions.col("text")).as("bpos"))
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(p.contains("cdcboundaries"), s"native expression missing from plan:\n$p")
+    // the projection carrying it must sit inside a WSCG stage ("*(n)")
+    val proj = p.linesIterator.find(_.contains("cdcboundaries")).getOrElse("")
+    assert(proj.trim.stripPrefix("+- ").startsWith("*"),
+      s"cdc boundary projection left whole-stage codegen: $proj")
+  }
 }
