@@ -593,8 +593,39 @@ object Formats {
       .orderBy("version", "c_mktsegment")
   }
 
+  /** Embedding TFRecord round-trip — the FLOAT-wire completion of the
+    * export family (`export_tfrecord` certifies int64 + bytes features;
+    * a trainer's actual input is packed float32 lists, until now covered
+    * only by TfExampleSpec, not the driver hash): embeddings shard out
+    * as framed Examples, read back, and the gate compares PER-VECTOR
+    * squared norms against the ORIGINAL parquet — the LE-IEEE754 wire
+    * preserves every float bit, the float→double cast is exact, and the
+    * sequential dot is the same fold both sides, so one flipped mantissa
+    * bit anywhere in writer or parser moves a gated value. Per-vector
+    * rows on purpose: a SUM of norms would be association-order
+    * noise; the per-row value is order-free. */
+  val exportTfrecordEmb = QueryDef(
+    "export_tfrecord_emb",
+    """WITH v AS (
+      |  SELECT vec_id, label,
+      |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+      |  FROM embeddings
+      |)
+      |SELECT vec_id, CAST(label AS BIGINT) AS label,
+      |       round(list_dot_product(ve, ve), 4) AS norm2
+      |FROM v ORDER BY vec_id LIMIT 300""".stripMargin) { (s, d) =>
+    val dir = fmtDir(d, "tfemb")
+    graft.sources.TfExample.writeEmbTfRecords(
+      Tables.embeddings(s, d).withColumn("shard", col("vec_id") % 4), dir)
+    graft.sources.TfExample.readEmbTfRecords(s, dir)
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        round(Similarity.dot(Similarity.vecD(col("embedding")),
+          Similarity.vecD(col("embedding"))), 4).as("norm2"))
+      .orderBy("vec_id").limit(300)
+  }
+
   val all: Seq[QueryDef] = Seq(scanCsv, scanJson, scanOrc, scanXml,
     maintenanceCompact, scanEvolution, exportTfrecord, scanAvro,
     scanMorDeletes, maintenanceRetention, scanTimeTravel, scanCsvQuarantine,
-    maintenanceVacuum)
+    maintenanceVacuum, exportTfrecordEmb)
 }

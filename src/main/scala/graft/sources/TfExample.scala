@@ -293,6 +293,68 @@ object TfExample {
         s"${invisible.mkString(",")} — shared filesystem required")
   }
 
+  /** Embedding TFRecord export — the FLOAT-wire sibling of
+    * `writeDocTfRecords` (docs gate the int64+bytes families; this
+    * gates packed float32 lists, the column a trainer's input pipeline
+    * actually consumes): one `emb-SSS.tfrecord` per shard, each a
+    * stream of framed Examples {id: int64, label: int64,
+    * emb: float32[64]}. Same executor-owned streaming-sink discipline. */
+  def writeEmbTfRecords(emb: DataFrame, dir: String): Unit = {
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    import emb.sparkSession.implicits._
+    val written = emb
+      .select(col("shard").cast("long"), col("vec_id").cast("long"),
+        col("label").cast("long"), col("embedding"))
+      .repartition(col("shard"))
+      .sortWithinPartitions("shard", "vec_id")
+      .mapPartitions { it: Iterator[Row] =>
+        val buf = it.buffered
+        val shards = scala.collection.mutable.ArrayBuffer.empty[Long]
+        while (buf.hasNext) {
+          val shard = buf.head.getLong(0)
+          val out = new java.io.BufferedOutputStream(
+            java.nio.file.Files.newOutputStream(
+              java.nio.file.Paths.get(f"$dir/emb-$shard%03d.tfrecord")))
+          try {
+            while (buf.hasNext && buf.head.getLong(0) == shard) {
+              val r = buf.next()
+              val ex = example(Seq(
+                "id" -> int64Feature(Seq(r.getLong(1))),
+                "label" -> int64Feature(Seq(r.getLong(2))),
+                "emb" -> floatFeature(r.getSeq[Float](3))))
+              out.write(tfRecordFrame(ex))
+            }
+          } finally out.close()
+          shards += shard
+        }
+        shards.iterator
+      }
+      .collect() // shard-count-bounded
+    val invisible = written.filterNot(s =>
+      java.nio.file.Files.exists(java.nio.file.Paths.get(f"$dir/emb-$s%03d.tfrecord")))
+    require(invisible.isEmpty,
+      s"executor-written TFRecord shards not visible to the driver: " +
+        s"${invisible.mkString(",")} — shared filesystem required")
+  }
+
+  /** Read embedding TFRecord shards back into (vec_id, label, embedding
+    * float[]) — `parseExample` handles the int64 + packed-float wire. */
+  def readEmbTfRecords(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "emb-*.tfrecord").load(dir)
+      .select(col("content"))
+      .as[Array[Byte]]
+      .flatMap { stream =>
+        tfRecordFrames(stream).map { ex =>
+          val f = parseExample(ex)
+          (f("id")._1.head, f("label")._1.head, f("emb")._2)
+        }
+      }
+      .toDF("vec_id", "label", "embedding")
+  }
+
   /** Read document TFRecord shards back into (doc_id, text, n_tokens) —
     * one binaryFile scan, frames + Examples decoded by the reading task. */
   def readDocTfRecords(spark: org.apache.spark.sql.SparkSession,
