@@ -603,55 +603,64 @@ object Ann {
     recallOverlap(v, ivf, qids, k)
   }
 
+  /** Shared DuckDB preamble for the IVF recall gates (sim_ann_recall and
+    * sim_ann_nprobe_curve): vectors, fixed centroids, bucket assignment,
+    * the query set and the nprobe-independent exact top-10 — one source
+    * of truth so an assignment or tie-break change cannot silently
+    * diverge the two oracles (review finding; the Similarity.vecCte
+    * convention). */
+  private def ivfGateCtePrefix: String = {
+    val cidList = centroidIds.mkString("(", ", ", ")")
+    s"""WITH v0 AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+       |  FROM embeddings
+       |), v AS (
+       |  SELECT vec_id, ve, sqrt(list_dot_product(ve, ve)) AS nrm FROM v0
+       |), cents AS (
+       |  SELECT vec_id AS cid, ve AS cve, nrm AS cnrm FROM v WHERE vec_id IN $cidList
+       |), assigned AS (
+       |  SELECT vec_id, ve, nrm, cid AS bucket FROM (
+       |    SELECT v.vec_id, v.ve, v.nrm, c.cid,
+       |      row_number() OVER (PARTITION BY v.vec_id
+       |        ORDER BY list_dot_product(v.ve, c.cve) / (v.nrm * c.cnrm) DESC, c.cid) AS rn
+       |    FROM v, cents c
+       |  ) WHERE rn = 1
+       |), qs AS (
+       |  SELECT vec_id AS qid, ve AS qve, nrm AS qnrm FROM v
+       |  WHERE vec_id IN (0, 101, 202)
+       |), exact AS (
+       |  SELECT qid, vec_id FROM (
+       |    SELECT q.qid, v.vec_id, row_number() OVER (PARTITION BY q.qid
+       |      ORDER BY list_dot_product(q.qve, v.ve) / (q.qnrm * v.nrm) DESC,
+       |               v.vec_id) AS rn
+       |    FROM v, qs q WHERE v.vec_id <> q.qid
+       |  ) WHERE rn <= 10
+       |)""".stripMargin
+  }
+
   val simAnnRecall = QueryDef(
-    "sim_ann_recall", {
-      val cidList = centroidIds.mkString("(", ", ", ")")
-      s"""WITH v0 AS (
-         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
-         |  FROM embeddings
-         |), v AS (
-         |  SELECT vec_id, ve, sqrt(list_dot_product(ve, ve)) AS nrm FROM v0
-         |), cents AS (
-         |  SELECT vec_id AS cid, ve AS cve, nrm AS cnrm FROM v WHERE vec_id IN $cidList
-         |), assigned AS (
-         |  SELECT vec_id, ve, nrm, cid AS bucket FROM (
-         |    SELECT v.vec_id, v.ve, v.nrm, c.cid,
-         |      row_number() OVER (PARTITION BY v.vec_id
-         |        ORDER BY list_dot_product(v.ve, c.cve) / (v.nrm * c.cnrm) DESC, c.cid) AS rn
-         |    FROM v, cents c
-         |  ) WHERE rn = 1
-         |), qs AS (
-         |  SELECT vec_id AS qid, ve AS qve, nrm AS qnrm FROM v
-         |  WHERE vec_id IN (0, 101, 202)
-         |), probed AS (
-         |  SELECT qid, cid AS pbucket FROM (
-         |    SELECT q.qid, c.cid, row_number() OVER (PARTITION BY q.qid
-         |      ORDER BY list_dot_product(q.qve, c.cve) / (q.qnrm * c.cnrm) DESC, c.cid) AS rn
-         |    FROM qs q, cents c
-         |  ) WHERE rn <= 2
-         |), ivf AS (
-         |  SELECT qid, vec_id FROM (
-         |    SELECT p.qid, a.vec_id, row_number() OVER (PARTITION BY p.qid
-         |      ORDER BY round(list_dot_product(q.qve, a.ve) / (q.qnrm * a.nrm), 4) DESC,
-         |               a.vec_id) AS rn
-         |    FROM assigned a
-         |    JOIN probed p ON a.bucket = p.pbucket
-         |    JOIN qs q ON q.qid = p.qid
-         |    WHERE a.vec_id <> p.qid
-         |  ) WHERE rn <= 10
-         |), exact AS (
-         |  SELECT qid, vec_id FROM (
-         |    SELECT q.qid, v.vec_id, row_number() OVER (PARTITION BY q.qid
-         |      ORDER BY list_dot_product(q.qve, v.ve) / (q.qnrm * v.nrm) DESC,
-         |               v.vec_id) AS rn
-         |    FROM v, qs q WHERE v.vec_id <> q.qid
-         |  ) WHERE rn <= 10
-         |)
-         |SELECT e.qid, CAST(count(*) AS BIGINT) AS n_overlap,
-         |       CAST(count(*) * 10 AS BIGINT) AS recall_pct
-         |FROM exact e JOIN ivf i ON e.qid = i.qid AND e.vec_id = i.vec_id
-         |GROUP BY e.qid ORDER BY e.qid""".stripMargin
-    }) { (s, d) =>
+    "sim_ann_recall",
+    s"""$ivfGateCtePrefix, probed AS (
+       |  SELECT qid, cid AS pbucket FROM (
+       |    SELECT q.qid, c.cid, row_number() OVER (PARTITION BY q.qid
+       |      ORDER BY list_dot_product(q.qve, c.cve) / (q.qnrm * c.cnrm) DESC, c.cid) AS rn
+       |    FROM qs q, cents c
+       |  ) WHERE rn <= 2
+       |), ivf AS (
+       |  SELECT qid, vec_id FROM (
+       |    SELECT p.qid, a.vec_id, row_number() OVER (PARTITION BY p.qid
+       |      ORDER BY round(list_dot_product(q.qve, a.ve) / (q.qnrm * a.nrm), 4) DESC,
+       |               a.vec_id) AS rn
+       |    FROM assigned a
+       |    JOIN probed p ON a.bucket = p.pbucket
+       |    JOIN qs q ON q.qid = p.qid
+       |    WHERE a.vec_id <> p.qid
+       |  ) WHERE rn <= 10
+       |)
+       |SELECT e.qid, CAST(count(*) AS BIGINT) AS n_overlap,
+       |       CAST(count(*) * 10 AS BIGINT) AS recall_pct
+       |FROM exact e JOIN ivf i ON e.qid = i.qid AND e.vec_id = i.vec_id
+       |GROUP BY e.qid ORDER BY e.qid""".stripMargin) { (s, d) =>
     val emb = Tables.embeddings(s, d)
     ivfRecallGate(emb, centroidsFromIds(prep(emb), centroidIds),
       qids = Seq(0L, 101L, 202L), nprobe = 2)
@@ -1247,7 +1256,6 @@ object Ann {
     * cut, so the added cost is two more bucket-bounded top-k passes. */
   val simAnnNprobeCurve = QueryDef(
     "sim_ann_nprobe_curve", {
-      val cidList = centroidIds.mkString("(", ", ", ")")
       val perNp = Seq(1, 2, 4).map { np =>
         s"""probed$np AS (
            |  SELECT qid, cid AS pbucket FROM (
@@ -1273,37 +1281,20 @@ object Ann {
            |  GROUP BY e.qid
            |)""".stripMargin
       }.mkString(", ")
-      s"""WITH v0 AS (
-         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
-         |  FROM embeddings
-         |), v AS (
-         |  SELECT vec_id, ve, sqrt(list_dot_product(ve, ve)) AS nrm FROM v0
-         |), cents AS (
-         |  SELECT vec_id AS cid, ve AS cve, nrm AS cnrm FROM v WHERE vec_id IN $cidList
-         |), assigned AS (
-         |  SELECT vec_id, ve, nrm, cid AS bucket FROM (
-         |    SELECT v.vec_id, v.ve, v.nrm, c.cid,
-         |      row_number() OVER (PARTITION BY v.vec_id
-         |        ORDER BY list_dot_product(v.ve, c.cve) / (v.nrm * c.cnrm) DESC, c.cid) AS rn
-         |    FROM v, cents c
-         |  ) WHERE rn = 1
-         |), qs AS (
-         |  SELECT vec_id AS qid, ve AS qve, nrm AS qnrm FROM v
-         |  WHERE vec_id IN (0, 101, 202)
-         |), exact AS (
-         |  SELECT qid, vec_id FROM (
-         |    SELECT q.qid, v.vec_id, row_number() OVER (PARTITION BY q.qid
-         |      ORDER BY list_dot_product(q.qve, v.ve) / (q.qnrm * v.nrm) DESC,
-         |               v.vec_id) AS rn
-         |    FROM v, qs q WHERE v.vec_id <> q.qid
-         |  ) WHERE rn <= 10
-         |), $perNp
+      s"""$ivfGateCtePrefix, $perNp
          |SELECT * FROM (
          |  SELECT * FROM r1 UNION ALL SELECT * FROM r2 UNION ALL SELECT * FROM r4
          |) ORDER BY nprobe, qid""".stripMargin
     }) { (s, d) =>
     val emb = Tables.embeddings(s, d)
     val cents = centroidsFromIds(prep(emb), centroidIds)
+    // Adjudicated non-fix (review suggested computing the exact top-10
+    // once and pinning it): the three union branches carry IDENTICAL
+    // exactTopK subtrees, which Spark already deduplicates via
+    // ReusedExchange in the single action — an explicit localCheckpoint
+    // of the exact side measured SLOWER (3.35 s vs 2.05 s bench min)
+    // because it forces an eager extra materialization the reuse had
+    // made free. The straightforward form stands.
     Seq(1, 2, 4).map(np =>
         ivfRecallGate(emb, cents, Seq(0L, 101L, 202L), np)
           .select(lit(np.toLong).as("nprobe"), col("qid"), col("n_overlap"),

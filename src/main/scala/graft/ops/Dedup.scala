@@ -470,7 +470,11 @@ object Dedup {
     val m = 4096
     val docs = Tables.documents(s, d)
     val isIncr = col("doc_id") % 10 === 0
+    // base feeds FOUR consumers (both bit probes, the exact check, the
+    // ledger count) — pin it so the corpus scan + distinct runs once,
+    // not once per subtree (review finding)
     val base = docs.filter(!isIncr).select(md5(col("text")).as("h")).distinct()
+      .localCheckpoint()
     val incr = docs.filter(isIncr).select(col("doc_id"), md5(col("text")).as("h"))
     def slice(c: Column, k: Int) =
       conv(substring(md5(c), 1 + 8 * k, 8), 16, 10).cast("long") % m

@@ -1753,7 +1753,12 @@ object Events {
       |), m AS (
       |  SELECT user_id, CAST(count(gs) AS BIGINT) AS n_gaps,
       |    CAST(sum(gs) AS BIGINT) AS sg, CAST(sum(gs * gs) AS BIGINT) AS sgg
-      |  FROM g WHERE gs IS NOT NULL GROUP BY user_id HAVING count(gs) >= 5
+      |  FROM g WHERE gs IS NOT NULL GROUP BY user_id
+      |  -- sum(gs) > 0 guards the cv² division: a user whose gaps all
+      |  -- floor to 0 s would divide by zero (an engine-divergent
+      |  -- failure: DuckDB errors, Spark NULLs) and carries no cadence
+      |  -- signal anyway
+      |  HAVING count(gs) >= 5 AND sum(gs) > 0
       |)
       |SELECT user_id, n_gaps,
       |  CAST(sg // n_gaps AS BIGINT) AS mean_gap_s,
@@ -1775,7 +1780,7 @@ object Events {
       .groupBy("user_id")
       .agg(count(col("gs")).as("n_gaps"), sum(col("gs")).as("sg"),
         sum(col("gs") * col("gs")).as("sgg"))
-      .filter(col("n_gaps") >= 5)
+      .filter(col("n_gaps") >= 5 && col("sg") > 0)
     m.select(col("user_id"), col("n_gaps"),
         expr("sg div n_gaps").as("mean_gap_s"),
         expr("(1000 * (n_gaps * sgg - sg * sg)) div (sg * sg)").as("cv2_x1000"),
