@@ -132,5 +132,12 @@ object Bench {
     // means any "metric"-line grep yields the same record. spark.stop()
     // runs first so no late executor chatter can land after it.
     println(line)
+    // COMPACT summary as the true final line (round-10 finding: the
+    // full 275-key line is ~7 KB, wider than the driver's 2,000-char
+    // tail window, so BOTH copies above truncate and the artifact lands
+    // "parsed": null). This line is <200 bytes — any tail window keeps
+    // it whole, so the driver's parse always gets at least the total;
+    // the full per-query map lives in BENCH.json and the long line.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n":${keys.size},"harness":"repeat-and-min-v4-mirror","reps":$reps,"stat":"min"$filteredTag,"sf":"$sfDir"}""")
   }
 }

@@ -29,10 +29,36 @@ object QueryDef {
     * never map to one directory. Stable within a process, so bench reps
     * overwrite the same staging instead of accumulating; /tmp roots from
     * past processes are bounded by process count and cleared on reboot. */
-  def tmpRoot(tag: String, d: String): String =
+  def tmpRoot(tag: String, d: String): String = {
+    cleanupHook
     sys.props("java.io.tmpdir") + "/graft_" + tag + "_p" +
       java.lang.ProcessHandle.current().pid() + "_" +
       d.replaceAll("[^A-Za-z0-9._-]", "_")
+  }
+
+  /** JVM shutdown hook deleting every `graft_*_p<thisPid>_*` staging
+    * root this process created (Landed relations, bucketed tables,
+    * streaming checkpoints/sinks). Pid-scoping already prevents
+    * cross-process collisions and a reboot clears /tmp, but a
+    * long-lived host running many driver/test processes accumulates
+    * dead roots between reboots (review finding) — exit-time cleanup
+    * bounds /tmp at one process's footprint. Registered lazily on the
+    * first tmpRoot call so pure-batch runs add no hook; failures are
+    * swallowed (nothing may throw on the exit path — the pid scoping
+    * means a leftover root is a nuisance, not a correctness hazard).
+    * The cross-process bench mirror (/tmp/graft_bench_mirror_*) is
+    * deliberately NOT deleted: it is an inter-run cache keyed by the
+    * fixture dir and guarded by its _MIRROR_READY marker. */
+  private lazy val cleanupHook: Unit = {
+    val pidTag = "_p" + java.lang.ProcessHandle.current().pid() + "_"
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      Option(new java.io.File(sys.props("java.io.tmpdir")).listFiles())
+        .toSeq.flatten
+        .filter(f => f.getName.startsWith("graft_") && f.getName.contains(pidTag))
+        .foreach(f => try Staging.deleteTree(f.getPath)
+          catch { case _: Throwable => () })
+    }, "graft-staging-cleanup"))
+  }
 }
 
 /** Cross-engine determinism helpers (SURVEY §2.9).

@@ -434,7 +434,11 @@ object Sketch {
     // normalized hash in (0, 1): signed xxhash64 shifted to unsigned scale
     val sk = u.withColumn("uh",
         (xxhash64(col("user_id"), col("d")).cast("double") / 1.8446744073709552e19) + 0.5)
-      .orderBy("uh").limit(k)
+      // (user_id, d) tiebreak makes the bottom-k slice a TOTAL order: an
+      // xxhash64 collision at the k-th boundary would otherwise make the
+      // kept set — and the gated membership-share booleans —
+      // partition-order dependent (review finding)
+      .orderBy("uh", "user_id", "d").limit(k)
     // standard KMV under-full rule: while the sketch holds every element
     // (n < k) the "estimate" IS the exact kept count — (k−1)/u_(k) is
     // only the k-th order statistic's estimator once the sketch is full

@@ -245,97 +245,85 @@ object TfExample {
     out.toSeq
   }
 
-  /** Document TFRecord export — the training-data handoff format (what a
-    * TF/JAX input pipeline reads): one `docs-SSS.tfrecord` per shard,
-    * each a stream of framed Examples {id: int64, text: bytes,
-    * n_tokens: int64}. Shards are owned and written by the executor task
-    * that holds them after the repartition (the writeSwivelPbShards
-    * discipline — nothing corpus-sized on the driver); records within a
-    * shard are doc_id-sorted so the bytes are deterministic. */
-  def writeDocTfRecords(docs: DataFrame, dir: String): Unit = {
+  /** Shared executor-owned sharded-TFRecord sink (review finding: the
+    * doc and emb writers were copy-pasted loops, so a staging fix would
+    * have had to land in both). `rows` must carry the long `shard`
+    * column at position 0 plus a per-shard sort key at position 1;
+    * each shard is owned and written by the executor task that holds
+    * it after the repartition (the writeSwivelPbShards discipline —
+    * nothing corpus-sized on the driver), records stream through a
+    * buffered sink one frame at a time (task heap holds one record,
+    * not the shard), and shard bytes are deterministic because records
+    * are (shard, key)-sorted. STALE `<prefix>-*.tfrecord` files are
+    * deleted before writing: a rerun that lands fewer shards into the
+    * same dir must not leave ghost files for the glob reader to gate
+    * (review finding). */
+  private def writeShardedTfRecords(rows: DataFrame, dir: String,
+      prefix: String, mkExample: Row => Array[Byte]): Unit = {
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
-    import docs.sparkSession.implicits._
-    val written = docs
-      .select(col("shard").cast("long"), col("doc_id").cast("long"),
-        col("text"), col("n_tokens").cast("long"))
+    Option(new java.io.File(dir).listFiles()).toSeq.flatten
+      .filter(f => f.getName.startsWith(prefix + "-") &&
+        f.getName.endsWith(".tfrecord"))
+      .foreach(f => java.nio.file.Files.delete(f.toPath))
+    import rows.sparkSession.implicits._
+    val sortKey = rows.columns(1)
+    val written = rows
       .repartition(col("shard"))
-      .sortWithinPartitions("shard", "doc_id")
+      .sortWithinPartitions("shard", sortKey)
       .mapPartitions { it: Iterator[Row] =>
         val buf = it.buffered
         val shards = scala.collection.mutable.ArrayBuffer.empty[Long]
         while (buf.hasNext) {
           val shard = buf.head.getLong(0)
-          // frames STREAM through a buffered sink as they are framed —
-          // task heap holds one record, not the whole shard (a 1 GB
-          // shard as an in-memory ArrayBuffer was the next bottleneck)
           val out = new java.io.BufferedOutputStream(
             java.nio.file.Files.newOutputStream(
-              java.nio.file.Paths.get(f"$dir/docs-$shard%03d.tfrecord")))
-          try {
-            while (buf.hasNext && buf.head.getLong(0) == shard) {
-              val r = buf.next()
-              val ex = example(Seq(
-                "id" -> int64Feature(Seq(r.getLong(1))),
-                "n_tokens" -> int64Feature(Seq(r.getLong(3))),
-                "text" -> bytesFeature(Seq(r.getString(2).getBytes("UTF-8")))))
-              out.write(tfRecordFrame(ex))
-            }
-          } finally out.close()
+              java.nio.file.Paths.get(f"$dir/$prefix%s-$shard%03d.tfrecord")))
+          try
+            while (buf.hasNext && buf.head.getLong(0) == shard)
+              out.write(tfRecordFrame(mkExample(buf.next())))
+          finally out.close()
           shards += shard
         }
         shards.iterator
       }
       .collect() // shard-count-bounded
     val invisible = written.filterNot(s =>
-      java.nio.file.Files.exists(java.nio.file.Paths.get(f"$dir/docs-$s%03d.tfrecord")))
+      java.nio.file.Files.exists(
+        java.nio.file.Paths.get(f"$dir/$prefix%s-$s%03d.tfrecord")))
     require(invisible.isEmpty,
       s"executor-written TFRecord shards not visible to the driver: " +
         s"${invisible.mkString(",")} — shared filesystem required")
   }
+
+  /** Document TFRecord export — the training-data handoff format (what a
+    * TF/JAX input pipeline reads): one `docs-SSS.tfrecord` per shard,
+    * each a stream of framed Examples {id: int64, text: bytes,
+    * n_tokens: int64}. */
+  def writeDocTfRecords(docs: DataFrame, dir: String): Unit =
+    writeShardedTfRecords(
+      docs.select(col("shard").cast("long"), col("doc_id").cast("long"),
+        col("text"), col("n_tokens").cast("long")),
+      dir, "docs",
+      r => example(Seq(
+        "id" -> int64Feature(Seq(r.getLong(1))),
+        "n_tokens" -> int64Feature(Seq(r.getLong(3))),
+        "text" -> bytesFeature(Seq(r.getString(2).getBytes("UTF-8"))))))
 
   /** Embedding TFRecord export — the FLOAT-wire sibling of
     * `writeDocTfRecords` (docs gate the int64+bytes families; this
     * gates packed float32 lists, the column a trainer's input pipeline
     * actually consumes): one `emb-SSS.tfrecord` per shard, each a
     * stream of framed Examples {id: int64, label: int64,
-    * emb: float32[64]}. Same executor-owned streaming-sink discipline. */
-  def writeEmbTfRecords(emb: DataFrame, dir: String): Unit = {
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
-    import emb.sparkSession.implicits._
-    val written = emb
-      .select(col("shard").cast("long"), col("vec_id").cast("long"),
-        col("label").cast("long"), col("embedding"))
-      .repartition(col("shard"))
-      .sortWithinPartitions("shard", "vec_id")
-      .mapPartitions { it: Iterator[Row] =>
-        val buf = it.buffered
-        val shards = scala.collection.mutable.ArrayBuffer.empty[Long]
-        while (buf.hasNext) {
-          val shard = buf.head.getLong(0)
-          val out = new java.io.BufferedOutputStream(
-            java.nio.file.Files.newOutputStream(
-              java.nio.file.Paths.get(f"$dir/emb-$shard%03d.tfrecord")))
-          try {
-            while (buf.hasNext && buf.head.getLong(0) == shard) {
-              val r = buf.next()
-              val ex = example(Seq(
-                "id" -> int64Feature(Seq(r.getLong(1))),
-                "label" -> int64Feature(Seq(r.getLong(2))),
-                "emb" -> floatFeature(r.getSeq[Float](3))))
-              out.write(tfRecordFrame(ex))
-            }
-          } finally out.close()
-          shards += shard
-        }
-        shards.iterator
-      }
-      .collect() // shard-count-bounded
-    val invisible = written.filterNot(s =>
-      java.nio.file.Files.exists(java.nio.file.Paths.get(f"$dir/emb-$s%03d.tfrecord")))
-    require(invisible.isEmpty,
-      s"executor-written TFRecord shards not visible to the driver: " +
-        s"${invisible.mkString(",")} — shared filesystem required")
-  }
+    * emb: float32[64]}. */
+  def writeEmbTfRecords(emb: DataFrame, dir: String): Unit =
+    writeShardedTfRecords(
+      emb.select(col("shard").cast("long"), col("vec_id").cast("long"),
+        col("label").cast("long"), col("embedding")),
+      dir, "emb",
+      r => example(Seq(
+        "id" -> int64Feature(Seq(r.getLong(1))),
+        "label" -> int64Feature(Seq(r.getLong(2))),
+        "emb" -> floatFeature(r.getSeq[Float](3)))))
 
   /** Read embedding TFRecord shards back into (vec_id, label, embedding
     * float[]) — `parseExample` handles the int64 + packed-float wire. */

@@ -299,7 +299,13 @@ object StreamOps {
     tagged.repartition(1).write.partitionBy("b").parquet(inDir)
     for (order <- 0 until nBatches; dir = new java.io.File(s"$inDir/b=$order"))
       Option(dir.listFiles()).toSeq.flatten
-        .foreach(f => f.setLastModified(1700000000000L + order * 60000L): Unit)
+        // a failed mtime pin must fail FAST: on a filesystem where
+        // setLastModified silently no-ops, batch order falls back to
+        // staging wall-clock and the forced consumption order the
+        // late-drop/join-sink gates depend on degrades into an opaque
+        // hash mismatch (review finding)
+        .foreach(f => require(f.setLastModified(1700000000000L + order * 60000L),
+          s"mtime pin failed: $f"))
     tagged.sparkSession.read.option("recursiveFileLookup", "true")
       .parquet(inDir).schema
   }
