@@ -380,14 +380,13 @@ object Ann {
        |  SELECT cid, list(CAST(s AS DOUBLE) / 1000.0 / n ORDER BY sub) AS cve
        |  FROM s$r GROUP BY cid))""".stripMargin
 
-  val simAnnKmeans = QueryDef(
-    "sim_ann_kmeans",
-    // Oracle-backed since round 8 (was no-oracle through r7): the Lloyd
-    // UPDATE is exact integer sums of milli-quantized components, so
-    // DuckDB replays all 3 rounds bit-identically — see
-    // kmeansCentroidsQuantized. The 3 unrolled rounds below are the whole
-    // algorithm: assignment rank (the sim_ann_ivf expression), integer
-    // moment sums, correctly-rounded mean rebuild.
+  /** Shared oracle prefix `WITH v0 … af`: vector prep, milli-quantized
+    * component relation, first-8-by-id seed, 3 unrolled Lloyd rounds,
+    * final assignment — the full quantized-kmeans replay (see
+    * kmeansCentroidsQuantized for why every round is bit-identical
+    * across engines). Used by `sim_ann_kmeans` and `dedup_semantic` so
+    * the cluster model has exactly one oracle formulation. */
+  private def kmeansOraclePrefix: String =
     s"""WITH v0 AS (
        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
        |  FROM embeddings
@@ -407,7 +406,17 @@ object Ann {
        |af AS (SELECT vec_id, cid FROM (
        |  SELECT v.vec_id, c.cid, row_number() OVER (PARTITION BY v.vec_id
        |    ORDER BY list_dot_product(v.ve, c.cve) / (v.nrm * c.cnrm) DESC, c.cid) AS rn
-       |  FROM v, c3 c) WHERE rn = 1),
+       |  FROM v, c3 c) WHERE rn = 1)""".stripMargin
+
+  val simAnnKmeans = QueryDef(
+    "sim_ann_kmeans",
+    // Oracle-backed since round 8 (was no-oracle through r7): the Lloyd
+    // UPDATE is exact integer sums of milli-quantized components, so
+    // DuckDB replays all 3 rounds bit-identically — see
+    // kmeansCentroidsQuantized. The 3 unrolled rounds (kmeansOraclePrefix)
+    // are the whole algorithm: assignment rank (the sim_ann_ivf
+    // expression), integer moment sums, correctly-rounded mean rebuild.
+    s"""$kmeansOraclePrefix,
        |q0 AS (SELECT ve AS qve, nrm AS qnrm FROM v WHERE vec_id = 0),
        |probed AS (
        |  SELECT cid AS pbucket FROM c3, q0
@@ -419,6 +428,79 @@ object Ann {
        |ORDER BY cos DESC, af.vec_id LIMIT 10""".stripMargin) { (s, d) =>
     val emb = Tables.embeddings(s, d)
     ivfTopKWith(emb, queryId = 0L, cachedKmeansCents(s, d), nprobe = 4, k = 10)
+  }
+
+  /** SEMANTIC DEDUP (the SemDeDup recipe, Abbas et al. 2023 —
+    * arXiv:2303.09540): cluster the embedding space with the trained
+    * kmeans model, then find duplicate pairs ONLY within each cluster
+    * (cos ≥ τ) and keep the lowest-id member of every duplicate
+    * relation — the modern LLM-corpus dedup family that catches
+    * paraphrases exact/MinHash dedup cannot see. The within-cluster
+    * restriction IS the scale design: candidate generation is an
+    * equi-join keyed by cluster id (n²/c pair work instead of n², and
+    * each cluster's tile is one shuffle partition's local job — at
+    * 100 TB c grows with the corpus, SemDeDup uses ~10⁵ clusters, and
+    * the per-cluster work stays bounded). Keeper rule: a vector is
+    * DROPPED iff a lower-id vector in ITS cluster sits at cos ≥ τ —
+    * deterministic, single-pass, no iteration (the component-min
+    * fixpoint `dedup_keeper` gates separately on the text side).
+    *
+    * Gated relation: per-cluster corpus accounting (n_vecs, qualifying
+    * pair count, dropped, kept) — the dedup-rate report a corpus run
+    * ships. The oracle replays the identical quantized-Lloyd model
+    * (kmeansOraclePrefix — bit-identical rounds), so cluster
+    * membership, pairs and keepers all hash-match. τ = 0.5 because the
+    * fixture embeddings are near-orthogonal (see Similarity's
+    * scaladoc): 0.5 is this table's "semantic duplicate" regime, the
+    * same threshold `dedup_embed` gates.
+    *
+    * Shuffle audit: one exchange keyed by cid feeds BOTH sides of the
+    * self-join (explicit repartition → ReuseExchange) and both
+    * aggregates reuse the cid partitioning; centroids ride a broadcast.
+    */
+  val dedupSemantic = QueryDef(
+    "dedup_semantic",
+    s"""$kmeansOraclePrefix,
+       |m AS (
+       |  SELECT af.cid, v.vec_id, v.ve, v.nrm FROM af JOIN v USING (vec_id)
+       |), pairs AS (
+       |  SELECT x.cid, x.vec_id AS i, y.vec_id AS j
+       |  FROM m x JOIN m y ON x.cid = y.cid AND x.vec_id < y.vec_id
+       |  WHERE list_dot_product(x.ve, y.ve) / (x.nrm * y.nrm) >= 0.5
+       |), drp AS (
+       |  SELECT cid, CAST(count(*) AS BIGINT) AS n_pairs,
+       |         CAST(count(DISTINCT j) AS BIGINT) AS n_dropped
+       |  FROM pairs GROUP BY cid
+       |), sz AS (
+       |  SELECT cid, CAST(count(*) AS BIGINT) AS n_vecs FROM m GROUP BY cid
+       |)
+       |SELECT sz.cid, sz.n_vecs,
+       |       CAST(coalesce(drp.n_pairs, 0) AS BIGINT) AS n_pairs,
+       |       CAST(coalesce(drp.n_dropped, 0) AS BIGINT) AS n_dropped,
+       |       CAST(sz.n_vecs - coalesce(drp.n_dropped, 0) AS BIGINT) AS n_kept
+       |FROM sz LEFT JOIN drp USING (cid)
+       |ORDER BY sz.cid""".stripMargin) { (s, d) =>
+    val v = prep(Tables.embeddings(s, d))
+    // the trained model is the cached per-(session, dataset) index the
+    // kmeans ANN keys already share — SemDeDup amortizes the same way
+    val m = assignTo(v, cachedKmeansCents(s, d))
+      .select(col("bucket").as("cid"), col("vec_id"), col("ve"), col("nrm"))
+      .repartition(col("cid"))
+    val pairs = m.as("x").join(m.as("y"),
+        col("x.cid") === col("y.cid") && col("x.vec_id") < col("y.vec_id"))
+      .filter(Similarity.dot(col("x.ve"), col("y.ve")) /
+        (col("x.nrm") * col("y.nrm")) >= 0.5)
+      .select(col("x.cid").as("cid"), col("x.vec_id").as("i"),
+        col("y.vec_id").as("j"))
+    val drp = pairs.groupBy("cid")
+      .agg(count(lit(1)).as("n_pairs"), countDistinct(col("j")).as("n_dropped"))
+    val sz = m.groupBy("cid").agg(count(lit(1)).as("n_vecs"))
+    sz.join(drp, Seq("cid"), "left")
+      .select(col("cid"), col("n_vecs"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
+        (col("n_vecs") - coalesce(col("n_dropped"), lit(0L))).as("n_kept"))
+      .orderBy("cid")
   }
 
   /** Int8 scalar quantization of the embedding table — the memory-scale
@@ -1305,5 +1387,5 @@ object Ann {
 
   val all: Seq[QueryDef] = Seq(simAnnIvf, dedupEmbedLsh, simAnnKmeans, simQuantize, simAnnRecall,
     simAnnPq, simAnnKmeansRecall, simAnnPqRecall, dedupEmbedLshRecall, simPcaPower,
-    simAnnIvfPq, simAnnNprobeCurve)
+    simAnnIvfPq, simAnnNprobeCurve, dedupSemantic)
 }
