@@ -29,8 +29,11 @@ object TextAnalysis {
     */
   def languageId(docs: DataFrame): DataFrame = {
     val toks = split(col("text"), " ")
+    // preserves every input column (pipeline_pretrain filters on the
+    // prediction and keeps flowing the working text); the standalone
+    // keys project what they gate afterwards
     val scored = docs.select(
-      (col("doc_id") +: col("lang") +:
+      (col("*") +:
         langMarkers.map { case (l, ms) =>
           size(filter(toks, t => t.isin(ms.map(lit): _*))).cast("long").as(s"s_$l")
         }): _*)
@@ -1415,6 +1418,11 @@ object TextAnalysis {
       |             THEN cnt ELSE 0 END) AS BIGINT) AS n_stop
       |  FROM pt GROUP BY doc_id
       |)""".stripMargin
+  /** Same stats CTE over an arbitrary (doc_id, text) relation name —
+    * the shingleOracleCteOver convention. Starts mid-WITH. */
+  private[ops] def gopherStatsCteOver(rel: String): String =
+    gopherStatsCteSql.replace("FROM documents", s"FROM $rel")
+
   private[ops] val gopherKeepSql: String =
     """(nw BETWEEN 30 AND 90 AND 10 * cw BETWEEN 36 * nw AND 44 * nw
       |   AND n_stop >= 2 AND 2 * nd >= nw AND 10 * maxf <= nw)""".stripMargin
@@ -1433,20 +1441,26 @@ object TextAnalysis {
     gopherRules(Tables.documents(s, d)).orderBy("doc_id")
   }
 
-  /** The rule-report kernel over a (doc_id, text) relation — split out so
-    * EdgeSpec can fire each rule on planted documents. */
-  def gopherRules(docs: DataFrame): DataFrame = {
+  /** Per-doc token stats (nw, cw, nd, maxf, n_stop) — the shared input
+    * of the gopher rule report and pipeline_pretrain's quality stage. */
+  def gopherStats(docs: DataFrame): DataFrame = {
     val stopSet = Seq("the", "a", "to", "of", "and", "in", "is", "on")
     val pt = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       .groupBy("doc_id", "tok").agg(count(lit(1)).as("cnt"))
-    val pd = pt.groupBy("doc_id").agg(
+    pt.groupBy("doc_id").agg(
       sum(col("cnt")).as("nw"),
       sum(length(col("tok")) * col("cnt")).as("cw"),
       count(lit(1)).as("nd"),
       max(col("cnt")).as("maxf"),
       sum(when(col("tok").isInCollection(stopSet), col("cnt")).otherwise(0L))
         .as("n_stop"))
+  }
+
+  /** The rule-report kernel over a (doc_id, text) relation — split out so
+    * EdgeSpec can fire each rule on planted documents. */
+  def gopherRules(docs: DataFrame): DataFrame = {
+    val pd = gopherStats(docs)
     val wordCountOk = col("nw").between(30, 90)
     val meanLenOk = (lit(10) * col("cw")).between(lit(36) * col("nw"), lit(44) * col("nw"))
     val stopwordOk = col("n_stop") >= 2
@@ -1567,11 +1581,267 @@ object TextAnalysis {
       .orderBy("fold")
   }
 
+  /** FULL PRETRAINING-CORPUS RECIPE as one hashed relation — the modern
+    * pipeline end-to-end (strip markup → language ID → quality rules →
+    * exact dedup → MinHash near-dedup → benchmark decontamination →
+    * temperature mix → sequence packing → TFRecord export round-trip),
+    * gated as a stage FUNNEL: one row per stage with surviving doc and
+    * token counts plus a stage-specific aux metric (tags stripped, dup
+    * pairs found, pack bins, export shards). 275 operators are proven
+    * individually; this key proves the COMPOSITION — any stage
+    * regression moves its row and every row downstream.
+    *
+    * Corpus: the documents table plus planted dirt the clean fixture
+    * lacks (the text_dedup_url / plantNearDups convention): exact
+    * copies of every doc_id % 41 == 0 doc (+1e6 ids) and near copies
+    * (3 appended tokens, +2e6 ids) of every doc_id % 43 == 0 doc, then
+    * per-label marker injection (langidInject) so the language label
+    * is recoverable-but-contested. Each planted pathology is caught by
+    * exactly the stage built for it: injection → langid filter
+    * (predicted == label), exact copies → the content-hash keeper,
+    * near copies → the MinHash/Jaccard pass.
+    *
+    * Quality stage uses the RELAXED production profile of the gopher
+    * stats (nw 10–200, mean len 3–6, ≥1 stopword, nd·4 ≥ nw,
+    * maxf·5 ≤ nw — ~90% keep on this corpus at every SF); the strict
+    * research thresholds stay gated by `text_gopher_rules`.
+    *
+    * Scale/plan notes: stage outputs are materialized
+    * (localCheckpoint here; landed tables at 100 TB — the Landed
+    * discipline), so each stage's work runs ONCE. Per stage: strip +
+    * langid are scan-local expressions (no shuffle); quality is 2
+    * keyed shuffles (token, doc) of a 3-column projection; exact dedup
+    * 1 shuffle (hash groupBy); MinHash is the banded (band, h)-keyed
+    * candidate join (never all-pairs); decontamination is a broadcast
+    * anti-join (the benchmark set is small by construction); the mix
+    * is 1 lang-keyed shuffle + a broadcast threshold; packing is
+    * per-bucket windows (never a global prefix sum); export is the
+    * executor-owned TFRecord shard sink. Planting reads the projected
+    * table once (checkpointed before the 3-branch union). */
+  val pipelinePretrain = QueryDef(
+    "pipeline_pretrain",
+    s"""WITH pl0 AS (
+       |  SELECT doc_id, lang, text FROM documents
+       |), pl1 AS (
+       |  SELECT doc_id, lang, text FROM pl0
+       |  UNION ALL
+       |  SELECT doc_id + 1000000, lang, text FROM pl0 WHERE doc_id % 41 = 0
+       |  UNION ALL
+       |  SELECT doc_id + 2000000, lang, text || ' pad pad pad' FROM pl0
+       |  WHERE doc_id % 43 = 0
+       |), inj AS (
+       |  SELECT doc_id, lang, $langidInjectSql AS text FROM pl1
+       |), pp0 AS (
+       |  SELECT doc_id, lang,
+       |    '<html><body><p class="doc">' || text || '</p><br/></body></html>' AS html
+       |  FROM inj
+       |), ppt AS (
+       |  SELECT doc_id, lang,
+       |    trim(regexp_replace(regexp_replace(html, '<[^>]+>', ' ', 'g'),
+       |      '\\s+', ' ', 'g')) AS text,
+       |    CAST(len(regexp_extract_all(html, '<[^>]+>')) AS BIGINT) AS n_tags
+       |  FROM pp0
+       |), pq AS (
+       |  SELECT doc_id, lang, text, n_tags,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+       |    md5(text) AS h
+       |  FROM ppt
+       |), sc AS (
+       |  SELECT doc_id, lang, $langidScoreColsSql
+       |  FROM pq
+       |), en AS (
+       |  SELECT pq.* FROM pq JOIN (
+       |    SELECT doc_id FROM (SELECT doc_id, lang, $langidPredSql AS pl FROM sc)
+       |    WHERE pl = lang) m USING (doc_id)
+       |),
+       |${gopherStatsCteOver("en")},
+       |gk AS (
+       |  SELECT doc_id FROM pd
+       |  WHERE nw BETWEEN 10 AND 200 AND 10 * cw BETWEEN 30 * nw AND 60 * nw
+       |    AND n_stop >= 1 AND 4 * nd >= nw AND 5 * maxf <= nw
+       |), gs AS (
+       |  SELECT en.* FROM en JOIN gk USING (doc_id)
+       |), ek AS (
+       |  SELECT h, min(doc_id) AS doc_id FROM gs GROUP BY h
+       |), ex AS (
+       |  SELECT gs.* FROM gs JOIN ek USING (h, doc_id)
+       |),
+       |${graft.ops.Functions.shingleOracleCteOver("ex")},
+       |shd AS (SELECT DISTINCT doc_id, shingle FROM sh WHERE shingle IS NOT NULL),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY doc_id),
+       |inter AS (
+       |  SELECT x.doc_id AS i, y.doc_id AS j, count(*) AS inter
+       |  FROM shd x JOIN shd y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+       |  GROUP BY i, j
+       |), prs AS (
+       |  SELECT i, j FROM (
+       |    SELECT i, j, inter.inter / (si.n + sj.n - inter.inter) AS jac_raw
+       |    FROM inter
+       |    JOIN sizes si ON inter.i = si.doc_id
+       |    JOIN sizes sj ON inter.j = sj.doc_id
+       |  ) WHERE jac_raw >= 0.5
+       |), ndp AS (
+       |  SELECT ex.* FROM ex WHERE doc_id NOT IN (SELECT j FROM prs)
+       |), bench AS (
+       |  SELECT DISTINCT h FROM pq WHERE doc_id % 97 = 0
+       |), dc AS (
+       |  SELECT ndp.* FROM ndp
+       |  WHERE NOT EXISTS (SELECT 1 FROM bench b WHERE b.h = ndp.h)
+       |), cnts AS (
+       |  SELECT lang, CAST(count(*) AS BIGINT) AS n FROM dc GROUP BY lang
+       |), iq AS (
+       |  SELECT lang, n, CAST(floor(sqrt(n)) AS BIGINT) AS isq FROM cnts
+       |), tt AS (
+       |  SELECT sum(isq) AS s FROM iq
+       |), thr AS (
+       |  SELECT lang, (isq * 120 * 4294967296) // (n * s) AS t FROM iq, tt
+       |), mx AS (
+       |  SELECT dc.* FROM dc JOIN thr USING (lang)
+       |  WHERE CAST('0x' || substr(md5('temp:' || CAST(doc_id AS VARCHAR)),
+       |    1, 8) AS BIGINT) < thr.t
+       |), pkc AS (
+       |  SELECT doc_id % 32 AS bucket, n_toks,
+       |    sum(n_toks) OVER (PARTITION BY doc_id % 32 ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM mx
+       |), pkb AS (
+       |  SELECT bucket, (cum - n_toks) // 512 AS bin,
+       |    CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(n_toks) AS BIGINT) AS n_tokens
+       |  FROM pkc GROUP BY bucket, bin
+       |)
+       |SELECT * FROM (
+       |  SELECT 'a_raw' AS stage, CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+       |    CAST(sum(CASE WHEN doc_id >= 1000000 THEN 1 ELSE 0 END) AS BIGINT) AS aux
+       |  FROM pl1
+       |  UNION ALL
+       |  SELECT 'b_strip', CAST(count(*) AS BIGINT),
+       |    CAST(sum(n_toks) AS BIGINT), CAST(sum(n_tags) AS BIGINT) FROM pq
+       |  UNION ALL
+       |  SELECT 'c_langid', CAST(count(*) AS BIGINT),
+       |    CAST(sum(n_toks) AS BIGINT), CAST(0 AS BIGINT) FROM en
+       |  UNION ALL
+       |  SELECT 'd_quality', CAST(count(*) AS BIGINT),
+       |    CAST(sum(n_toks) AS BIGINT), CAST(0 AS BIGINT) FROM gs
+       |  UNION ALL
+       |  SELECT 'e_dedup_exact', CAST(count(*) AS BIGINT),
+       |    CAST(sum(n_toks) AS BIGINT), CAST(0 AS BIGINT) FROM ex
+       |  UNION ALL
+       |  SELECT 'f_dedup_near', CAST(count(*) AS BIGINT),
+       |    CAST(sum(n_toks) AS BIGINT),
+       |    (SELECT CAST(count(*) AS BIGINT) FROM prs) FROM ndp
+       |  UNION ALL
+       |  SELECT 'g_decontam', CAST(count(*) AS BIGINT),
+       |    CAST(sum(n_toks) AS BIGINT), CAST(0 AS BIGINT) FROM dc
+       |  UNION ALL
+       |  SELECT 'h_mix', CAST(count(*) AS BIGINT),
+       |    CAST(sum(n_toks) AS BIGINT), CAST(0 AS BIGINT) FROM mx
+       |  UNION ALL
+       |  SELECT 'i_pack', CAST(sum(n_docs) AS BIGINT),
+       |    CAST(sum(n_tokens) AS BIGINT), CAST(count(*) AS BIGINT) FROM pkb
+       |  UNION ALL
+       |  SELECT 'j_export', CAST(count(*) AS BIGINT),
+       |    CAST(sum(n_toks) AS BIGINT),
+       |    CAST(count(DISTINCT doc_id % 4) AS BIGINT) FROM mx
+       |) ORDER BY stage""".stripMargin) { (s, d) =>
+    // ---- plant + inject (one projected scan, checkpointed pre-union)
+    val docs0 = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("text")).localCheckpoint()
+    val planted = docs0
+      .unionByName(docs0.filter(col("doc_id") % 41 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("lang"), col("text")))
+      .unionByName(docs0.filter(col("doc_id") % 43 === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"), col("lang"),
+          concat(col("text"), lit(" pad pad pad")).as("text")))
+    val injected = langidInject(planted)
+    // ---- strip markup
+    val html = concat(lit("<html><body><p class=\"doc\">"), col("text"),
+      lit("</p><br/></body></html>"))
+    val pq = injected
+      .select(col("doc_id"), col("lang"),
+        trim(regexp_replace(regexp_replace(html, "<[^>]+>", " "), "\\s+", " "))
+          .as("text"),
+        size(regexp_extract_all(html, lit("<[^>]+>"), lit(0)))
+          .cast("long").as("n_tags"))
+      .withColumn("n_toks", size(split(col("text"), " ")).cast("long"))
+      .withColumn("h", md5(col("text")))
+      .localCheckpoint()
+    val pqCols = pq.columns.map(col).toSeq
+    // ---- language filter: prediction must confirm the label
+    val en = languageId(pq).filter(col("predicted_lang") === col("lang"))
+      .select(pqCols: _*)
+    // ---- quality: relaxed production profile of the gopher stats
+    val keepIds = gopherStats(en.select(col("doc_id"), col("text")))
+      .filter(col("nw").between(10, 200) &&
+        (lit(10) * col("cw")).between(lit(30) * col("nw"), lit(60) * col("nw")) &&
+        col("n_stop") >= 1 && lit(4) * col("nd") >= col("nw") &&
+        lit(5) * col("maxf") <= col("nw"))
+      .select("doc_id")
+    val gs = en.join(keepIds, "doc_id").localCheckpoint()
+    // ---- exact dedup: min-id keeper per content hash
+    val ek = gs.groupBy("h").agg(min("doc_id").as("doc_id"))
+    val ex = gs.join(ek, Seq("h", "doc_id")).localCheckpoint()
+    // ---- MinHash near-dedup: banded candidates + exact-Jaccard refilter
+    val prs = Dedup.minHashNearDupFromShingles(
+        Functions.shingles(ex.select(col("doc_id"), col("text"))))
+      .select("i", "j").localCheckpoint()
+    val ndp = ex.join(prs.select(col("j").as("doc_id")).distinct(),
+      Seq("doc_id"), "left_anti").localCheckpoint()
+    // ---- decontamination by content fingerprint (benchmark = % 97 docs)
+    val bench = pq.filter(col("doc_id") % 97 === 0).select("h").distinct()
+    val dc = ndp.join(broadcast(bench), Seq("h"), "left_anti")
+    // ---- temperature mix (T = 2) over the surviving populations
+    val iq = dc.groupBy("lang").agg(count(lit(1)).as("n"))
+      .select(col("lang"), col("n"), floor(sqrt(col("n"))).cast("long").as("isq"))
+    val tot = iq.agg(sum(col("isq")).as("s"))
+    val thr = iq.crossJoin(broadcast(tot))
+      .select(col("lang"), expr("(isq * 120 * 4294967296L) div (n * s)").as("t"))
+    val hKeep = conv(substring(md5(concat(lit("temp:"),
+      col("doc_id").cast("string"))), 1, 8), 16, 10).cast("long")
+    val mx = dc.join(broadcast(thr), "lang").filter(hKeep < col("t"))
+      .select(pqCols: _*).localCheckpoint()
+    // ---- pack + TFRecord export round-trip of the mixed corpus
+    val pkb = packBins(mx.select(col("doc_id"), col("text")))
+    val dir = QueryDef.tmpRoot("pretrain_tfr", d)
+    graft.sources.TfExample.writeDocTfRecords(
+      mx.select((col("doc_id") % 4).as("shard"), col("doc_id"), col("text"),
+        col("n_toks").as("n_tokens")), dir)
+    val rt = graft.sources.TfExample.readDocTfRecords(s, dir)
+    // ---- the funnel
+    def row(stage: String, df: DataFrame, aux: org.apache.spark.sql.Column) =
+      df.agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"),
+        aux.as("aux"))
+        .select(lit(stage).as("stage"), col("n_docs"), col("n_tokens"), col("aux"))
+    row("a_raw",
+        planted.withColumn("n_toks", size(split(col("text"), " ")).cast("long")),
+        sum(when(col("doc_id") >= 1000000L, 1L).otherwise(0L)))
+      .unionByName(row("b_strip", pq, sum(col("n_tags"))))
+      .unionByName(row("c_langid", en, lit(0L)))
+      .unionByName(row("d_quality", gs, lit(0L)))
+      .unionByName(row("e_dedup_exact", ex, lit(0L)))
+      .unionByName(row("f_dedup_near", ndp, lit(0L))
+        .drop("aux").crossJoin(broadcast(prs.agg(count(lit(1)).as("aux")))))
+      .unionByName(row("g_decontam", dc, lit(0L)))
+      .unionByName(row("h_mix", mx, lit(0L)))
+      .unionByName(pkb.agg(sum(col("n_docs")).as("n_docs"),
+          sum(col("n_tokens")).as("n_tokens"), count(lit(1)).as("aux"))
+        .select(lit("i_pack").as("stage"), col("n_docs"), col("n_tokens"),
+          col("aux")))
+      .unionByName(rt.agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("n_tokens"),
+          countDistinct(col("doc_id") % 4).as("aux"))
+        .select(lit("j_export").as("stage"), col("n_docs"), col("n_tokens"),
+          col("aux")))
+      .orderBy("stage")
+  }
+
   val all: Seq[QueryDef] = Seq(textLangid, textQuality, textTokens, textFingerprint,
     textPiiScrub, sampleSplit, sampleStratified, textPack, textDecontaminate,
     textNgrams, textTfidf, sampleShuffle, pipelineCleanse, textStripMarkup,
     textRepetition, sampleWeighted, textRarity, sampleMix, textBpePairs,
     textLmScore, textBlocklist, sampleTemperature, textBpeMerge,
     textBpeEncode, sampleBootstrap, sampleBottomk, textKeywords,
-    textGopherRules, sampleGroupSplit, textLangidConfusion, sampleKfold)
+    textGopherRules, sampleGroupSplit, textLangidConfusion, sampleKfold,
+    pipelinePretrain)
 }
