@@ -990,6 +990,29 @@ object Events {
       .orderBy("user_id")
   }
 
+  /** CHECKPOINT RECOVERY under the driver's hash — the streaming
+    * property the four sink keys leave ungated: they prove state
+    * persistence WITHIN a run; this key proves recovery ACROSS a
+    * restart, which is what checkpoints are for. The
+    * `StreamOps.restartResume` kernel runs a checkpointed complete-mode
+    * aggregation over half the staged files, `stop()`s, lands the other
+    * half, and starts a NEW query from the same checkpoint; the gated
+    * relation is the final landed snapshot, which equals the batch
+    * aggregate over ALL events iff both the offset log (no re-read of
+    * committed files) and the state store (no loss of pre-restart
+    * aggregates) recovered exactly — either failure doubles or halves
+    * counts and fails the hash. StreamingSpec additionally pins the
+    * no-duplicate-consumption counts per query life. */
+  val streamRestartResume = QueryDef(
+    "stream_restart_resume",
+    """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+      |       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
+    val (snapshot, _, _) = graft.streaming.StreamOps.restartResume(
+      Tables.events(s, d), QueryDef.tmpRoot("srestart", d))
+    snapshot.orderBy("user_id")
+  }
+
   /** ARBITRARY STATEFUL PROCESSING under the driver's hash — the
     * `flatMapGroupsWithState` surface the session_window keys can't
     * reach (custom per-key state, incremental emission on event-time
@@ -1882,5 +1905,6 @@ object Events {
     eventMarkov, streamJoinOuter, eventRfm, eventSeqMatch,
     streamStatefulSession, streamUpsertSink, eventActiveUsers,
     eventForecastBacktest, eventAbTest, eventSurvival, eventsFfill,
-    eventConcurrency, streamLateDrop, streamJoinSink, eventBotRegularity, eventAttributionPosition)
+    eventConcurrency, streamLateDrop, streamJoinSink, eventBotRegularity,
+    eventAttributionPosition, streamRestartResume)
 }

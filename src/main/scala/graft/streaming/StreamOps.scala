@@ -310,6 +310,66 @@ object StreamOps {
       .parquet(inDir).schema
   }
 
+  /** CHECKPOINT RESTART/RESUME kernel — the property checkpoints exist
+    * FOR, run for real: life 1 stages the `g < splitAt` half of the
+    * input as files, runs a complete-mode streaming aggregation
+    * (groupBy user_id → count/sum) to drain, and STOPS; the second half
+    * lands as new files only after the stop; life 2 starts a NEW query
+    * from the SAME checkpoint. Exactly-once across the restart requires
+    * both recoveries to work: the offset log must mark life-1's files
+    * committed (or life 2 would re-read them and counts would double)
+    * and the state store must recover life-1's running aggregates (or
+    * the first half's contribution would vanish). Either failure moves
+    * the final snapshot away from the batch answer.
+    *
+    * Each microbatch's full aggregate state lands via the snapshot
+    * writer (complete mode → overwrite); the landed table after life 2
+    * is the batch aggregate over BOTH halves iff exactly-once held.
+    * Returns (landed snapshot, life-1 input rows, life-2 input rows) so
+    * callers can pin no-duplicate-consumption directly: life-2 rows
+    * must equal the second half's row count, not the whole input.
+    *
+    * Scale note: complete-mode state is group-cardinality-bounded
+    * (user_id here); a 100 TB deployment lands update-mode deltas into
+    * a merge sink instead (`stream_upsert_sink` gates that shape) but
+    * recovers through the identical offset-log + state-store path. */
+  def restartResume(ev: DataFrame, root: String,
+      groups: Int = 6, splitAt: Int = 3): (DataFrame, Long, Long) = {
+    val s = ev.sparkSession
+    graft.ops.Staging.deleteTree(root)
+    val tagged = ev.select(col("event_id"), col("user_id"), col("value"))
+      .withColumn("g", pmod(col("event_id"), lit(groups)))
+    tagged.filter(col("g") < splitAt).repartition(col("g"))
+      .write.partitionBy("g").parquet(root + "/in")
+    val schema = s.read.option("recursiveFileLookup", "true")
+      .parquet(root + "/in").schema
+    def life(): Long = {
+      val q = s.readStream.schema(schema)
+        .option("recursiveFileLookup", "true")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(root + "/in")
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
+        .writeStream
+        .outputMode(OutputMode.Complete())
+        .option("checkpointLocation", root + "/ckpt")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.write.mode("overwrite").parquet(root + "/out")
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      q.recentProgress.map(_.numInputRows).sum
+    }
+    val rows1 = life()
+    // the second half exists only AFTER life 1 stopped — life 2 cannot
+    // have seen it except by resuming the committed offset log
+    tagged.filter(col("g") >= splitAt).repartition(col("g"))
+      .write.mode("append").partitionBy("g").parquet(root + "/in")
+    val rows2 = life()
+    (s.read.parquet(root + "/out"), rows1, rows2)
+  }
+
   def parquetBatchWriter(outDir: String): (DataFrame, Long) => Unit =
     (batch: DataFrame, batchId: Long) =>
       batch.withColumn("batch_id", lit(batchId))

@@ -527,4 +527,27 @@ class StreamingSpec extends AnyFunSuite {
     wB(b1, 0L); wB(b0, 1L)
     assert(state(rootB) == finalA, "batch order changed the fixpoint")
   }
+
+  test("restartResume: life 2 consumes ONLY the post-restart files and the recovered snapshot equals the batch aggregate") {
+    val ev = Seq.tabulate(60)(i =>
+        (i.toLong, (i % 5).toLong, (i % 7) + 0.25)) // 12 rows per user
+      .toDF("event_id", "user_id", "value")
+    val root = java.nio.file.Files.createTempDirectory("graft_rr").toString
+    val (snap, rows1, rows2) = StreamOps.restartResume(ev, root)
+    // no-duplicate-consumption pin: each query life saw exactly its
+    // half (event_id % 6 < 3 ↔ >= 3 → 30/30); a re-read of committed
+    // files would push rows2 past 30, a lost offset log past 60
+    assert(rows1 == 30L, s"life 1 consumed $rows1 rows, expected 30")
+    assert(rows2 == 30L,
+      s"life 2 consumed $rows2 rows — committed files re-read or offset log lost")
+    // recovered-state pin: the final snapshot is the batch aggregate
+    // over BOTH halves (losing the state store would halve the counts)
+    val got = snap.select("user_id", "n_events", "sum_value")
+      .as[(Long, Long, Double)].collect().toSet
+    val want = ev.groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got == want, s"snapshot after restart != batch aggregate: $got vs $want")
+  }
 }
