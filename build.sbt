@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked-run stdout passes through RAW (no sbt "[info] " logger prefix):
+// the driver json-parses Bench's final stdout line; with the default
+// LoggedOutput strategy every line arrives as "[info] {...}" and the
+// parse fails (BENCH_r11.json landed "parsed": null for exactly this).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

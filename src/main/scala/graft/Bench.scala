@@ -124,20 +124,26 @@ object Bench {
       System.err.println(s"BENCH.json write FAILED (stdout line is the only record): $e")
     }
     spark.stop()
-    // The identical line AGAIN as the very last stdout output: the r9
+    // The identical full line AGAIN near the end of stdout: the r9
     // driver artifact kept only a stdout TAIL window (the head print
     // above was truncated away and BENCH_r09.json landed with
     // "parsed": null) — printing first AND last covers head-capture and
-    // tail-capture drivers alike, and both copies being byte-identical
-    // means any "metric"-line grep yields the same record. spark.stop()
-    // runs first so no late executor chatter can land after it.
+    // tail-capture drivers alike. spark.stop() runs first so no late
+    // executor chatter can land after it. NOTE (round-11 advice): a
+    // "metric"-line grep now yields TWO DISTINCT records — this ~7 KB
+    // full per-query line (twice, byte-identical) and the <200 B
+    // compact record below, distinguishable by its "compact":true tag;
+    // consumers wanting the per-query map must take a line WITHOUT the
+    // tag, tail-window parsers get at least the compact total.
     println(line)
     // COMPACT summary as the true final line (round-10 finding: the
-    // full 275-key line is ~7 KB, wider than the driver's 2,000-char
-    // tail window, so BOTH copies above truncate and the artifact lands
+    // full per-query line is wider than the driver's 2,000-char tail
+    // window, so BOTH copies above truncate and the artifact lands
     // "parsed": null). This line is <200 bytes — any tail window keeps
-    // it whole, so the driver's parse always gets at least the total;
-    // the full per-query map lives in BENCH.json and the long line.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n":${keys.size},"harness":"repeat-and-min-v4-mirror","reps":$reps,"stat":"min"$filteredTag,"sf":"$sfDir"}""")
+    // it whole; the full per-query map lives in BENCH.json and the long
+    // line. Flushed so the final line cannot be lost to stream
+    // buffering when the driver kills the process at exit.
+    println(s"""{"metric":"total","compact":true,"value":$total,"unit":"sec","n":${keys.size},"harness":"repeat-and-min-v4-mirror","reps":$reps,"stat":"min"$filteredTag,"sf":"$sfDir"}""")
+    System.out.flush()
   }
 }

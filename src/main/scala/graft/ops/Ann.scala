@@ -1449,6 +1449,56 @@ object Ann {
     score(beam, k, exclSelf = true)
   }
 
+  /** Sub-quadratic kNN-graph BUILD — the scale path `knnGraph`'s
+    * scaladoc promises: candidate pairs come from an IVF bucketing
+    * (each vector multi-assigned to its `nprobe` nearest trained-kmeans
+    * centroids, so near-boundary true neighbors share at least one
+    * bucket — the SemDeDup join shape of `dedup_semantic`), scored once
+    * per distinct pair, and ranked top-M per source in both directions.
+    * Pair work is Σ_b n_b² ≈ (nprobe·n)²/c instead of n²; each bucket's
+    * tile is one cid-keyed shuffle partition's local job, and at 100 TB
+    * c grows with the corpus (10⁵-cluster regime) so the per-bucket
+    * tile stays bounded — the same scale argument, and the same single
+    * cid exchange feeding both self-join sides. Landed once per
+    * (session, dataset) like its quadratic twin; `sim_ann_graph_build`
+    * hash-gates both its edge recall against the all-pairs graph and
+    * the beam-search recall it supports. */
+  def knnGraphIvf(s: SparkSession, d: String, m: Int, nprobe: Int): DataFrame = {
+    // train/force the shared kmeans model OUTSIDE the Landed closure
+    // (Landed.once must not recurse into cachedIndex-triggered jobs
+    // mid-computeIfAbsent on a shared map — the documented discipline)
+    val cents = cachedKmeansCents(s, d)
+    Landed.once(s, d, s"knngivf${m}p$nprobe") {
+      val v = prep(Tables.embeddings(s, d))
+      val rnA = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cid"))
+      val ma = v.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("cid"),
+          (Similarity.dot(col("ve"), col("cve")) / (col("nrm") * col("cnrm")))
+            .as("ccos"))
+        .withColumn("rn", row_number().over(rnA)).filter(col("rn") <= nprobe)
+        .select(col("cid"), col("vec_id"))
+        .repartition(col("cid"))
+      // co-bucketed candidates, deduped across shared buckets BEFORE the
+      // vector join so each pair is scored exactly once
+      val cand = ma.as("x").join(ma.as("y"),
+          col("x.cid") === col("y.cid") && col("x.vec_id") < col("y.vec_id"))
+        .select(col("x.vec_id").as("i"), col("y.vec_id").as("j")).distinct()
+      val p = cand
+        .join(v.select(col("vec_id").as("i"), col("ve").as("vei"),
+          col("nrm").as("nrmi")), Seq("i"))
+        .join(v.select(col("vec_id").as("j"), col("ve").as("vej"),
+          col("nrm").as("nrmj")), Seq("j"))
+        .select(col("i"), col("j"),
+          (Similarity.dot(col("vei"), col("vej")) / (col("nrmi") * col("nrmj")))
+            .as("cos_raw"))
+      val dir = p.unionByName(p.select(col("j").as("i"), col("i").as("j"),
+        col("cos_raw")))
+      val w = Window.partitionBy("i").orderBy(col("cos_raw").desc, col("j"))
+      dir.withColumn("rn", row_number().over(w)).filter(col("rn") <= m)
+        .select("i", "j")
+    }
+  }
+
   /** One beam round of the oracle: previous beam ∪ its graph neighbors,
     * re-ranked by rounded query cosine, top `beamW` kept. */
   private def beamRoundCte(r: Int, beamW: Int): String =
@@ -1463,6 +1513,36 @@ object Ann {
        |  JOIN v ON c.vec_id = v.vec_id
        |  JOIN qs q ON q.qid = c.qid
        |) WHERE rn <= $beamW)""".stripMargin
+
+  /** Shared oracle tail for the graph-ANN gates: 8 lowest-id entry
+    * points, 4 unrolled beam rounds at width 16 over whatever CTE is
+    * named `knn`, the beam's final top-10 (`hnsw`) and the exact
+    * brute-force top-10 (`exact`) for the queries in `qs` — one
+    * formulation so `sim_ann_hnsw` (all-pairs-built graph) and
+    * `sim_ann_graph_build` (IVF-built graph) cannot silently diverge
+    * in search semantics. */
+  private def beamOracleTail: String =
+    s"""hb0 AS (
+       |  SELECT qid, vec_id FROM qs,
+       |    (SELECT vec_id FROM v ORDER BY vec_id LIMIT 8)
+       |),
+       |${beamRoundCte(1, 16)},
+       |${beamRoundCte(2, 16)},
+       |${beamRoundCte(3, 16)},
+       |${beamRoundCte(4, 16)},
+       |hnsw AS (SELECT qid, vec_id FROM (
+       |  SELECT b.qid, b.vec_id, row_number() OVER (PARTITION BY b.qid
+       |    ORDER BY round(list_dot_product(q.qve, v.ve) / (q.qnrm * v.nrm), 4) DESC,
+       |             b.vec_id) AS rn
+       |  FROM hb4 b JOIN v ON b.vec_id = v.vec_id JOIN qs q ON q.qid = b.qid
+       |  WHERE b.vec_id <> b.qid
+       |) WHERE rn <= 10),
+       |exact AS (SELECT qid, vec_id FROM (
+       |  SELECT q.qid, v.vec_id, row_number() OVER (PARTITION BY q.qid
+       |    ORDER BY list_dot_product(q.qve, v.ve) / (q.qnrm * v.nrm) DESC,
+       |             v.vec_id) AS rn
+       |  FROM v, qs q WHERE v.vec_id <> q.qid
+       |) WHERE rn <= 10)""".stripMargin
 
   /** GRAPH-BASED ANN (the HNSW/NSW family) with a hash-gated recall
     * relation — completes the ANN portfolio beside IVF, kmeans, PQ and
@@ -1499,27 +1579,8 @@ object Ann {
        |    SELECT i, j, row_number() OVER (PARTITION BY i
        |      ORDER BY c DESC, j) AS rn FROM dk
        |  ) WHERE rn <= 16
-       |), hb0 AS (
-       |  SELECT qid, vec_id FROM qs,
-       |    (SELECT vec_id FROM v ORDER BY vec_id LIMIT 8)
        |),
-       |${beamRoundCte(1, 16)},
-       |${beamRoundCte(2, 16)},
-       |${beamRoundCte(3, 16)},
-       |${beamRoundCte(4, 16)},
-       |hnsw AS (SELECT qid, vec_id FROM (
-       |  SELECT b.qid, b.vec_id, row_number() OVER (PARTITION BY b.qid
-       |    ORDER BY round(list_dot_product(q.qve, v.ve) / (q.qnrm * v.nrm), 4) DESC,
-       |             b.vec_id) AS rn
-       |  FROM hb4 b JOIN v ON b.vec_id = v.vec_id JOIN qs q ON q.qid = b.qid
-       |  WHERE b.vec_id <> b.qid
-       |) WHERE rn <= 10),
-       |exact AS (SELECT qid, vec_id FROM (
-       |  SELECT q.qid, v.vec_id, row_number() OVER (PARTITION BY q.qid
-       |    ORDER BY list_dot_product(q.qve, v.ve) / (q.qnrm * v.nrm) DESC,
-       |             v.vec_id) AS rn
-       |  FROM v, qs q WHERE v.vec_id <> q.qid
-       |) WHERE rn <= 10)
+       |$beamOracleTail
        |SELECT e.qid, CAST(count(*) AS BIGINT) AS n_overlap,
        |       CAST(count(*) * 10 AS BIGINT) AS recall_pct
        |FROM exact e JOIN hnsw h ON e.qid = h.qid AND e.vec_id = h.vec_id
@@ -1530,7 +1591,78 @@ object Ann {
     recallOverlap(v, approx, qids = Seq(0L, 101L, 202L), k = 10)
   }
 
+  /** SUB-QUADRATIC GRAPH BUILD, gated — completes the graph-ANN family
+    * the way `dedup_minhash` completed text dedup: `sim_ann_hnsw`
+    * proved the landed-graph + beam-search SERVING path but built its
+    * index with the quadratic all-pairs twin; this key gates the scale
+    * build (`knnGraphIvf` — IVF-bucketed candidates off the shared
+    * trained-kmeans model, (nprobe·n)²/c pair work) by measuring, per
+    * query, the beam-search recall the IVF-built graph achieves against
+    * the exact brute-force top-10, AND the global edge recall of the
+    * IVF graph against the all-pairs-built graph (both landed, both
+    * amortized). The oracle replays the full path: quantized-Lloyd
+    * model (kmeansOraclePrefix — bit-identical rounds), rn ≤ 2
+    * multi-assignment, distinct co-bucketed pairs scored once, top-16
+    * per direction, then the shared beam tail (beamOracleTail) and the
+    * all-pairs twin for the edge numbers. A candidate-generation
+    * regression now fails the hash with readable recall columns instead
+    * of hiding behind the quadratic build. */
+  val simAnnGraphBuild = QueryDef(
+    "sim_ann_graph_build",
+    s"""$kmeansOraclePrefix,
+       |ma AS (SELECT cid, vec_id FROM (
+       |  SELECT v.vec_id, c.cid, row_number() OVER (PARTITION BY v.vec_id
+       |    ORDER BY list_dot_product(v.ve, c.cve) / (v.nrm * c.cnrm) DESC, c.cid) AS rn
+       |  FROM v, c3 c) WHERE rn <= 3),
+       |cand AS (
+       |  SELECT DISTINCT x.vec_id AS i, y.vec_id AS j
+       |  FROM ma x JOIN ma y ON x.cid = y.cid AND x.vec_id < y.vec_id),
+       |gp AS (
+       |  SELECT cand.i, cand.j,
+       |         list_dot_product(a.ve, b.ve) / (a.nrm * b.nrm) AS c
+       |  FROM cand JOIN v a ON cand.i = a.vec_id JOIN v b ON cand.j = b.vec_id),
+       |gd AS (SELECT i, j, c FROM gp UNION ALL SELECT j AS i, i AS j, c FROM gp),
+       |knn AS (SELECT i, j FROM (
+       |  SELECT i, j, row_number() OVER (PARTITION BY i
+       |    ORDER BY c DESC, j) AS rn FROM gd) WHERE rn <= 16),
+       |apr AS (
+       |  SELECT a.vec_id AS i, b.vec_id AS j,
+       |         list_dot_product(a.ve, b.ve) / (a.nrm * b.nrm) AS c
+       |  FROM v a JOIN v b ON a.vec_id < b.vec_id),
+       |adk AS (SELECT i, j, c FROM apr UNION ALL SELECT j AS i, i AS j, c FROM apr),
+       |aknn AS (SELECT i, j FROM (
+       |  SELECT i, j, row_number() OVER (PARTITION BY i
+       |    ORDER BY c DESC, j) AS rn FROM adk) WHERE rn <= 16),
+       |eo AS (SELECT CAST(count(*) AS BIGINT) AS n_edge_overlap
+       |       FROM knn JOIN aknn USING (i, j)),
+       |et AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM aknn),
+       |qs AS (
+       |  SELECT vec_id AS qid, ve AS qve, nrm AS qnrm FROM v
+       |  WHERE vec_id IN (0, 101, 202)
+       |),
+       |$beamOracleTail
+       |SELECT e.qid, CAST(count(*) AS BIGINT) AS n_overlap,
+       |       CAST(count(*) * 10 AS BIGINT) AS recall_pct,
+       |       eo.n_edge_overlap,
+       |       CAST(eo.n_edge_overlap * 100 // et.n_edges AS BIGINT) AS edge_recall_pct
+       |FROM exact e JOIN hnsw h ON e.qid = h.qid AND e.vec_id = h.vec_id, eo, et
+       |GROUP BY e.qid, eo.n_edge_overlap, et.n_edges
+       |ORDER BY e.qid""".stripMargin) { (s, d) =>
+    val v = prep(Tables.embeddings(s, d))
+    val qids = Seq(0L, 101L, 202L)
+    val gIvf = knnGraphIvf(s, d, m = 16, nprobe = 3)
+    val gAll = knnGraph(s, d, m = 16)
+    val edges = broadcast(gIvf.join(gAll, Seq("i", "j"))
+      .agg(count(lit(1)).as("n_edge_overlap"))
+      .crossJoin(gAll.agg(count(lit(1)).as("n_edges")))
+      .select(col("n_edge_overlap"),
+        expr("n_edge_overlap * 100 div n_edges").as("edge_recall_pct")))
+    val approx = beamSearchTopK(v, gIvf, qids, entryN = 8, beamW = 16,
+      rounds = 4, k = 10)
+    recallOverlap(v, approx, qids, k = 10).crossJoin(edges).orderBy("qid")
+  }
+
   val all: Seq[QueryDef] = Seq(simAnnIvf, dedupEmbedLsh, simAnnKmeans, simQuantize, simAnnRecall,
     simAnnPq, simAnnKmeansRecall, simAnnPqRecall, dedupEmbedLshRecall, simPcaPower,
-    simAnnIvfPq, simAnnNprobeCurve, dedupSemantic, simAnnHnsw)
+    simAnnIvfPq, simAnnNprobeCurve, dedupSemantic, simAnnHnsw, simAnnGraphBuild)
 }

@@ -28,6 +28,14 @@ object TextAnalysis {
     * language + deterministic argmax (ties resolve in langMarkers order).
     */
   def languageId(docs: DataFrame): DataFrame = {
+    // the widened col("*") projection appends s_<lang> score columns and
+    // predicted_lang; a caller whose input already carries one of those
+    // names would get an ambiguous/shadowed select — fail loudly instead
+    // (round-11 advice: keep the shared helper's output namespace safe)
+    val reserved = langMarkers.map { case (l, _) => s"s_$l" }.toSet + "predicted_lang"
+    val clash = docs.columns.filter(reserved.contains)
+    require(clash.isEmpty,
+      s"languageId input must not already carry ${clash.mkString(", ")}")
     val toks = split(col("text"), " ")
     // preserves every input column (pipeline_pretrain filters on the
     // prediction and keeps flowing the working text); the standalone
@@ -397,6 +405,101 @@ object TextAnalysis {
        |  CAST(count(*) - sum(dropped) AS BIGINT) AS n_kept
        |FROM t GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
     decontaminate(Tables.documents(s, d)).orderBy("lang")
+  }
+
+  /** DuckDB 13-gram CTE pair over `rel`: `<name>` is the DISTINCT
+    * (doc_id, shingle) 13-token-gram relation (trailing windows NULL out
+    * through the lead chain and are filtered, matching
+    * `Functions.shingles(_, 13)`'s size ≥ n guard). */
+  private def gram13Cte(rel: String, name: String): String = {
+    val leads = (1 to 12).map(i => s"lead(tok, $i) OVER w").mkString(" || ' ' || ")
+    s"""${name}0 AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+       |         generate_subscripts(string_split(text, ' '), 1) AS p
+       |  FROM $rel
+       |), ${name}1 AS (
+       |  SELECT doc_id, tok || ' ' || $leads AS shingle
+       |  FROM ${name}0 WINDOW w AS (PARTITION BY doc_id ORDER BY p)
+       |), $name AS (
+       |  SELECT DISTINCT doc_id, shingle FROM ${name}1 WHERE shingle IS NOT NULL
+       |)""".stripMargin
+  }
+
+  /** N-GRAM-OVERLAP DECONTAMINATION (the GPT-3 appendix-C / PaLM
+    * production recipe): a training document is dropped if it shares ANY
+    * 13-token-gram with the benchmark set — the finer-grained sibling of
+    * `text_decontaminate`'s whole-document fingerprint, built to catch
+    * PARTIAL contamination (a benchmark question quoted inside an
+    * otherwise-novel document), which no whole-doc method can see. The
+    * fixture has no natural 13-gram overlap, so the key PLANTS the exact
+    * failure case (the pipeline_pretrain planting discipline): for every
+    * benchmark doc (doc_id % 97), a training doc quoting its first 15
+    * tokens inside fresh surrounding text. The gated funnel reports, per
+    * lang, how many training docs the n-gram method drops NEXT TO how
+    * many the fingerprint method would have dropped — 0 by construction
+    * for the planted quotes; the delta IS the method's reason to exist.
+    * Benchmark docs of < 13 tokens yield quotes with no complete 13-gram
+    * and their planted docs survive, so both funnel outcomes occur.
+    *
+    * Scale shape: the benchmark n-gram set is ~1% of the corpus and
+    * BROADCASTS (the production recipe's hash-set-per-worker); the
+    * corpus side streams its shingles through that broadcast join with
+    * no corpus shuffle, and the post-match distinct is bounded by
+    * contaminated-doc volume, not corpus volume. */
+  def ngramDecontaminate(docs0: DataFrame, n: Int = 13): DataFrame = {
+    val docs = docs0.select(col("doc_id"), col("lang"), col("text"))
+    val quote = array_join(slice(split(col("text"), " "), 1, 15), " ")
+    val planted = docs.filter(col("doc_id") % 97 === 0)
+      .select((col("doc_id") + 3000000L).as("doc_id"), col("lang"),
+        concat(lit("quote : "), quote,
+          lit(" : end of quote unrelated tail")).as("text"))
+    val train = docs.filter(col("doc_id") % 97 =!= 0).unionByName(planted)
+    val bench = docs.filter(col("doc_id") % 97 === 0)
+    val bsh = broadcast(Functions.shingles(bench.select("doc_id", "text"), n)
+      .select("shingle").distinct())
+    val hits = Functions.shingles(train.select("doc_id", "text"), n)
+      .join(bsh, "shingle").select("doc_id").distinct()
+      .withColumn("ng", lit(1L))
+    val bfp = broadcast(bench.select(md5(col("text")).as("bh")).distinct())
+    train.join(hits, Seq("doc_id"), "left")
+      .join(bfp, md5(col("text")) === col("bh"), "left")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_train"),
+        sum(when(col("ng").isNotNull, 1L).otherwise(0L)).as("n_dropped_ngram"),
+        sum(when(col("bh").isNotNull, 1L).otherwise(0L)).as("n_dropped_fp"))
+      .select(col("lang"), col("n_train"), col("n_dropped_ngram"),
+        col("n_dropped_fp"),
+        (col("n_train") - col("n_dropped_ngram")).as("n_kept"))
+  }
+
+  val textDecontaminateNgram = QueryDef(
+    "text_decontaminate_ngram",
+    s"""WITH base AS (SELECT doc_id, lang, text FROM documents),
+       |planted AS (
+       |  SELECT doc_id + 3000000 AS doc_id, lang,
+       |    'quote : ' || array_to_string((string_split(text, ' '))[1:15], ' ')
+       |      || ' : end of quote unrelated tail' AS text
+       |  FROM base WHERE doc_id % 97 = 0
+       |), train AS (
+       |  SELECT * FROM base WHERE doc_id % 97 <> 0
+       |  UNION ALL SELECT * FROM planted
+       |), bench AS (SELECT * FROM base WHERE doc_id % 97 = 0),
+       |${gram13Cte("bench", "bsh")},
+       |${gram13Cte("train", "tsh")},
+       |hits AS (
+       |  SELECT DISTINCT doc_id FROM tsh
+       |  WHERE shingle IN (SELECT shingle FROM bsh)
+       |), bfp AS (SELECT DISTINCT md5(text) AS bh FROM bench)
+       |SELECT t.lang, CAST(count(*) AS BIGINT) AS n_train,
+       |  CAST(sum(CASE WHEN h.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_dropped_ngram,
+       |  CAST(sum(CASE WHEN md5(t.text) IN (SELECT bh FROM bfp)
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped_fp,
+       |  CAST(count(*) - sum(CASE WHEN h.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_kept
+       |FROM train t LEFT JOIN hits h USING (doc_id)
+       |GROUP BY t.lang ORDER BY t.lang""".stripMargin) { (s, d) =>
+    ngramDecontaminate(Tables.documents(s, d)).orderBy("lang")
   }
 
   /** Sequence packing for training batches: documents are streamed in
@@ -1782,7 +1885,14 @@ object TextAnalysis {
     // ---- exact dedup: min-id keeper per content hash
     val ek = gs.groupBy("h").agg(min("doc_id").as("doc_id"))
     val ex = gs.join(ek, Seq("h", "doc_id")).localCheckpoint()
-    // ---- MinHash near-dedup: banded candidates + exact-Jaccard refilter
+    // ---- MinHash near-dedup: banded candidates + exact-Jaccard refilter.
+    // The oracle computes exhaustive all-pairs Jaccard >= 0.5, so the
+    // hash match rides the 16-band LSH reaching FULL recall — a
+    // probabilistic equivalence (miss-all-bands p ~ 1.5e-5 at j = 0.5),
+    // deterministic on the fixed fixtures (xxhash64, no RNG) and pinned
+    // structurally by EdgeSpec's "banding == brute force on the planted
+    // %43 near-copies" test, which fails with a readable pair diff if a
+    // fixture or sketch change ever lands a pair in the miss window.
     val prs = Dedup.minHashNearDupFromShingles(
         Functions.shingles(ex.select(col("doc_id"), col("text"))))
       .select("i", "j").localCheckpoint()
@@ -1843,5 +1953,5 @@ object TextAnalysis {
     textLmScore, textBlocklist, sampleTemperature, textBpeMerge,
     textBpeEncode, sampleBootstrap, sampleBottomk, textKeywords,
     textGopherRules, sampleGroupSplit, textLangidConfusion, sampleKfold,
-    pipelinePretrain)
+    pipelinePretrain, textDecontaminateNgram)
 }

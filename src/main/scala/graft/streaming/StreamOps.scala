@@ -359,6 +359,19 @@ object StreamOps {
         }
         .start()
       try q.processAllAvailable() finally q.stop()
+      // recentProgress is a ring buffer capped at
+      // spark.sql.streaming.numRecentProgressUpdates (default 100); with
+      // maxFilesPerTrigger=1 each staged file is one progress entry, so
+      // the exact-count contract below holds only while the staged file
+      // count stays inside the retention window — assert it rather than
+      // silently undercounting (round-11 advice)
+      val staged = Option(new java.io.File(root + "/in").listFiles()).toSeq
+        .flatten.filter(_.isDirectory)
+        .flatMap(d => Option(d.listFiles()).toSeq.flatten)
+        .count(_.getName.endsWith(".parquet"))
+      val cap = s.conf.get("spark.sql.streaming.numRecentProgressUpdates", "100").toInt
+      require(staged < cap,
+        s"restartResume row counts need staged files ($staged) < progress retention ($cap)")
       q.recentProgress.map(_.numInputRows).sum
     }
     val rows1 = life()

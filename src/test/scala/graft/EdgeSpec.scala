@@ -229,6 +229,34 @@ class EdgeSpec extends AnyFunSuite {
     assert(brute.exists(_._3 == 0)) // the planted exact dup is recalled
   }
 
+  test("pipeline_pretrain near-dedup: MinHash banding == brute force on the planted %43 near-copies") {
+    // pipeline_pretrain's f_dedup_near stage hash-matches an oracle that
+    // computes EXHAUSTIVE all-pairs Jaccard >= 0.5, while the Spark side
+    // uses 16-band/1-row LSH candidates + exact-Jaccard refilter — a
+    // probabilistic, not structural, equivalence (a pair at j = 0.5 can
+    // miss all 16 bands with p up to (1-0.5)^16 ~ 1.5e-5). This pin
+    // replays the pipeline's exact planting (doc_id % 43 copies with
+    // " pad pad pad" appended) and proves banding == brute force over
+    // it, so a sketch/band regression or fixture change fails HERE with
+    // a readable pair diff instead of desyncing the downstream funnel
+    // hash (round-11 advice).
+    val docs0 = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text"))
+    val planted = docs0.unionByName(
+      docs0.filter(col("doc_id") % 43 === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          concat(col("text"), lit(" pad pad pad")).as("text")))
+    val sh = graft.ops.Functions.shingles(planted).localCheckpoint()
+    val banded = Dedup.minHashNearDupFromShingles(sh)
+      .select("i", "j").as[(Long, Long)].collect().toSet
+    val brute = Text.nearDupPairsFromShingles(sh)
+      .select("i", "j").as[(Long, Long)].collect().toSet
+    assert(banded == brute)
+    // the planted near-copies are genuinely exercised: at least one
+    // (%43 doc, +2000000 copy) pair clears the threshold and is recalled
+    assert(brute.exists { case (i, j) => j == i + 2000000L })
+  }
+
   test("pii scrub redacts planted emails and long digit runs") {
     val docs = Seq(
       (1L, "contact john.doe@example.com or call 12345678 soon"),

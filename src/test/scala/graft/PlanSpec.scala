@@ -627,6 +627,22 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("text_unigram_train: every EM-round lattice join rides broadcasts (no vocab shuffle join)") {
+    // the unigram trainer's per-round plan: span grid (42 rows) and
+    // model (≤ 100 rows) both broadcast against the vocabulary — the
+    // corpus-scale design depends on rounds never shuffling the vocab
+    // into a join; the only exchanges allowed are the two aggregation
+    // shuffles (pivot groupBy + final piece groupBy)
+    val v = graft.ops.Unigram.vocab(graft.Tables.documents(spark, d))
+    val model = Seq("a" -> 0.5, "b" -> 0.25, "ab" -> 0.25)
+    val p = graft.ops.Unigram.expectedCounts(v, model)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"EM round shuffled a join side:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"EM round lost its broadcasts:\n$p")
+  }
+
   test("cdc boundary scan runs as the native expression inside whole-stage codegen") {
     val docs = graft.Tables.documents(spark, d)
     val df = docs.select(org.apache.spark.sql.functions.col("doc_id"),

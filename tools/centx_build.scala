@@ -1,4 +1,4 @@
-// Build the /tmp 100x tables (sf10-equivalent — the BASELINE.md round-11
+// Build the /tmp 100x tables (sf10-equivalent -- the BASELINE.md round-11
 // second-decade scaling-study inputs). Replicates the sf0.1 tables x100
 // with id offsets, exactly the tenx_build.scala scheme: documents is the
 // dup-heavy worst case (each text appears 100x under distinct doc_ids);
@@ -14,7 +14,14 @@ def land(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
   println(s"$name: ${spark.read.parquet(s"$out/$name.parquet").count}")
 }
 val li = spark.read.parquet(s"$sf/lineitem.parquet")
-land("lineitem", li.crossJoin(reps).withColumn("l_orderkey", col("l_orderkey") + col("rep") * 10000000L).drop("rep"))
+// l_partkey/l_suppkey offset with the SAME rep stride as p_partkey/
+// s_suppkey so every replica joins its own replica's part/supplier rows
+// (round-11 advice: without this, all 100 lineitem replicas collapsed
+// onto replica-0 dims and reps 1-99 of part/supplier dangled)
+land("lineitem", li.crossJoin(reps)
+  .withColumn("l_orderkey", col("l_orderkey") + col("rep") * 10000000L)
+  .withColumn("l_partkey", col("l_partkey") + col("rep") * 1000000L)
+  .withColumn("l_suppkey", col("l_suppkey") + col("rep") * 1000000L).drop("rep"))
 val ord = spark.read.parquet(s"$sf/orders.parquet")
 land("orders", ord.crossJoin(reps)
   .withColumn("o_orderkey", col("o_orderkey") + col("rep") * 10000000L)

@@ -12,7 +12,14 @@ def land(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
   println(s"$name: ${spark.read.parquet(s"$out/$name.parquet").count}")
 }
 val li = spark.read.parquet(s"$sf/lineitem.parquet")
-land("lineitem", li.crossJoin(reps).withColumn("l_orderkey", col("l_orderkey") + col("rep") * 10000000L).drop("rep"))
+// l_partkey/l_suppkey offset with the same rep stride as p_partkey/
+// s_suppkey so each replica joins its own replica's part/supplier rows
+// (round-11 advice: unoffset, every replica collapsed onto replica-0
+// dims and reps 1..9 of part/supplier dangled)
+land("lineitem", li.crossJoin(reps)
+  .withColumn("l_orderkey", col("l_orderkey") + col("rep") * 10000000L)
+  .withColumn("l_partkey", col("l_partkey") + col("rep") * 1000000L)
+  .withColumn("l_suppkey", col("l_suppkey") + col("rep") * 1000000L).drop("rep"))
 val ord = spark.read.parquet(s"$sf/orders.parquet")
 land("orders", ord.crossJoin(reps)
   .withColumn("o_orderkey", col("o_orderkey") + col("rep") * 10000000L)
