@@ -13,14 +13,14 @@
 import graft.SparkEntry
 val keysAll = Seq(
   "agg_groupby", "filter_pred", "agg_filtered",
-  "dedup_exact", "dedup_minhash", "dedup_bloom_incremental",
+  "dedup_exact", "dedup_bloom_incremental",
   "text_gopher_rules", "text_unigram_train", "text_decontaminate_ngram", "pipeline_pretrain",
   "swivel_cooc", "graph_pagerank", "graph_triangles", "graph_components",
   "pipeline_tpch_q9", "pipeline_tpch_q21",
   "event_funnel", "event_retention", "window_skew_topk",
   "stream_restart_resume", "stream_join_sink")
 val keysTenx = Seq(
-  "dedup_minhash_recall", "dedup_semantic", "sim_ann_hnsw", "sim_ann_graph_build",
+  "dedup_minhash", "dedup_minhash_recall", "dedup_semantic", "sim_ann_hnsw", "sim_ann_graph_build",
   "sim_ann_kmeans_recall", "sim_ann_pq_recall", "sim_ann_nprobe_curve")
 val mirror = "/tmp/graft_bench_mirror_ddbe1476c5607681e1c7241437b45958"
 val dirsAll = Seq("sf01" -> mirror, "tenx" -> "/tmp/graft10x", "centx" -> "/tmp/graft100x")
