@@ -20,13 +20,19 @@ spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
 spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
 spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "32MB")
 spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8MB")
+// The aggregate MUST consume the pad column (sum of its length) or
+// Catalyst column-prunes it out of the shuffle and the hot partition is
+// 9M identical 8-byte keys -- which compress below the skew threshold,
+// so the split (correctly) never fires. Payload-through-the-join is the
+// shape the optimization exists for.
 def ab(skew: Boolean): Double = {
   spark.conf.set("spark.sql.adaptive.skewJoin.enabled", skew.toString)
   val t0 = System.nanoTime()
-  val j = fact.hint("merge").join(dim, "k").agg(sum(col("w")).as("s"), count(lit(1)).as("n"))
+  val j = fact.hint("merge").join(dim, "k").agg(sum(col("w") + length(col("pad"))).as("s"), count(lit(1)).as("n"))
   val r = j.collect()
   val dt = (System.nanoTime() - t0) / 1e9
-  val marks = "isSkew = true".r.findAllIn(j.queryExecution.executedPlan.toString).length + "skew=true".r.findAllIn(j.queryExecution.executedPlan.toString).length
+  val ps = j.queryExecution.executedPlan.toString
+  val marks = "skew=true".r.findAllIn(ps).length + "skewed".r.findAllIn(ps).length
   println(f"AB skew=$skew time=$dt%6.2f skewMarks=$marks rows=${r(0).getLong(1)}")
   dt
 }
