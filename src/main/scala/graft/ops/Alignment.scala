@@ -1,0 +1,269 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Post-training (alignment) data construction: DPO preference-pair
+  * assembly and DoReMi domain reweighting. Same house discipline as
+  * `Curation`: all-integer gated relations, a DuckDB oracle replaying
+  * the identical pipeline, scale rationale per key.
+  */
+object Alignment {
+
+  private val B = 1099511627776L // 2^40 — the labelprop packing base
+  private val MarginMicro = 10000L // 1% minimum preference margin
+
+  /** DPO PREFERENCE-PAIR CONSTRUCTION (Rafailov et al. 2023,
+    * arXiv:2305.18290 consumes these; the construction recipe is the
+    * standard "best-vs-worst response per prompt" harvesting): treat
+    * the first 12 tokens as the prompt and the rest as a candidate
+    * response (the pipeline_sft convention), score each response by
+    * its distinct-token ratio in micro units (the repetition screen as
+    * a preference signal — planted dup-token docs land at the bottom),
+    * and per (lang, prompt) group emit the pair (chosen = best,
+    * rejected = worst) when the group has ≥ 2 candidates and the
+    * score margin clears 1%. The fixture's near-duplicate groups share
+    * 12-token prompts with genuinely different responses at every SF,
+    * so the pair branch fires by construction.
+    *
+    * Determinism: chosen is the max of ONE packed integer
+    * score·2⁴⁰ + (2⁴⁰−1−doc_id) ("max score, then min doc_id") and
+    * rejected the min of score·2⁴⁰ + doc_id ("min score, then min
+    * doc_id") — the labelprop total-order packing, no window/argmax
+    * tie semantics. Safe while scores < 2²³ micro and doc_id < 2⁴⁰.
+    *
+    * Scale shape: scoring is a scan-stage projection; grouping is ONE
+    * (lang, prompt)-keyed combinable aggregate (two packed max/min);
+    * the chosen/rejected response lengths come back via two keyed
+    * joins of the PAIR relation (prompt-bounded, far smaller than the
+    * corpus) against the narrow candidate relation; the funnel is a
+    * per-lang combinable rollup. Nothing quadratic, no window over the
+    * corpus. */
+  val pipelineDpo = QueryDef(
+    "pipeline_dpo",
+    s"""WITH base AS (
+       |  SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents
+       |), cand AS (
+       |  SELECT doc_id, lang,
+       |    array_to_string(toks[1:12], ' ') AS prompt,
+       |    len(toks) - 12 AS n_resp,
+       |    len(list_distinct(toks[13:])) * 1000000
+       |      // (len(toks) - 12) AS score
+       |  FROM base WHERE len(toks) - 12 >= 20
+       |), grp AS (
+       |  SELECT lang, prompt, count(*) AS n_cand,
+       |    max(score * $B + ($B - 1 - doc_id)) AS ckey,
+       |    min(score * $B + doc_id) AS rkey
+       |  FROM cand GROUP BY lang, prompt
+       |), pair AS (
+       |  SELECT lang, prompt,
+       |    ($B - 1) - (ckey % $B) AS chosen_doc,
+       |    ckey // $B AS chosen_score,
+       |    rkey % $B AS rejected_doc,
+       |    rkey // $B AS rejected_score
+       |  FROM grp
+       |  WHERE n_cand >= 2 AND ckey // $B - rkey // $B >= $MarginMicro
+       |), tokd AS (
+       |  SELECT p.lang,
+       |    c1.n_resp + c2.n_resp + 36 AS pair_tokens,
+       |    p.chosen_score - p.rejected_score AS margin
+       |  FROM pair p
+       |  JOIN cand c1 ON p.chosen_doc = c1.doc_id
+       |  JOIN cand c2 ON p.rejected_doc = c2.doc_id
+       |), docs AS (
+       |  SELECT lang, count(*) AS n_docs FROM base GROUP BY lang
+       |), cnd AS (
+       |  SELECT lang, count(*) AS n_candidates,
+       |    count(DISTINCT prompt) AS n_prompts
+       |  FROM cand GROUP BY lang
+       |), mul AS (
+       |  SELECT lang,
+       |    sum(CASE WHEN n_cand >= 2 THEN 1 ELSE 0 END) AS n_groups_multi
+       |  FROM grp GROUP BY lang
+       |), pr AS (
+       |  SELECT lang, count(*) AS n_pairs, sum(pair_tokens) AS sum_pair_tokens,
+       |    min(margin) AS min_margin
+       |  FROM tokd GROUP BY lang
+       |)
+       |SELECT d.lang, CAST(d.n_docs AS BIGINT) AS n_docs,
+       |  CAST(coalesce(c.n_candidates, 0) AS BIGINT) AS n_candidates,
+       |  CAST(coalesce(c.n_prompts, 0) AS BIGINT) AS n_prompts,
+       |  CAST(coalesce(m.n_groups_multi, 0) AS BIGINT) AS n_groups_multi,
+       |  CAST(coalesce(p.n_pairs, 0) AS BIGINT) AS n_pairs,
+       |  CAST(coalesce(p.sum_pair_tokens, 0) AS BIGINT) AS sum_pair_tokens,
+       |  CAST(coalesce(p.min_margin, 0) AS BIGINT) AS min_margin_micro
+       |FROM docs d
+       |LEFT JOIN cnd c ON d.lang = c.lang
+       |LEFT JOIN mul m ON d.lang = m.lang
+       |LEFT JOIN pr p ON d.lang = p.lang
+       |ORDER BY d.lang""".stripMargin) { (s, d) =>
+    val base = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), split(col("text"), " ").as("toks"))
+    val cand = base
+      .select(col("doc_id"), col("lang"),
+        array_join(slice(col("toks"), 1, 12), " ").as("prompt"),
+        (size(col("toks")) - 12).cast("long").as("n_resp"),
+        (size(array_distinct(expr("slice(toks, 13, size(toks))")))
+          .cast("long") * 1000000L).as("ndm"))
+      .filter(col("n_resp") >= 20)
+      .withColumn("score", expr("ndm div n_resp")).drop("ndm")
+    val grp = cand.groupBy("lang", "prompt")
+      .agg(count(lit(1)).as("n_cand"),
+        max(col("score") * B + (lit(B - 1) - col("doc_id"))).as("ckey"),
+        min(col("score") * B + col("doc_id")).as("rkey"))
+    val pair = grp
+      .filter(col("n_cand") >= 2 &&
+        expr(s"ckey div $B - rkey div $B") >= MarginMicro)
+      .select(col("lang"),
+        (lit(B - 1) - col("ckey") % B).as("chosen_doc"),
+        expr(s"ckey div $B").as("chosen_score"),
+        (col("rkey") % B).as("rejected_doc"),
+        expr(s"rkey div $B").as("rejected_score"))
+    val nr = cand.select(col("doc_id"), col("n_resp"))
+    val tokd = pair
+      .join(nr.withColumnRenamed("doc_id", "chosen_doc")
+        .withColumnRenamed("n_resp", "r1"), Seq("chosen_doc"))
+      .join(nr.withColumnRenamed("doc_id", "rejected_doc")
+        .withColumnRenamed("n_resp", "r2"), Seq("rejected_doc"))
+      .select(col("lang"), (col("r1") + col("r2") + 36).as("pair_tokens"),
+        (col("chosen_score") - col("rejected_score")).as("margin"))
+    val docs = base.groupBy("lang").agg(count(lit(1)).as("n_docs"))
+    val cnd = cand.groupBy("lang")
+      .agg(count(lit(1)).as("n_candidates"),
+        countDistinct(col("prompt")).as("n_prompts"))
+    val mul = grp.groupBy("lang")
+      .agg(sum(when(col("n_cand") >= 2, 1L).otherwise(0L))
+        .as("n_groups_multi"))
+    val pr = tokd.groupBy("lang")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("pair_tokens")).as("sum_pair_tokens"),
+        min(col("margin")).as("min_margin"))
+    docs.join(cnd, Seq("lang"), "left")
+      .join(mul, Seq("lang"), "left")
+      .join(pr, Seq("lang"), "left")
+      .select(col("lang"), col("n_docs"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        coalesce(col("n_prompts"), lit(0L)).as("n_prompts"),
+        coalesce(col("n_groups_multi"), lit(0L)).as("n_groups_multi"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("sum_pair_tokens"), lit(0L)).as("sum_pair_tokens"),
+        coalesce(col("min_margin"), lit(0L)).as("min_margin_micro"))
+      .orderBy("lang")
+  }
+
+  private val MwRounds = 3
+  private val Eta = 4L // multiplicative-weights step: w·(1e6 + Eta·excess)
+
+  /** DOREMI DOMAIN REWEIGHTING (Xie et al. 2023, arXiv:2305.10429):
+    * compute a training mixture over domains (the `source` column) by
+    * upweighting domains with EXCESS LOSS over a reference. The loss
+    * proxy here is the corpus bigram LM (text_lm_score's integer micro
+    * conditionals): a domain's loss is 10⁶ − its mean conditional
+    * micro-probability (less predictable = higher loss), the reference
+    * is the corpus-wide mean, and excess = max(loss − ref, 0) — the
+    * DoReMi clipped-excess rule. The Group-DRO multiplicative-weights
+    * ascent runs `MwRounds` fixed rounds in its LINEAR-update form
+    * w ← w·(1 + η·excess) with renormalization (the textbook MW
+    * variant of DoReMi's exp update — exp is not integer-replayable;
+    * the linear form preserves the fixed point's ordering), every
+    * round in exact integer micro arithmetic.
+    *
+    * Output per domain: docs, mean predictability, excess loss, final
+    * mixture weight (micro), and docs-per-100k-sample under the
+    * mixture — the artifact a pretraining sampler consumes.
+    *
+    * Scale shape: the per-domain loss table is |domains| rows (≤ 20
+    * here; thousands at worst in production) built from ONE corpus
+    * scan through the lm_score dictionary join — the corpus never
+    * shuffles again; every MW round is arithmetic on that tiny
+    * relation with a 1-row broadcast total (sim_ann_kmeans round
+    * discipline). The oracle replays rounds as CTEs. */
+  val sampleDoremi = QueryDef(
+    "sample_doremi", {
+      val rounds = (1 to MwRounds).map { r =>
+        s"""u$r AS (
+           |  SELECT source, n_docs, avg_micro, excess,
+           |    w * (1000000 + $Eta * excess) // 1000000 AS wu
+           |  FROM w${r - 1}
+           |), w$r AS (
+           |  SELECT source, n_docs, avg_micro, excess,
+           |    wu * 1000000 // (SELECT sum(wu) FROM u$r) AS w
+           |  FROM u$r
+           |)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH pos AS (
+         |  SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents
+         |), bg AS (
+         |  SELECT doc_id, source,
+         |    toks[CAST(i AS INT)] AS w1, toks[CAST(i AS INT) + 1] AS w2
+         |  FROM pos, unnest(generate_series(1, len(toks) - 1)) AS t(i)
+         |  WHERE len(toks) >= 2
+         |), bc AS (
+         |  SELECT w1, w2, count(*) AS bcnt FROM bg GROUP BY 1, 2
+         |), uc AS (
+         |  SELECT w1, count(*) AS ucnt FROM bg GROUP BY 1
+         |), dict AS (
+         |  SELECT bc.w1, bc.w2, bcnt * 1000000 // ucnt AS micro
+         |  FROM bc JOIN uc ON bc.w1 = uc.w1
+         |), dom AS (
+         |  SELECT bg.source,
+         |    count(DISTINCT bg.doc_id) AS n_docs,
+         |    sum(micro) // count(*) AS avg_micro
+         |  FROM bg JOIN dict ON bg.w1 = dict.w1 AND bg.w2 = dict.w2
+         |  GROUP BY bg.source
+         |), ref AS (
+         |  SELECT sum(micro) // count(*) AS base_micro
+         |  FROM bg JOIN dict ON bg.w1 = dict.w1 AND bg.w2 = dict.w2
+         |), w0 AS (
+         |  SELECT source, n_docs, avg_micro,
+         |    greatest(base_micro - avg_micro, 0) AS excess,
+         |    CAST(1000000 // (SELECT count(*) FROM dom) AS BIGINT) AS w
+         |  FROM dom, ref
+         |),
+         |$rounds
+         |SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+         |  CAST(avg_micro AS BIGINT) AS avg_micro,
+         |  CAST(excess AS BIGINT) AS excess_micro,
+         |  CAST(w AS BIGINT) AS w_micro,
+         |  CAST(w // 10 AS BIGINT) AS n_per_100k
+         |FROM w$MwRounds ORDER BY source""".stripMargin
+    }) { (s, d) =>
+    val bg = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), col("source"), explode(expr(
+        "transform(sequence(0, size(toks) - 2)," +
+          " i -> struct(toks[i] AS w1, toks[i + 1] AS w2))")).as("b"))
+      .select(col("doc_id"), col("source"),
+        col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val bc = bg.groupBy("w1", "w2").agg(count(lit(1)).as("bcnt"))
+    val uc = bg.groupBy("w1").agg(count(lit(1)).as("ucnt"))
+    val dict = bc.join(uc, "w1")
+      .select(col("w1"), col("w2"), expr("bcnt * 1000000L div ucnt").as("micro"))
+    val scored = bg.join(dict, Seq("w1", "w2")).localCheckpoint()
+    val dom = scored.groupBy("source")
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        expr("sum(micro) div count(1)").as("avg_micro"))
+    val ref = scored.agg(expr("sum(micro) div count(1)").as("base_micro"))
+    val nDom = broadcast(dom.agg(count(lit(1)).as("nd")))
+    var w = dom.crossJoin(broadcast(ref)).crossJoin(nDom)
+      .select(col("source"), col("n_docs"), col("avg_micro"),
+        greatest(col("base_micro") - col("avg_micro"), lit(0L)).as("excess"),
+        expr("1000000L div nd").as("w"))
+    for (_ <- 1 to MwRounds) {
+      val u = w.withColumn("wu",
+        expr(s"w * (1000000L + $Eta * excess) div 1000000L"))
+      val tot = broadcast(u.agg(sum(col("wu")).as("tw")))
+      w = u.crossJoin(tot)
+        .select(col("source"), col("n_docs"), col("avg_micro"), col("excess"),
+          expr("wu * 1000000L div tw").as("w"))
+    }
+    w.select(col("source"), col("n_docs"), col("avg_micro"),
+        col("excess").as("excess_micro"), col("w").as("w_micro"),
+        expr("w div 10").as("n_per_100k"))
+      .orderBy("source")
+  }
+
+  val all: Seq[QueryDef] = Seq(pipelineDpo, sampleDoremi)
+}

@@ -630,8 +630,53 @@ object Formats {
       .orderBy("vec_id").limit(300)
   }
 
+  /** JSONL EXPORT round-trip — the interchange format most LLM data
+    * tooling actually speaks (one JSON object per line; the HuggingFace
+    * / OpenAI-fine-tune / WebDataset-manifest convention), completing
+    * the export family beside the two TFRecord keys: documents become
+    * `{"doc_id":…,"lang":…,"text":…,"n_tokens":…}` lines written
+    * through the text sink partitioned by shard (doc_id % 4), read
+    * back through the JSON source with an EXPLICIT schema (house rule:
+    * schema out-of-band, no inference pass), grouped by the
+    * DIRECTORY-derived shard column — so the gate certifies both the
+    * value round-trip (JSON string escaping included) and that every
+    * record landed in its owning shard. The oracle computes the same
+    * aggregate from the original parquet; `n_langs` pins the lang
+    * field, the id/len/token sums pin the rest.
+    *
+    * Scale shape: one scan-stage projection + `to_json` per row out,
+    * one schema'd scan + combinable aggregate back — shard-parallel in
+    * both directions, no shuffle except the 4-group rollup. */
+  val exportJsonl = QueryDef(
+    "export_jsonl",
+    """SELECT doc_id % 4 AS shard,
+      |       CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+      |       CAST(sum(doc_id) AS BIGINT) AS sum_id,
+      |       CAST(sum(length(text)) AS BIGINT) AS sum_text_len,
+      |       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens
+      |FROM documents GROUP BY shard ORDER BY shard""".stripMargin) { (s, d) =>
+    val dir = fmtDir(d, "jsonl")
+    Tables.documents(s, d)
+      .select((col("doc_id") % 4).as("shard"),
+        to_json(struct(col("doc_id"), col("lang"), col("text"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens")))
+          .as("line"))
+      .write.mode("overwrite").partitionBy("shard").text(dir)
+    s.read
+      .schema("doc_id LONG, lang STRING, text STRING, n_tokens LONG")
+      .json(dir)
+      .groupBy(col("shard").cast("long").as("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("lang")).as("n_langs"),
+        sum(col("doc_id")).as("sum_id"),
+        sum(length(col("text")).cast("long")).as("sum_text_len"),
+        sum(col("n_tokens")).as("sum_tokens"))
+      .orderBy("shard")
+  }
+
   val all: Seq[QueryDef] = Seq(scanCsv, scanJson, scanOrc, scanXml,
     maintenanceCompact, scanEvolution, exportTfrecord, scanAvro,
     scanMorDeletes, maintenanceRetention, scanTimeTravel, scanCsvQuarantine,
-    maintenanceVacuum, exportTfrecordEmb)
+    maintenanceVacuum, exportTfrecordEmb, exportJsonl)
 }

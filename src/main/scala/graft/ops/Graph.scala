@@ -909,7 +909,87 @@ object Graph {
           .as("assortativity"))
   }
 
+  /** MODULARITY of the label-propagation communities (Newman 2006,
+    * arXiv:physics/0602124): Q = Σ_c [ e_c/E − (d_c/E)² ] over the
+    * DIRECTED symmetric edge count E = 2m, where e_c is the
+    * intra-community directed edge count and d_c the community degree
+    * sum — the standard quality score a community pipeline reports
+    * beside the partition itself. Communities are the same 4-round LPA
+    * fixpoint `graph_labelprop` gates, on the same landed
+    * `partCoEdges` graph; gated per community (top 15 by size):
+    * nodes, intra edges, degree sum, and the integer-micro Q
+    * contribution (e_c·10⁶ div E) − ((d_c·10⁶ div E)²) div 10⁶ —
+    * each factor ≤ 10⁶ before squaring, so the arithmetic stays in
+    * int64 while E < 9·10¹² directed edges (far past any per-partition
+    * graph here; shard the ratio scale down for a true web graph).
+    *
+    * Scale shape: two label-keyed joins of the edge relation against
+    * the node-sized label map (the LPA-round plan itself), one
+    * combinable aggregate per community, and a 1-row E broadcast —
+    * everything keyed, nothing quadratic; LPA rounds amortize over the
+    * shared landed graph. */
+  val graphModularity = QueryDef(
+    "graph_modularity",
+    s"""WITH pr AS (
+       |  SELECT DISTINCT a.l_orderkey AS ok, a.l_partkey AS u, b.l_partkey AS v
+       |  FROM lineitem a JOIN lineitem b
+       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+       |), p2 AS (
+       |  SELECT u, v FROM pr GROUP BY u, v HAVING count(*) >= 2
+       |), l0 AS (
+       |  SELECT DISTINCT u AS node, u AS lbl FROM p2
+       |), l1 AS (
+       |${LpRound.replace("PREV", "l0")}
+       |), l2 AS (
+       |${LpRound.replace("PREV", "l1")}
+       |), l3 AS (
+       |${LpRound.replace("PREV", "l2")}
+       |), l4 AS (
+       |${LpRound.replace("PREV", "l3")}
+       |), e2 AS (
+       |  SELECT count(*) AS ec FROM p2
+       |), lbl AS (
+       |  SELECT e.u, e.v, lu.lbl AS cu, lv.lbl AS cv
+       |  FROM p2 e JOIN l4 lu ON e.u = lu.node JOIN l4 lv ON e.v = lv.node
+       |), com AS (
+       |  SELECT cu AS community,
+       |    sum(CASE WHEN cu = cv THEN 1 ELSE 0 END) AS intra_edges,
+       |    count(*) AS deg_sum
+       |  FROM lbl GROUP BY cu
+       |), sz AS (
+       |  SELECT lbl AS community, count(*) AS n_nodes FROM l4 GROUP BY lbl
+       |)
+       |SELECT s.community, CAST(s.n_nodes AS BIGINT) AS n_nodes,
+       |  CAST(c.intra_edges AS BIGINT) AS intra_edges,
+       |  CAST(c.deg_sum AS BIGINT) AS deg_sum,
+       |  CAST(c.intra_edges * 1000000 // ec
+       |    - ((c.deg_sum * 1000000 // ec) * (c.deg_sum * 1000000 // ec))
+       |      // 1000000 AS BIGINT) AS q_micro
+       |FROM sz s JOIN com c ON s.community = c.community, e2
+       |ORDER BY n_nodes DESC, s.community LIMIT 15""".stripMargin) { (s, d) =>
+    val e = partCoEdges(s, d).select("u", "v")
+    val labels = labelPropagate(e, 4).localCheckpoint()
+    val e2 = broadcast(e.agg(count(lit(1)).as("ec")))
+    val lbl = e
+      .join(labels.select(col("node").as("u"), col("lbl").as("cu")), Seq("u"))
+      .join(labels.select(col("node").as("v"), col("lbl").as("cv")), Seq("v"))
+    val com = lbl.groupBy(col("cu").as("community"))
+      .agg(sum(when(col("cu") === col("cv"), 1L).otherwise(0L))
+        .as("intra_edges"),
+        count(lit(1)).as("deg_sum"))
+    val sz = labels.groupBy(col("lbl").as("community"))
+      .agg(count(lit(1)).as("n_nodes"))
+    sz.join(com, Seq("community")).crossJoin(e2)
+      .select(col("community"), col("n_nodes"), col("intra_edges"),
+        col("deg_sum"),
+        (expr("intra_edges * 1000000L div ec") -
+          expr("((deg_sum * 1000000L div ec) * (deg_sum * 1000000L div ec))" +
+            " div 1000000L")).as("q_micro"))
+      .orderBy(col("n_nodes").desc, col("community"))
+      .limit(15)
+  }
+
   val all: Seq[QueryDef] = Seq(graphPagerank, graphTriangles, graphComponents,
     graphLinkpred, graphKhop, graphSssp, graphLabelprop, graphKcore,
-    graphProjectBipartite, graphAssortativity)
+    graphProjectBipartite, graphAssortativity, graphModularity)
 }

@@ -137,30 +137,6 @@ object Unigram {
     charRows ++ multi
   }
 
-  /** Full training run: seed → `Rounds` EM rounds → final inventory
-    * with round-`Rounds` expected counts. Driver state is the ≤ 100-row
-    * model between rounds. */
-  def train(docs: DataFrame): DataFrame = {
-    val s = docs.sparkSession
-    import s.implicits._
-    val v = vocab(docs).localCheckpoint()
-    // seed counts: raw weighted span-occurrence counts (integers)
-    val seed = spansOf(v).groupBy("piece").agg(sum(col("wc")).as("cnt"))
-      .as[(String, Long)].collect().toSeq
-    val chars = seed.filter(_._1.length == 1).map(_._1)
-    var model = toProbs(prune(seed, chars, SeedMulti))
-    var last: Seq[(String, Long)] = Seq.empty
-    for (_ <- 1 to Rounds) {
-      val cnts = expectedCounts(v, model).as[(String, Long)].collect().toSeq
-      last = prune(cnts, chars, KeepMulti)
-      model = toProbs(last)
-    }
-    last.toDF("piece", "cnt")
-      .select(col("piece"), length(col("piece")).cast("long").as("piece_len"),
-        col("cnt"))
-      .orderBy(col("cnt").desc, col("piece"))
-  }
-
   // ---------------------------------------------------------------- oracle
 
   /** Pivot column list p_<j>_<i> over CTE `occ` (w, wc, len, j, i, p). */
@@ -273,9 +249,187 @@ object Unigram {
        |SELECT piece, CAST(length(piece) AS BIGINT) AS piece_len, cnt
        |FROM m$Rounds ORDER BY cnt DESC, piece""".stripMargin
 
-  val textUnigramTrain = QueryDef("text_unigram_train", oracleSql) { (s, d) =>
-    train(Tables.documents(s, d))
+  /** One training run per (session, sfDir), shared by
+    * `text_unigram_train` (emits the inventory) and
+    * `text_unigram_encode` (applies it) — the cachedBpe /
+    * cachedKmeansCents trained-index discipline: training is
+    * deterministic, so sharing cannot move a hash, and the EM collect
+    * rounds run once instead of once per consumer. */
+  private val trainCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), Seq[(String, Long)]]()
+
+  private def cachedTrain(s: SparkSession, d: String): Seq[(String, Long)] = {
+    trainCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    trainCache.computeIfAbsent((s, d), { case (sess, dir) =>
+      trainFinal(Tables.documents(sess, dir))
+    })
   }
 
-  val all: Seq[QueryDef] = Seq(textUnigramTrain)
+  /** Full training run as the raw (piece, cnt) inventory. */
+  private def trainFinal(docs: DataFrame): Seq[(String, Long)] = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val v = vocab(docs).localCheckpoint()
+    val seed = spansOf(v).groupBy("piece").agg(sum(col("wc")).as("cnt"))
+      .as[(String, Long)].collect().toSeq
+    val chars = seed.filter(_._1.length == 1).map(_._1)
+    var model = toProbs(prune(seed, chars, SeedMulti))
+    var last: Seq[(String, Long)] = Seq.empty
+    for (_ <- 1 to Rounds) {
+      val cnts = expectedCounts(v, model).as[(String, Long)].collect().toSeq
+      last = prune(cnts, chars, KeepMulti)
+      model = toProbs(last)
+    }
+    last
+  }
+
+  /** Full training run: seed → `Rounds` EM rounds → final inventory
+    * with round-`Rounds` expected counts. Driver state is the ≤ 100-row
+    * model between rounds. */
+  def train(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    trainFinal(docs).toDF("piece", "cnt")
+      .select(col("piece"), length(col("piece")).cast("long").as("piece_len"),
+        col("cnt"))
+      .orderBy(col("cnt").desc, col("piece"))
+  }
+
+  val textUnigramTrain = QueryDef("text_unigram_train", oracleSql) { (s, d) =>
+    import s.implicits._
+    cachedTrain(s, d).toDF("piece", "cnt")
+      .select(col("piece"), length(col("piece")).cast("long").as("piece_len"),
+        col("cnt"))
+      .orderBy(col("cnt").desc, col("piece"))
+  }
+
+  // ---------------------------------------------------------- encode
+
+  private val EncBig = 1000000L // piece-count weight in the DP objective
+  private val EncSent = 900000000000000L // unreachable-edge sentinel
+
+  /** UNIGRAM-LM ENCODING — the apply half of the tokenizer (the
+    * `text_bpe_encode` symmetry: train emits the inventory, THIS costs
+    * the corpus under it): each in-scope word is segmented over the
+    * trained round-`Rounds` inventory and the per-language compression
+    * report (words, chars, tokens, tokens-per-100-chars in micro) is
+    * the gated relation.
+    *
+    * The segmentation objective is the deterministic integer twin of
+    * SentencePiece's Viterbi decode (the text_unigram_train
+    * quantization discipline): primary = fewest pieces, tiebreak =
+    * most-frequent pieces, encoded as one integer shortest-path DP
+    * d_i = min_j (d_j + EncBig − q(piece_{j,i})) where q = 200 − rank
+    * of the piece in the trained inventory's total order (cnt DESC,
+    * piece ASC — rank is engine-invariant where raw float
+    * probabilities are not, and q is a monotone proxy for them).
+    * Single characters are never pruned from the inventory, so every
+    * word is segmentable and d is total. n_pieces falls out as
+    * d div EncBig + 1 (every edge scores 1 ≤ q < EncBig).
+    *
+    * Scale shape: the DP runs once per DISTINCT vocab word over the
+    * same fixed 42-span grid as training (vocab-bounded, the span grid
+    * and ≤ 100-row scored inventory broadcast); the corpus token
+    * stream then pays ONE dictionary join against (word → n_pieces)
+    * and a combinable per-lang sum — the text_bpe_encode plan.
+    * Out-of-scope words (non-[a-z]{2,12}) are not encodable by this
+    * inventory and drop at the join, in scope both engines. */
+  def encodeReport(docs: DataFrame, model: Seq[(String, Long)]): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val ranked = model.sortBy { case (pc, c) => (-c, pc) }.zipWithIndex
+      .map { case ((pc, _), ix) => (pc, math.max(200L - (ix + 1), 1L)) }
+    val m = broadcast(ranked.toDF("piece", "q"))
+    val v = vocab(docs)
+    val occ = spansOf(v).join(m, Seq("piece"))
+    val qCols = allSpans.map { case (j, i) =>
+      max(when(col("j") === j && col("i") === i, col("q"))).as(s"q_${j}_$i")
+    }
+    var df = occ.groupBy("w", "len").agg(qCols.head, qCols.tail: _*)
+    df = df.withColumn("d0", lit(0L))
+    for (i <- 1 to MaxLen) {
+      val terms = (math.max(0, i - MaxPiece) until i).map(j =>
+        coalesce(col(s"d$j") + lit(EncBig) - col(s"q_${j}_$i"), lit(EncSent)))
+      val best = if (terms.size == 1) terms.head else least(terms: _*)
+      df = df.withColumn(s"d$i", when(col("len") >= i, best))
+    }
+    val dFin = (3 to MaxLen).foldLeft(when(col("len") === 2, col("d2"))) {
+      (acc, i) => acc.when(col("len") === i, col(s"d$i"))
+    }
+    val np = df.withColumn("d", dFin.cast("long"))
+      .select(col("w"), col("len"),
+        expr(s"d div $EncBig + 1").as("n_pieces"))
+    val tok = docs.select(col("lang"),
+      explode(split(col("text"), " ")).as("w"))
+    tok.join(np, Seq("w"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("len").cast("long")).as("n_chars"),
+        sum(col("n_pieces")).as("n_tokens"))
+      .select(col("lang"), col("n_words"), col("n_chars"), col("n_tokens"),
+        expr("n_tokens * 100000000L div n_chars").as("tpc_micro"))
+  }
+
+  /** Encode DP levels, one CTE per level (the alphaBetaSql discipline —
+    * a lateral-alias chain would inline exponentially in the binder). */
+  private def encodeLevelSql: String = {
+    val levels = Seq.newBuilder[(String, String)]
+    levels += ("ed0" -> "CAST(0 AS BIGINT) AS d0")
+    for (i <- 1 to MaxLen) {
+      val ts = (math.max(0, i - MaxPiece) until i)
+        .map(j => s"coalesce(d$j + $EncBig - q_${j}_$i, $EncSent)")
+      val best = if (ts.size == 1) ts.head else s"least(${ts.mkString(", ")})"
+      levels += (s"ed$i" ->
+        s"CASE WHEN len >= $i THEN $best END AS d$i")
+    }
+    val chained = levels.result().zipWithIndex.map { case ((name, e), ix) =>
+      val src = if (ix == 0) "wq" else s"ed${ix - 1}"
+      s"$name AS (SELECT *, $e FROM $src)"
+    }
+    chained.mkString(",\n")
+  }
+
+  private def encodePivotSql: String = allSpans.map { case (j, i) =>
+    s"max(CASE WHEN j = $j AND i = $i THEN q END) AS q_${j}_$i"
+  }.mkString(",\n    ")
+
+  def encodeOracleSql: String = {
+    val trainPrefix = oracleSql.split("\nSELECT piece,")(0)
+    s"""$trainPrefix,
+       |mr AS (
+       |  SELECT piece, greatest(200 - row_number()
+       |    OVER (ORDER BY cnt DESC, piece), 1) AS q
+       |  FROM m$Rounds
+       |), qocc AS (
+       |  SELECT sp.w, sp.len, sp.j, sp.i, mr.q
+       |  FROM spans sp JOIN mr USING (piece)
+       |), wq AS (
+       |  SELECT w, len,
+       |    $encodePivotSql
+       |  FROM qocc GROUP BY w, len
+       |),
+       |$encodeLevelSql,
+       |np AS (
+       |  SELECT w, len,
+       |    (CASE ${(2 to MaxLen).map(i => s"WHEN len = $i THEN d$i")
+                .mkString(" ")} END) // $EncBig + 1 AS n_pieces
+       |  FROM ed$MaxLen
+       |), tok AS (
+       |  SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents
+       |)
+       |SELECT t.lang, CAST(count(*) AS BIGINT) AS n_words,
+       |  CAST(sum(np.len) AS BIGINT) AS n_chars,
+       |  CAST(sum(np.n_pieces) AS BIGINT) AS n_tokens,
+       |  CAST(sum(np.n_pieces) * 100000000 // sum(np.len) AS BIGINT)
+       |    AS tpc_micro
+       |FROM tok t JOIN np ON t.w = np.w
+       |GROUP BY t.lang ORDER BY t.lang""".stripMargin
+  }
+
+  val textUnigramEncode = QueryDef("text_unigram_encode", encodeOracleSql) {
+    (s, d) =>
+      encodeReport(Tables.documents(s, d), cachedTrain(s, d)).orderBy("lang")
+  }
+
+  val all: Seq[QueryDef] = Seq(textUnigramTrain, textUnigramEncode)
 }

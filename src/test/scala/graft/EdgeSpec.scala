@@ -1111,4 +1111,102 @@ class EdgeSpec extends AnyFunSuite {
     // stays nearest for the three x-axis vectors; the outlier lands on 1
     assert(got == Set((0, 0, 3L), (0, 1, 1L), (1, 1, 3L)), s"mismatch: $got")
   }
+
+  test("lineDedup: planted footer is removed everywhere and pure-boilerplate docs drop") {
+    // 6 docs, one lang: ids 0 and 31 are %31==0 → two footer lines,
+    // both removed → dropped. ids 5,10 (%5<2) gain the footer → footer
+    // seen in ≥3 distinct docs → boilerplate. ids 13,24 are clean, and
+    // no 8-token chunk repeats across docs → their lines all survive.
+    val docs = Seq(
+      (0L, "en", "ignored replaced by footer"),
+      (31L, "en", "also ignored"),
+      (5L, "en", (1 to 16).map(i => s"a$i").mkString(" ")),
+      (10L, "en", (1 to 16).map(i => s"b$i").mkString(" ")),
+      (13L, "en", (1 to 16).map(i => s"c$i").mkString(" ")),
+      (24L, "en", (1 to 16).map(i => s"d$i").mkString(" ")))
+      .toDF("doc_id", "lang", "text")
+    val r = graft.ops.Curation.lineDedup(docs).collect()
+    assert(r.length == 1)
+    val row = r(0)
+    // n_docs=6; dropped = the two %31 docs; lines = 2+2 + 3+3 + 2+2 = 14
+    // removed = 4 footer (from %31) + 2 footer (appended) = 6
+    assert(row.getAs[Long]("n_docs") == 6L)
+    assert(row.getAs[Long]("n_docs_dropped") == 2L)
+    assert(row.getAs[Long]("n_lines") == 14L)
+    assert(row.getAs[Long]("n_lines_removed") == 6L)
+    // kept tokens: the four 16-token docs keep their 16 content tokens
+    assert(row.getAs[Long]("n_toks_kept") == 64L)
+  }
+
+  test("dsirSelect: docs made of target-corpus bigrams outrank docs of raw-only bigrams") {
+    // target (src0) speaks 'alpha beta' language; raw speaks 'x y'.
+    // Among the NON-target docs, the one quoting target bigrams must
+    // rank first and the pure-raw doc last.
+    val mk = (n: Int, ws: Seq[String]) =>
+      Iterator.continually(ws).flatten.take(n).mkString(" ")
+    val docs = (
+      (0 until 8).map(i =>
+        (i.toLong, "en", "src0", mk(24, Seq("alpha", "beta", "gamma")))) ++
+        Seq((100L, "en", "src1", mk(24, Seq("alpha", "beta", "gamma"))),
+          (101L, "en", "src1", mk(24, Seq("x", "y", "z")))))
+      .toDF("doc_id", "lang", "source", "text")
+    val got = graft.ops.Curation.dsirSelect(docs)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(100L, 101L), s"order: $got")
+  }
+
+  test("text_perplexity_bucket: per-lang terciles partition every scored doc head/middle/tail") {
+    val d = "/root/testdata/sf0.001"
+    val rows = graft.ops.Curation.textPerplexityBucket.fn(spark, d).collect()
+    val perLang = rows.groupBy(_.getString(0))
+    for ((lang, rs) <- perLang) {
+      val byBucket = rs.map(r => r.getString(1) -> r.getAs[Long]("n_docs")).toMap
+      assert(byBucket.keySet == Set("head", "middle", "tail"), s"$lang: $byBucket")
+      val n = byBucket.values.sum
+      // exact terciles: ranks r*3<=n head, <=2n middle — sizes differ by ≤1
+      assert(byBucket.values.max - byBucket.values.min <= 1,
+        s"$lang tercile sizes skewed: $byBucket (n=$n)")
+      // head is the high-score bucket: its min_score ≥ tail's max_score
+      val head = rs.find(_.getString(1) == "head").get
+      val tail = rs.find(_.getString(1) == "tail").get
+      assert(head.getAs[Long]("min_score") >= tail.getAs[Long]("max_score"),
+        s"$lang bucket order inverted")
+    }
+  }
+
+  test("unigram encodeReport: min-piece DP uses a multi-char piece when present, rank breaks ties") {
+    // inventory: chars a,b,c (low rank) + piece 'ab' → 'ab' segments as
+    // ONE piece, 'abc' as 2 ('ab'+'c'), 'cc' as 2 chars. Corpus of 3
+    // one-word docs, one lang each ordered by lang for determinism.
+    val docs = Seq(("en", "ab abc"), ("fr", "cc")).toDF("lang", "text")
+    val model = Seq(("ab", 100L), ("a", 50L), ("b", 40L), ("c", 30L))
+    val r = graft.ops.Unigram.encodeReport(docs, model)
+      .orderBy("lang").collect()
+      .map(x => (x.getString(0), x.getAs[Long]("n_words"),
+        x.getAs[Long]("n_chars"), x.getAs[Long]("n_tokens"))).toSeq
+    // en: 'ab' = 1 piece, 'abc' = 2 pieces → 3 tokens over 5 chars
+    assert(r == Seq(("en", 2L, 5L, 3L), ("fr", 1L, 2L, 2L)), s"got $r")
+  }
+
+  test("pipeline_sft: funnel is monotone and drops every benchmark-content doc") {
+    val d = "/root/testdata/sf0.001"
+    val rows = graft.ops.Curation.pipelineSft.fn(spark, d).collect()
+    for (r <- rows) {
+      val (raw, len, qual, uniq, fin) = (r.getAs[Long]("n_raw"),
+        r.getAs[Long]("n_len_ok"), r.getAs[Long]("n_quality_ok"),
+        r.getAs[Long]("n_prompt_unique"), r.getAs[Long]("n_pairs"))
+      assert(raw >= len && len >= qual && qual >= uniq && uniq >= fin,
+        s"${r.getString(0)}: funnel not monotone: $r")
+      // tokens: every final pair costs ≥ 20 + 18
+      assert(r.getAs[Long]("n_sft_tokens") >= fin * 38L)
+    }
+    // the benchmark members themselves (doc_id % 97 == 0, response long
+    // enough, quality ok, min-id of their prompt) must not survive:
+    // re-run with only benchmark docs as input and full corpus bench —
+    // cheap proxy: assert the funnel lost SOMETHING to decontamination
+    // at sf0.001 (planted %97 docs pass earlier stages by construction)
+    val totFin = rows.map(_.getAs[Long]("n_pairs")).sum
+    val totUniq = rows.map(_.getAs[Long]("n_prompt_unique")).sum
+    assert(totFin < totUniq, "decontamination stage never fired")
+  }
 }

@@ -643,6 +643,18 @@ class PlanSpec extends AnyFunSuite {
       s"EM round lost its broadcasts:\n$p")
   }
 
+  test("sample_dsir: λ dictionary and totals ride broadcasts; top-25 is TakeOrdered, not a global sort") {
+    // the 100 TB shape: the ≤4096-row bucket stats and 1-row totals
+    // broadcast against the corpus feature stream, and the final top-k
+    // is TakeOrderedAndProject — a shuffled λ join or a global Sort
+    // would put corpus-sized data through a wide exchange
+    val p = plan(graft.ops.Curation.sampleDsir)
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"λ dictionary join lost its broadcast:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-25 degenerated to a global sort:\n$p")
+  }
+
   test("cdc boundary scan runs as the native expression inside whole-stage codegen") {
     val docs = graft.Tables.documents(spark, d)
     val df = docs.select(org.apache.spark.sql.functions.col("doc_id"),

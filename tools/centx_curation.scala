@@ -1,0 +1,21 @@
+// Two-decade scaling rows for the round-12 curation keys (text_line_dedup,
+// sample_dsir, text_perplexity_bucket, pipeline_sft) plus co-measured
+// controls, against the same fixtures as tools/centx_measure.scala.
+// NOTE: /tmp/graft10x and /tmp/graft100x replicate documents 10x/100x
+// (dup-heavy worst case); the curation keys read only the documents table.
+// Usage: spark-shell --master local[32] --driver-memory 24g \
+//   --conf spark.sql.shuffle.partitions=32 --conf spark.sql.session.timeZone=UTC \
+//   --conf spark.sql.legacy.parquet.nanosAsLong=true --conf spark.ui.enabled=false \
+//   --driver-class-path target/scala-2.13/classes -i tools/centx_curation.scala
+import graft.SparkEntry
+val keys = Seq("agg_groupby", "text_line_dedup", "sample_dsir",
+  "text_perplexity_bucket", "pipeline_sft", "text_unigram_encode")
+val mirror = "/tmp/graft_bench_mirror_ddbe1476c5607681e1c7241437b45958"
+val dirs = Seq("sf01" -> mirror, "tenx" -> "/tmp/graft10x", "centx" -> "/tmp/graft100x")
+val qs = SparkEntry.queries
+for (k <- keys) { try qs(k)(spark, "/root/testdata/sf0.001").count() catch { case e: Throwable => println("warmup fail " + k + ": " + e.getMessage) } }
+val best = scala.collection.mutable.HashMap[(String, String), Double]()
+for (rep <- 1 to 3; (tag, dir) <- dirs; k <- keys) { val t0 = System.nanoTime(); try qs(k)(spark, dir).count() catch { case e: Throwable => println("FAIL " + k + " " + tag + ": " + e.getMessage) }; val dt = (System.nanoTime() - t0) / 1e9; val kk = (k, tag); if (dt < best.getOrElse(kk, Double.MaxValue)) best(kk) = dt }
+def g(k: String, t: String): String = best.get((k, t)).map(v => f"$v%7.2f").getOrElse("      -")
+for (k <- keys) { println(f"RESULT $k%-24s sf01=${g(k, "sf01")} tenx=${g(k, "tenx")} centx=${g(k, "centx")} r10=${best.getOrElse((k, "tenx"), 0.0) / best((k, "sf01"))}%5.2f r100=${best.getOrElse((k, "centx"), 0.0) / best((k, "sf01"))}%6.2f r2=${best.getOrElse((k, "centx"), 0.0) / best.getOrElse((k, "tenx"), 1.0)}%5.2f") }
+System.exit(0)
