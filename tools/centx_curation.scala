@@ -1,15 +1,18 @@
-// Two-decade scaling rows for the round-12 curation keys (text_line_dedup,
-// sample_dsir, text_perplexity_bucket, pipeline_sft) plus co-measured
-// controls, against the same fixtures as tools/centx_measure.scala.
-// NOTE: /tmp/graft10x and /tmp/graft100x replicate documents 10x/100x
-// (dup-heavy worst case); the curation keys read only the documents table.
+// Two-decade scaling rows for ALL ten round-12 session-2 keys (curation,
+// alignment, tokenizer-encode, jsonl export, graph modularity) plus a
+// co-measured control, against the same fixtures as tools/centx_measure.scala.
+// NOTE: /tmp/graft10x and /tmp/graft100x replicate documents AND the TPC-H
+// tables 10x/100x (dup-heavy worst case); graph_modularity reads lineitem,
+// everything else here reads only the documents table.
 // Usage: spark-shell --master local[32] --driver-memory 24g \
 //   --conf spark.sql.shuffle.partitions=32 --conf spark.sql.session.timeZone=UTC \
 //   --conf spark.sql.legacy.parquet.nanosAsLong=true --conf spark.ui.enabled=false \
 //   --driver-class-path target/scala-2.13/classes -i tools/centx_curation.scala
 import graft.SparkEntry
 val keys = Seq("agg_groupby", "text_line_dedup", "sample_dsir",
-  "text_perplexity_bucket", "pipeline_sft", "text_unigram_encode")
+  "text_perplexity_bucket", "pipeline_sft", "text_unigram_encode",
+  "pipeline_dpo", "sample_doremi", "text_wordpiece_encode",
+  "export_jsonl", "graph_modularity")
 val mirror = "/tmp/graft_bench_mirror_ddbe1476c5607681e1c7241437b45958"
 val dirs = Seq("sf01" -> mirror, "tenx" -> "/tmp/graft10x", "centx" -> "/tmp/graft100x")
 val qs = SparkEntry.queries
