@@ -1662,7 +1662,124 @@ object Ann {
     recallOverlap(v, approx, qids, k = 10).crossJoin(edges).orderBy("qid")
   }
 
+  /** MARGIN-BASED BITEXT MINING core (Artetxe & Schwenk 2019,
+    * arXiv:1811.01136 — the CCMatrix/LASER parallel-corpus recipe):
+    * raw cosine over-selects "hub" targets that sit close to EVERYTHING;
+    * the ratio-margin score divides each candidate cosine by the mean of
+    * the two endpoints' k-NN cosines, so a pair is mined only when it is
+    * close RELATIVE to what its endpoints usually see. Input `m` carries
+    * (cid, vec_id, ve, nrm, side 0|1); candidates are cross-side pairs
+    * WITHIN a cluster (the SemDeDup candidate join — production mines
+    * over an ANN index's retrievals, and the margin normalizer is
+    * likewise computed over the retrieved set, per the paper's §3.2
+    * k-NN-over-index setup).
+    *
+    * Determinism: cosines quantized to FLOOR micro (floor is identical
+    * cross-engine where round-half differs on negatives), only positive
+    * cosines kept as candidates (plausible-translation screen — and it
+    * keeps every later integer division on positive operands, where
+    * Spark's truncating `div` and DuckDB's floor `//` agree), k-NN
+    * averages as integer sum-div-count over the top-k under the total
+    * order (cmic DESC, partner id), margin_micro = 2·cmic·10⁶ div
+    * (avg_a + avg_b), and the forward/backward best-pair selection is
+    * two row_number windows under total orders. Mining strategy =
+    * "max-margin forward, then best-source-per-target" (the paper's
+    * max-score intersection shape).
+    *
+    * Scale: candidate generation is the cluster-keyed equi-join (n²/c
+    * pair work, tiles partition-local, c grows with the corpus); the
+    * k-NN windows and the fw/bw selections run over the CANDIDATE
+    * relation keyed by node — no corpus-sized window, nothing global
+    * until the final top-20 TakeOrdered. */
+  def bitextMineFrom(m: DataFrame, k: Int = 4, topN: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val x = m.filter(col("side") === 0)
+      .select(col("cid"), col("vec_id").as("a_id"), col("ve").as("ave"),
+        col("nrm").as("anrm"))
+    val y = m.filter(col("side") === 1)
+      .select(col("cid"), col("vec_id").as("b_id"), col("ve").as("bve"),
+        col("nrm").as("bnrm"))
+    val pc = x.join(y, "cid")
+      .select(col("cid"), col("a_id"), col("b_id"),
+        floor(Similarity.dot(col("ave"), col("bve")) /
+          (col("anrm") * col("bnrm")) * lit(1000000.0)).cast("long").as("cmic"))
+      .filter(col("cmic") > 0)
+    val ra = pc
+      .withColumn("rna", row_number().over(
+        Window.partitionBy("a_id").orderBy(col("cmic").desc, col("b_id"))))
+      .withColumn("rnb", row_number().over(
+        Window.partitionBy("b_id").orderBy(col("cmic").desc, col("a_id"))))
+    val na = ra.filter(col("rna") <= k).groupBy("a_id")
+      .agg(expr("sum(cmic) div count(1)").as("avga"))
+    val nb = ra.filter(col("rnb") <= k).groupBy("b_id")
+      .agg(expr("sum(cmic) div count(1)").as("avgb"))
+    val sc = pc.join(na, "a_id").join(nb, "b_id")
+      .filter(col("avga") + col("avgb") > 0)
+      .select(col("cid"), col("a_id"), col("b_id"), col("cmic"),
+        expr("2 * cmic * 1000000L div (avga + avgb)").as("margin_micro"))
+    val fw = sc.withColumn("rf", row_number().over(
+        Window.partitionBy("a_id").orderBy(col("margin_micro").desc, col("b_id"))))
+      .filter(col("rf") === 1)
+    val bw = fw.withColumn("rb", row_number().over(
+        Window.partitionBy("b_id").orderBy(col("margin_micro").desc, col("a_id"))))
+      .filter(col("rb") === 1)
+    bw.select(col("a_id"), col("b_id"), col("cid"),
+        col("cmic").as("cos_micro"), col("margin_micro"))
+      .orderBy(col("margin_micro").desc, col("a_id")).limit(topN)
+  }
+
+  /** Gated bitext mining over the trained kmeans clusters: sides are the
+    * vec_id parity (the fixture's deterministic two-corpus split), the
+    * cluster model is the shared cached index (`cachedKmeansCents`), and
+    * the oracle replays the identical Lloyd rounds + candidate join +
+    * margin arithmetic. Output: top-20 mined pairs by margin. */
+  val alignBitextMine = QueryDef(
+    "align_bitext_mine",
+    s"""$kmeansOraclePrefix,
+       |m AS (
+       |  SELECT af.cid, v.vec_id, v.ve, v.nrm, v.vec_id % 2 AS side
+       |  FROM af JOIN v USING (vec_id)
+       |), cand AS (
+       |  SELECT x.cid, x.vec_id AS a_id, y.vec_id AS b_id,
+       |    CAST(floor(list_dot_product(x.ve, y.ve) / (x.nrm * y.nrm) * 1000000) AS BIGINT) AS cmic
+       |  FROM m x JOIN m y ON x.cid = y.cid AND x.side = 0 AND y.side = 1
+       |), pc AS (
+       |  SELECT * FROM cand WHERE cmic > 0
+       |), ra AS (
+       |  SELECT cid, a_id, b_id, cmic,
+       |    row_number() OVER (PARTITION BY a_id ORDER BY cmic DESC, b_id) AS rna,
+       |    row_number() OVER (PARTITION BY b_id ORDER BY cmic DESC, a_id) AS rnb
+       |  FROM pc
+       |), na AS (
+       |  SELECT a_id, sum(cmic) // count(*) AS avga FROM ra WHERE rna <= 4 GROUP BY a_id
+       |), nb AS (
+       |  SELECT b_id, sum(cmic) // count(*) AS avgb FROM ra WHERE rnb <= 4 GROUP BY b_id
+       |), sc AS (
+       |  SELECT pc.cid, pc.a_id, pc.b_id, pc.cmic,
+       |    CAST((2 * pc.cmic * 1000000) // (na.avga + nb.avgb) AS BIGINT) AS margin_micro
+       |  FROM pc JOIN na USING (a_id) JOIN nb USING (b_id)
+       |  WHERE na.avga + nb.avgb > 0
+       |), fw AS (
+       |  SELECT * FROM (
+       |    SELECT sc.*, row_number() OVER (PARTITION BY a_id
+       |      ORDER BY margin_micro DESC, b_id) AS rf FROM sc) WHERE rf = 1
+       |), bw AS (
+       |  SELECT * FROM (
+       |    SELECT fw.*, row_number() OVER (PARTITION BY b_id
+       |      ORDER BY margin_micro DESC, a_id) AS rb FROM fw) WHERE rb = 1
+       |)
+       |SELECT a_id, b_id, cid, cmic AS cos_micro, margin_micro
+       |FROM bw ORDER BY margin_micro DESC, a_id LIMIT 20""".stripMargin) { (s, d) =>
+    val v = prep(Tables.embeddings(s, d))
+    val m = assignTo(v, cachedKmeansCents(s, d))
+      .select(col("bucket").as("cid"), col("vec_id"), col("ve"), col("nrm"),
+        (col("vec_id") % 2).as("side"))
+      .repartition(col("cid"))
+    bitextMineFrom(m)
+  }
+
   val all: Seq[QueryDef] = Seq(simAnnIvf, dedupEmbedLsh, simAnnKmeans, simQuantize, simAnnRecall,
     simAnnPq, simAnnKmeansRecall, simAnnPqRecall, dedupEmbedLshRecall, simPcaPower,
-    simAnnIvfPq, simAnnNprobeCurve, dedupSemantic, simAnnHnsw, simAnnGraphBuild)
+    simAnnIvfPq, simAnnNprobeCurve, dedupSemantic, simAnnHnsw, simAnnGraphBuild,
+    alignBitextMine)
 }

@@ -989,7 +989,106 @@ object Graph {
       .limit(15)
   }
 
+  private val WalkLen = 5
+  private val WalkB = 1099511627776L // 2^40 packing base
+  private val ChkP = 1000000007L
+
+  /** One hash-random walk step: frontier (walk, cur) x edges (u, v) ->
+    * the next frontier. The successor of `cur` in walk `walk` at step
+    * `t` is the neighbor minimizing the 12-bit md5 prefix of
+    * "walk:t:cur:v" (ties -> smallest v via the packed key) — the
+    * deterministic integer twin of DeepWalk's uniform neighbor draw,
+    * cross-engine replayable through the md5-prefix idiom
+    * (`sample_dsir`'s hash). One keyed join + one combinable packed-min
+    * aggregate; no window, no driver state. */
+  private def walkStep(f: DataFrame, e: DataFrame, t: Int): DataFrame =
+    f.join(e, col("cur") === col("u"))
+      .select(col("walk"),
+        (conv(substring(md5(concat(
+            col("walk").cast("string"), lit(s":$t:"),
+            col("cur").cast("string"), lit(":"),
+            col("v").cast("string")).cast("binary")), 1, 3), 16, 10)
+          .cast("long") * WalkB + col("v")).as("pk"))
+      .groupBy("walk").agg(min(col("pk")).as("k"))
+      .select(col("walk"), (col("k") % WalkB).as("cur"))
+
+  /** DEEPWALK CORPUS GENERATION (Perozzi et al. 2014, arXiv:1403.6652)
+    * over an explicit symmetric (u, v) edge relation: two walks per
+    * start node (walk ids 2n, 2n+1), `walkLen` hash-random steps, and a
+    * per-step gated summary — walks alive, distinct current nodes, and
+    * an order-free trajectory checksum sum((walk·1000003 + cur) mod p)
+    * that pins every walk's position without materializing the corpus
+    * in the gate. The walk CORPUS itself is the (step, walk, cur)
+    * union this summary aggregates — the skip-gram training input.
+    *
+    * Scale shape: the frontier is 2·|V| rows forever (symmetric edges
+    * mean no dead ends); each step is ONE equi-join against the landed
+    * edge relation plus ONE combinable packed-min aggregate, so a
+    * 100 TB graph pays walkLen keyed shuffles of node-sized relations
+    * and the edge scan amortizes over the landed file. localCheckpoint
+    * between steps cuts the 5-deep lineage (the LPA discipline). */
+  def deepwalkStats(edges: DataFrame, walkLen: Int = WalkLen): DataFrame = {
+    val e = edges.select("u", "v")
+    val f0 = e.select(col("u")).distinct()
+      .select(explode(array(col("u") * 2, col("u") * 2 + 1)).as("walk"),
+        col("u").as("cur"))
+    var f = f0
+    var tagged = f0.withColumn("step", lit(0))
+    for (t <- 1 to walkLen) {
+      f = walkStep(f, e, t).localCheckpoint()
+      tagged = tagged.union(f.withColumn("step", lit(t)))
+    }
+    tagged.groupBy("step")
+      .agg(count(lit(1)).as("n_walks"),
+        countDistinct(col("cur")).as("n_nodes"),
+        sum((col("walk") * 1000003L + col("cur")) % ChkP).as("chk"))
+      .orderBy("step")
+  }
+
+  private def walkStepCte(t: Int): String =
+    s"""k$t AS (
+       |  SELECT f.walk,
+       |    min(CAST(CAST('0x' || substr(md5(CAST(f.walk AS VARCHAR) || ':$t:' ||
+       |      CAST(f.cur AS VARCHAR) || ':' || CAST(e.v AS VARCHAR)), 1, 3)
+       |      AS INTEGER) AS BIGINT) * $WalkB + e.v) AS k
+       |  FROM f${t - 1} f JOIN p2 e ON f.cur = e.u GROUP BY f.walk
+       |), f$t AS (
+       |  SELECT walk, k % $WalkB AS cur FROM k$t
+       |)""".stripMargin
+
+  /** Gated on the same landed co-purchase part graph as labelprop /
+    * modularity; the oracle unrolls the 5 steps as CTE pairs (packed-min
+    * then decode) over the identical md5-prefix successor rule. */
+  val graphDeepwalk = QueryDef(
+    "graph_deepwalk",
+    s"""WITH pr AS (
+       |  SELECT DISTINCT a.l_orderkey AS ok, a.l_partkey AS u, b.l_partkey AS v
+       |  FROM lineitem a JOIN lineitem b
+       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+       |), p2 AS (
+       |  SELECT u, v FROM pr GROUP BY u, v HAVING count(*) >= 2
+       |), w0 AS (
+       |  SELECT DISTINCT u AS node FROM p2
+       |), f0 AS (
+       |  SELECT node * 2 AS walk, node AS cur FROM w0
+       |  UNION ALL
+       |  SELECT node * 2 + 1 AS walk, node AS cur FROM w0
+       |),
+       |${(1 to WalkLen).map(walkStepCte).mkString(",\n")},
+       |allf AS (
+       |  SELECT 0 AS step, walk, cur FROM f0
+       |${(1 to WalkLen).map(t =>
+           s"  UNION ALL SELECT $t AS step, walk, cur FROM f$t").mkString("\n")}
+       |)
+       |SELECT CAST(step AS INT) AS step,
+       |  CAST(count(*) AS BIGINT) AS n_walks,
+       |  CAST(count(DISTINCT cur) AS BIGINT) AS n_nodes,
+       |  CAST(sum((walk * 1000003 + cur) % $ChkP) AS BIGINT) AS chk
+       |FROM allf GROUP BY step ORDER BY step""".stripMargin) { (s, d) =>
+    deepwalkStats(partCoEdges(s, d).select("u", "v"))
+  }
+
   val all: Seq[QueryDef] = Seq(graphPagerank, graphTriangles, graphComponents,
     graphLinkpred, graphKhop, graphSssp, graphLabelprop, graphKcore,
-    graphProjectBipartite, graphAssortativity, graphModularity)
+    graphProjectBipartite, graphAssortativity, graphModularity, graphDeepwalk)
 }

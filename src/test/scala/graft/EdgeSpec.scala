@@ -1209,4 +1209,61 @@ class EdgeSpec extends AnyFunSuite {
     val totUniq = rows.map(_.getAs[Long]("n_prompt_unique")).sum
     assert(totFin < totUniq, "decontamination stage never fired")
   }
+
+  test("bitextMine: the margin demotes a hub target that raw cosine would pick") {
+    // One cluster. Side A (even ids): a2=(1,.2), a4=(1,-.2).
+    // Side B (odd ids): hub b1=(1,0) — close to BOTH a's, so its kNN
+    // average is high; b3=(1,-.55) — uniquely close-ish to a4 only;
+    // b5=(0,1) — far from everything (and cos(a4,b5)<0 → filtered).
+    // Raw cosine: a4's best target is the hub (cos(a4,b1)=.9806 >
+    // cos(a4,b3)=.9537). Margin: the hub's high normalizer flips it —
+    // margin(a4,b3)=1.044 > margin(a4,b1)=1.007. The mined set must be
+    // {(2,1),(4,3)}: a4 pairs with b3, NOT the hub.
+    def mkRow(id: Long, x: Double, y: Double) =
+      (0L, id, Seq(x, y), math.sqrt(x * x + y * y), id % 2)
+    val m = Seq(
+      mkRow(2L, 1.0, 0.2), mkRow(4L, 1.0, -0.2),
+      mkRow(1L, 1.0, 0.0), mkRow(3L, 1.0, -0.55), mkRow(5L, 0.0, 1.0))
+      .toDF("cid", "vec_id", "ve", "nrm", "side")
+    val got = graft.ops.Ann.bitextMineFrom(m).collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))).toSet
+    assert(got == Set((2L, 1L), (4L, 3L)), s"mined: $got")
+    // sanity on the raw-cosine counterfactual the pin rests on
+    assert(1.0 * 1.0 + (-0.2) * 0.0 > 0) // cos(a4,b1) > 0
+    val cosA4B1 = 1.0 / (math.sqrt(1.04) * 1.0)
+    val cosA4B3 = (1.0 + 0.11) / (math.sqrt(1.04) * math.sqrt(1.3025))
+    assert(cosA4B1 > cosA4B3, "fixture broke: hub no longer wins on raw cos")
+  }
+
+  test("deepwalkStats: trajectories replay the md5-prefix successor rule exactly") {
+    // Path graph 1-2-3 (symmetric). Six walks (two per node), 3 steps.
+    // A scala replica of the successor rule walks the same graph; the
+    // gated per-step (n_walks, n_nodes, chk) rows must match it bit-
+    // for-bit — pinning hash text, packing, tiebreak, and checksum.
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L))
+      .toDF("u", "v")
+    val adj = Map(1L -> Seq(2L), 2L -> Seq(1L, 3L), 3L -> Seq(2L))
+    def h12(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(f"${d(0)}%02x${(d(1) & 0xf0) >> 4}%01x", 16)
+    }
+    val B = 1099511627776L
+    var cur = Map[Long, Long]() ++ (for (n <- Seq(1L, 2L, 3L); w <- 0 to 1)
+      yield (n * 2 + w) -> n)
+    val expect = scala.collection.mutable.ArrayBuffer[(Int, Long, Long, Long)]()
+    def snap(step: Int): Unit = expect += ((step, cur.size.toLong,
+      cur.values.toSet.size.toLong,
+      cur.map { case (w, c) => (w * 1000003L + c) % 1000000007L }.sum))
+    snap(0)
+    for (t <- 1 to 3) {
+      cur = cur.map { case (w, c) =>
+        w -> adj(c).map(v => h12(s"$w:$t:$c:$v") * B + v).min % B }
+      snap(t)
+    }
+    val got = graft.ops.Graph.deepwalkStats(edges, walkLen = 3).collect()
+      .map(r => (r.getAs[Int]("step"), r.getAs[Long]("n_walks"),
+        r.getAs[Long]("n_nodes"), r.getAs[Long]("chk"))).toSeq
+    assert(got == expect.toSeq, s"got $got\nexpect $expect")
+  }
 }

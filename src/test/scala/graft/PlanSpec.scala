@@ -655,6 +655,22 @@ class PlanSpec extends AnyFunSuite {
       s"top-25 degenerated to a global sort:\n$p")
   }
 
+  test("graph_deepwalk: every step is a keyed join + combinable agg — no cartesian, no window") {
+    // the 100 TB shape: walkLen keyed shuffles of node-sized frontiers;
+    // a CartesianProduct or a per-walk Window would be the wrong kernel
+    val p = plan(graft.ops.Graph.graphDeepwalk)
+    assert(!p.contains("CartesianProduct"), s"walk step went cartesian:\n$p")
+    assert(!p.contains("Window"), s"walk step grew a window:\n$p")
+  }
+
+  test("align_bitext_mine: candidates ride the cluster-keyed equi-join; final top-20 is TakeOrdered") {
+    val p = plan(graft.ops.Ann.alignBitextMine)
+    assert(!p.contains("CartesianProduct"),
+      s"cross-side candidates degenerated to a cartesian:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-20 degenerated to a global sort:\n$p")
+  }
+
   test("cdc boundary scan runs as the native expression inside whole-stage codegen") {
     val docs = graft.Tables.documents(spark, d)
     val df = docs.select(org.apache.spark.sql.functions.col("doc_id"),
