@@ -265,5 +265,185 @@ object Alignment {
       .orderBy("source")
   }
 
-  val all: Seq[QueryDef] = Seq(pipelineDpo, sampleDoremi)
+  private val BtRounds = 3
+
+  /** BRADLEY-TERRY RANK AGGREGATION core (Bradley & Terry 1952; the MM
+    * fixed-point iteration of Hunter 2004, doi:10.1214/aos/1079120141 —
+    * the "Zermelo" update): turn pairwise preference outcomes into
+    * global player strengths, the aggregation step an RLHF reward
+    * pipeline runs over its comparison corpus before training. Input:
+    * (win_src, lose_src) comparison rows. Laplace smoothing adds one
+    * virtual win AND one virtual loss to EVERY unordered player pair
+    * (including pairs that never met) so every strength is positive and
+    * the MM update never divides by zero. `BtRounds` fixed rounds of
+    *   w_i <- W_i / sum_j n_ij/(w_i + w_j),  then renormalize,
+    * all in exact integer arithmetic: the per-pair term is
+    * n_ij·10⁹ div (w_i + w_j) (order-free integer sum), the update
+    * W_i·10⁹ div den_i, the renormalization w_i·P·10⁶ div Σw. Safe
+    * while n_ij < 9·10⁹ comparisons per pair.
+    *
+    * Output per player: raw wins, raw comparisons, final strength
+    * micro, rank (strength DESC, source ASC — total order).
+    *
+    * Scale shape: comparisons collapse to ≤P² pair stats via ONE
+    * combinable aggregate (the corpus never shuffles again); the pair
+    * grid, the MM rounds, and the 1-row totals are all P-bounded
+    * relations riding broadcasts (the sample_doremi round discipline).
+    */
+  def btRank(cmp: DataFrame, rounds: Int = BtRounds): DataFrame = {
+    val s = cmp.sparkSession
+    val lo = least(col("win_src"), col("lose_src"))
+    val hi = greatest(col("win_src"), col("lose_src"))
+    val raw = cmp.select(lo.as("a"), hi.as("b"),
+        when(col("win_src") < col("lose_src"), 1L).otherwise(0L).as("wa"))
+      .groupBy("a", "b")
+      .agg(count(lit(1)).as("n_cmp"), sum(col("wa")).as("wins_a"))
+    val srcs = cmp.select(col("win_src").as("src"))
+      .union(cmp.select(col("lose_src").as("src"))).distinct()
+    val grid = broadcast(srcs.toDF("a")).crossJoin(broadcast(srcs.toDF("b")))
+      .filter(col("a") < col("b"))
+    val sm = grid.join(raw, Seq("a", "b"), "left")
+      .select(col("a"), col("b"),
+        (coalesce(col("n_cmp"), lit(0L)) + 2L).as("nij"),
+        (coalesce(col("wins_a"), lit(0L)) + 1L).as("wij"))
+      .localCheckpoint()
+    // directed view: one row per (i, opponent j) with i's smoothed wins
+    val dir = sm.select(col("a").as("i"), col("b").as("j"),
+        col("nij"), col("wij").as("w_i"))
+      .union(sm.select(col("b").as("i"), col("a").as("j"),
+        col("nij"), (col("nij") - col("wij")).as("w_i")))
+    val tot = dir.groupBy("i")
+      .agg(sum(col("w_i")).as("W"), sum(col("nij")).as("n_sm"))
+    val nP = broadcast(srcs.agg(count(lit(1)).as("p")))
+    var w = tot.select(col("i"), lit(1000000L).as("w"))
+    for (_ <- 1 to rounds) {
+      val den = dir
+        .join(w.toDF("i", "wi"), "i")
+        .join(w.toDF("j", "wj"), "j")
+        .groupBy("i")
+        .agg(sum(expr("nij * 1000000000L div (wi + wj)")).as("den"))
+      val rawW = tot.join(den, "i")
+        .select(col("i"), expr("W * 1000000000L div den").as("wr"))
+      val z = broadcast(rawW.agg(sum(col("wr")).as("z")))
+      w = rawW.crossJoin(z).crossJoin(nP)
+        .select(col("i"), expr("wr * (p * 1000000L) div z").as("w"))
+    }
+    val rawTot = cmp.select(col("win_src").as("i"), lit(1L).as("win"))
+      .union(cmp.select(col("lose_src").as("i"), lit(0L).as("win")))
+      .groupBy("i")
+      .agg(sum(col("win")).as("n_wins"), count(lit(1)).as("n_cmp"))
+    w.join(rawTot, Seq("i"), "left")
+      .select(col("i").as("source"),
+        coalesce(col("n_wins"), lit(0L)).as("n_wins"),
+        coalesce(col("n_cmp"), lit(0L)).as("n_comparisons"),
+        col("w").as("w_micro"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("w_micro").desc, col("source"))))
+      .orderBy("rank")
+  }
+
+  /** Gated Bradley-Terry over the corpus's own preference signal: the
+    * DPO candidate relation (prompt = first 12 tokens, response scored
+    * by distinct-token ratio) yields one comparison per cross-SOURCE
+    * candidate pair within a (lang, prompt) group whose score margin
+    * clears 1% — "which SOURCE wins quality duels" — and the MM rounds
+    * aggregate those duels into source strengths. The oracle replays
+    * comparisons, smoothing, and all three integer MM rounds as CTEs. */
+  val alignBtRank = QueryDef(
+    "align_bt_rank", {
+      val rounds = (1 to BtRounds).map { r =>
+        s"""den$r AS (
+           |  SELECT d.i, sum(d.nij * 1000000000 // (wi.w + wj.w)) AS den
+           |  FROM dir d JOIN w${r - 1} wi ON d.i = wi.i
+           |             JOIN w${r - 1} wj ON d.j = wj.i
+           |  GROUP BY d.i
+           |), wr$r AS (
+           |  SELECT t.i, t.W * 1000000000 // den$r.den AS wr
+           |  FROM tot t JOIN den$r ON t.i = den$r.i
+           |), w$r AS (
+           |  SELECT i, CAST(wr * ((SELECT p FROM np) * 1000000)
+           |    // (SELECT sum(wr) FROM wr$r) AS BIGINT) AS w
+           |  FROM wr$r
+           |)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH base AS (
+         |  SELECT doc_id, lang, source, string_split(text, ' ') AS toks
+         |  FROM documents
+         |), cand AS (
+         |  SELECT doc_id, lang, source,
+         |    array_to_string(toks[1:12], ' ') AS prompt,
+         |    len(list_distinct(toks[13:])) * 1000000
+         |      // (len(toks) - 12) AS score
+         |  FROM base WHERE len(toks) - 12 >= 20
+         |), cmp AS (
+         |  SELECT CASE WHEN x.score > y.score THEN x.source ELSE y.source END AS win_src,
+         |         CASE WHEN x.score > y.score THEN y.source ELSE x.source END AS lose_src
+         |  FROM cand x JOIN cand y
+         |    ON x.lang = y.lang AND x.prompt = y.prompt AND x.doc_id < y.doc_id
+         |  WHERE x.source <> y.source AND abs(x.score - y.score) >= $MarginMicro
+         |), raw AS (
+         |  SELECT least(win_src, lose_src) AS a, greatest(win_src, lose_src) AS b,
+         |    count(*) AS n_cmp,
+         |    sum(CASE WHEN win_src < lose_src THEN 1 ELSE 0 END) AS wins_a
+         |  FROM cmp GROUP BY 1, 2
+         |), srcs AS (
+         |  SELECT win_src AS src FROM cmp UNION SELECT lose_src FROM cmp
+         |), grid AS (
+         |  SELECT s1.src AS a, s2.src AS b FROM srcs s1 JOIN srcs s2 ON s1.src < s2.src
+         |), sm AS (
+         |  SELECT g.a, g.b, coalesce(r.n_cmp, 0) + 2 AS nij,
+         |    coalesce(r.wins_a, 0) + 1 AS wij
+         |  FROM grid g LEFT JOIN raw r ON g.a = r.a AND g.b = r.b
+         |), dir AS (
+         |  SELECT a AS i, b AS j, nij, wij AS w_i FROM sm
+         |  UNION ALL
+         |  SELECT b AS i, a AS j, nij, nij - wij AS w_i FROM sm
+         |), tot AS (
+         |  SELECT i, sum(w_i) AS W, sum(nij) AS n_sm FROM dir GROUP BY i
+         |), np AS (
+         |  SELECT count(*) AS p FROM srcs
+         |), w0 AS (
+         |  SELECT i, CAST(1000000 AS BIGINT) AS w FROM tot
+         |),
+         |$rounds,
+         |rawtot AS (
+         |  SELECT i, sum(win) AS n_wins, count(*) AS n_cmp FROM (
+         |    SELECT win_src AS i, 1 AS win FROM cmp
+         |    UNION ALL SELECT lose_src AS i, 0 AS win FROM cmp)
+         |  GROUP BY i
+         |)
+         |SELECT w.i AS source,
+         |  CAST(coalesce(rawtot.n_wins, 0) AS BIGINT) AS n_wins,
+         |  CAST(coalesce(rawtot.n_cmp, 0) AS BIGINT) AS n_comparisons,
+         |  CAST(w.w AS BIGINT) AS w_micro,
+         |  CAST(row_number() OVER (ORDER BY w.w DESC, w.i) AS INT) AS rank
+         |FROM w$BtRounds w LEFT JOIN rawtot ON w.i = rawtot.i
+         |ORDER BY rank""".stripMargin
+    }) { (s, d) =>
+    val cand = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("source"),
+        split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), col("lang"), col("source"),
+        array_join(slice(col("toks"), 1, 12), " ").as("prompt"),
+        (size(col("toks")) - 12).cast("long").as("n_resp"),
+        (size(array_distinct(expr("slice(toks, 13, size(toks))")))
+          .cast("long") * 1000000L).as("ndm"))
+      .filter(col("n_resp") >= 20)
+      .withColumn("score", expr("ndm div n_resp"))
+      .select("doc_id", "lang", "source", "prompt", "score")
+    val cmp = cand.as("x").join(cand.as("y"),
+        col("x.lang") === col("y.lang") && col("x.prompt") === col("y.prompt") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .filter(col("x.source") =!= col("y.source") &&
+        abs(col("x.score") - col("y.score")) >= MarginMicro)
+      .select(
+        when(col("x.score") > col("y.score"), col("x.source"))
+          .otherwise(col("y.source")).as("win_src"),
+        when(col("x.score") > col("y.score"), col("y.source"))
+          .otherwise(col("x.source")).as("lose_src"))
+    btRank(cmp)
+  }
+
+  val all: Seq[QueryDef] = Seq(pipelineDpo, sampleDoremi, alignBtRank)
 }

@@ -1210,6 +1210,48 @@ class EdgeSpec extends AnyFunSuite {
     assert(totFin < totUniq, "decontamination stage never fired")
   }
 
+  test("btRank: integer MM rounds replay bit-for-bit; head-to-head dominance outranks schedule padding") {
+    // A beats B 8-2; B beats C 6-4; A and C never meet (smoothing fills
+    // the pair). Raw wins tie A and B at 8, and B has twice the
+    // comparisons — but BT reads the head-to-head: A must rank first.
+    // The full gated relation must equal a plain-Scala replica of the
+    // smoothed integer MM rounds (pinning smoothing, div order, and
+    // renormalization exactly).
+    val cmp = (Seq.fill(8)(("A", "B")) ++ Seq.fill(2)(("B", "A")) ++
+      Seq.fill(6)(("B", "C")) ++ Seq.fill(4)(("C", "B")))
+      .toDF("win_src", "lose_src")
+    // replica: smoothed pair stats keyed (a<b): nij, wins_a
+    val sm = Map(("A", "B") -> (12L, 9L), ("B", "C") -> (12L, 7L),
+      ("A", "C") -> (2L, 1L))
+    val players = Seq("A", "B", "C")
+    def oppWins(i: String) = sm.map { case ((a, b), (n, wa)) =>
+      if (i == a) (b, n, wa) else if (i == b) (a, n, n - wa) else null
+    }.filter(_ != null)
+    val bigW = players.map(i => i -> oppWins(i).map(_._3).sum).toMap
+    var w = players.map(_ -> 1000000L).toMap
+    for (_ <- 1 to 3) {
+      val wr = players.map { i =>
+        val den = oppWins(i).map { case (j, n, _) =>
+          n * 1000000000L / (w(i) + w(j)) }.sum
+        i -> bigW(i) * 1000000000L / den
+      }.toMap
+      val z = wr.values.sum
+      w = players.map(i => i -> wr(i) * (3L * 1000000L) / z).toMap
+    }
+    val expect = players.map { i =>
+      val (wins, n) = i match {
+        case "A" => (8L, 10L); case "B" => (8L, 20L); case "C" => (4L, 10L)
+      }
+      (i, wins, n, w(i))
+    }.sortBy(r => (-r._4, r._1)).zipWithIndex
+      .map { case ((s, wi, n, wm), k) => (s, wi, n, wm, k + 1) }
+    val got = graft.ops.Alignment.btRank(cmp).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getInt(4))).toSeq
+    assert(got == expect, s"got $got\nexpect $expect")
+    assert(got.head._1 == "A", "head-to-head dominance lost to schedule padding")
+  }
+
   test("bitextMine: the margin demotes a hub target that raw cosine would pick") {
     // One cluster. Side A (even ids): a2=(1,.2), a4=(1,-.2).
     // Side B (odd ids): hub b1=(1,0) — close to BOTH a's, so its kNN

@@ -671,6 +671,14 @@ class PlanSpec extends AnyFunSuite {
       s"top-20 degenerated to a global sort:\n$p")
   }
 
+  test("align_bt_rank: the comparison corpus collapses once; MM rounds never cartesian") {
+    // the 100 TB shape: corpus-sized data shuffles exactly in the
+    // (lang, prompt) duel join and the one pair-stats aggregate; every
+    // MM round is P-bounded arithmetic on broadcasts
+    val p = plan(graft.ops.Alignment.alignBtRank)
+    assert(!p.contains("CartesianProduct"), s"BT went cartesian:\n$p")
+  }
+
   test("cdc boundary scan runs as the native expression inside whole-stage codegen") {
     val docs = graft.Tables.documents(spark, d)
     val df = docs.select(org.apache.spark.sql.functions.col("doc_id"),
