@@ -286,9 +286,10 @@ object Alignment {
     * micro, rank (strength DESC, source ASC — total order).
     *
     * Scale shape: comparisons collapse to ≤P² pair stats via ONE
-    * combinable aggregate (the corpus never shuffles again); the pair
-    * grid, the MM rounds, and the 1-row totals are all P-bounded
-    * relations riding broadcasts (the sample_doremi round discipline).
+    * combinable aggregate (the corpus never shuffles again); the MM
+    * rounds then run driver-side on that bounded model state (the
+    * MLlib codebook pattern — see the inline note) and the final
+    * P-row strengths broadcast back for the output join.
     */
   def btRank(cmp: DataFrame, rounds: Int = BtRounds): DataFrame = {
     val s = cmp.sparkSession
@@ -302,37 +303,47 @@ object Alignment {
       .union(cmp.select(col("lose_src").as("src"))).distinct()
     val grid = broadcast(srcs.toDF("a")).crossJoin(broadcast(srcs.toDF("b")))
       .filter(col("a") < col("b"))
-    val sm = grid.join(raw, Seq("a", "b"), "left")
+    // MM rounds run DRIVER-SIDE on the collected smoothed pair stats —
+    // the MLlib bounded-model pattern (the kmeans/PQ codebooks do the
+    // same): the corpus collapsed to ≤P² rows in the ONE distributed
+    // aggregate above, P is the player count (sources/models — tens in
+    // practice, ≤ low thousands before the O(P²) driver array is even
+    // megabytes), and 3 rounds of joins over ≤P-row relations as
+    // distributed jobs would be pure scheduler latency. Arithmetic is
+    // the identical integer sequence the oracle unrolls.
+    val pairStats = grid.join(raw, Seq("a", "b"), "left")
       .select(col("a"), col("b"),
         (coalesce(col("n_cmp"), lit(0L)) + 2L).as("nij"),
         (coalesce(col("wins_a"), lit(0L)) + 1L).as("wij"))
-      .localCheckpoint()
-    // directed view: one row per (i, opponent j) with i's smoothed wins
-    val dir = sm.select(col("a").as("i"), col("b").as("j"),
-        col("nij"), col("wij").as("w_i"))
-      .union(sm.select(col("b").as("i"), col("a").as("j"),
-        col("nij"), (col("nij") - col("wij")).as("w_i")))
-    val tot = dir.groupBy("i")
-      .agg(sum(col("w_i")).as("W"), sum(col("nij")).as("n_sm"))
-    val nP = broadcast(srcs.agg(count(lit(1)).as("p")))
-    var w = tot.select(col("i"), lit(1000000L).as("w"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val players = (pairStats.map(_._1) ++ pairStats.map(_._2)).distinct.sorted
+    val p = players.length.toLong
+    // (opponent, nij, my smoothed wins) per player
+    val opp: Map[String, Array[(String, Long, Long)]] = players.map { i =>
+      i -> pairStats.collect {
+        case (a, b, n, wa) if a == i => (b, n, wa)
+        case (a, b, n, wa) if b == i => (a, n, n - wa)
+      }
+    }.toMap
+    val bigW = players.map(i => i -> opp(i).map(_._3).sum).toMap
+    var w = players.map(_ -> 1000000L).toMap
     for (_ <- 1 to rounds) {
-      val den = dir
-        .join(w.toDF("i", "wi"), "i")
-        .join(w.toDF("j", "wj"), "j")
-        .groupBy("i")
-        .agg(sum(expr("nij * 1000000000L div (wi + wj)")).as("den"))
-      val rawW = tot.join(den, "i")
-        .select(col("i"), expr("W * 1000000000L div den").as("wr"))
-      val z = broadcast(rawW.agg(sum(col("wr")).as("z")))
-      w = rawW.crossJoin(z).crossJoin(nP)
-        .select(col("i"), expr("wr * (p * 1000000L) div z").as("w"))
+      val wr = players.map { i =>
+        val den = opp(i).map { case (j, n, _) =>
+          n * 1000000000L / (w(i) + w(j)) }.sum
+        i -> bigW(i) * 1000000000L / den
+      }.toMap
+      val z = wr.values.sum
+      w = players.map(i => i -> wr(i) * (p * 1000000L) / z).toMap
     }
+    import s.implicits._
+    val strengths = players.map(i => (i, w(i))).toSeq.toDF("i", "w")
     val rawTot = cmp.select(col("win_src").as("i"), lit(1L).as("win"))
       .union(cmp.select(col("lose_src").as("i"), lit(0L).as("win")))
       .groupBy("i")
       .agg(sum(col("win")).as("n_wins"), count(lit(1)).as("n_cmp"))
-    w.join(rawTot, Seq("i"), "left")
+    broadcast(strengths).join(rawTot, Seq("i"), "left")
       .select(col("i").as("source"),
         coalesce(col("n_wins"), lit(0L)).as("n_wins"),
         coalesce(col("n_cmp"), lit(0L)).as("n_comparisons"),

@@ -486,7 +486,98 @@ object Multimodal {
           min(when(!col("silent"), col("win_idx"))) + 1, lit(0))
           .cast("long").as("n_kept"))
 
+  /** Stub media-embedding row: 16 dims from the 16 payload bytes. */
+  case class MediaEmb(doc_id: Long, iemb: Array[Double])
+
+  /** Partition-iterator embedding stub — where a real CLIP image tower
+    * would run (batched per partition, GPU-friendly batch shape); the
+    * fake maps payload byte k to dimension k as (b_k & 0xff)/256.0, so
+    * the oracle can recompute every dimension from the md5 hex. */
+  def embedStub(payloads: DataFrame)(implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    payloads.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, b) => MediaEmb(id, b.map(x => (x & 0xff) / 256.0)) }
+      }.toDF()
+  }
+
+  /** CLIP-SCORE PAIR FILTERING (the LAION recipe — Schuhmann et al.
+    * 2021, arXiv:2111.02114: score every image-text pair with the CLIP
+    * cosine and keep pairs above a cut): text tower = the first 16
+    * dims of the document's embedding-table vector (vec_id aligns with
+    * doc_id in the fixture); image tower = `embedStub` over the binary
+    * payload (real plumbing, stubbed weights — the multimodal house
+    * convention). Scores floor-quantized to micro; retention is
+    * RANK-based — each language keeps its top half under the total
+    * order (smic DESC, doc_id) — the top-p% form of the filter (LAION's
+    * fixed 0.28 cut assumes real CLIP score calibration, which a stub
+    * tower cannot supply; rank retention exercises the identical
+    * machinery and keeps both branches firing at every SF).
+    *
+    * Gated per-lang funnel: pairs, mean score micro, kept pairs, kept
+    * tokens. Scale: both towers are scan-stage (the image side a
+    * partition-iterator batch); the join is doc-keyed; the rank window
+    * runs over the NARROW scored relation (3 ints + lang per doc); the
+    * funnel is one combinable rollup. */
+  val multimodalClipFilter = QueryDef(
+    "multimodal_clip_filter",
+    """WITH t AS (
+      |  SELECT vec_id AS doc_id,
+      |    list_transform(embedding[1:16], x -> CAST(x AS DOUBLE)) AS temb
+      |  FROM embeddings
+      |), im AS (
+      |  SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tokens,
+      |    list_transform(generate_series(1, 16), k ->
+      |      CAST(CAST('0x' || substr(md5(text), CAST(2*k-1 AS INT), 2) AS INTEGER)
+      |        AS DOUBLE) / 256.0) AS iemb
+      |  FROM documents
+      |), sc AS (
+      |  SELECT im.doc_id, im.lang, im.n_tokens,
+      |    CAST(floor(list_dot_product(t.temb, im.iemb) /
+      |      (sqrt(list_dot_product(t.temb, t.temb)) *
+      |       sqrt(list_dot_product(im.iemb, im.iemb))) * 1000000) AS BIGINT) AS smic
+      |  FROM im JOIN t ON im.doc_id = t.doc_id
+      |), rk AS (
+      |  SELECT lang, n_tokens, smic,
+      |    row_number() OVER (PARTITION BY lang ORDER BY smic DESC, doc_id) AS rn,
+      |    count(*) OVER (PARTITION BY lang) AS cnt
+      |  FROM sc
+      |)
+      |SELECT lang, CAST(count(*) AS BIGINT) AS n_pairs,
+      |  CAST(sum(smic) // count(*) AS BIGINT) AS avg_clip_micro,
+      |  CAST(sum(CASE WHEN rn * 2 <= cnt THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |  CAST(sum(CASE WHEN rn * 2 <= cnt THEN n_tokens ELSE 0 END) AS BIGINT)
+      |    AS n_kept_tokens
+      |FROM rk GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
+    implicit val sp: SparkSession = s
+    val docs = Tables.documents(s, d)
+    val base = docs.select(col("doc_id"), col("lang"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    val ie = embedStub(withPayload(docs))
+    val te = Tables.embeddings(s, d).select(col("vec_id").as("doc_id"),
+      expr("slice(transform(embedding, x -> CAST(x AS DOUBLE)), 1, 16)")
+        .as("temb"))
+    val sc = base.join(te, "doc_id").join(ie, "doc_id")
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        floor(Similarity.dot(col("temb"), col("iemb")) /
+          (Similarity.l2norm(col("temb")) * Similarity.l2norm(col("iemb"))) *
+          lit(1000000.0)).cast("long").as("smic"))
+    import org.apache.spark.sql.expressions.Window
+    val rk = sc
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("lang").orderBy(col("smic").desc, col("doc_id"))))
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy("lang")))
+    rk.groupBy("lang")
+      .agg(count(lit(1)).as("n_pairs"),
+        expr("sum(smic) div count(1)").as("avg_clip_micro"),
+        sum(when(col("rn") * 2 <= col("cnt"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("rn") * 2 <= col("cnt"), col("n_tokens")).otherwise(0L))
+          .as("n_kept_tokens"))
+      .orderBy("lang")
+  }
+
   val all: Seq[QueryDef] = Seq(multimodalDecode, multimodalFramesample,
     multimodalResize, multimodalFeatures, multimodalDedup,
-    multimodalAudioEnergy, multimodalScenecut, multimodalSilenceTrim)
+    multimodalAudioEnergy, multimodalScenecut, multimodalSilenceTrim,
+    multimodalClipFilter)
 }
