@@ -58,25 +58,66 @@ object Text {
   def nearDupPairs(docs: DataFrame, threshold: Double = 0.5): DataFrame =
     nearDupPairsFromShingles(Functions.shingles(docs), threshold)
 
-  /** The exact-Jaccard pair kernel over an ALREADY-COMPUTED (doc_id,
-    * shingle) relation — split out so a caller that runs BOTH dedup
-    * kernels (the recall gate) can derive the shingle relation once
-    * and feed each. */
-  def nearDupPairsFromShingles(sh: DataFrame, threshold: Double = 0.5): DataFrame = {
+  /** Co-shingle candidate statistics (i, j, inter, ni, nj) over a
+    * (doc_id, shingle) relation — the SHARED INVARIANT of the whole
+    * fuzzy-dedup family: Jaccard, containment, keeper selection, and
+    * edit-distance verification are all score formulas / graph passes
+    * over this one relation. A production pipeline computes it once and
+    * feeds every consumer; the gated keys do the same through
+    * `landedShingleStats` (the graph family's landed discipline). */
+  def shingleStatsFromShingles(sh: DataFrame): DataFrame = {
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val inter = sh.as("x")
+    sh.as("x")
       .join(sh.as("y"),
         col("x.shingle") === col("y.shingle") && col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("i"), col("y.doc_id").as("j"))
       .agg(count(lit(1)).as("inter"))
-    inter
       .join(sizes.as("si"), col("i") === col("si.doc_id"))
       .join(sizes.as("sj"), col("j") === col("sj.doc_id"))
-      .select(col("i"), col("j"),
-        (col("inter") / (col("si.n") + col("sj.n") - col("inter"))).as("jac_raw"))
+      .select(col("i"), col("j"), col("inter"),
+        col("si.n").as("ni"), col("sj.n").as("nj"))
+  }
+
+  /** Exact-duplicate keeper representatives (min doc_id per content
+    * hash) — the kd relation both `_dedup` linear siblings collapse to
+    * before the pair kernel. */
+  def keeperDocs(docs: DataFrame): DataFrame = {
+    val keepers = docs
+      .groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id")
+    docs.join(keepers, Seq("doc_id")).select("doc_id", "text")
+  }
+
+  /** The landed co-shingle statistics of the corpus documents table
+    * (and, under the `_kd` tag, of its exact-dedup keeper subset):
+    * built once per (session, dataset), read by dedup_near,
+    * dedup_containment, dedup_keeper, text_editdist and the two kd
+    * siblings. Values are unchanged — every consumer applies its score
+    * formula to the same integers. */
+  private def landedShingleStats(s: SparkSession, d: String): DataFrame =
+    Landed.once(s, d, "shstats") {
+      shingleStatsFromShingles(Functions.shingles(Tables.documents(s, d)))
+    }
+
+  private def landedShingleStatsKd(s: SparkSession, d: String): DataFrame =
+    Landed.once(s, d, "shstats_kd") {
+      shingleStatsFromShingles(Functions.shingles(keeperDocs(Tables.documents(s, d))))
+    }
+
+  /** Jaccard selector over the stats relation. */
+  def nearDupPairsFromStats(st: DataFrame, threshold: Double = 0.5): DataFrame =
+    st.select(col("i"), col("j"),
+        (col("inter") / (col("ni") + col("nj") - col("inter"))).as("jac_raw"))
       .filter(col("jac_raw") >= threshold)
       .select(col("i"), col("j"), round(col("jac_raw"), 4).as("jac"))
-  }
+
+  /** The exact-Jaccard pair kernel over an ALREADY-COMPUTED (doc_id,
+    * shingle) relation — split out so a caller that runs BOTH dedup
+    * kernels (the recall gate) can derive the shingle relation once
+    * and feed each. */
+  def nearDupPairsFromShingles(sh: DataFrame, threshold: Double = 0.5): DataFrame =
+    nearDupPairsFromStats(shingleStatsFromShingles(sh), threshold)
 
   val dedupNear = QueryDef(
     "dedup_near",
@@ -95,7 +136,7 @@ object Text {
        |  JOIN sizes sj ON inter.j = sj.doc_id
        |) WHERE jac_raw >= 0.5
        |ORDER BY i, j""".stripMargin) { (s, d) =>
-    nearDupPairs(Tables.documents(s, d)).orderBy("i", "j")
+    nearDupPairsFromStats(landedShingleStats(s, d)).orderBy("i", "j")
   }
 
   /** Asymmetric CONTAINMENT dedup — the subset-duplication measure
@@ -107,26 +148,20 @@ object Text {
     * cleanse pipeline drops. Same shingle equi-join candidate generation
     * as `nearDupPairs` (never cartesian; quadratic only in the output on
     * dup-heavy corpora, by contract). */
-  def containmentPairs(docs: DataFrame, threshold: Double): DataFrame = {
-    val sh = Functions.shingles(docs)
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val inter = sh.as("x")
-      .join(sh.as("y"),
-        col("x.shingle") === col("y.shingle") && col("x.doc_id") < col("y.doc_id"))
-      .groupBy(col("x.doc_id").as("i"), col("y.doc_id").as("j"))
-      .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.as("si"), col("i") === col("si.doc_id"))
-      .join(sizes.as("sj"), col("j") === col("sj.doc_id"))
-      .select(col("i"), col("j"),
-        (col("inter") / col("si.n")).as("cont_i"),
-        (col("inter") / col("sj.n")).as("cont_j"))
+  def containmentPairs(docs: DataFrame, threshold: Double): DataFrame =
+    containmentPairsFromStats(
+      shingleStatsFromShingles(Functions.shingles(docs)), threshold)
+
+  /** Containment selector over the stats relation. */
+  def containmentPairsFromStats(st: DataFrame, threshold: Double): DataFrame =
+    st.select(col("i"), col("j"),
+        (col("inter") / col("ni")).as("cont_i"),
+        (col("inter") / col("nj")).as("cont_j"))
       .filter(greatest(col("cont_i"), col("cont_j")) >= threshold)
       .select(col("i"), col("j"),
         round(greatest(col("cont_i"), col("cont_j")), 4).as("cont"),
         when(col("cont_i") >= col("cont_j"), col("i")).otherwise(col("j"))
           .as("contained"))
-  }
 
   val dedupContainment = QueryDef(
     "dedup_containment",
@@ -147,7 +182,8 @@ object Text {
        |       CASE WHEN cont_i >= cont_j THEN i ELSE j END AS contained
        |FROM c WHERE greatest(cont_i, cont_j) >= 0.8
        |ORDER BY i, j""".stripMargin) { (s, d) =>
-    containmentPairs(Tables.documents(s, d), threshold = 0.8).orderBy("i", "j")
+    containmentPairsFromStats(landedShingleStats(s, d), threshold = 0.8)
+      .orderBy("i", "j")
   }
 
   /** The LINEAR-scale sibling of `dedup_containment` (the same
@@ -185,13 +221,8 @@ object Text {
        |       CASE WHEN cont_i >= cont_j THEN i ELSE j END AS contained
        |FROM c WHERE greatest(cont_i, cont_j) >= 0.8
        |ORDER BY i, j""".stripMargin) { (s, d) =>
-    val docs = Tables.documents(s, d)
-    val keepers = docs
-      .groupBy(md5(col("text")).as("h"))
-      .agg(min(col("doc_id")).as("doc_id"))
-      .select("doc_id")
-    val kd = docs.join(keepers, Seq("doc_id")).select("doc_id", "text")
-    containmentPairs(kd, threshold = 0.8).orderBy("i", "j")
+    containmentPairsFromStats(landedShingleStatsKd(s, d), threshold = 0.8)
+      .orderBy("i", "j")
   }
 
   /** INCREMENTAL dedup — the shape a production corpus actually runs:
@@ -301,8 +332,14 @@ object Text {
     * larger maxRounds, not wrong keepers).
     */
   def nearDupKeepers(docs: DataFrame, threshold: Double = 0.5,
+      maxRounds: Int = 10): DataFrame =
+    nearDupKeepersFromPairs(nearDupPairs(docs, threshold).select("i", "j"),
+      maxRounds)
+
+  /** The component fixpoint over an already-computed (i, j) pair
+    * relation — the gated key feeds the landed stats through this. */
+  def nearDupKeepersFromPairs(pairs: DataFrame,
       maxRounds: Int = 10): DataFrame = {
-    val pairs = nearDupPairs(docs, threshold).select("i", "j")
     val edges = pairs
       .union(pairs.select(col("j").as("i"), col("i").as("j")))
       .toDF("src", "dst")
@@ -379,7 +416,9 @@ object Text {
        |ORDER BY deg.doc_id""".stripMargin) { (s, d) =>
     // Oracle: transitive closure (recursive CTE) → true component minimum,
     // matching the iterated min-propagation fixpoint.
-    nearDupKeepers(Tables.documents(s, d)).orderBy("doc_id")
+    nearDupKeepersFromPairs(
+      nearDupPairsFromStats(landedShingleStats(s, d)).select("i", "j"))
+      .orderBy("doc_id")
   }
 
   /** Edit-distance refilter of the near-dup candidates — the
@@ -423,7 +462,7 @@ object Text {
     // compares the texts themselves (O(len), short-circuits on the first
     // differing byte) rather than md5 — same win, no collision assumption
     // equating hash with identity (round-8 advice).
-    nearDupPairs(docs).select("i", "j")
+    nearDupPairsFromStats(landedShingleStats(s, d)).select("i", "j")
       .join(texts.as("a"), col("i") === col("a.doc_id"))
       .join(texts.as("b"), col("j") === col("b.doc_id"))
       .select(col("i"), col("j"),
@@ -467,13 +506,8 @@ object Text {
        |JOIN kd a ON c.i = a.doc_id
        |JOIN kd b ON c.j = b.doc_id
        |ORDER BY c.i, c.j""".stripMargin) { (s, d) =>
-    val docs = Tables.documents(s, d)
-    val keepers = docs
-      .groupBy(md5(col("text")).as("h"))
-      .agg(min(col("doc_id")).as("doc_id"))
-      .select("doc_id")
-    val kd = docs.join(keepers, Seq("doc_id")).select("doc_id", "text")
-    nearDupPairs(kd).select("i", "j")
+    val kd = keeperDocs(Tables.documents(s, d))
+    nearDupPairsFromStats(landedShingleStatsKd(s, d)).select("i", "j")
       .join(kd.as("a"), col("i") === col("a.doc_id"))
       .join(kd.as("b"), col("j") === col("b.doc_id"))
       .select(col("i"), col("j"),
