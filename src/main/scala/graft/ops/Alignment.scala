@@ -14,6 +14,23 @@ object Alignment {
   private val B = 1099511627776L // 2^40 — the labelprop packing base
   private val MarginMicro = 10000L // 1% minimum preference margin
 
+  /** THE DPO candidate relation (doc_id, lang, source, prompt, n_resp,
+    * score) — prompt = first 12 tokens, response = rest, score =
+    * distinct-token ratio in micro units, length gate n_resp ≥ 20.
+    * ONE definition shared by `pipeline_dpo` (pair assembly) and
+    * `align_bt_rank` (duel construction): both scaladocs cite "the DPO
+    * candidate relation", so the projection must not fork. */
+  def dpoCandidates(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("lang"), col("source"),
+        split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), col("lang"), col("source"),
+        array_join(slice(col("toks"), 1, 12), " ").as("prompt"),
+        (size(col("toks")) - 12).cast("long").as("n_resp"),
+        (size(array_distinct(expr("slice(toks, 13, size(toks))")))
+          .cast("long") * 1000000L).as("ndm"))
+      .filter(col("n_resp") >= 20)
+      .withColumn("score", expr("ndm div n_resp")).drop("ndm")
+
   /** DPO PREFERENCE-PAIR CONSTRUCTION (Rafailov et al. 2023,
     * arXiv:2305.18290 consumes these; the construction recipe is the
     * standard "best-vs-worst response per prompt" harvesting): treat
@@ -100,14 +117,7 @@ object Alignment {
        |ORDER BY d.lang""".stripMargin) { (s, d) =>
     val base = Tables.documents(s, d)
       .select(col("doc_id"), col("lang"), split(col("text"), " ").as("toks"))
-    val cand = base
-      .select(col("doc_id"), col("lang"),
-        array_join(slice(col("toks"), 1, 12), " ").as("prompt"),
-        (size(col("toks")) - 12).cast("long").as("n_resp"),
-        (size(array_distinct(expr("slice(toks, 13, size(toks))")))
-          .cast("long") * 1000000L).as("ndm"))
-      .filter(col("n_resp") >= 20)
-      .withColumn("score", expr("ndm div n_resp")).drop("ndm")
+    val cand = dpoCandidates(Tables.documents(s, d)).drop("source")
     val grp = cand.groupBy("lang", "prompt")
       .agg(count(lit(1)).as("n_cand"),
         max(col("score") * B + (lit(B - 1) - col("doc_id"))).as("ckey"),
@@ -432,16 +442,7 @@ object Alignment {
          |FROM w$BtRounds w LEFT JOIN rawtot ON w.i = rawtot.i
          |ORDER BY rank""".stripMargin
     }) { (s, d) =>
-    val cand = Tables.documents(s, d)
-      .select(col("doc_id"), col("lang"), col("source"),
-        split(col("text"), " ").as("toks"))
-      .select(col("doc_id"), col("lang"), col("source"),
-        array_join(slice(col("toks"), 1, 12), " ").as("prompt"),
-        (size(col("toks")) - 12).cast("long").as("n_resp"),
-        (size(array_distinct(expr("slice(toks, 13, size(toks))")))
-          .cast("long") * 1000000L).as("ndm"))
-      .filter(col("n_resp") >= 20)
-      .withColumn("score", expr("ndm div n_resp"))
+    val cand = dpoCandidates(Tables.documents(s, d))
       .select("doc_id", "lang", "source", "prompt", "score")
     val cmp = cand.as("x").join(cand.as("y"),
         col("x.lang") === col("y.lang") && col("x.prompt") === col("y.prompt") &&

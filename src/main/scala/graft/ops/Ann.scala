@@ -1601,8 +1601,9 @@ object Ann {
     * the exact brute-force top-10, AND the global edge recall of the
     * IVF graph against the all-pairs-built graph (both landed, both
     * amortized). The oracle replays the full path: quantized-Lloyd
-    * model (kmeansOraclePrefix — bit-identical rounds), rn ≤ 2
-    * multi-assignment, distinct co-bucketed pairs scored once, top-16
+    * model (kmeansOraclePrefix — bit-identical rounds), rn ≤ 3
+    * multi-assignment (nprobe = 3 on both sides), distinct co-bucketed
+    * pairs scored once, top-16
     * per direction, then the shared beam tail (beamOracleTail) and the
     * all-pairs twin for the edge numbers. A candidate-generation
     * regression now fails the hash with readable recall columns instead
@@ -1676,9 +1677,11 @@ object Ann {
     *
     * Determinism: cosines quantized to FLOOR micro (floor is identical
     * cross-engine where round-half differs on negatives), only positive
-    * cosines kept as candidates (plausible-translation screen — and it
-    * keeps every later integer division on positive operands, where
-    * Spark's truncating `div` and DuckDB's floor `//` agree), k-NN
+    * cosines kept as candidates — the plausible-translation screen, and
+    * it keeps every later integer division on uniformly positive
+    * operands as a belt-and-braces simplification (NOT an engine-
+    * divergence fix: Spark's `div` and DuckDB's `//` BOTH truncate
+    * toward zero, verified -7//2 = -3 in DuckDB), k-NN
     * averages as integer sum-div-count over the top-k under the total
     * order (cmic DESC, partner id), margin_micro = 2·cmic·10⁶ div
     * (avg_a + avg_b), and the forward/backward best-pair selection is

@@ -11,9 +11,10 @@ import graft.Tables
   * Third member of the tokenizer family beside `text_bpe_encode`
   * (merge-rule replay) and `text_unigram_encode` (min-piece Viterbi) —
   * same inventory-segmentation shape, genuinely different semantics:
-  * greedy maximal-munch can emit MORE pieces than the unigram optimum
-  * (pinned in EdgeSpec with an inventory where the longest first piece
-  * forces a worse tail), and production stacks ship all three.
+  * greedy maximal-munch can emit MORE pieces than the min-piece optimum
+  * (EdgeSpec pins an inventory where the longest first piece forces a
+  * worse tail: "abcde" over {ab, abc, cde} + chars goes abc|d|e = 3
+  * greedy vs ab|cde = 2 optimal), and production stacks ship all three.
   *
   * Inventory: all single characters plus the top-60 multi-char
   * substrings (len 2..4) by corpus-weighted span count under the total
@@ -40,22 +41,38 @@ object Wordpiece {
   private val MaxPiece = 4 // piece length bound
   private val SeedMulti = 60 // multi-char pieces kept
 
-  /** Greedy segmentation report over an EXPLICIT piece inventory —
-    * the unit-testable core (EdgeSpec feeds an adversarial inventory;
-    * the gated key derives the corpus one). Emits one row per lang:
-    * words / chars / pieces / multi-char pieces used / tokens-per-100-
-    * chars micro. */
-  def encodeGreedy(docs: DataFrame, inventory: Seq[String]): DataFrame = {
-    val s = docs.sparkSession
-    import s.implicits._
-    val inv = broadcast(inventory.distinct.toDF("piece"))
-    val v = docs.select(explode(split(col("text"), " ")).as("w"))
+  /** The shared (w, wc, len) vocab relation — derived ONCE per gated
+    * run and fed to both the inventory seed and the greedy chain (they
+    * previously each re-scanned the corpus for it). */
+  private def vocabOf(docs: DataFrame): DataFrame =
+    docs.select(explode(split(col("text"), " ")).as("w"))
       .filter(col("w").rlike(s"^[a-z]{2,$MaxLen}$$"))
       .groupBy("w").agg(count(lit(1)).as("wc"))
       .withColumn("len", length(col("w")).cast("int"))
-    val grid = broadcast((for {
+
+  /** The fixed (j, i) span grid (42 rows). */
+  private def gridOf(s: SparkSession): DataFrame = {
+    import s.implicits._
+    broadcast((for {
       i <- 1 to MaxLen; j <- math.max(0, i - MaxPiece) until i
     } yield (j, i)).toDF("j", "i"))
+  }
+
+  /** Greedy segmentation report over an EXPLICIT piece inventory —
+    * the unit-testable core (EdgeSpec feeds an adversarial inventory
+    * where maximal munch emits MORE pieces than the min-piece optimum;
+    * the gated key derives the corpus one). Emits one row per lang:
+    * words / chars / pieces / multi-char pieces used / tokens-per-100-
+    * chars micro. */
+  def encodeGreedy(docs: DataFrame, inventory: Seq[String]): DataFrame =
+    encodeGreedyWith(docs, vocabOf(docs), inventory)
+
+  private def encodeGreedyWith(docs: DataFrame, v: DataFrame,
+      inventory: Seq[String]): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val inv = broadcast(inventory.distinct.toDF("piece"))
+    val grid = gridOf(s)
     val pres = v.crossJoin(grid).filter(col("i") <= col("len"))
       .select(col("w"), col("len"), col("j"), col("i"),
         expr("substring(w, j + 1, i - j)").as("piece"))
@@ -99,16 +116,13 @@ object Wordpiece {
     * vocab words plus the top-`SeedMulti` multi-char spans by
     * (Σ wc DESC, piece ASC). Bounded driver state (≤ 26 + 60 rows —
     * the trained-index collect discipline). */
-  def corpusInventory(docs: DataFrame): Seq[String] = {
-    val s = docs.sparkSession
+  def corpusInventory(docs: DataFrame): Seq[String] =
+    corpusInventoryFromVocab(vocabOf(docs))
+
+  private def corpusInventoryFromVocab(v: DataFrame): Seq[String] = {
+    val s = v.sparkSession
     import s.implicits._
-    val v = docs.select(explode(split(col("text"), " ")).as("w"))
-      .filter(col("w").rlike(s"^[a-z]{2,$MaxLen}$$"))
-      .groupBy("w").agg(count(lit(1)).as("wc"))
-      .withColumn("len", length(col("w")).cast("int"))
-    val grid = broadcast((for {
-      i <- 1 to MaxLen; j <- math.max(0, i - MaxPiece) until i
-    } yield (j, i)).toDF("j", "i"))
+    val grid = gridOf(s)
     val sp = v.crossJoin(grid).filter(col("i") <= col("len"))
       .select(expr("substring(w, j + 1, i - j)").as("piece"),
         col("wc"), (col("i") - col("j")).as("plen"))
@@ -186,7 +200,9 @@ object Wordpiece {
   val textWordpieceEncode = QueryDef("text_wordpiece_encode", oracleSql) {
     (s, d) =>
       val docs = Tables.documents(s, d)
-      encodeGreedy(docs, corpusInventory(docs)).orderBy("lang")
+      // one vocab derivation feeds the inventory collects AND the chain
+      val v = vocabOf(docs).localCheckpoint()
+      encodeGreedyWith(docs, v, corpusInventoryFromVocab(v)).orderBy("lang")
   }
 
   val all: Seq[QueryDef] = Seq(textWordpieceEncode)

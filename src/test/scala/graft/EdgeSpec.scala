@@ -1210,6 +1210,27 @@ class EdgeSpec extends AnyFunSuite {
     assert(totFin < totUniq, "decontamination stage never fired")
   }
 
+  test("encodeGreedy: maximal munch emits MORE pieces than the min-piece optimum on the planted inventory") {
+    // Inventory: chars a-e,x,y plus {ab, abc, cde}. For "abcde" greedy
+    // takes the LONGEST first piece abc (over ab), stranding the tail
+    // as d|e → 3 pieces; the min-piece segmentation ab|cde needs 2.
+    // "xy" has only single chars → 2 pieces, 0 multi. This is the
+    // semantic difference from text_unigram_encode's Viterbi, pinned.
+    val docs = Seq(("en", "abcde abcde xy")).toDF("lang", "text")
+    val inv = Seq("a", "b", "c", "d", "e", "x", "y", "ab", "abc", "cde")
+    val r = graft.ops.Wordpiece.encodeGreedy(docs, inv).collect()
+    assert(r.length == 1)
+    val row = r(0)
+    assert(row.getAs[Long]("n_words") == 3L)
+    assert(row.getAs[Long]("n_chars") == 12L)
+    // greedy: abc|d|e = 3 per "abcde" (optimal would be 2), x|y = 2
+    assert(row.getAs[Long]("n_tokens") == 8L,
+      s"greedy chain broke: $row")
+    // exactly one multi-char piece (abc) per "abcde", none in "xy"
+    assert(row.getAs[Long]("n_multi_pieces") == 2L)
+    assert(row.getAs[Long]("tpc_micro") == 8L * 100000000L / 12L)
+  }
+
   test("btRank: integer MM rounds replay bit-for-bit; head-to-head dominance outranks schedule padding") {
     // A beats B 8-2; B beats C 6-4; A and C never meet (smoothing fills
     // the pair). Raw wins tie A and B at 8, and B has twice the

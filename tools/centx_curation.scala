@@ -18,7 +18,7 @@ val dirs = Seq("sf01" -> mirror, "tenx" -> "/tmp/graft10x", "centx" -> "/tmp/gra
 val qs = SparkEntry.queries
 for (k <- keys) { try qs(k)(spark, "/root/testdata/sf0.001").count() catch { case e: Throwable => println("warmup fail " + k + ": " + e.getMessage) } }
 val best = scala.collection.mutable.HashMap[(String, String), Double]()
-for (rep <- 1 to 3; (tag, dir) <- dirs; k <- keys) { val t0 = System.nanoTime(); try qs(k)(spark, dir).count() catch { case e: Throwable => println("FAIL " + k + " " + tag + ": " + e.getMessage) }; val dt = (System.nanoTime() - t0) / 1e9; val kk = (k, tag); if (dt < best.getOrElse(kk, Double.MaxValue)) best(kk) = dt }
+for (rep <- 1 to 3; (tag, dir) <- dirs; k <- keys) { val t0 = System.nanoTime(); val ok = try { qs(k)(spark, dir).count(); true } catch { case e: Throwable => println("FAIL " + k + " " + tag + ": " + e.getMessage); false }; val dt = (System.nanoTime() - t0) / 1e9; val kk = (k, tag); if (ok && dt < best.getOrElse(kk, Double.MaxValue)) best(kk) = dt }
 def g(k: String, t: String): String = best.get((k, t)).map(v => f"$v%7.2f").getOrElse("      -")
 for (k <- keys) { println(f"RESULT $k%-24s sf01=${g(k, "sf01")} tenx=${g(k, "tenx")} centx=${g(k, "centx")} r10=${best.getOrElse((k, "tenx"), 0.0) / best((k, "sf01"))}%5.2f r100=${best.getOrElse((k, "centx"), 0.0) / best((k, "sf01"))}%6.2f r2=${best.getOrElse((k, "centx"), 0.0) / best.getOrElse((k, "tenx"), 1.0)}%5.2f") }
 System.exit(0)

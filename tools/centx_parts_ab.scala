@@ -16,10 +16,10 @@ val best = scala.collection.mutable.HashMap[(String, Int), Double]()
 for (rep <- 1 to 2; p <- Seq(32, 256); k <- keys) {
   spark.conf.set("spark.sql.shuffle.partitions", p.toString)
   val t0 = System.nanoTime()
-  try qs(k)(spark, "/tmp/graft100x").count() catch { case e: Throwable => println("FAIL " + k + " p=" + p + ": " + e.getMessage) }
+  val ok = try { qs(k)(spark, "/tmp/graft100x").count(); true } catch { case e: Throwable => println("FAIL " + k + " p=" + p + ": " + e.getMessage); false }
   val dt = (System.nanoTime() - t0) / 1e9
   val kk = (k, p)
-  if (dt < best.getOrElse(kk, Double.MaxValue)) best(kk) = dt
+  if (ok && dt < best.getOrElse(kk, Double.MaxValue)) best(kk) = dt
 }
 for (k <- keys) { val a = best((k, 32)); val b = best((k, 256)); println(f"PARTSAB $k%-20s p32=$a%7.2f p256=$b%7.2f speedup=${a / b}%5.2f") }
 System.exit(0)

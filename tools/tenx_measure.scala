@@ -15,6 +15,6 @@ val qs = SparkEntry.queries
 // codegen warmup at sf0.001
 for (k <- keys) { try qs(k)(spark, "/root/testdata/sf0.001").count() catch { case e: Throwable => println("warmup fail " + k + ": " + e.getMessage) } }
 val best = scala.collection.mutable.HashMap[(String, String), Double]()
-for (rep <- 1 to 3; (tag, dir) <- dirs; k <- keys) { val t0 = System.nanoTime(); try qs(k)(spark, dir).count() catch { case e: Throwable => println("FAIL " + k + " " + tag + ": " + e.getMessage) }; val dt = (System.nanoTime() - t0) / 1e9; val kk = (k, tag); if (dt < best.getOrElse(kk, Double.MaxValue)) best(kk) = dt }
+for (rep <- 1 to 3; (tag, dir) <- dirs; k <- keys) { val t0 = System.nanoTime(); val ok = try { qs(k)(spark, dir).count(); true } catch { case e: Throwable => println("FAIL " + k + " " + tag + ": " + e.getMessage); false }; val dt = (System.nanoTime() - t0) / 1e9; val kk = (k, tag); if (ok && dt < best.getOrElse(kk, Double.MaxValue)) best(kk) = dt }
 for (k <- keys) { println(f"RESULT $k%-24s sf01=${best((k, "sf01"))}%6.2f tenx=${best((k, "tenx"))}%6.2f ratio=${best((k, "tenx")) / best((k, "sf01"))}%5.2f") }
 System.exit(0)
