@@ -1781,8 +1781,108 @@ object Ann {
     bitextMineFrom(m)
   }
 
+  private val KcSelect = 8
+  private val KcB = 1099511627776L // 2^40 packing base
+
+  /** K-CENTER GREEDY CORESET SELECTION (farthest-point sampling; the
+    * active-learning coreset of Sener & Savarese 2018,
+    * arXiv:1708.00489): pick the seed, then repeatedly select the point
+    * FARTHEST from everything selected so far — the k points that
+    * minimize (2-approximately) the maximum distance from any corpus
+    * point to its nearest selected representative. The data-selection
+    * op a finetuning pipeline runs to pick a maximally-diverse subset.
+    *
+    * Distance = cosine distance in FLOOR micro (10⁶ − floor(cos·10⁶) —
+    * integer, cross-engine); the argmax each round is ONE combinable
+    * packed max (mind·2⁴⁰ + (2⁴⁰−1−vec_id): "max distance, then min
+    * id" — the labelprop packing, no window); the selected vector
+    * re-enters as a 1-row broadcast and the running min-distance
+    * updates with `least` in one scan-stage projection. Monotone
+    * coverage: radius (the max-min distance at selection time) is
+    * non-increasing by construction — EdgeSpec pins that AND that the
+    * selection covers every planted cluster before revisiting one.
+    * Already-selected points sit at mind = 0 and are never re-picked
+    * while any point has mind > 0 (k ≪ distinct vectors by contract).
+    *
+    * Output: (step, vec_id, radius_micro) for the seed + 7 selections.
+    *
+    * Scale shape: k rounds × (one corpus-linear packed-max aggregate +
+    * one broadcast-1-row distance update); localCheckpoint per round
+    * keeps lineage flat (the dedup_keeper discipline). Nothing
+    * pairwise, nothing collected but the k-row output. */
+  def kcenterSelect(v: DataFrame, k: Int = KcSelect): DataFrame = {
+    val s = v.sparkSession
+    import s.implicits._
+    val seed = v.filter(col("vec_id") === 0L)
+      .select(col("ve").as("nve"), col("nrm").as("nnrm"))
+    def withDistTo(cur: DataFrame, sel: DataFrame): DataFrame =
+      cur.crossJoin(broadcast(sel))
+        .withColumn("d", lit(1000000L) -
+          floor(Similarity.dot(col("ve"), col("nve")) /
+            (col("nrm") * col("nnrm")) * lit(1000000.0)).cast("long"))
+    var cur = withDistTo(v, seed)
+      .select(col("vec_id"), col("ve"), col("nrm"), col("d").as("mind"))
+      .localCheckpoint()
+    var out = Seq((0, 0L, 1000000L)).toDF("step", "vec_id", "radius_micro")
+    for (r <- 1 until k) {
+      val mx = cur.agg(max(col("mind") * KcB +
+        (lit(KcB - 1) - col("vec_id"))).as("mx"))
+      val sel = broadcast(mx.select(
+        (lit(KcB - 1) - (col("mx") % KcB)).as("nid"),
+        expr(s"mx div $KcB").as("radius")))
+      out = out.union(sel.select(lit(r).as("step"), col("nid").as("vec_id"),
+        col("radius").as("radius_micro")))
+      val nv = broadcast(v.join(sel, col("vec_id") === col("nid"))
+        .select(col("ve").as("nve"), col("nrm").as("nnrm")))
+      cur = withDistTo(cur, nv)
+        .select(col("vec_id"), col("ve"), col("nrm"),
+          least(col("mind"), col("d")).as("mind"))
+        .localCheckpoint()
+    }
+    out.orderBy("step")
+  }
+
+  private def kcRoundCte(r: Int): String =
+    s"""s$r AS (
+       |  SELECT ($KcB - 1) - (mx % $KcB) AS nid, mx // $KcB AS radius
+       |  FROM (SELECT max(mind * $KcB + ($KcB - 1 - vec_id)) AS mx FROM m${r - 1})
+       |), m$r AS (
+       |  SELECT m.vec_id, m.ve, m.nrm,
+       |    least(m.mind, 1000000 - CAST(floor(
+       |      list_dot_product(m.ve, nv.ve) / (m.nrm * nv.nrm) * 1000000)
+       |      AS BIGINT)) AS mind
+       |  FROM m${r - 1} m,
+       |       (SELECT v.ve, v.nrm FROM v JOIN s$r ON v.vec_id = s$r.nid) nv
+       |)""".stripMargin
+
+  val sampleKcenter = QueryDef(
+    "sample_kcenter",
+    s"""WITH v0 AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+       |  FROM embeddings
+       |), v AS (
+       |  SELECT vec_id, ve, sqrt(list_dot_product(ve, ve)) AS nrm FROM v0
+       |), sd AS (
+       |  SELECT ve AS sve, nrm AS snrm FROM v WHERE vec_id = 0
+       |), m0 AS (
+       |  SELECT v.vec_id, v.ve, v.nrm,
+       |    1000000 - CAST(floor(
+       |      list_dot_product(v.ve, sd.sve) / (v.nrm * sd.snrm) * 1000000)
+       |      AS BIGINT) AS mind
+       |  FROM v, sd
+       |),
+       |${(1 until KcSelect).map(kcRoundCte).mkString(",\n")}
+       |SELECT CAST(step AS INT) AS step, CAST(vec_id AS BIGINT) AS vec_id,
+       |  CAST(radius_micro AS BIGINT) AS radius_micro FROM (
+       |  SELECT 0 AS step, 0 AS vec_id, 1000000 AS radius_micro
+       |${(1 until KcSelect).map(r =>
+          s"  UNION ALL SELECT $r, nid, radius FROM s$r").mkString("\n")}
+       |) ORDER BY step""".stripMargin) { (s, d) =>
+    kcenterSelect(prep(Tables.embeddings(s, d)))
+  }
+
   val all: Seq[QueryDef] = Seq(simAnnIvf, dedupEmbedLsh, simAnnKmeans, simQuantize, simAnnRecall,
     simAnnPq, simAnnKmeansRecall, simAnnPqRecall, dedupEmbedLshRecall, simPcaPower,
     simAnnIvfPq, simAnnNprobeCurve, dedupSemantic, simAnnHnsw, simAnnGraphBuild,
-    alignBitextMine)
+    alignBitextMine, sampleKcenter)
 }

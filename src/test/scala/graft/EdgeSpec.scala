@@ -1210,6 +1210,36 @@ class EdgeSpec extends AnyFunSuite {
     assert(totFin < totUniq, "decontamination stage never fired")
   }
 
+  test("kcenterSelect: covers every planted cluster before revisiting one; radii non-increasing") {
+    // Three tight 2-D clusters around (1,0), (0,1), (-1,0.2); seed is
+    // vec 0 in cluster A. Farthest-point must visit clusters B and C
+    // (in SOME order) in steps 1-2 before picking any second point of
+    // an already-covered cluster, and the selection radius must be
+    // non-increasing — the 2-approximation's defining structure.
+    def cl(base: (Double, Double), ids: Seq[Long], eps: Double) =
+      ids.zipWithIndex.map { case (id, k) =>
+        (id, Seq(base._1 + eps * k, base._2 - eps * k)) }
+    val pts = cl((1.0, 0.0), Seq(0L, 3L, 6L), 0.01) ++
+      cl((0.0, 1.0), Seq(1L, 4L, 7L), 0.01) ++
+      cl((-1.0, 0.2), Seq(2L, 5L, 8L), 0.01)
+    val cluster = Map[Long, Int](0L -> 0, 3L -> 0, 6L -> 0,
+      1L -> 1, 4L -> 1, 7L -> 1, 2L -> 2, 5L -> 2, 8L -> 2)
+    val v = pts.toDF("vec_id", "ve")
+      .select(col("vec_id"), col("ve"),
+        graft.ops.Similarity.l2norm(col("ve")).as("nrm"))
+    val got = graft.ops.Ann.kcenterSelect(v, k = 4).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got.map(_._1) == Seq(0, 1, 2, 3))
+    val picked = got.map(_._2)
+    assert(picked(0) == 0L)
+    // steps 1-2 reach the two uncovered clusters
+    assert(Set(cluster(picked(1)), cluster(picked(2))) == Set(1, 2),
+      s"selection failed to cover clusters first: $got")
+    // radii non-increasing after the seed sentinel
+    val radii = got.drop(1).map(_._3)
+    assert(radii == radii.sorted.reverse, s"radius not monotone: $got")
+  }
+
   test("encodeGreedy: maximal munch emits MORE pieces than the min-piece optimum on the planted inventory") {
     // Inventory: chars a-e,x,y plus {ab, abc, cde}. For "abcde" greedy
     // takes the LONGEST first piece abc (over ab), stranding the tail
