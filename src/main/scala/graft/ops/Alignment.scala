@@ -329,13 +329,20 @@ object Alignment {
       .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
     val players = (pairStats.map(_._1) ++ pairStats.map(_._2)).distinct.sorted
     val p = players.length.toLong
-    // (opponent, nij, my smoothed wins) per player
-    val opp: Map[String, Array[(String, Long, Long)]] = players.map { i =>
-      i -> pairStats.collect {
-        case (a, b, n, wa) if a == i => (b, n, wa)
-        case (a, b, n, wa) if b == i => (a, n, n - wa)
-      }
-    }.toMap
+    // (opponent, nij, my smoothed wins) per player — built in ONE
+    // O(P²) pass over the pair array (each pair contributes one entry
+    // to each side), not a per-player rescan.
+    val oppBuf = scala.collection.mutable.LinkedHashMap
+      .empty[String, scala.collection.mutable.ArrayBuffer[(String, Long, Long)]]
+    pairStats.foreach { case (a, b, n, wa) =>
+      oppBuf.getOrElseUpdate(a,
+        scala.collection.mutable.ArrayBuffer.empty) += ((b, n, wa))
+      oppBuf.getOrElseUpdate(b,
+        scala.collection.mutable.ArrayBuffer.empty) += ((a, n, n - wa))
+    }
+    val opp: Map[String, Array[(String, Long, Long)]] =
+      players.map(i => i -> oppBuf.get(i).map(_.toArray)
+        .getOrElse(Array.empty)).toMap
     val bigW = players.map(i => i -> opp(i).map(_._3).sum).toMap
     var w = players.map(_ -> 1000000L).toMap
     for (_ <- 1 to rounds) {

@@ -1821,7 +1821,8 @@ object Ann {
           floor(Similarity.dot(col("ve"), col("nve")) /
             (col("nrm") * col("nnrm")) * lit(1000000.0)).cast("long"))
     var cur = withDistTo(v, seed)
-      .select(col("vec_id"), col("ve"), col("nrm"), col("d").as("mind"))
+      .select(col("vec_id"), col("ve"), col("nrm"),
+        when(col("vec_id") === 0L, lit(0L)).otherwise(col("d")).as("mind"))
       .localCheckpoint()
     var out = Seq((0, 0L, 1000000L)).toDF("step", "vec_id", "radius_micro")
     for (r <- 1 until k) {
@@ -1833,10 +1834,15 @@ object Ann {
       out = out.union(sel.select(lit(r).as("step"), col("nid").as("vec_id"),
         col("radius").as("radius_micro")))
       val nv = broadcast(v.join(sel, col("vec_id") === col("nid"))
-        .select(col("ve").as("nve"), col("nrm").as("nnrm")))
+        .select(col("nid"), col("ve").as("nve"), col("nrm").as("nnrm")))
+      // The just-selected point is clamped to mind = 0 explicitly (not
+      // left to floor(cos(v,v)·10⁶) = 10⁶, which float rounding can
+      // leave at 1 micro) so the never-re-picked invariant holds even
+      // on a fully-covered corpus. Mirrored in the oracle.
       cur = withDistTo(cur, nv)
         .select(col("vec_id"), col("ve"), col("nrm"),
-          least(col("mind"), col("d")).as("mind"))
+          when(col("vec_id") === col("nid"), lit(0L))
+            .otherwise(least(col("mind"), col("d"))).as("mind"))
         .localCheckpoint()
     }
     out.orderBy("step")
@@ -1848,11 +1854,13 @@ object Ann {
        |  FROM (SELECT max(mind * $KcB + ($KcB - 1 - vec_id)) AS mx FROM m${r - 1})
        |), m$r AS (
        |  SELECT m.vec_id, m.ve, m.nrm,
-       |    least(m.mind, 1000000 - CAST(floor(
-       |      list_dot_product(m.ve, nv.ve) / (m.nrm * nv.nrm) * 1000000)
-       |      AS BIGINT)) AS mind
+       |    CASE WHEN m.vec_id = nv.nid THEN 0
+       |         ELSE least(m.mind, 1000000 - CAST(floor(
+       |           list_dot_product(m.ve, nv.ve) / (m.nrm * nv.nrm) * 1000000)
+       |           AS BIGINT)) END AS mind
        |  FROM m${r - 1} m,
-       |       (SELECT v.ve, v.nrm FROM v JOIN s$r ON v.vec_id = s$r.nid) nv
+       |       (SELECT v.vec_id AS nid, v.ve, v.nrm
+       |        FROM v JOIN s$r ON v.vec_id = s$r.nid) nv
        |)""".stripMargin
 
   val sampleKcenter = QueryDef(
@@ -1866,9 +1874,10 @@ object Ann {
        |  SELECT ve AS sve, nrm AS snrm FROM v WHERE vec_id = 0
        |), m0 AS (
        |  SELECT v.vec_id, v.ve, v.nrm,
-       |    1000000 - CAST(floor(
-       |      list_dot_product(v.ve, sd.sve) / (v.nrm * sd.snrm) * 1000000)
-       |      AS BIGINT) AS mind
+       |    CASE WHEN v.vec_id = 0 THEN 0
+       |         ELSE 1000000 - CAST(floor(
+       |           list_dot_product(v.ve, sd.sve) / (v.nrm * sd.snrm) * 1000000)
+       |           AS BIGINT) END AS mind
        |  FROM v, sd
        |),
        |${(1 until KcSelect).map(kcRoundCte).mkString(",\n")}

@@ -157,9 +157,9 @@ object Curation {
       .agg(sum(col("rc")).as("rt"), sum(col("tc")).as("tt"))
     val lam = bstats.crossJoin(broadcast(totals))
       .select(col("b"),
-        (expr(s"(tc + 1) * 1000000000L div (tt + $buckets)") * 1000000L
-          / expr(s"greatest((rc + 1) * 1000000000L div (rt + $buckets), 1)"))
-          .cast("long").as("lam_micro"))
+        expr(s"((tc + 1) * 1000000000L div (tt + $buckets)) * 1000000L" +
+          s" div greatest((rc + 1) * 1000000000L div (rt + $buckets), 1)")
+          .as("lam_micro"))
     feats.filter(!col("tgt"))
       .join(broadcast(lam), Seq("b"))
       .groupBy("doc_id", "lang")

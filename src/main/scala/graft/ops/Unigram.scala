@@ -222,7 +222,12 @@ object Unigram {
        |    ORDER BY cnt DESC, piece LIMIT $KeepMulti)
        |)""".stripMargin
 
-  def oracleSql: String =
+  /** The shared training CTE chain (`WITH wd AS ... m$Rounds`), ending
+    * WITHOUT a final SELECT, so the train oracle and the encode oracle
+    * both concatenate onto it — rather than one string-splitting the
+    * other, which made a harmless reformat of the train oracle silently
+    * corrupt the encode oracle (round-12 advice). */
+  def trainPrefixSql: String =
     s"""WITH wd AS (
        |  SELECT w, CAST(count(*) AS BIGINT) AS wc, CAST(length(w) AS INT) AS len
        |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
@@ -245,7 +250,10 @@ object Unigram {
        |    SELECT piece, cnt FROM sc WHERE length(piece) > 1
        |    ORDER BY cnt DESC, piece LIMIT $SeedMulti)
        |),
-       |${(1 to Rounds).map(roundSql).mkString(",\n")}
+       |${(1 to Rounds).map(roundSql).mkString(",\n")}""".stripMargin
+
+  def oracleSql: String =
+    s"""$trainPrefixSql
        |SELECT piece, CAST(length(piece) AS BIGINT) AS piece_len, cnt
        |FROM m$Rounds ORDER BY cnt DESC, piece""".stripMargin
 
@@ -394,8 +402,7 @@ object Unigram {
   }.mkString(",\n    ")
 
   def encodeOracleSql: String = {
-    val trainPrefix = oracleSql.split("\nSELECT piece,")(0)
-    s"""$trainPrefix,
+    s"""$trainPrefixSql,
        |mr AS (
        |  SELECT piece, greatest(200 - row_number()
        |    OVER (ORDER BY cnt DESC, piece), 1) AS q

@@ -20,5 +20,6 @@ for (k <- keys) { try qs(k)(spark, "/root/testdata/sf0.001").count() catch { cas
 val best = scala.collection.mutable.HashMap[(String, String), Double]()
 for (rep <- 1 to 3; (tag, dir) <- dirs; k <- keys) { val t0 = System.nanoTime(); val ok = try { qs(k)(spark, dir).count(); true } catch { case e: Throwable => println("FAIL " + k + " " + tag + ": " + e.getMessage); false }; val dt = (System.nanoTime() - t0) / 1e9; val kk = (k, tag); if (ok && dt < best.getOrElse(kk, Double.MaxValue)) best(kk) = dt }
 def g(k: String, t: String): String = best.get((k, t)).map(v => f"$v%7.2f").getOrElse("      -")
-for (k <- keys) { println(f"RESULT $k%-24s sf01=${g(k, "sf01")} tenx=${g(k, "tenx")} centx=${g(k, "centx")} r10=${best.getOrElse((k, "tenx"), 0.0) / best((k, "sf01"))}%5.2f r100=${best.getOrElse((k, "centx"), 0.0) / best((k, "sf01"))}%6.2f r2=${best.getOrElse((k, "centx"), 0.0) / best.getOrElse((k, "tenx"), 1.0)}%5.2f") }
+def ratio(k: String, num: String, den: String): String = (for { n <- best.get((k, num)); d <- best.get((k, den)) } yield f"${n / d}%6.2f").getOrElse("     -")
+for (k <- keys) { println(f"RESULT $k%-24s sf01=${g(k, "sf01")} tenx=${g(k, "tenx")} centx=${g(k, "centx")} r10=${ratio(k, "tenx", "sf01")} r100=${ratio(k, "centx", "sf01")} r2=${ratio(k, "centx", "tenx")}") }
 System.exit(0)
