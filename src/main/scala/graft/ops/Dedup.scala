@@ -78,6 +78,11 @@ object Dedup {
 
   val dedupMinhash = QueryDef(
     "dedup_minhash",
+    // AUDIT VIEW: the pair list is quadratic in dup-group width (m
+    // copies → C(m,2) rows) and is DNF at 100× on the dup-saturated
+    // fixture — the PRIMARY scale contract is the cluster output
+    // (`dedup_minhash_clusters`, linear, keeper-first); this key stays
+    // as the bounded pair-level audit of the same banding.
     // Oracle = the exact shingle-Jaccard relation (same as dedup_near):
     // the LSH candidate generator is an optimization, not a semantics
     // change, and has ~1 - 0.5^16 recall at the threshold. Accepted gate
@@ -187,6 +192,110 @@ object Dedup {
         (col("co") + col("s")).as("n_overlap"),
         when(col("ce") + col("s") === 0, lit(100L))
           .otherwise(expr("(100 * (co + s)) div (ce + s)")).as("recall_pct"))
+  }
+
+  /** MINHASH CLUSTER OUTPUT — the PRIMARY near-dup contract at scale
+    * (the round-12 verdict's promotion): per document in a near-dup
+    * cluster, the component keeper (minimum doc_id over the whole
+    * connected component of the Jaccard-0.5 graph) and the cluster
+    * size. This is what a 100 TB dedup pass actually consumes — a
+    * keep/drop decision list, linear in the corpus — where the pair
+    * list (`dedup_minhash`) is quadratic in dup-group width (m copies
+    * → C(m,2) pairs) and serves as the bounded AUDIT view only.
+    *
+    * Computed KEEPER-FIRST (the minhashRecallCollapsed collapse, sound
+    * for the same content-determinism reason): exact-duplicate contents
+    * collapse to one representative (min doc_id, multiplicity m) BEFORE
+    * shingling, the MinHash-LSH banding + exact-Jaccard filter runs on
+    * distinct contents only, min-label propagation finds the component
+    * keeper over representatives, and original ids re-attach through
+    * the content map. Copies of a shingled content are mutual near-dups
+    * (J = 1) so they join their representative's component; the
+    * component minimum over representatives IS the minimum over
+    * original ids (each rep is already its content's min). Shingle-less
+    * contents (< 3 tokens) have no edges in either engine and never
+    * appear — the dedup_minhash node set exactly.
+    *
+    * At scale: every stage is linear — one content-hash aggregate, LSH
+    * banding over DISTINCT contents (the dup-saturation blowup never
+    * forms), the bounded component fixpoint, and two content-keyed
+    * equi-joins to expand. Measured linear at 10× on the dup-heavy
+    * fixture where the pair emitter is DNF at 100×. */
+  def minhashClusters(docs: DataFrame): DataFrame = {
+    val hashed = docs.select(col("doc_id"), col("text"),
+      md5(col("text")).as("h"))
+    val groups = hashed.groupBy("h")
+      .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("m"))
+    val reps = groups.select(col("rep").as("doc_id"), col("m"))
+      .join(hashed.select("doc_id", "text"), Seq("doc_id"))
+      .localCheckpoint() // feeds shingling and the multiplicity expansion
+    val sh = Functions.shingles(reps.select("doc_id", "text"))
+      .localCheckpoint()
+    val pairs = minHashNearDupFromShingles(sh).select("i", "j")
+    val repComp = Text.nearDupKeepersFromPairs(pairs)
+      .select(col("doc_id").as("rep"), col("keeper"))
+    // nodes = shingled contents; isolated ones label themselves
+    val repLabel = sh.select(col("doc_id").as("rep")).distinct()
+      .join(reps.select(col("doc_id").as("rep"), col("m")), Seq("rep"))
+      .join(repComp, Seq("rep"), "left")
+      .select(col("rep"), col("m"),
+        coalesce(col("keeper"), col("rep")).as("keeper"))
+    val csize = repLabel.groupBy("keeper")
+      .agg(sum(col("m")).as("cluster_size"))
+    val clustered = repLabel.join(csize, Seq("keeper"))
+      .filter(col("cluster_size") >= 2)
+      .select(col("rep"), col("keeper"), col("cluster_size"))
+    hashed.join(groups, Seq("h"))
+      .select(col("doc_id"), col("rep"))
+      .join(clustered, Seq("rep"))
+      .select(col("doc_id"), col("keeper"), col("cluster_size"))
+  }
+
+  val dedupMinhashClusters = QueryDef(
+    "dedup_minhash_clusters",
+    // Oracle: exact Jaccard-0.5 pairs over ORIGINAL ids (same-content
+    // docs share all shingles, so copies are pairwise connected), the
+    // recursive-CTE component minimum, and per-component size. Every
+    // node of the pair graph sits in a ≥2-doc cluster and vice versa,
+    // so no explicit size filter is needed here; the Spark side filters
+    // cluster_size >= 2 only to drop isolated singleton contents.
+    s"""${Functions.shingleOracleCte},
+       |shd AS (SELECT DISTINCT doc_id, shingle FROM sh WHERE shingle IS NOT NULL),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY doc_id),
+       |inter AS (
+       |  SELECT x.doc_id AS i, y.doc_id AS j, count(*) AS inter
+       |  FROM shd x JOIN shd y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+       |  GROUP BY i, j
+       |),
+       |pairs AS (
+       |  SELECT i, j FROM (
+       |    SELECT i, j, inter.inter / (si.n + sj.n - inter.inter) AS jac_raw
+       |    FROM inter
+       |    JOIN sizes si ON inter.i = si.doc_id
+       |    JOIN sizes sj ON inter.j = sj.doc_id
+       |  ) WHERE jac_raw >= 0.5
+       |),
+       |edges AS (
+       |  SELECT i AS src, j AS dst FROM pairs
+       |  UNION ALL
+       |  SELECT j AS src, i AS dst FROM pairs
+       |),
+       |reach AS (
+       |  WITH RECURSIVE r(doc_id, m) AS (
+       |    SELECT src, src FROM edges
+       |    UNION
+       |    SELECT e.src, r.m FROM edges e JOIN r ON e.dst = r.doc_id
+       |  )
+       |  SELECT doc_id, min(m) AS keeper FROM r GROUP BY doc_id
+       |),
+       |csize AS (
+       |  SELECT keeper, CAST(count(*) AS BIGINT) AS cluster_size
+       |  FROM reach GROUP BY keeper
+       |)
+       |SELECT reach.doc_id, reach.keeper, csize.cluster_size
+       |FROM reach JOIN csize USING (keeper)
+       |ORDER BY reach.doc_id""".stripMargin) { (s, d) =>
+    minhashClusters(Tables.documents(s, d)).orderBy("doc_id")
   }
 
   /** 64-bit SimHash over the token multiset: bit b of the fingerprint is
@@ -500,5 +609,5 @@ object Dedup {
   }
 
   val all: Seq[QueryDef] = Seq(dedupMinhash, dedupSimhash, dedupSimhashNear, dedupEmbed,
-    dedupMinhashRecall, dedupCdcChunks, dedupBloomIncremental)
+    dedupMinhashRecall, dedupMinhashClusters, dedupCdcChunks, dedupBloomIncremental)
 }

@@ -962,6 +962,26 @@ class EdgeSpec extends AnyFunSuite {
     assert(full._1 >= 4, s"planted duplicate pairs missing: $full")
   }
 
+  test("minhashClusters: keeper-first cluster output over a copy-heavy corpus") {
+    // same fixture family as the collapsed-recall test: copies must
+    // cluster with their near-dup neighbors (one component of 5 docs,
+    // keeper = global min id), the singleton shingled doc and the
+    // shingle-less exact dups must NOT appear.
+    val a = "the quick brown fox jumps over the lazy dog"
+    val a2 = "the quick brown fox jumps over the lazy cat"
+    val b = "completely different content with no shared shingles at all"
+    val docs = Seq(
+      (1L, a), (2L, a), (3L, a),
+      (10L, a2), (11L, a2),
+      (20L, b),
+      (30L, "too short"), (31L, "too short"))
+      .toDF("doc_id", "text")
+    val got = Dedup.minhashClusters(docs)
+      .as[(Long, Long, Long)].collect().toSet
+    val want = Set(1L, 2L, 3L, 10L, 11L).map(id => (id, 1L, 5L))
+    assert(got == want, s"got $got")
+  }
+
   test("skewTopK: equals the one-phase window, value ties broken by event_id across salts") {
     // one hot key ("click") with VALUE TIES landing in different salt
     // buckets (event_ids 8 and 9 differ mod 8), so the phase-2 re-rank
