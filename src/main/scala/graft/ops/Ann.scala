@@ -387,6 +387,29 @@ object Ann {
     * across engines). Used by `sim_ann_kmeans` and `dedup_semantic` so
     * the cluster model has exactly one oracle formulation. */
   private def kmeansOraclePrefix: String =
+    kmeansOraclePrefixWith(kmeansSeedFixed)
+
+  /** The gated keys' fixed seed: the first 8 vectors by id. */
+  private val kmeansSeedFixed: String =
+    """c0 AS (
+      |  SELECT vec_id AS cid, ve AS cve, nrm AS cnrm FROM v
+      |  WHERE vec_id IN (SELECT vec_id FROM v ORDER BY vec_id LIMIT 8)
+      |)""".stripMargin
+
+  /** The c-SCALED seed: c(n) = max(8, n div 200) — cluster count grows
+    * with the corpus (~200 vectors/bucket, the SemDeDup deploy shape),
+    * computed from the data itself so both engines derive the identical
+    * c at any SF. */
+  private val kmeansSeedScaled: String =
+    """c0 AS (
+      |  SELECT vec_id AS cid, ve AS cve, nrm AS cnrm FROM (
+      |    SELECT vec_id, ve, nrm, row_number() OVER (ORDER BY vec_id) AS rn,
+      |           count(*) OVER () AS nv
+      |    FROM v)
+      |  WHERE rn <= greatest(8, nv // 200)
+      |)""".stripMargin
+
+  private def kmeansOraclePrefixWith(c0Cte: String): String =
     s"""WITH v0 AS (
        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
        |  FROM embeddings
@@ -396,10 +419,7 @@ object Ann {
        |  SELECT vec_id, CAST(generate_subscripts(ve, 1) AS INT) AS sub,
        |         CAST(round(unnest(ve) * 1000) AS BIGINT) AS q
        |  FROM v
-       |), c0 AS (
-       |  SELECT vec_id AS cid, ve AS cve, nrm AS cnrm FROM v
-       |  WHERE vec_id IN (SELECT vec_id FROM v ORDER BY vec_id LIMIT 8)
-       |),
+       |), $c0Cte,
        |${kmeansRoundCte(1)},
        |${kmeansRoundCte(2)},
        |${kmeansRoundCte(3)},
@@ -407,6 +427,10 @@ object Ann {
        |  SELECT v.vec_id, c.cid, row_number() OVER (PARTITION BY v.vec_id
        |    ORDER BY list_dot_product(v.ve, c.cve) / (v.nrm * c.cnrm) DESC, c.cid) AS rn
        |  FROM v, c3 c) WHERE rn = 1)""".stripMargin
+
+  /** The same prefix trained on the c-scaled seed. */
+  private def kmeansOraclePrefixScaled: String =
+    kmeansOraclePrefixWith(kmeansSeedScaled)
 
   val simAnnKmeans = QueryDef(
     "sim_ann_kmeans",
@@ -483,7 +507,15 @@ object Ann {
     val v = prep(Tables.embeddings(s, d))
     // the trained model is the cached per-(session, dataset) index the
     // kmeans ANN keys already share — SemDeDup amortizes the same way
-    val m = assignTo(v, cachedKmeansCents(s, d))
+    semanticDedupReport(v, cachedKmeansCents(s, d))
+  }
+
+  /** The SemDeDup per-cluster accounting over an explicit trained
+    * model — shared by the fixed-c gate (`dedup_semantic`) and the
+    * c-scaled gate (`dedup_semantic_scaled`) so the two differ ONLY in
+    * the cluster model. */
+  def semanticDedupReport(v: DataFrame, cents: DataFrame): DataFrame = {
+    val m = assignTo(v, cents)
       .select(col("bucket").as("cid"), col("vec_id"), col("ve"), col("nrm"))
       .repartition(col("cid"))
     val pairs = m.as("x").join(m.as("y"),
@@ -501,6 +533,45 @@ object Ann {
         coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
         (col("n_vecs") - coalesce(col("n_dropped"), lit(0L))).as("n_kept"))
       .orderBy("cid")
+  }
+
+  /** SEMANTIC DEDUP AT DEPLOY SHAPE — `dedup_semantic` with the cluster
+    * count SCALED with the corpus: c(n) = max(8, n div 200), replayed
+    * identically in the oracle (the seed CTE derives c from the data).
+    * This converts the round-12 kernel study's measured claim — c ∝ n
+    * keeps the within-cluster tiles ~200 vectors wide, so candidate
+    * work is LINEAR in the corpus (Σ_b n_b² ≈ n·200 instead of n²/8) —
+    * from tools/ evidence into a gated key: at sf0.1 c = 10 (the
+    * dynamic-c machinery is live inside the hash gate), at 100× data
+    * c = 1000. The fixed-c twin stays gated as the LOCAL semantics
+    * audit; training cost here is n·c per Lloyd round, which at true
+    * corpus scale caps via SemDeDup's bounded-sample training (c ~ 10⁵
+    * fixed by the deploy, noted — the gate pins the c-derivation and
+    * the candidate shape, which is what scales). */
+  val dedupSemanticScaled = QueryDef(
+    "dedup_semantic_scaled",
+    s"""$kmeansOraclePrefixScaled,
+       |m AS (
+       |  SELECT af.cid, v.vec_id, v.ve, v.nrm FROM af JOIN v USING (vec_id)
+       |), pairs AS (
+       |  SELECT x.cid, x.vec_id AS i, y.vec_id AS j
+       |  FROM m x JOIN m y ON x.cid = y.cid AND x.vec_id < y.vec_id
+       |  WHERE list_dot_product(x.ve, y.ve) / (x.nrm * y.nrm) >= 0.5
+       |), drp AS (
+       |  SELECT cid, CAST(count(*) AS BIGINT) AS n_pairs,
+       |         CAST(count(DISTINCT j) AS BIGINT) AS n_dropped
+       |  FROM pairs GROUP BY cid
+       |), sz AS (
+       |  SELECT cid, CAST(count(*) AS BIGINT) AS n_vecs FROM m GROUP BY cid
+       |)
+       |SELECT sz.cid, sz.n_vecs,
+       |       CAST(coalesce(drp.n_pairs, 0) AS BIGINT) AS n_pairs,
+       |       CAST(coalesce(drp.n_dropped, 0) AS BIGINT) AS n_dropped,
+       |       CAST(sz.n_vecs - coalesce(drp.n_dropped, 0) AS BIGINT) AS n_kept
+       |FROM sz LEFT JOIN drp USING (cid)
+       |ORDER BY sz.cid""".stripMargin) { (s, d) =>
+    val v = prep(Tables.embeddings(s, d))
+    semanticDedupReport(v, cachedKmeansCentsScaled(s, d))
   }
 
   /** Int8 scalar quantization of the embedding table — the memory-scale
@@ -581,6 +652,19 @@ object Ann {
   private def cachedKmeansCents(s: SparkSession, d: String): DataFrame =
     cachedIndex(s, d, "kmc") {
       kmeansCentroidsQuantized(prep(Tables.embeddings(s, d)), c = 8, iters = 3)
+    }
+
+  /** The c-SCALED quantized-Lloyd model: c(n) = max(8, n div 200), so
+    * cluster count grows with the corpus and the per-bucket tile stays
+    * ~200 vectors at every scale (the SemDeDup ~10⁵-cluster deploy
+    * regime). Trained once per (session, sfDir) like the fixed-c model;
+    * the count() that sizes c is one bounded job, and driver state is
+    * still c·dim mean components. */
+  private def cachedKmeansCentsScaled(s: SparkSession, d: String): DataFrame =
+    cachedIndex(s, d, "kmcs") {
+      val v = prep(Tables.embeddings(s, d)).localCheckpoint()
+      val c = math.max(8L, v.count() / 200L).toInt
+      kmeansCentroidsQuantized(v, c, iters = 3)
     }
 
   /** The trained PQ index of the gated PQ keys (dim=64, m=8,
@@ -1608,24 +1692,31 @@ object Ann {
     * all-pairs twin for the edge numbers. A candidate-generation
     * regression now fails the hash with readable recall columns instead
     * of hiding behind the quadratic build. */
+  /** The IVF-built kNN-graph oracle chain (`ma … knn`, over the trained
+    * `c3` model and `v`) — the replay of `knnGraphIvf(m=16, nprobe=3)`,
+    * shared by `sim_ann_graph_build` and `align_bitext_knn` so the
+    * graph the two keys gate has exactly one oracle formulation. */
+  private val ivfGraphOracleCtes: String =
+    """ma AS (SELECT cid, vec_id FROM (
+      |  SELECT v.vec_id, c.cid, row_number() OVER (PARTITION BY v.vec_id
+      |    ORDER BY list_dot_product(v.ve, c.cve) / (v.nrm * c.cnrm) DESC, c.cid) AS rn
+      |  FROM v, c3 c) WHERE rn <= 3),
+      |cand AS (
+      |  SELECT DISTINCT x.vec_id AS i, y.vec_id AS j
+      |  FROM ma x JOIN ma y ON x.cid = y.cid AND x.vec_id < y.vec_id),
+      |gp AS (
+      |  SELECT cand.i, cand.j,
+      |         list_dot_product(a.ve, b.ve) / (a.nrm * b.nrm) AS c
+      |  FROM cand JOIN v a ON cand.i = a.vec_id JOIN v b ON cand.j = b.vec_id),
+      |gd AS (SELECT i, j, c FROM gp UNION ALL SELECT j AS i, i AS j, c FROM gp),
+      |knn AS (SELECT i, j FROM (
+      |  SELECT i, j, row_number() OVER (PARTITION BY i
+      |    ORDER BY c DESC, j) AS rn FROM gd) WHERE rn <= 16)""".stripMargin
+
   val simAnnGraphBuild = QueryDef(
     "sim_ann_graph_build",
     s"""$kmeansOraclePrefix,
-       |ma AS (SELECT cid, vec_id FROM (
-       |  SELECT v.vec_id, c.cid, row_number() OVER (PARTITION BY v.vec_id
-       |    ORDER BY list_dot_product(v.ve, c.cve) / (v.nrm * c.cnrm) DESC, c.cid) AS rn
-       |  FROM v, c3 c) WHERE rn <= 3),
-       |cand AS (
-       |  SELECT DISTINCT x.vec_id AS i, y.vec_id AS j
-       |  FROM ma x JOIN ma y ON x.cid = y.cid AND x.vec_id < y.vec_id),
-       |gp AS (
-       |  SELECT cand.i, cand.j,
-       |         list_dot_product(a.ve, b.ve) / (a.nrm * b.nrm) AS c
-       |  FROM cand JOIN v a ON cand.i = a.vec_id JOIN v b ON cand.j = b.vec_id),
-       |gd AS (SELECT i, j, c FROM gp UNION ALL SELECT j AS i, i AS j, c FROM gp),
-       |knn AS (SELECT i, j FROM (
-       |  SELECT i, j, row_number() OVER (PARTITION BY i
-       |    ORDER BY c DESC, j) AS rn FROM gd) WHERE rn <= 16),
+       |$ivfGraphOracleCtes,
        |apr AS (
        |  SELECT a.vec_id AS i, b.vec_id AS j,
        |         list_dot_product(a.ve, b.ve) / (a.nrm * b.nrm) AS c
@@ -1695,7 +1786,6 @@ object Ann {
     * relation keyed by node — no corpus-sized window, nothing global
     * until the final top-20 TakeOrdered. */
   def bitextMineFrom(m: DataFrame, k: Int = 4, topN: Int = 20): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val x = m.filter(col("side") === 0)
       .select(col("cid"), col("vec_id").as("a_id"), col("ve").as("ave"),
         col("nrm").as("anrm"))
@@ -1707,6 +1797,18 @@ object Ann {
         floor(Similarity.dot(col("ave"), col("bve")) /
           (col("anrm") * col("bnrm")) * lit(1000000.0)).cast("long").as("cmic"))
       .filter(col("cmic") > 0)
+    marginMineTail(pc, k, topN, carryCid = true)
+  }
+
+  /** The margin arithmetic + forward/backward selection over an
+    * already-built positive-cosine candidate relation (a_id, b_id,
+    * cmic [, cid]) — shared by the cluster-tile miner
+    * (`align_bitext_mine`) and the ANN-k-capped miner
+    * (`align_bitext_knn`) so the two differ ONLY in candidate
+    * generation. */
+  private def marginMineTail(pc: DataFrame, k: Int, topN: Int,
+      carryCid: Boolean): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val ra = pc
       .withColumn("rna", row_number().over(
         Window.partitionBy("a_id").orderBy(col("cmic").desc, col("b_id"))))
@@ -1716,18 +1818,19 @@ object Ann {
       .agg(expr("sum(cmic) div count(1)").as("avga"))
     val nb = ra.filter(col("rnb") <= k).groupBy("b_id")
       .agg(expr("sum(cmic) div count(1)").as("avgb"))
+    val carried = if (carryCid) Seq(col("cid")) else Nil
     val sc = pc.join(na, "a_id").join(nb, "b_id")
       .filter(col("avga") + col("avgb") > 0)
-      .select(col("cid"), col("a_id"), col("b_id"), col("cmic"),
-        expr("2 * cmic * 1000000L div (avga + avgb)").as("margin_micro"))
+      .select(carried ++ Seq(col("a_id"), col("b_id"), col("cmic"),
+        expr("2 * cmic * 1000000L div (avga + avgb)").as("margin_micro")): _*)
     val fw = sc.withColumn("rf", row_number().over(
         Window.partitionBy("a_id").orderBy(col("margin_micro").desc, col("b_id"))))
       .filter(col("rf") === 1)
     val bw = fw.withColumn("rb", row_number().over(
         Window.partitionBy("b_id").orderBy(col("margin_micro").desc, col("a_id"))))
       .filter(col("rb") === 1)
-    bw.select(col("a_id"), col("b_id"), col("cid"),
-        col("cmic").as("cos_micro"), col("margin_micro"))
+    bw.select(Seq(col("a_id"), col("b_id")) ++ carried ++
+        Seq(col("cmic").as("cos_micro"), col("margin_micro")): _*)
       .orderBy(col("margin_micro").desc, col("a_id")).limit(topN)
   }
 
@@ -1779,6 +1882,77 @@ object Ann {
         (col("vec_id") % 2).as("side"))
       .repartition(col("cid"))
     bitextMineFrom(m)
+  }
+
+  /** BITEXT MINING AT DEPLOY SHAPE — `align_bitext_mine` with the
+    * candidate set capped per node at the ANN k (the round-12 verdict's
+    * fix): candidates are the CROSS-SIDE edges of the landed IVF-built
+    * kNN graph (`knnGraphIvf`, top-16 per direction) instead of full
+    * within-cluster tiles, so each node contributes ≤ 2·16 candidates and
+    * the mining pass is LINEAR in the corpus however wide the clusters
+    * get — exactly the paper's §3.2 setup (mine over an ANN index's
+    * retrievals; the margin normalizer is computed over the retrieved
+    * set). The fixed-c tile miner stays gated as the LOCAL semantics
+    * audit. Same margin arithmetic, forward/backward selection and
+    * top-20 as the tile miner (`marginMineTail` — one kernel). Oracle
+    * replays the trained model, the IVF graph (shared
+    * `ivfGraphOracleCtes` with `sim_ann_graph_build`), the parity-side
+    * normalization and all margin arithmetic. */
+  val alignBitextKnn = QueryDef(
+    "align_bitext_knn",
+    s"""$kmeansOraclePrefix,
+       |$ivfGraphOracleCtes,
+       |bc AS (
+       |  SELECT DISTINCT CASE WHEN i % 2 = 0 THEN i ELSE j END AS a_id,
+       |                  CASE WHEN i % 2 = 0 THEN j ELSE i END AS b_id
+       |  FROM knn WHERE i % 2 <> j % 2
+       |), pc0 AS (
+       |  SELECT bc.a_id, bc.b_id,
+       |    CAST(floor(list_dot_product(a.ve, b.ve) / (a.nrm * b.nrm) * 1000000) AS BIGINT) AS cmic
+       |  FROM bc JOIN v a ON bc.a_id = a.vec_id JOIN v b ON bc.b_id = b.vec_id
+       |), pc AS (
+       |  SELECT * FROM pc0 WHERE cmic > 0
+       |), ra AS (
+       |  SELECT a_id, b_id, cmic,
+       |    row_number() OVER (PARTITION BY a_id ORDER BY cmic DESC, b_id) AS rna,
+       |    row_number() OVER (PARTITION BY b_id ORDER BY cmic DESC, a_id) AS rnb
+       |  FROM pc
+       |), na AS (
+       |  SELECT a_id, sum(cmic) // count(*) AS avga FROM ra WHERE rna <= 4 GROUP BY a_id
+       |), nb AS (
+       |  SELECT b_id, sum(cmic) // count(*) AS avgb FROM ra WHERE rnb <= 4 GROUP BY b_id
+       |), sc AS (
+       |  SELECT pc.a_id, pc.b_id, pc.cmic,
+       |    CAST((2 * pc.cmic * 1000000) // (na.avga + nb.avgb) AS BIGINT) AS margin_micro
+       |  FROM pc JOIN na USING (a_id) JOIN nb USING (b_id)
+       |  WHERE na.avga + nb.avgb > 0
+       |), fw AS (
+       |  SELECT * FROM (
+       |    SELECT sc.*, row_number() OVER (PARTITION BY a_id
+       |      ORDER BY margin_micro DESC, b_id) AS rf FROM sc) WHERE rf = 1
+       |), bw AS (
+       |  SELECT * FROM (
+       |    SELECT fw.*, row_number() OVER (PARTITION BY b_id
+       |      ORDER BY margin_micro DESC, a_id) AS rb FROM fw) WHERE rb = 1
+       |)
+       |SELECT a_id, b_id, cmic AS cos_micro, margin_micro
+       |FROM bw ORDER BY margin_micro DESC, a_id LIMIT 20""".stripMargin) { (s, d) =>
+    val v = prep(Tables.embeddings(s, d))
+    val g = knnGraphIvf(s, d, m = 16, nprobe = 3)
+    val bc = g.filter(col("i") % 2 =!= col("j") % 2)
+      .select(when(col("i") % 2 === 0, col("i")).otherwise(col("j")).as("a_id"),
+        when(col("i") % 2 === 0, col("j")).otherwise(col("i")).as("b_id"))
+      .distinct()
+    val pc = bc
+      .join(v.select(col("vec_id").as("a_id"), col("ve").as("ave"),
+        col("nrm").as("anrm")), Seq("a_id"))
+      .join(v.select(col("vec_id").as("b_id"), col("ve").as("bve"),
+        col("nrm").as("bnrm")), Seq("b_id"))
+      .select(col("a_id"), col("b_id"),
+        floor(Similarity.dot(col("ave"), col("bve")) /
+          (col("anrm") * col("bnrm")) * lit(1000000.0)).cast("long").as("cmic"))
+      .filter(col("cmic") > 0)
+    marginMineTail(pc, k = 4, topN = 20, carryCid = false)
   }
 
   private val KcSelect = 8
@@ -1892,6 +2066,7 @@ object Ann {
 
   val all: Seq[QueryDef] = Seq(simAnnIvf, dedupEmbedLsh, simAnnKmeans, simQuantize, simAnnRecall,
     simAnnPq, simAnnKmeansRecall, simAnnPqRecall, dedupEmbedLshRecall, simPcaPower,
-    simAnnIvfPq, simAnnNprobeCurve, dedupSemantic, simAnnHnsw, simAnnGraphBuild,
-    alignBitextMine, sampleKcenter)
+    simAnnIvfPq, simAnnNprobeCurve, dedupSemantic, dedupSemanticScaled,
+    simAnnHnsw, simAnnGraphBuild, alignBitextMine, alignBitextKnn,
+    sampleKcenter)
 }
