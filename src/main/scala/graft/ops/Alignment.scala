@@ -378,23 +378,69 @@ object Alignment {
     * clears 1% — "which SOURCE wins quality duels" — and the MM rounds
     * aggregate those duels into source strengths. The oracle replays
     * comparisons, smoothing, and all three integer MM rounds as CTEs. */
+  /** The BT oracle tail (`raw … ORDER BY rank`, over a CTE named `cmp`
+    * of (win_src, lose_src) rows): smoothing grid, the three unrolled
+    * integer MM rounds, raw totals and the ranked output — shared by
+    * `align_bt_rank` and `align_bt_rank_capped` so the MM arithmetic
+    * has exactly one oracle formulation. */
+  private def btOracleTail: String = {
+    val rounds = (1 to BtRounds).map { r =>
+      s"""den$r AS (
+         |  SELECT d.i, sum(d.nij * 1000000000 // (wi.w + wj.w)) AS den
+         |  FROM dir d JOIN w${r - 1} wi ON d.i = wi.i
+         |             JOIN w${r - 1} wj ON d.j = wj.i
+         |  GROUP BY d.i
+         |), wr$r AS (
+         |  SELECT t.i, t.W * 1000000000 // den$r.den AS wr
+         |  FROM tot t JOIN den$r ON t.i = den$r.i
+         |), w$r AS (
+         |  SELECT i, CAST(wr * ((SELECT p FROM np) * 1000000)
+         |    // (SELECT sum(wr) FROM wr$r) AS BIGINT) AS w
+         |  FROM wr$r
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""raw AS (
+       |  SELECT least(win_src, lose_src) AS a, greatest(win_src, lose_src) AS b,
+       |    count(*) AS n_cmp,
+       |    sum(CASE WHEN win_src < lose_src THEN 1 ELSE 0 END) AS wins_a
+       |  FROM cmp GROUP BY 1, 2
+       |), srcs AS (
+       |  SELECT win_src AS src FROM cmp UNION SELECT lose_src FROM cmp
+       |), grid AS (
+       |  SELECT s1.src AS a, s2.src AS b FROM srcs s1 JOIN srcs s2 ON s1.src < s2.src
+       |), sm AS (
+       |  SELECT g.a, g.b, coalesce(r.n_cmp, 0) + 2 AS nij,
+       |    coalesce(r.wins_a, 0) + 1 AS wij
+       |  FROM grid g LEFT JOIN raw r ON g.a = r.a AND g.b = r.b
+       |), dir AS (
+       |  SELECT a AS i, b AS j, nij, wij AS w_i FROM sm
+       |  UNION ALL
+       |  SELECT b AS i, a AS j, nij, nij - wij AS w_i FROM sm
+       |), tot AS (
+       |  SELECT i, sum(w_i) AS W, sum(nij) AS n_sm FROM dir GROUP BY i
+       |), np AS (
+       |  SELECT count(*) AS p FROM srcs
+       |), w0 AS (
+       |  SELECT i, CAST(1000000 AS BIGINT) AS w FROM tot
+       |),
+       |$rounds,
+       |rawtot AS (
+       |  SELECT i, sum(win) AS n_wins, count(*) AS n_cmp FROM (
+       |    SELECT win_src AS i, 1 AS win FROM cmp
+       |    UNION ALL SELECT lose_src AS i, 0 AS win FROM cmp)
+       |  GROUP BY i
+       |)
+       |SELECT w.i AS source,
+       |  CAST(coalesce(rawtot.n_wins, 0) AS BIGINT) AS n_wins,
+       |  CAST(coalesce(rawtot.n_cmp, 0) AS BIGINT) AS n_comparisons,
+       |  CAST(w.w AS BIGINT) AS w_micro,
+       |  CAST(row_number() OVER (ORDER BY w.w DESC, w.i) AS INT) AS rank
+       |FROM w$BtRounds w LEFT JOIN rawtot ON w.i = rawtot.i
+       |ORDER BY rank""".stripMargin
+  }
+
   val alignBtRank = QueryDef(
     "align_bt_rank", {
-      val rounds = (1 to BtRounds).map { r =>
-        s"""den$r AS (
-           |  SELECT d.i, sum(d.nij * 1000000000 // (wi.w + wj.w)) AS den
-           |  FROM dir d JOIN w${r - 1} wi ON d.i = wi.i
-           |             JOIN w${r - 1} wj ON d.j = wj.i
-           |  GROUP BY d.i
-           |), wr$r AS (
-           |  SELECT t.i, t.W * 1000000000 // den$r.den AS wr
-           |  FROM tot t JOIN den$r ON t.i = den$r.i
-           |), w$r AS (
-           |  SELECT i, CAST(wr * ((SELECT p FROM np) * 1000000)
-           |    // (SELECT sum(wr) FROM wr$r) AS BIGINT) AS w
-           |  FROM wr$r
-           |)""".stripMargin
-      }.mkString(",\n")
       s"""WITH base AS (
          |  SELECT doc_id, lang, source, string_split(text, ' ') AS toks
          |  FROM documents
@@ -410,44 +456,7 @@ object Alignment {
          |  FROM cand x JOIN cand y
          |    ON x.lang = y.lang AND x.prompt = y.prompt AND x.doc_id < y.doc_id
          |  WHERE x.source <> y.source AND abs(x.score - y.score) >= $MarginMicro
-         |), raw AS (
-         |  SELECT least(win_src, lose_src) AS a, greatest(win_src, lose_src) AS b,
-         |    count(*) AS n_cmp,
-         |    sum(CASE WHEN win_src < lose_src THEN 1 ELSE 0 END) AS wins_a
-         |  FROM cmp GROUP BY 1, 2
-         |), srcs AS (
-         |  SELECT win_src AS src FROM cmp UNION SELECT lose_src FROM cmp
-         |), grid AS (
-         |  SELECT s1.src AS a, s2.src AS b FROM srcs s1 JOIN srcs s2 ON s1.src < s2.src
-         |), sm AS (
-         |  SELECT g.a, g.b, coalesce(r.n_cmp, 0) + 2 AS nij,
-         |    coalesce(r.wins_a, 0) + 1 AS wij
-         |  FROM grid g LEFT JOIN raw r ON g.a = r.a AND g.b = r.b
-         |), dir AS (
-         |  SELECT a AS i, b AS j, nij, wij AS w_i FROM sm
-         |  UNION ALL
-         |  SELECT b AS i, a AS j, nij, nij - wij AS w_i FROM sm
-         |), tot AS (
-         |  SELECT i, sum(w_i) AS W, sum(nij) AS n_sm FROM dir GROUP BY i
-         |), np AS (
-         |  SELECT count(*) AS p FROM srcs
-         |), w0 AS (
-         |  SELECT i, CAST(1000000 AS BIGINT) AS w FROM tot
-         |),
-         |$rounds,
-         |rawtot AS (
-         |  SELECT i, sum(win) AS n_wins, count(*) AS n_cmp FROM (
-         |    SELECT win_src AS i, 1 AS win FROM cmp
-         |    UNION ALL SELECT lose_src AS i, 0 AS win FROM cmp)
-         |  GROUP BY i
-         |)
-         |SELECT w.i AS source,
-         |  CAST(coalesce(rawtot.n_wins, 0) AS BIGINT) AS n_wins,
-         |  CAST(coalesce(rawtot.n_cmp, 0) AS BIGINT) AS n_comparisons,
-         |  CAST(w.w AS BIGINT) AS w_micro,
-         |  CAST(row_number() OVER (ORDER BY w.w DESC, w.i) AS INT) AS rank
-         |FROM w$BtRounds w LEFT JOIN rawtot ON w.i = rawtot.i
-         |ORDER BY rank""".stripMargin
+         |), $btOracleTail""".stripMargin
     }) { (s, d) =>
     val cand = dpoCandidates(Tables.documents(s, d))
       .select("doc_id", "lang", "source", "prompt", "score")
@@ -464,5 +473,78 @@ object Alignment {
     btRank(cmp)
   }
 
-  val all: Seq[QueryDef] = Seq(pipelineDpo, sampleDoremi, alignBtRank)
+  private val DuelPools = 16
+  private val DuelCap = 8
+
+  /** BRADLEY-TERRY WITH THE DUEL-SAMPLING CAP GATED — the bounded-duel
+    * form `btRank`'s scaladoc promises for production (a corpus whose
+    * prompt groups widen makes the duel relation quadratic; real
+    * preference pipelines SUBSAMPLE duels before fitting). The
+    * same-prompt duel relation of `align_bt_rank` cannot exercise a cap
+    * on this fixture (its prompt groups are all width ≤ 2 — the cap
+    * would be decorative), so this key gates the cap on the
+    * production-shape duel pool: candidates land in `DuelPools`
+    * deterministic md5 pools per lang (the sample_dsir bucket idiom —
+    * pools play the role of wide prompt groups), each pool is CAPPED at
+    * its `DuelCap` lowest-id candidates (rn ≤ k under the total order,
+    * mirrored in the oracle), and duels are the cross-source
+    * margin-cleared pairs among survivors. Total duels are bounded by
+    * construction at langs·pools·C(k,2) — CONSTANT in corpus size — and
+    * the cap is LIVE at every SF (pool widths 13–116 vs k = 8, so
+    * capped and uncapped relations differ everywhere). Same integer MM
+    * rounds, same tail (`btOracleTail`). */
+  val alignBtRankCapped = QueryDef(
+    "align_bt_rank_capped",
+    s"""WITH base AS (
+       |  SELECT doc_id, lang, source, string_split(text, ' ') AS toks
+       |  FROM documents
+       |), cand0 AS (
+       |  SELECT doc_id, lang, source,
+       |    array_to_string(toks[1:12], ' ') AS prompt,
+       |    len(list_distinct(toks[13:])) * 1000000
+       |      // (len(toks) - 12) AS score
+       |  FROM base WHERE len(toks) - 12 >= 20
+       |), pooled AS (
+       |  SELECT doc_id, lang, source, score,
+       |    CAST(CAST('0x' || substr(md5(prompt), 1, 3) AS INTEGER) AS BIGINT)
+       |      % $DuelPools AS pool
+       |  FROM cand0
+       |), cand AS (
+       |  SELECT doc_id, lang, source, score, pool FROM (
+       |    SELECT doc_id, lang, source, score, pool,
+       |      row_number() OVER (PARTITION BY lang, pool ORDER BY doc_id) AS rn
+       |    FROM pooled)
+       |  WHERE rn <= $DuelCap
+       |), cmp AS (
+       |  SELECT CASE WHEN x.score > y.score THEN x.source ELSE y.source END AS win_src,
+       |         CASE WHEN x.score > y.score THEN y.source ELSE x.source END AS lose_src
+       |  FROM cand x JOIN cand y
+       |    ON x.lang = y.lang AND x.pool = y.pool AND x.doc_id < y.doc_id
+       |  WHERE x.source <> y.source AND abs(x.score - y.score) >= $MarginMicro
+       |), $btOracleTail""".stripMargin) { (s, d) =>
+    val pooled = dpoCandidates(Tables.documents(s, d))
+      .select(col("doc_id"), col("lang"), col("source"), col("score"),
+        (conv(substring(md5(col("prompt").cast("binary")), 1, 3), 16, 10)
+          .cast("long") % DuelPools).as("pool"))
+    val capped = pooled
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("lang", "pool").orderBy("doc_id")))
+      .filter(col("rn") <= DuelCap)
+      .drop("rn")
+    val cmp = capped.as("x").join(capped.as("y"),
+        col("x.lang") === col("y.lang") && col("x.pool") === col("y.pool") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .filter(col("x.source") =!= col("y.source") &&
+        abs(col("x.score") - col("y.score")) >= MarginMicro)
+      .select(
+        when(col("x.score") > col("y.score"), col("x.source"))
+          .otherwise(col("y.source")).as("win_src"),
+        when(col("x.score") > col("y.score"), col("y.source"))
+          .otherwise(col("x.source")).as("lose_src"))
+    btRank(cmp)
+  }
+
+  val all: Seq[QueryDef] = Seq(pipelineDpo, sampleDoremi, alignBtRank,
+    alignBtRankCapped)
 }
