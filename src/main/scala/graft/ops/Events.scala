@@ -950,23 +950,27 @@ object Events {
       |       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
       |FROM events WHERE event_type = 'purchase'
       |GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
+    graft.streaming.StreamOps.withStatePartitions(s, 8) {
     val root = sinkDir(d)
     deleteTree(root)
+    // staged input lands ONCE per (session, dataset); checkpoint + sink
+    // stay per-run under `root` so the streaming gate itself is real.
+    // recursiveFileLookup skips partition discovery, so the stream sees
+    // exactly the staged data columns (g lives only in directory names);
     // stage only the columns the pipeline touches (scan-stage pruning
     // applies to the staging write like any other query)
-    Tables.events(s, d)
-      .select("event_id", "user_id", "event_type", "value")
-      .withColumn("g", pmod(col("event_id"), lit(3)))
-      .repartition(col("g"))
-      .write.partitionBy("g").parquet(root + "/in")
-    // recursiveFileLookup skips partition discovery, so the stream sees
-    // exactly the staged data columns (g lives only in directory names)
-    val schema = s.read.option("recursiveFileLookup", "true")
-      .parquet(root + "/in").schema
+    val (inDir, schema) = graft.streaming.StreamOps.stagedOnce(s, d, "ssink") { dir =>
+      Tables.events(s, d)
+        .select("event_id", "user_id", "event_type", "value")
+        .withColumn("g", pmod(col("event_id"), lit(3)))
+        .repartition(col("g"))
+        .write.partitionBy("g").parquet(dir)
+      s.read.option("recursiveFileLookup", "true").parquet(dir).schema
+    }
     val q = s.readStream.schema(schema)
       .option("recursiveFileLookup", "true")
       .option("maxFilesPerTrigger", "1")
-      .parquet(root + "/in")
+      .parquet(inDir)
       .filter(col("event_type") === "purchase")
       .select("event_id", "user_id", "value")
       .writeStream
@@ -988,6 +992,7 @@ object Events {
       .agg(count(lit(1)).as("n_purchases"),
         sum(dec(col("value"))).cast("double").as("sum_value"))
       .orderBy("user_id")
+    }
   }
 
   /** CHECKPOINT RECOVERY under the driver's hash — the streaming
@@ -1008,9 +1013,26 @@ object Events {
     """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
       |       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
-    val (snapshot, _, _) = graft.streaming.StreamOps.restartResume(
-      Tables.events(s, d), QueryDef.tmpRoot("srestart", d))
+    graft.streaming.StreamOps.withStatePartitions(s, 8) {
+    // the two input halves land once per (session, dataset); each run
+    // re-links them into a fresh watched dir around its own two query
+    // lives, so the restart protocol (half 2 invisible until life 1
+    // stops) and the checkpoint recovery stay fully per-run
+    val tagged = Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("value"))
+      .withColumn("g", pmod(col("event_id"), lit(6)))
+    def half(tag: String, pred: org.apache.spark.sql.Column) =
+      graft.streaming.StreamOps.stagedOnce(s, d, tag) { dir =>
+        tagged.filter(pred).repartition(col("g"))
+          .write.partitionBy("g").parquet(dir)
+        s.read.option("recursiveFileLookup", "true").parquet(dir).schema
+      }._1
+    val h1 = half("srr1", col("g") < 3)
+    val h2 = half("srr2", col("g") >= 3)
+    val (snapshot, _, _) = graft.streaming.StreamOps.restartResumeLanded(
+      s, h1, h2, QueryDef.tmpRoot("srestart", d))
     snapshot.orderBy("user_id")
+    }
   }
 
   /** ARBITRARY STATEFUL PROCESSING under the driver's hash — the
@@ -1057,20 +1079,30 @@ object Events {
       |       CAST(count(*) AS BIGINT) AS n_events
       |FROM sid GROUP BY user_id, session_id
       |ORDER BY user_id, s_eus""".stripMargin) { (s, d) =>
+    graft.streaming.StreamOps.withStatePartitions(s, 8) {
     val root = QueryDef.tmpRoot("sstate", d)
     deleteTree(root)
-    Tables.events(s, d)
-      .select("user_id", "ts", "event_id")
-      .withColumn("g", pmod(col("event_id"), lit(3)))
-      .drop("event_id")
-      .repartition(col("g"))
-      .write.partitionBy("g").parquet(root + "/in")
-    val schema = s.read.option("recursiveFileLookup", "true")
-      .parquet(root + "/in").schema
+    // staged input lands once per (session, dataset), with the flush
+    // sentinel (user −1, far-future ts) STAGED as the final batch
+    // (b=3, pinned-newest mtime) rather than appended mid-run — the
+    // stageBatches order contract makes it the last file consumed,
+    // which is the only property the flush needs, and the landed input
+    // stays immutable across reps (a per-rep append cost one extra
+    // full-state checkpoint commit per rep). Checkpoint + sink per-run.
+    val (inDir, schema) = graft.streaming.StreamOps.stagedOnce(s, d, "sstate") { dir =>
+      val ev = Tables.events(s, d)
+      val tagged = ev
+        .select(col("user_id"), col("ts"),
+          pmod(col("event_id"), lit(3)).cast("int").as("b"))
+        .unionByName(s.range(1).select(lit(-1L).as("user_id"),
+          lit("2025-01-01 00:00:00").cast(ev.schema("ts").dataType).as("ts"),
+          lit(3).as("b")))
+      graft.streaming.StreamOps.stageBatches(tagged, 4, dir)
+    }
     val q = s.readStream.schema(schema)
       .option("recursiveFileLookup", "true")
       .option("maxFilesPerTrigger", "1")
-      .parquet(root + "/in")
+      .parquet(inDir)
       .transform(df => graft.streaming.StreamOps
         .statefulSessionsWatermarked(df, gapUs = 1800000000L,
           watermark = "2160 hours")
@@ -1079,19 +1111,12 @@ object Events {
       .option("checkpointLocation", root + "/ckpt")
       .foreachBatch(graft.streaming.StreamOps.parquetBatchWriter(root + "/out"))
       .start()
-    try {
-      q.processAllAvailable()
-      // flush: one far-future sentinel event, written only after every
-      // staged file has been consumed (newest file by construction)
-      s.range(1).select(lit(-1L).as("user_id"),
-          lit("2025-01-01 00:00:00").cast(schema("ts").dataType).as("ts"))
-        .write.mode("append").parquet(root + "/in/g=0")
-      q.processAllAvailable()
-    } finally q.stop()
+    try q.processAllAvailable() finally q.stop()
     s.read.parquet(root + "/out")
       .filter(col("user_id") >= 0)
       .select("user_id", "s_eus", "e_eus", "n_events")
       .orderBy("user_id", "s_eus")
+    }
   }
 
   /** STREAMING CDC-apply — `merge_cdc`'s changelog squash run as an
@@ -1125,21 +1150,25 @@ object Events {
       |       CAST(max(eid) AS BIGINT) AS max_eid
       |FROM cdc WHERE op = 'purchase'
       |GROUP BY residue ORDER BY residue""".stripMargin) { (s, d) =>
+    graft.streaming.StreamOps.withStatePartitions(s, 8) {
     val root = QueryDef.tmpRoot("usink", d)
     deleteTree(root)
-    Tables.events(s, d)
-      .filter(col("event_type").isin("purchase", "error"))
-      .select(col("user_id").as("k"), col("event_type").as("op"),
-        col("value").as("v"), col("event_id"))
-      .withColumn("g", pmod(col("event_id"), lit(3)))
-      .repartition(col("g"))
-      .write.partitionBy("g").parquet(root + "/in")
-    val schema = s.read.option("recursiveFileLookup", "true")
-      .parquet(root + "/in").schema
+    // staged changelog lands once per (session, dataset); checkpoint +
+    // versioned merge state stay per-run under `root`
+    val (inDir, schema) = graft.streaming.StreamOps.stagedOnce(s, d, "usink") { dir =>
+      Tables.events(s, d)
+        .filter(col("event_type").isin("purchase", "error"))
+        .select(col("user_id").as("k"), col("event_type").as("op"),
+          col("value").as("v"), col("event_id"))
+        .withColumn("g", pmod(col("event_id"), lit(3)))
+        .repartition(col("g"))
+        .write.partitionBy("g").parquet(dir)
+      s.read.option("recursiveFileLookup", "true").parquet(dir).schema
+    }
     val q = s.readStream.schema(schema)
       .option("recursiveFileLookup", "true")
       .option("maxFilesPerTrigger", "1")
-      .parquet(root + "/in")
+      .parquet(inDir)
       .writeStream
       .option("checkpointLocation", root + "/ckpt")
       .foreachBatch(graft.streaming.StreamOps.cdcMergeWriter(root + "/state"))
@@ -1154,6 +1183,7 @@ object Events {
         sum(round(col("v") * 100, 0).cast("long")).as("sum_cents"),
         max(col("event_id")).as("max_eid"))
       .orderBy("residue")
+    }
   }
 
   /** DAU / rolling-7-day WAU / stickiness per day — the engagement
@@ -1630,25 +1660,39 @@ object Events {
       |SELECT epoch_us(CAST(d AS TIMESTAMP)) AS win_start_eus,
       |       CAST(count(*) AS BIGINT) AS n
       |FROM e GROUP BY d ORDER BY win_start_eus""".stripMargin) { (s, d) =>
+    graft.streaming.StreamOps.withStatePartitions(s, 8) {
     val root = QueryDef.tmpRoot("latedrop", d)
     deleteTree(root)
-    // watermarks require TIMESTAMP (not NTZ); the UTC session makes the
-    // cast instant-identical to the oracle's NTZ arithmetic
-    val ev = Tables.events(s, d)
-      .select(col("ts").cast("timestamp").as("ts"), col("event_id"))
-    val day = col("ts").cast("date")
-    val lateSlice = day <= lit("2024-01-08").cast("date") &&
-      col("event_id") % 2 === 1
-    val schema = graft.streaming.StreamOps.stageBatches(
-      ev.select(col("ts"),
+    // staged batches land once per (session, dataset) with their pinned
+    // mtime ladder. The flush sentinel is STAGED as the final batch
+    // (b=3, pinned-newest mtime) instead of appended mid-run: the
+    // FileStreamSource order contract (mtime then path — the
+    // stageBatches discipline) already guarantees it is consumed after
+    // b=2's late rows, which is the only ordering the gate needs, and a
+    // staged sentinel keeps the landed input IMMUTABLE across reps
+    // (a per-rep append accumulated one extra microbatch per rep — each
+    // a full checkpoint commit). Checkpoint + sink are per-run.
+    val (inDir, schema) = graft.streaming.StreamOps.stagedOnce(s, d, "latedrop") { dir =>
+      // watermarks require TIMESTAMP (not NTZ); the UTC session makes the
+      // cast instant-identical to the oracle's NTZ arithmetic
+      val ev = Tables.events(s, d)
+        .select(col("ts").cast("timestamp").as("ts"), col("event_id"))
+      val day = col("ts").cast("date")
+      val lateSlice = day <= lit("2024-01-08").cast("date") &&
+        col("event_id") % 2 === 1
+      val tagged = ev.select(col("ts"),
         when(lateSlice, lit(2))
           .when(day <= lit("2024-01-10").cast("date"), lit(0))
-          .otherwise(lit(1)).as("b")),
-      3, root + "/in")
+          .otherwise(lit(1)).as("b"))
+        .unionByName(s.range(1).select(
+          lit("2025-01-01 00:00:00").cast("timestamp").as("ts"),
+          lit(3).as("b")))
+      graft.streaming.StreamOps.stageBatches(tagged, 4, dir)
+    }
     val q = s.readStream.schema(schema)
       .option("recursiveFileLookup", "true")
       .option("maxFilesPerTrigger", "1")
-      .parquet(root + "/in")
+      .parquet(inDir)
       .withWatermark("ts", "24 hours")
       .groupBy(window(col("ts"), "1 day").as("w"))
       .agg(count(lit(1)).as("n"))
@@ -1659,22 +1703,14 @@ object Events {
       .option("checkpointLocation", root + "/ckpt")
       .foreachBatch(graft.streaming.StreamOps.parquetBatchWriter(root + "/out"))
       .start()
-    try {
-      q.processAllAvailable()
-      // flush: a 2025 sentinel (written after every staged file is
-      // consumed, so it is a LATER discovery regardless of mtime)
-      // advances the watermark past every real window
-      s.range(1)
-        .select(lit("2025-01-01 00:00:00").cast(schema("ts").dataType).as("ts"))
-        .write.mode("append").parquet(root + "/in/b=1")
-      q.processAllAvailable()
-    } finally q.stop()
+    try q.processAllAvailable() finally q.stop()
     s.read.parquet(root + "/out")
       // drop the sentinel's own window (it never emits — the watermark
       // stops at it — but guard against a future flush convention)
       .filter(col("win_start_eus") < 1706745600000000L)
       .select("win_start_eus", "n")
       .orderBy("win_start_eus")
+    }
   }
 
   /** REAL CHECKPOINTED STREAM-STREAM JOIN — the fourth real streaming
@@ -1710,20 +1746,25 @@ object Events {
       |       CAST(min(gap_us) AS BIGINT) AS min_gap_us,
       |       CAST(max(gap_us) AS BIGINT) AS max_gap_us
       |FROM p GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
+    graft.streaming.StreamOps.withStatePartitions(s, 8) {
     val root = QueryDef.tmpRoot("sjoin", d)
     deleteTree(root)
-    val ev = Tables.events(s, d)
-      .filter(col("event_type").isin("signup", "purchase"))
-      .select(col("ts").cast("timestamp").as("ts"), col("user_id"),
-        col("event_type"), col("event_id"))
-    val schema = graft.streaming.StreamOps.stageBatches(
-      ev.withColumn("b", pmod(col("event_id"), lit(3)).cast("int")),
-      3, root + "/in")
+    // staged interleaved batches land once per (session, dataset) with
+    // their pinned mtime ladder; checkpoint + sink are per-run
+    val (inDir, schema) = graft.streaming.StreamOps.stagedOnce(s, d, "sjoin") { dir =>
+      val ev = Tables.events(s, d)
+        .filter(col("event_type").isin("signup", "purchase"))
+        .select(col("ts").cast("timestamp").as("ts"), col("user_id"),
+          col("event_type"), col("event_id"))
+      graft.streaming.StreamOps.stageBatches(
+        ev.withColumn("b", pmod(col("event_id"), lit(3)).cast("int")),
+        3, dir)
+    }
     def side(tpe: String, pre: String) =
       s.readStream.schema(schema)
         .option("recursiveFileLookup", "true")
         .option("maxFilesPerTrigger", "1")
-        .parquet(root + "/in")
+        .parquet(inDir)
         .filter(col("event_type") === tpe)
         .select(col("user_id").as(s"${pre}_user"), col("ts").as(s"${pre}_ts"),
           col("event_id").as(s"${pre}_id"))
@@ -1744,6 +1785,7 @@ object Events {
         min(col("gap_us")).as("min_gap_us"),
         max(col("gap_us")).as("max_gap_us"))
       .orderBy("user_id")
+    }
   }
 
   /** BOT-REGULARITY detection — the abuse-filter read on event cadence
