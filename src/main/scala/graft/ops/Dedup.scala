@@ -144,7 +144,41 @@ object Dedup {
        |SELECT n_exact, n_exact AS n_lsh, n_exact AS n_overlap,
        |       CAST(100 AS BIGINT) AS recall_pct
        |FROM c""".stripMargin) { (s, d) =>
-    minhashRecallCollapsed(Tables.documents(s, d))
+    recallCollapsedCore(landedReps(s, d), landedRepShingles(s, d),
+      landedRepLshPairs(s, d))
+  }
+
+  /** The content-collapsed base relations of the keeper-first minhash
+    * family, LANDED once per (session, dataset) — the co-shingle
+    * statistics discipline (Text.landedShingleStats) applied to the
+    * collapsed kernels: `dedup_minhash_clusters` and
+    * `dedup_minhash_recall` each need (a) the distinct-content
+    * representatives with multiplicities, (b) the shingles of those
+    * representatives, and (c) the banded-LSH near-dup pairs between
+    * them. One landing feeds all consumers; every derivation is
+    * deterministic (md5 collapse, xxhash64 banding), so sharing cannot
+    * move a hash. `reps` forces OUTSIDE the dependent closures (the
+    * Landed.once non-reentrancy contract). */
+  private def landedReps(s: SparkSession, d: String): DataFrame =
+    graft.ops.Landed.once(s, d, "mhreps") {
+      val hashed = Tables.documents(s, d).select(col("doc_id"), col("text"),
+        md5(col("text")).as("h"))
+      hashed.groupBy("h")
+        .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("m"))
+        .join(hashed.select("doc_id", "text"), Seq("doc_id"))
+        .select("doc_id", "text", "m")
+    }
+
+  private def landedRepShingles(s: SparkSession, d: String): DataFrame = {
+    val reps = landedReps(s, d)
+    graft.ops.Landed.once(s, d, "mhsh")(
+      Functions.shingles(reps.select("doc_id", "text")))
+  }
+
+  private def landedRepLshPairs(s: SparkSession, d: String): DataFrame = {
+    val sh = landedRepShingles(s, d)
+    graft.ops.Landed.once(s, d, "mhlshp")(
+      minHashNearDupFromShingles(sh).select("i", "j"))
   }
 
   /** The recall report computed KEEPER-FIRST — exactly `dedup_near` vs
@@ -174,8 +208,16 @@ object Dedup {
     // ONE shingle derivation feeds both kernels (each would otherwise
     // explode + distinct the identical relation)
     val sh = Functions.shingles(reps).localCheckpoint()
+    recallCollapsedCore(reps, sh,
+      minHashNearDupFromShingles(sh).select("i", "j").localCheckpoint())
+  }
+
+  /** The recall arithmetic over explicit collapsed relations — shared
+    * by the inline form above (tests) and the landed-relation gate
+    * path. */
+  private def recallCollapsedCore(reps: DataFrame, sh: DataFrame,
+      lr: DataFrame): DataFrame = {
     val er = Text.nearDupPairsFromShingles(sh).select("i", "j").localCheckpoint()
-    val lr = minHashNearDupFromShingles(sh).select("i", "j").localCheckpoint()
     val mult = reps.select("doc_id", "m")
     def weighted(p: DataFrame, name: String): DataFrame =
       p.join(mult.toDF("doc_id", "mi"), col("i") === col("doc_id")).drop("doc_id")
@@ -224,14 +266,23 @@ object Dedup {
   def minhashClusters(docs: DataFrame): DataFrame = {
     val hashed = docs.select(col("doc_id"), col("text"),
       md5(col("text")).as("h"))
-    val groups = hashed.groupBy("h")
-      .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("m"))
-    val reps = groups.select(col("rep").as("doc_id"), col("m"))
+    val reps = hashed.groupBy("h")
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("m"))
       .join(hashed.select("doc_id", "text"), Seq("doc_id"))
+      .select("doc_id", "text", "m")
       .localCheckpoint() // feeds shingling and the multiplicity expansion
     val sh = Functions.shingles(reps.select("doc_id", "text"))
       .localCheckpoint()
-    val pairs = minHashNearDupFromShingles(sh).select("i", "j")
+    minhashClustersCore(docs, reps, sh,
+      minHashNearDupFromShingles(sh).select("i", "j"))
+  }
+
+  /** The cluster expansion over explicit collapsed relations — shared
+    * by the inline form above (tests) and the landed-relation gate
+    * path, which reuses the SAME landed (reps, shingles, LSH pairs) as
+    * `dedup_minhash_recall`. */
+  private def minhashClustersCore(docs: DataFrame, reps: DataFrame,
+      sh: DataFrame, pairs: DataFrame): DataFrame = {
     val repComp = Text.nearDupKeepersFromPairs(pairs)
       .select(col("doc_id").as("rep"), col("keeper"))
     // nodes = shingled contents; isolated ones label themselves
@@ -245,7 +296,11 @@ object Dedup {
     val clustered = repLabel.join(csize, Seq("keeper"))
       .filter(col("cluster_size") >= 2)
       .select(col("rep"), col("keeper"), col("cluster_size"))
-    hashed.join(groups, Seq("h"))
+    // the doc -> representative map re-derives from the content hash
+    // (identical md5 on both sides — no corpus-sized relation is landed)
+    docs.select(col("doc_id"), md5(col("text")).as("h"))
+      .join(reps.select(col("doc_id").as("rep"), md5(col("text")).as("h")),
+        Seq("h"))
       .select(col("doc_id"), col("rep"))
       .join(clustered, Seq("rep"))
       .select(col("doc_id"), col("keeper"), col("cluster_size"))
@@ -295,7 +350,9 @@ object Dedup {
        |SELECT reach.doc_id, reach.keeper, csize.cluster_size
        |FROM reach JOIN csize USING (keeper)
        |ORDER BY reach.doc_id""".stripMargin) { (s, d) =>
-    minhashClusters(Tables.documents(s, d)).orderBy("doc_id")
+    minhashClustersCore(Tables.documents(s, d), landedReps(s, d),
+      landedRepShingles(s, d), landedRepLshPairs(s, d))
+      .orderBy("doc_id")
   }
 
   /** 64-bit SimHash over the token multiset: bit b of the fingerprint is
