@@ -144,7 +144,7 @@ object Dedup {
        |SELECT n_exact, n_exact AS n_lsh, n_exact AS n_overlap,
        |       CAST(100 AS BIGINT) AS recall_pct
        |FROM c""".stripMargin) { (s, d) =>
-    recallCollapsedCore(landedReps(s, d), landedRepShingles(s, d),
+    recallCollapsedCore(landedReps(s, d), landedRepExactPairs(s, d),
       landedRepLshPairs(s, d))
   }
 
@@ -159,15 +159,22 @@ object Dedup {
     * deterministic (md5 collapse, xxhash64 banding), so sharing cannot
     * move a hash. `reps` forces OUTSIDE the dependent closures (the
     * Landed.once non-reentrancy contract). */
+  /** The content-collapse rule of the keeper-first family, in ONE
+    * place: distinct contents by md5, representative = min doc_id,
+    * multiplicity m. Both the landed gate path and the inline test
+    * forms derive through this, so a change to the collapse (hash or
+    * tie-break) cannot silently fork the relation between paths. */
+  def repsOf(docs: DataFrame): DataFrame = {
+    val hashed = docs.select(col("doc_id"), col("text"),
+      md5(col("text")).as("h"))
+    hashed.groupBy("h")
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("m"))
+      .join(hashed.select("doc_id", "text"), Seq("doc_id"))
+      .select("doc_id", "text", "m")
+  }
+
   private def landedReps(s: SparkSession, d: String): DataFrame =
-    graft.ops.Landed.once(s, d, "mhreps") {
-      val hashed = Tables.documents(s, d).select(col("doc_id"), col("text"),
-        md5(col("text")).as("h"))
-      hashed.groupBy("h")
-        .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("m"))
-        .join(hashed.select("doc_id", "text"), Seq("doc_id"))
-        .select("doc_id", "text", "m")
-    }
+    graft.ops.Landed.once(s, d, "mhreps")(repsOf(Tables.documents(s, d)))
 
   private def landedRepShingles(s: SparkSession, d: String): DataFrame = {
     val reps = landedReps(s, d)
@@ -179,6 +186,16 @@ object Dedup {
     val sh = landedRepShingles(s, d)
     graft.ops.Landed.once(s, d, "mhlshp")(
       minHashNearDupFromShingles(sh).select("i", "j"))
+  }
+
+  /** The exact co-shingle pair relation over representatives — the
+    * other half `dedup_minhash_recall` consumes; landed for the same
+    * reason as the LSH pairs (it is the key's dominant cost and derives
+    * deterministically from the landed shingles). */
+  private def landedRepExactPairs(s: SparkSession, d: String): DataFrame = {
+    val sh = landedRepShingles(s, d)
+    graft.ops.Landed.once(s, d, "mhexp")(
+      Text.nearDupPairsFromShingles(sh).select("i", "j"))
   }
 
   /** The recall report computed KEEPER-FIRST — exactly `dedup_near` vs
@@ -198,26 +215,21 @@ object Dedup {
     * either kernel and contribute nothing, exactly as in the full
     * computation. */
   def minhashRecallCollapsed(docs: DataFrame): DataFrame = {
-    val hashed = docs.select(col("doc_id"), col("text"),
-      md5(col("text")).as("h"))
-    val reps = hashed.groupBy("h")
-      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("m"))
-      .join(hashed.select("doc_id", "text"), Seq("doc_id"))
-      .select("doc_id", "text", "m")
-      .localCheckpoint() // feeds both kernels, the multiplicities and the C(m,2) term
-    // ONE shingle derivation feeds both kernels (each would otherwise
+    // feeds both kernels, the multiplicities and the C(m,2) term; ONE
+    // shingle derivation feeds both kernels (each would otherwise
     // explode + distinct the identical relation)
+    val reps = repsOf(docs).localCheckpoint()
     val sh = Functions.shingles(reps).localCheckpoint()
-    recallCollapsedCore(reps, sh,
+    recallCollapsedCore(reps,
+      Text.nearDupPairsFromShingles(sh).select("i", "j").localCheckpoint(),
       minHashNearDupFromShingles(sh).select("i", "j").localCheckpoint())
   }
 
   /** The recall arithmetic over explicit collapsed relations — shared
     * by the inline form above (tests) and the landed-relation gate
-    * path. */
-  private def recallCollapsedCore(reps: DataFrame, sh: DataFrame,
+    * path (which passes BOTH pair relations pre-landed). */
+  private def recallCollapsedCore(reps: DataFrame, er: DataFrame,
       lr: DataFrame): DataFrame = {
-    val er = Text.nearDupPairsFromShingles(sh).select("i", "j").localCheckpoint()
     val mult = reps.select("doc_id", "m")
     def weighted(p: DataFrame, name: String): DataFrame =
       p.join(mult.toDF("doc_id", "mi"), col("i") === col("doc_id")).drop("doc_id")
@@ -264,13 +276,8 @@ object Dedup {
     * equi-joins to expand. Measured linear at 10× on the dup-heavy
     * fixture where the pair emitter is DNF at 100×. */
   def minhashClusters(docs: DataFrame): DataFrame = {
-    val hashed = docs.select(col("doc_id"), col("text"),
-      md5(col("text")).as("h"))
-    val reps = hashed.groupBy("h")
-      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("m"))
-      .join(hashed.select("doc_id", "text"), Seq("doc_id"))
-      .select("doc_id", "text", "m")
-      .localCheckpoint() // feeds shingling and the multiplicity expansion
+    // feeds shingling and the multiplicity expansion
+    val reps = repsOf(docs).localCheckpoint()
     val sh = Functions.shingles(reps.select("doc_id", "text"))
       .localCheckpoint()
     minhashClustersCore(docs, reps, sh,

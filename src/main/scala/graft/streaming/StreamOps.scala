@@ -304,12 +304,13 @@ object StreamOps {
     * root, so the gates stay real (the streaming query, its offset log,
     * its state store and its landed output are all per-run). The landed
     * dir lives under a pid-scoped tmpRoot (shutdown-hook cleaned) that
-    * no per-rep deleteTree touches. Keys whose protocol APPENDS a flush
-    * sentinel into the watched dir leave one tiny extra file per rep in
-    * the landed input; the sentinel is a far-future row that is (a)
-    * newest by mtime, so later reps consume it after every pinned
-    * batch, and (b) filtered/never-emitted in the gated relation — the
-    * per-key scaladocs carry the argument. */
+    * no per-rep deleteTree touches, and the landed input is IMMUTABLE
+    * across reps by contract: keys that need a watermark-flush sentinel
+    * STAGE it as the final pinned-mtime batch (the stageBatches order
+    * contract makes it the last file consumed) rather than appending
+    * into the watched dir mid-run — a per-rep append would both mutate
+    * the shared landing and cost one extra full-state checkpoint commit
+    * per rep. */
   private val stagedCache = new java.util.concurrent.ConcurrentHashMap[
     (org.apache.spark.sql.SparkSession, String, String),
     (String, org.apache.spark.sql.types.StructType)]()
@@ -319,7 +320,12 @@ object StreamOps {
       : (String, org.apache.spark.sql.types.StructType) = {
     stagedCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
     stagedCache.computeIfAbsent((s, d, tag), _ => {
-      val inDir = graft.ops.QueryDef.tmpRoot("sland_" + tag, d) + "/in"
+      // the path embeds the OWNING SESSION (identity hash), not just
+      // pid+dataset — the Landed.once discipline: without it a second
+      // live session in the same JVM would deleteTree and restage the
+      // directory the first session's streaming query is mid-read on
+      val inDir = graft.ops.QueryDef.tmpRoot("sland_" + tag +
+        "_s" + Integer.toHexString(System.identityHashCode(s)), d) + "/in"
       graft.ops.Staging.deleteTree(inDir)
       (inDir, build(inDir))
     })
