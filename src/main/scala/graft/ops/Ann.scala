@@ -1584,15 +1584,17 @@ object Ann {
   }
 
   /** One beam round of the oracle: previous beam ∪ its graph neighbors,
-    * re-ranked by rounded query cosine, top `beamW` kept. */
-  private def beamRoundCte(r: Int, beamW: Int): String =
-    s"""hb$r AS (SELECT qid, vec_id FROM (
+    * re-ranked by rounded query cosine, top `beamW` kept. `p` prefixes
+    * the CTE names so several beam chains (the beam-width curve) can
+    * coexist in one oracle. */
+  private def beamRoundCte(r: Int, beamW: Int, p: String = "hb"): String =
+    s"""$p$r AS (SELECT qid, vec_id FROM (
        |  SELECT c.qid, c.vec_id, row_number() OVER (PARTITION BY c.qid
        |    ORDER BY round(list_dot_product(q.qve, v.ve) / (q.qnrm * v.nrm), 4) DESC,
        |             c.vec_id) AS rn
-       |  FROM (SELECT qid, vec_id FROM hb${r - 1}
+       |  FROM (SELECT qid, vec_id FROM $p${r - 1}
        |        UNION
-       |        SELECT b.qid, k.j AS vec_id FROM hb${r - 1} b
+       |        SELECT b.qid, k.j AS vec_id FROM $p${r - 1} b
        |        JOIN knn k ON b.vec_id = k.i) c
        |  JOIN v ON c.vec_id = v.vec_id
        |  JOIN qs q ON q.qid = c.qid
@@ -1955,6 +1957,79 @@ object Ann {
     marginMineTail(pc, k = 4, topN = 20, carryCid = false)
   }
 
+  /** BEAM-WIDTH TUNING CURVE for graph ANN — the graph-family
+    * counterpart of `sim_ann_nprobe_curve` (that key gates IVF's whole
+    * recall/cost knob under the hash; THIS gates the graph searcher's):
+    * per beam width w ∈ {4, 8, 16}, the per-query recall of 4-round
+    * beam search over the landed IVF-built kNN graph against the exact
+    * brute-force top-10. The curve is the tuning artifact a serving
+    * deployment actually reads — per-query cost is rounds·w·M scored
+    * candidates (corpus-independent), so the width knob trades exactly
+    * this gated recall against a linear cost factor. Graph, model and
+    * query set are the family's shared cached artifacts (one build
+    * feeds `sim_ann_graph_build`, `align_bitext_knn` and this); the
+    * oracle replays the trained model, the IVF graph
+    * (`ivfGraphOracleCtes`) and three width-suffixed beam chains
+    * through the shared `beamRoundCte`. Recall convention matches
+    * `recallOverlap`: a query with zero overlap at a width has no row
+    * (the nprobe-curve convention, identical in both engines). */
+  val simAnnBeamCurve = QueryDef(
+    "sim_ann_beam_curve", {
+      val perW = Seq(4, 8, 16).map { w =>
+        val p = s"bw${w}r"
+        s"""${p}0 AS (
+           |  SELECT qid, vec_id FROM qs,
+           |    (SELECT vec_id FROM v ORDER BY vec_id LIMIT 8)
+           |),
+           |${beamRoundCte(1, w, p)},
+           |${beamRoundCte(2, w, p)},
+           |${beamRoundCte(3, w, p)},
+           |${beamRoundCte(4, w, p)},
+           |res$w AS (SELECT qid, vec_id FROM (
+           |  SELECT b.qid, b.vec_id, row_number() OVER (PARTITION BY b.qid
+           |    ORDER BY round(list_dot_product(q.qve, v.ve) / (q.qnrm * v.nrm), 4) DESC,
+           |             b.vec_id) AS rn
+           |  FROM ${p}4 b JOIN v ON b.vec_id = v.vec_id JOIN qs q ON q.qid = b.qid
+           |  WHERE b.vec_id <> b.qid
+           |) WHERE rn <= 10),
+           |r$w AS (
+           |  SELECT CAST($w AS BIGINT) AS beam_w, e.qid,
+           |         CAST(count(*) AS BIGINT) AS n_overlap,
+           |         CAST(count(*) * 10 AS BIGINT) AS recall_pct
+           |  FROM ex e JOIN res$w h ON e.qid = h.qid AND e.vec_id = h.vec_id
+           |  GROUP BY e.qid
+           |)""".stripMargin
+      }.mkString(",\n")
+      s"""$kmeansOraclePrefix,
+         |$ivfGraphOracleCtes,
+         |qs AS (
+         |  SELECT vec_id AS qid, ve AS qve, nrm AS qnrm FROM v
+         |  WHERE vec_id IN (0, 101, 202)
+         |),
+         |ex AS (SELECT qid, vec_id FROM (
+         |  SELECT q.qid, v.vec_id, row_number() OVER (PARTITION BY q.qid
+         |    ORDER BY list_dot_product(q.qve, v.ve) / (q.qnrm * v.nrm) DESC,
+         |             v.vec_id) AS rn
+         |  FROM v, qs q WHERE v.vec_id <> q.qid
+         |) WHERE rn <= 10),
+         |$perW
+         |SELECT * FROM (
+         |  SELECT * FROM r4 UNION ALL SELECT * FROM r8 UNION ALL SELECT * FROM r16
+         |) ORDER BY beam_w, qid""".stripMargin
+    }) { (s, d) =>
+    val v = prep(Tables.embeddings(s, d))
+    val g = knnGraphIvf(s, d, m = 16, nprobe = 3)
+    val qids = Seq(0L, 101L, 202L)
+    Seq(4, 8, 16).map(w =>
+        recallOverlap(v,
+          beamSearchTopK(v, g, qids, entryN = 8, beamW = w, rounds = 4, k = 10),
+          qids, k = 10)
+          .select(lit(w.toLong).as("beam_w"), col("qid"), col("n_overlap"),
+            col("recall_pct")))
+      .reduce(_ unionByName _)
+      .orderBy("beam_w", "qid")
+  }
+
   private val KcSelect = 8
   private val KcB = 1099511627776L // 2^40 packing base
 
@@ -2067,6 +2142,6 @@ object Ann {
   val all: Seq[QueryDef] = Seq(simAnnIvf, dedupEmbedLsh, simAnnKmeans, simQuantize, simAnnRecall,
     simAnnPq, simAnnKmeansRecall, simAnnPqRecall, dedupEmbedLshRecall, simPcaPower,
     simAnnIvfPq, simAnnNprobeCurve, dedupSemantic, dedupSemanticScaled,
-    simAnnHnsw, simAnnGraphBuild, alignBitextMine, alignBitextKnn,
-    sampleKcenter)
+    simAnnHnsw, simAnnGraphBuild, simAnnBeamCurve, alignBitextMine,
+    alignBitextKnn, sampleKcenter)
 }

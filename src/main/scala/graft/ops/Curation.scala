@@ -387,6 +387,85 @@ object Curation {
       .orderBy("lang")
   }
 
+  private val AnnealB1 = 1000000000L // phase-1 (stable) token budget
+  private val AnnealB2 = 100000000L // phase-2 (anneal) token budget
+
+  /** TWO-PHASE CURRICULUM MIX ("annealing" — the Llama 3 recipe,
+    * arXiv:2407.21783 §3.1.3: the final training phase upsamples
+    * very-high-quality sources; OLMo 2 and MiniCPM report the same
+    * two-phase schedule): per SOURCE, the phase-1 budget follows the
+    * natural token distribution (b1 = B1·tokens div total) while the
+    * phase-2 anneal budget follows quality EXCESS over the worst source
+    * (b2 = B2·(q − q_min) div Σ(q − q_min)) — so the lowest-quality
+    * source is dropped from the anneal by construction and the branch
+    * is live at every SF. Quality = mean per-doc distinct-token ratio
+    * in micro (the pipeline_dpo scoring signal, aggregated per source
+    * as the exact integer sum-div-count). `upsample2_micro` =
+    * b2·10⁶ div tokens is the anneal-phase epoch factor a mix loader
+    * consumes (> 10⁶ means the source repeats — the upsampling Llama 3
+    * describes).
+    *
+    * At scale: one scan-stage per-doc projection, one source-keyed
+    * combinable aggregate (sources are bounded), two 1-row broadcast
+    * totals; nothing corpus-sized past the first aggregate. All
+    * arithmetic integer div, mirrored in the oracle; Σ(q − q_min) is
+    * floor-guarded to 1 so a uniform-quality corpus yields b2 = 0
+    * everywhere instead of a division failure. */
+  def annealMix(docs: DataFrame, b1: Long = AnnealB1,
+      b2: Long = AnnealB2): DataFrame = {
+    val per = docs
+      .select(col("source"), split(col("text"), " ").as("toks"))
+      .select(col("source"), size(col("toks")).cast("long").as("nt"),
+        (size(array_distinct(col("toks"))).cast("long") * 1000000L).as("ndm"))
+      .withColumn("ratio", expr("ndm div nt"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"),
+        expr("sum(ratio) div count(1)").as("qual_micro"))
+    val tot = broadcast(per.agg(sum(col("n_tokens")).as("tt"),
+      min(col("qual_micro")).as("qmin")))
+    val withT = per.crossJoin(tot)
+      .withColumn("excess", col("qual_micro") - col("qmin"))
+    val den = broadcast(withT.agg(
+      greatest(sum(col("excess")), lit(1L)).as("den")))
+    withT.crossJoin(den)
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("qual_micro"),
+        expr(s"$b1 * n_tokens div tt").as("b1_tokens"),
+        expr(s"$b2 * excess div den").as("b2_tokens"))
+      .withColumn("upsample2_micro",
+        expr("b2_tokens * 1000000L div n_tokens"))
+      .orderBy("source")
+  }
+
+  val sampleAnneal = QueryDef(
+    "sample_anneal",
+    s"""WITH scored AS (
+       |  SELECT source, len(string_split(text, ' ')) AS nt,
+       |    len(list_distinct(string_split(text, ' '))) * 1000000
+       |      // len(string_split(text, ' ')) AS ratio
+       |  FROM documents
+       |), per AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(nt) AS BIGINT) AS n_tokens,
+       |    CAST(sum(ratio) // count(*) AS BIGINT) AS qual_micro
+       |  FROM scored GROUP BY source
+       |), tot AS (
+       |  SELECT sum(n_tokens) AS tt, min(qual_micro) AS qmin FROM per
+       |), ex AS (
+       |  SELECT per.*, qual_micro - qmin AS excess, tt FROM per, tot
+       |), den AS (
+       |  SELECT greatest(sum(excess), 1) AS den FROM ex
+       |)
+       |SELECT source, n_docs, n_tokens, qual_micro,
+       |  CAST($AnnealB1 * n_tokens // tt AS BIGINT) AS b1_tokens,
+       |  CAST($AnnealB2 * excess // den.den AS BIGINT) AS b2_tokens,
+       |  CAST(($AnnealB2 * excess // den.den) * 1000000 // n_tokens AS BIGINT)
+       |    AS upsample2_micro
+       |FROM ex, den ORDER BY source""".stripMargin) { (s, d) =>
+    annealMix(Tables.documents(s, d))
+  }
+
   val all: Seq[QueryDef] =
-    Seq(textLineDedup, sampleDsir, textPerplexityBucket, pipelineSft)
+    Seq(textLineDedup, sampleDsir, textPerplexityBucket, pipelineSft,
+      sampleAnneal)
 }

@@ -982,6 +982,27 @@ class EdgeSpec extends AnyFunSuite {
     assert(got == want, s"got $got")
   }
 
+  test("annealMix: worst source dropped from the anneal, budgets follow size then quality") {
+    // three sources: A high-quality (all-distinct tokens), B mid, C
+    // low (heavy repetition). Phase-1 budgets follow token counts;
+    // phase-2 must give C (the q_min source) EXACTLY zero, and A more
+    // than B.
+    val docs = Seq(
+      (1L, "a", "one two three four"), (2L, "a", "five six seven eight"),
+      (3L, "b", "one two one two"), (4L, "b", "three four three five"),
+      (5L, "c", "one one one one"), (6L, "c", "two two two two"))
+      .toDF("doc_id", "source", "text")
+    val got = graft.ops.Curation.annealMix(docs, b1 = 1000L, b2 = 1000L)
+      .select("source", "n_tokens", "b1_tokens", "b2_tokens")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    val bySrc = got.map(r => r._1 -> r).toMap
+    assert(got.map(_._2).sum == 24 && got.forall(_._3 == 1000L * 8 / 24),
+      s"phase-1 budgets wrong: $got")
+    assert(bySrc("c")._4 == 0L, s"q_min source must get zero anneal: $got")
+    assert(bySrc("a")._4 > bySrc("b")._4 && bySrc("b")._4 > 0,
+      s"anneal must order by quality excess: $got")
+  }
+
   test("skewTopK: equals the one-phase window, value ties broken by event_id across salts") {
     // one hot key ("click") with VALUE TIES landing in different salt
     // buckets (event_ids 8 and 9 differ mod 8), so the phase-2 re-rank
