@@ -679,6 +679,33 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), s"BT went cartesian:\n$p")
   }
 
+  test("minhash banding: candidate generation is a (band, hash)-keyed equi-join, never cartesian") {
+    // the 100 TB property the cluster contract rides on: candidates
+    // come from the posexplode band join — an all-pairs fallback would
+    // surface as a nested-loop/cartesian here
+    val sh = graft.ops.Functions.shingles(graft.Tables.documents(spark, d))
+    val p = graft.ops.Dedup.minHashCandidates(sh)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"banded candidates degenerated to all-pairs:\n$p")
+  }
+
+  test("align_bitext_knn: candidates ride the landed adjacency; final top-20 is TakeOrdered") {
+    val p = plan(graft.ops.Ann.alignBitextKnn)
+    assert(!p.contains("CartesianProduct"),
+      s"ANN-capped candidates degenerated to a cartesian:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-20 degenerated to a global sort:\n$p")
+  }
+
+  test("sample_anneal: two-phase hash aggregation, no corpus-wide window") {
+    val p = plan(graft.ops.Curation.sampleAnneal)
+    assert("HashAggregate".r.findAllIn(p).length >= 2,
+      s"source rollup lost map-side partials:\n$p")
+    assert(!p.contains("Window"), s"anneal arithmetic grew a window:\n$p")
+  }
+
   test("cdc boundary scan runs as the native expression inside whole-stage codegen") {
     val docs = graft.Tables.documents(spark, d)
     val df = docs.select(org.apache.spark.sql.functions.col("doc_id"),
