@@ -75,10 +75,18 @@ object Bench {
     val keys = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
     val best = scala.collection.mutable.HashMap[String, Double]()
+    // sql_tpch_parity caches its 22-query certification per (session,
+    // dataset), so min-of-3 measures the cached rep — honest for a
+    // deterministic CI certification, but the artifact must also carry
+    // the COLD certification cost (round-13 verdict #5). Rep 1 is the
+    // first run of the key in this session = the cold cost; recorded
+    // separately as "cold_s" so the line self-describes.
+    var parityColdS = -1.0
     for (rep <- 1 to reps; (name, fn) <- keys) {
       val t0 = System.nanoTime()
       try { fn(spark, benchDir).count() } catch { case _: Throwable => () }
       val dt = (System.nanoTime() - t0) / 1e9
+      if (rep == 1 && name == "sql_tpch_parity") parityColdS = dt
       if (dt < best.getOrElse(name, Double.MaxValue)) best(name) = dt
     }
     val results = keys.map { case (name, _) => name -> best(name) }
@@ -98,7 +106,12 @@ object Bench {
     // a filtered A/B run marks itself in the JSON so a partial-suite
     // total can never masquerade as a full-suite artifact
     val filteredTag = if (only.isDefined) s""","filtered":${keys.size}""" else ""
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","harness":"repeat-and-min-v4-mirror","reps":$reps,"stat":"min"$filteredTag,"queries":$qs,"sf":"$sfDir"}"""
+    // cold_s: cold-certification costs that the min-of-3 stat hides
+    // (currently just sql_tpch_parity's rep-1); omitted when the key
+    // didn't run (filtered A/B) so the field never carries a bogus -1
+    val coldTag = if (parityColdS >= 0)
+      s""","cold_s":{"sql_tpch_parity":${cs(parityColdS)}}""" else ""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","harness":"repeat-and-min-v4-mirror","reps":$reps,"stat":"min"$filteredTag$coldTag,"queries":$qs,"sf":"$sfDir"}"""
     // The "metric" stdout line prints FIRST, the moment it exists:
     // the driver's artifact window lost the line's head in r5 (tail-only
     // capture) and its tail in r7 — printing the line before any other
@@ -143,7 +156,7 @@ object Bench {
     // it whole; the full per-query map lives in BENCH.json and the long
     // line. Flushed so the final line cannot be lost to stream
     // buffering when the driver kills the process at exit.
-    println(s"""{"metric":"total","compact":true,"value":$total,"unit":"sec","n":${keys.size},"harness":"repeat-and-min-v4-mirror","reps":$reps,"stat":"min"$filteredTag,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","compact":true,"value":$total,"unit":"sec","n":${keys.size},"harness":"repeat-and-min-v4-mirror","reps":$reps,"stat":"min"$filteredTag$coldTag,"sf":"$sfDir"}""")
     System.out.flush()
   }
 }

@@ -148,17 +148,6 @@ object Dedup {
       landedRepLshPairs(s, d))
   }
 
-  /** The content-collapsed base relations of the keeper-first minhash
-    * family, LANDED once per (session, dataset) — the co-shingle
-    * statistics discipline (Text.landedShingleStats) applied to the
-    * collapsed kernels: `dedup_minhash_clusters` and
-    * `dedup_minhash_recall` each need (a) the distinct-content
-    * representatives with multiplicities, (b) the shingles of those
-    * representatives, and (c) the banded-LSH near-dup pairs between
-    * them. One landing feeds all consumers; every derivation is
-    * deterministic (md5 collapse, xxhash64 banding), so sharing cannot
-    * move a hash. `reps` forces OUTSIDE the dependent closures (the
-    * Landed.once non-reentrancy contract). */
   /** The content-collapse rule of the keeper-first family, in ONE
     * place: distinct contents by md5, representative = min doc_id,
     * multiplicity m. Both the landed gate path and the inline test
@@ -173,6 +162,17 @@ object Dedup {
       .select("doc_id", "text", "m")
   }
 
+  /** The content-collapsed base relations of the keeper-first minhash
+    * family, LANDED once per (session, dataset) — the co-shingle
+    * statistics discipline (Text.landedShingleStats) applied to the
+    * collapsed kernels: `dedup_minhash_clusters` and
+    * `dedup_minhash_recall` each need (a) the distinct-content
+    * representatives with multiplicities, (b) the shingles of those
+    * representatives, and (c) the banded-LSH near-dup pairs between
+    * them. One landing feeds all consumers; every derivation is
+    * deterministic (md5 collapse, xxhash64 banding), so sharing cannot
+    * move a hash. `reps` forces OUTSIDE the dependent closures (the
+    * Landed.once non-reentrancy contract). */
   private def landedReps(s: SparkSession, d: String): DataFrame =
     graft.ops.Landed.once(s, d, "mhreps")(repsOf(Tables.documents(s, d)))
 

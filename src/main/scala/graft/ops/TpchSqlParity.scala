@@ -39,6 +39,13 @@ object TpchSqlParity {
   def registerViews(s: SparkSession, d: String): Unit =
     TpchTables.foreach(t => Tables.table(s, d, t).createOrReplaceTempView(t))
 
+  /** The views are certification-scoped: registered for the 22 runs and
+    * dropped after, so the session-global names (`orders`, `lineitem`,
+    * …) never linger to collide with other keys that bind the same
+    * names to different datasets (round-13 advice). */
+  private def dropViews(s: SparkSession): Unit =
+    TpchTables.foreach(t => s.catalog.dropTempView(t))
+
   /** The certification runs ONCE per (session, dataset) — the
     * cachedKmeansCents amortization: a parser-path parity check is a CI
     * gate, not a per-query cost, and it is deterministic (both plans,
@@ -49,18 +56,40 @@ object TpchSqlParity {
 
   private def parityRows(s: SparkSession, d: String): Seq[(String, Long, Boolean)] = {
     parityCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
-    parityCache.computeIfAbsent((s, d), _ => {
-      registerViews(s, d)
-      tpch.map { q =>
-        // each path executes exactly ONCE: the outputs are report-bounded
-        // relations, so they localCheckpoint cheaply and the two excepts
-        // + count run on the materialized blocks, not re-running the scans
-        val df = q.fn(s, d).localCheckpoint()
-        val viaSql = s.sql(sqlText(q)).localCheckpoint()
-        val matches = df.exceptAll(viaSql).isEmpty && viaSql.exceptAll(df).isEmpty
-        (q.name, df.count(), matches)
-      }
-    })
+    // double-checked get/putIfAbsent, NOT computeIfAbsent: the report is
+    // 44 Spark query runs plus exceptAll jobs — far too long to hold a
+    // ConcurrentHashMap bin lock (and a re-entrant call inside
+    // computeIfAbsent deadlocks). A concurrent duplicate computation is
+    // deterministic; putIfAbsent keeps exactly one copy (round-13 advice).
+    val key = (s, d)
+    val hit = parityCache.get(key)
+    if (hit != null) hit
+    else {
+      val report =
+        try {
+          registerViews(s, d)
+          tpch.map { q =>
+            // each path executes exactly ONCE: the outputs are report-bounded
+            // relations, so they localCheckpoint cheaply and the two excepts
+            // + count run on the materialized blocks, not re-running the scans
+            try {
+              val df = q.fn(s, d).localCheckpoint()
+              val viaSql = s.sql(sqlText(q)).localCheckpoint()
+              val matches = df.exceptAll(viaSql).isEmpty && viaSql.exceptAll(df).isEmpty
+              (q.name, df.count(), matches)
+            } catch {
+              case scala.util.control.NonFatal(_) =>
+                // a parser/analyzer failure on ONE text fails the hash
+                // WITH the query named (n_rows = -1, matches = false)
+                // instead of aborting the whole certification with an
+                // unattributed exception (round-13 advice)
+                (q.name, -1L, false)
+            }
+          }
+        } finally dropViews(s)
+      val prev = parityCache.putIfAbsent(key, report)
+      if (prev != null) prev else report
+    }
   }
 
   val sqlTpchParity = QueryDef(

@@ -344,11 +344,19 @@ object StreamOps {
     * baked into each checkpoint at first start; checkpoints here are
     * per-run, so the setting is self-consistent. */
   def withStatePartitions[T](s: org.apache.spark.sql.SparkSession, n: Int)(
-      body: => T): T = {
+      body: => T): T = confSwapLock.synchronized {
+    // the swap mutates the SESSION-global conf for the body's duration;
+    // the lock serializes streaming gates so two concurrent gates cannot
+    // bake each other's partition count into a checkpoint. A NON-streaming
+    // key running concurrently in the same session would still read the
+    // temporary value — the harness runs keys sequentially per session
+    // (Verify/Bench both do), which this depends on (round-13 advice).
     val prev = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", n.toString)
     try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
   }
+
+  private val confSwapLock = new Object
 
   /** Hard-link every data file under `src` into `dst` (same /tmp
     * filesystem — O(1) metadata per file, no Spark job), preserving the

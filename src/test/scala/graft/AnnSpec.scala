@@ -97,6 +97,23 @@ class AnnSpec extends AnyFunSuite {
       s"PQ shortlist+rerank recall too low: ${(approx & exact).size}/10")
   }
 
+  test("sim_ann_upsert: assign-only merge ≡ full-corpus assignment under the base model") {
+    // the determinism the key's oracle rides on: assignment is per-row
+    // independent, so landed-base-lists ∪ increment-lists is EXACTLY the
+    // full-corpus assignment under the same (base-trained) model — a
+    // merge that lost rows, double-assigned, or let the increment
+    // influence training would break this relation equality
+    val v = Ann.prep(Tables.embeddings(spark, d))
+    val base = v.filter(col("vec_id") % 10 =!= 7)
+    val cents = Ann.kmeansCentroidsQuantized(
+      base.orderBy("vec_id").limit(1024).localCheckpoint(), c = 8, iters = 3)
+    val merged = Ann.assignTo(base, cents).select("vec_id", "bucket")
+      .unionByName(Ann.assignTo(v.filter(col("vec_id") % 10 === 7), cents)
+        .select("vec_id", "bucket"))
+    val full = Ann.assignTo(v, cents).select("vec_id", "bucket")
+    assert(merged.exceptAll(full).isEmpty && full.exceptAll(merged).isEmpty)
+  }
+
   test("plantNearDups refuses an offset that would collide with real vec_ids") {
     val emb = Seq((0L, Array(1.0f, 0.0f)), (100001L, Array(0.0f, 1.0f)))
       .toDF("vec_id", "embedding")
