@@ -2128,16 +2128,50 @@ object Ann {
          |  SELECT * FROM r4 UNION ALL SELECT * FROM r8 UNION ALL SELECT * FROM r16
          |) ORDER BY beam_w, qid""".stripMargin
     }) { (s, d) =>
+    // The three width chains run FUSED in one plan (round 14): beam rows
+    // carry a beam_w tag, each round expands/scores/prunes all widths
+    // together (window partitioned by (beam_w, qid), per-row limit
+    // rn <= beam_w), and the exact side computes once — 4 expansion
+    // rounds + 1 final scoring instead of 3 × (4 + 1). Per-width rows
+    // are identical to the unfused beamSearchTopK chains (same entry
+    // set, same expansion, same rounded-cosine total order, same
+    // prune), so the oracle's three width-suffixed chains replay
+    // unchanged.
     val v = prep(Tables.embeddings(s, d))
     val g = knnGraphIvf(s, d, m = 16, nprobe = 3)
     val qids = Seq(0L, 101L, 202L)
-    Seq(4, 8, 16).map(w =>
-        recallOverlap(v,
-          beamSearchTopK(v, g, qids, entryN = 8, beamW = w, rounds = 4, k = 10),
-          qids, k = 10)
-          .select(lit(w.toLong).as("beam_w"), col("qid"), col("n_overlap"),
-            col("recall_pct")))
+    val q = broadcast(v.filter(col("vec_id").isin(qids: _*))
+      .select(col("vec_id").as("qid"), col("ve").as("qve"),
+        col("nrm").as("qnrm")))
+    val entry = v.orderBy("vec_id").limit(8).select("vec_id")
+    def score(cand: DataFrame, exclSelf: Boolean): DataFrame = {
+      val rnW = Window.partitionBy("beam_w", "qid")
+        .orderBy(col("c").desc, col("vec_id"))
+      val scored = cand.join(v, Seq("vec_id")).join(q, Seq("qid"))
+        .select(col("beam_w"), col("qid"), col("vec_id"),
+          round(Similarity.dot(col("qve"), col("ve")) /
+            (col("qnrm") * col("nrm")), 4).as("c"))
+      (if (exclSelf) scored.filter(col("vec_id") =!= col("qid")) else scored)
+        .withColumn("rn", row_number().over(rnW))
+    }
+    var beam = Seq(4, 8, 16).map(w =>
+        q.select(lit(w.toLong).as("beam_w"), col("qid")).crossJoin(entry))
       .reduce(_ unionByName _)
+    for (_ <- 1 to 4)
+      beam = score(
+        beam.unionByName(
+          g.join(broadcast(beam.withColumnRenamed("vec_id", "i")), Seq("i"))
+            .select(col("beam_w"), col("qid"), col("j").as("vec_id")))
+          .distinct(),
+        exclSelf = false)
+        .filter(col("rn") <= col("beam_w"))
+        .select("beam_w", "qid", "vec_id")
+    val top = score(beam, exclSelf = true).filter(col("rn") <= 10)
+      .select("beam_w", "qid", "vec_id")
+    top.join(exactTopK(v, qids, k = 10), Seq("qid", "vec_id"))
+      .groupBy("beam_w", "qid")
+      .agg(count(lit(1)).as("n_overlap"),
+        expr("count(1) * 100 div 10").as("recall_pct"))
       .orderBy("beam_w", "qid")
   }
 
@@ -2238,6 +2272,88 @@ object Ann {
     val approx = ivfTopKMulti(v, merged, cents, qids, nprobe = 4, k = 10)
     val nIns = broadcast(inc.agg(count(lit(1)).as("n_inserted")))
     recallOverlap(v, approx, qids, k = 10).crossJoin(nIns).orderBy("qid")
+  }
+
+  /** ANN INDEX DELETION + COMPACTION (round 14 — completes the index
+    * maintenance story `sim_ann_upsert` opened: add + delete are the
+    * two motions a 100 TB serving index lives by). Deletes (vec_id %
+    * 10 = 3) are first TOMBSTONED — an anti-join applied at read time,
+    * the delete-vector motion `scan_mor_deletes` gates on the scan side
+    * (FAISS `remove_ids` semantics; no index rewrite on the delete
+    * path) — and separately COMPACTED: the lists rewritten without the
+    * tombstones (the periodic rewrite that reclaims space). The gate
+    * checks BOTH: per-query recall of nprobe=4 top-10 over the
+    * tombstoned index vs the exact top-10 over the SURVIVING corpus
+    * (a deleted id leaking into the probe fails the recall columns),
+    * the delete count, and `compact_match` — the Spark-side relation
+    * equality of the tombstone-probe and compacted-probe results (both
+    * exceptAll directions; the oracle emits true, the
+    * dedup_embed_lsh_recall measured-identity convention).
+    *
+    * Scale: the tombstone anti-join is delete-vector-bounded; the
+    * compaction is one linear rewrite of the surviving lists; both
+    * probes touch nprobe/c of the corpus. */
+  val simAnnDelete = QueryDef(
+    "sim_ann_delete",
+    s"""$kmeansOraclePrefixScaled,
+       |sv AS (
+       |  SELECT vec_id, ve, nrm FROM v WHERE vec_id % 10 <> 3
+       |), ai AS (
+       |  SELECT af.vec_id, af.cid FROM af JOIN sv USING (vec_id)
+       |), qs AS (
+       |  SELECT vec_id AS qid, ve AS qve, nrm AS qnrm FROM v
+       |  WHERE vec_id IN (0, 101, 202)
+       |), probed AS (SELECT qid, cid FROM (
+       |  SELECT q.qid, c.cid, row_number() OVER (PARTITION BY q.qid
+       |    ORDER BY list_dot_product(q.qve, c.cve) / (q.qnrm * c.cnrm) DESC, c.cid) AS rn
+       |  FROM qs q, c3 c) WHERE rn <= 4),
+       |appx AS (SELECT qid, vec_id FROM (
+       |  SELECT p.qid, ai.vec_id, row_number() OVER (PARTITION BY p.qid
+       |    ORDER BY round(list_dot_product(q.qve, v.ve) / (q.qnrm * v.nrm), 4) DESC,
+       |             ai.vec_id) AS rn
+       |  FROM probed p JOIN ai ON ai.cid = p.cid JOIN v ON v.vec_id = ai.vec_id
+       |  JOIN qs q ON q.qid = p.qid
+       |  WHERE ai.vec_id <> p.qid) WHERE rn <= 10),
+       |exact AS (SELECT qid, vec_id FROM (
+       |  SELECT q.qid, sv.vec_id, row_number() OVER (PARTITION BY q.qid
+       |    ORDER BY list_dot_product(q.qve, sv.ve) / (q.qnrm * sv.nrm) DESC,
+       |             sv.vec_id) AS rn
+       |  FROM sv, qs q WHERE sv.vec_id <> q.qid) WHERE rn <= 10),
+       |nd AS (SELECT CAST(count(*) AS BIGINT) AS n_deleted FROM v
+       |       WHERE vec_id % 10 = 3)
+       |SELECT e.qid, CAST(count(*) AS BIGINT) AS n_overlap,
+       |       CAST(count(*) * 10 AS BIGINT) AS recall_pct, nd.n_deleted,
+       |       true AS compact_match
+       |FROM exact e JOIN appx h ON e.qid = h.qid AND e.vec_id = h.vec_id, nd
+       |GROUP BY e.qid, nd.n_deleted
+       |ORDER BY e.qid""".stripMargin) { (s, d) =>
+    val v = prep(Tables.embeddings(s, d))
+    val cents = cachedKmeansCentsScaled(s, d)
+    // the serving index: full-corpus lists under the shared scaled
+    // model, landed once (forced before the compaction closure — the
+    // Landed.once non-reentrancy discipline)
+    val lists = Landed.once(s, d, "ivfdell") {
+      assignTo(v, cents).select("vec_id", "bucket")
+    }
+    val del = v.filter(col("vec_id") % 10 === 3).select("vec_id")
+    val tomb = lists.join(del, Seq("vec_id"), "left_anti")
+    val compacted = Landed.once(s, d, "ivfdelc") {
+      lists.join(v.filter(col("vec_id") % 10 === 3).select("vec_id"),
+        Seq("vec_id"), "left_anti")
+    }
+    val qids = Seq(0L, 101L, 202L)
+    val approxT = ivfTopKMulti(v, tomb, cents, qids, nprobe = 4, k = 10)
+    val approxC = ivfTopKMulti(v, compacted, cents, qids, nprobe = 4, k = 10)
+    // bounded relations (<= qids·k rows each): the equality check is
+    // two cheap exceptAll actions, the sql_tpch_parity certification
+    // shape
+    val matches = approxT.exceptAll(approxC).isEmpty &&
+      approxC.exceptAll(approxT).isEmpty
+    val vSurv = v.filter(col("vec_id") % 10 =!= 3)
+    recallOverlap(vSurv, approxT, qids, k = 10)
+      .crossJoin(broadcast(del.agg(count(lit(1)).as("n_deleted"))))
+      .withColumn("compact_match", lit(matches))
+      .orderBy("qid")
   }
 
   private val KcSelect = 8
@@ -2353,5 +2469,5 @@ object Ann {
     simAnnPq, simAnnKmeansRecall, simAnnPqRecall, dedupEmbedLshRecall, simPcaPower,
     simAnnIvfPq, simAnnNprobeCurve, dedupSemantic, dedupSemanticScaled,
     simAnnHnsw, simAnnGraphBuild, simAnnBeamCurve, alignBitextMine,
-    alignBitextKnn, simAnnUpsert, sampleKcenter)
+    alignBitextKnn, simAnnUpsert, simAnnDelete, sampleKcenter)
 }

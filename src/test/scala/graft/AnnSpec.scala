@@ -114,6 +114,22 @@ class AnnSpec extends AnyFunSuite {
     assert(merged.exceptAll(full).isEmpty && full.exceptAll(merged).isEmpty)
   }
 
+  test("sim_ann_delete: a tombstoned index never returns a deleted id") {
+    // the serving invariant: after the delete anti-join, NO probe can
+    // surface a tombstoned vector — even one that would be top-1
+    val v = Ann.prep(Tables.embeddings(spark, d))
+    val cents = Ann.kmeansCentroidsQuantized(
+      v.orderBy("vec_id").limit(1024).localCheckpoint(), c = 8, iters = 3)
+    val lists = Ann.assignTo(v, cents).select("vec_id", "bucket")
+      .localCheckpoint()
+    val del = v.filter(col("vec_id") % 10 === 3).select("vec_id")
+    val tomb = lists.join(del, Seq("vec_id"), "left_anti")
+    val pt = Ann.ivfTopKMulti(v, tomb, cents, Seq(0L, 101L, 202L),
+      nprobe = 4, k = 10).localCheckpoint()
+    assert(pt.count() > 0)
+    assert(pt.join(del, Seq("vec_id")).isEmpty)
+  }
+
   test("plantNearDups refuses an offset that would collide with real vec_ids") {
     val emb = Seq((0L, Array(1.0f, 0.0f)), (100001L, Array(0.0f, 1.0f)))
       .toDF("vec_id", "embedding")
