@@ -2356,6 +2356,110 @@ object Ann {
       .orderBy("qid")
   }
 
+  /** FILTERED ANN SEARCH (round 14 — completes the serving trio with
+    * `sim_ann_upsert`/`sim_ann_delete`): top-k constrained by a
+    * metadata predicate — here "same label as the query" (the
+    * tenant/category-scoped search every production vector store
+    * serves; the classic hard case because the constraint thins the
+    * probed buckets). Strategy = PRE-FILTER on the index side: the
+    * probed IVF lists join the label map and drop cross-label
+    * candidates BEFORE scoring (single-stage, no over-fetch heuristics
+    * — deterministic, and the recall gate measures exactly what the
+    * constraint costs: a probed bucket with < k same-label rows
+    * surfaces as sub-100 recall, which the oracle replays). Exact side
+    * = brute force over the label-constrained corpus. Output per
+    * query: overlap, recall, and the constrained corpus size
+    * (n_in_label — the selectivity the serving planner would read).
+    * Index artifact and model are shared with `sim_ann_delete` (same
+    * landed full-corpus lists — one build, three consumers). */
+  val simAnnFiltered = QueryDef(
+    "sim_ann_filtered",
+    s"""$kmeansOraclePrefixScaled,
+       |lb AS (
+       |  SELECT vec_id, CAST(label AS BIGINT) AS label FROM embeddings
+       |), qs AS (
+       |  SELECT v.vec_id AS qid, v.ve AS qve, v.nrm AS qnrm, lb.label AS qlabel
+       |  FROM v JOIN lb USING (vec_id) WHERE v.vec_id IN (0, 101, 202)
+       |), probed AS (SELECT qid, cid FROM (
+       |  SELECT q.qid, c.cid, row_number() OVER (PARTITION BY q.qid
+       |    ORDER BY list_dot_product(q.qve, c.cve) / (q.qnrm * c.cnrm) DESC, c.cid) AS rn
+       |  FROM qs q, c3 c) WHERE rn <= 4),
+       |appx AS (SELECT qid, vec_id FROM (
+       |  SELECT p.qid, af.vec_id, row_number() OVER (PARTITION BY p.qid
+       |    ORDER BY round(list_dot_product(q.qve, v.ve) / (q.qnrm * v.nrm), 4) DESC,
+       |             af.vec_id) AS rn
+       |  FROM probed p JOIN af ON af.cid = p.cid
+       |  JOIN lb ON lb.vec_id = af.vec_id
+       |  JOIN qs q ON q.qid = p.qid AND lb.label = q.qlabel
+       |  JOIN v ON v.vec_id = af.vec_id
+       |  WHERE af.vec_id <> p.qid) WHERE rn <= 10),
+       |exact AS (SELECT qid, vec_id FROM (
+       |  SELECT q.qid, v.vec_id, row_number() OVER (PARTITION BY q.qid
+       |    ORDER BY list_dot_product(q.qve, v.ve) / (q.qnrm * v.nrm) DESC,
+       |             v.vec_id) AS rn
+       |  FROM v JOIN lb USING (vec_id)
+       |  JOIN qs q ON lb.label = q.qlabel
+       |  WHERE v.vec_id <> q.qid) WHERE rn <= 10),
+       |nl AS (
+       |  SELECT q.qid, CAST(count(*) AS BIGINT) AS n_in_label
+       |  FROM lb JOIN qs q ON lb.label = q.qlabel GROUP BY q.qid
+       |)
+       |SELECT e.qid, CAST(count(*) AS BIGINT) AS n_overlap,
+       |       CAST(count(*) * 10 AS BIGINT) AS recall_pct, nl.n_in_label
+       |FROM exact e JOIN appx h ON e.qid = h.qid AND e.vec_id = h.vec_id
+       |JOIN nl ON nl.qid = e.qid
+       |GROUP BY e.qid, nl.n_in_label
+       |ORDER BY e.qid""".stripMargin) { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    val v = prep(emb)
+    val cents = cachedKmeansCentsScaled(s, d)
+    // the SAME landed serving lists sim_ann_delete reads (one build,
+    // all maintenance/serving consumers); forced before any closure
+    val lists = Landed.once(s, d, "ivfdell") {
+      assignTo(v, cents).select("vec_id", "bucket")
+    }
+    val lb = emb.select(col("vec_id"), col("label").cast("long").as("label"))
+    val qids = Seq(0L, 101L, 202L)
+    val q = broadcast(v.join(lb, Seq("vec_id"))
+      .filter(col("vec_id").isin(qids: _*))
+      .select(col("vec_id").as("qid"), col("ve").as("qve"),
+        col("nrm").as("qnrm"), col("label").as("qlabel")))
+    val rnP = Window.partitionBy("qid").orderBy(col("pcos").desc, col("cid"))
+    val probed = broadcast(q.crossJoin(broadcast(cents))
+      .select(col("qid"), col("cid"),
+        (Similarity.dot(col("qve"), col("cve")) / (col("qnrm") * col("cnrm")))
+          .as("pcos"))
+      .withColumn("rn", row_number().over(rnP)).filter(col("rn") <= 4)
+      .select(col("qid"), col("cid").as("bucket")))
+    val rnK = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
+    val appx = lists.join(probed, Seq("bucket"))
+      .join(lb, Seq("vec_id"))
+      .join(q, Seq("qid"))
+      .filter(col("label") === col("qlabel") && col("vec_id") =!= col("qid"))
+      .join(v, Seq("vec_id"))
+      .select(col("qid"), col("vec_id"),
+        round(Similarity.dot(col("qve"), col("ve")) /
+          (col("qnrm") * col("nrm")), 4).as("cos"))
+      .withColumn("rn", row_number().over(rnK)).filter(col("rn") <= 10)
+      .select("qid", "vec_id")
+    val exact = v.join(lb, Seq("vec_id"))
+      .join(q, col("label") === col("qlabel"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        (Similarity.dot(col("qve"), col("ve")) / (col("qnrm") * col("nrm")))
+          .as("cos"))
+      .withColumn("rn", row_number().over(rnK)).filter(col("rn") <= 10)
+      .select("qid", "vec_id")
+    val nl = lb.join(q, col("label") === col("qlabel"))
+      .groupBy("qid").agg(count(lit(1)).as("n_in_label"))
+    exact.join(appx, Seq("qid", "vec_id"))
+      .groupBy("qid")
+      .agg(count(lit(1)).as("n_overlap"),
+        expr("count(1) * 100 div 10").as("recall_pct"))
+      .join(broadcast(nl), Seq("qid"))
+      .orderBy("qid")
+  }
+
   private val KcSelect = 8
   private val KcB = 1099511627776L // 2^40 packing base
 
@@ -2469,5 +2573,5 @@ object Ann {
     simAnnPq, simAnnKmeansRecall, simAnnPqRecall, dedupEmbedLshRecall, simPcaPower,
     simAnnIvfPq, simAnnNprobeCurve, dedupSemantic, dedupSemanticScaled,
     simAnnHnsw, simAnnGraphBuild, simAnnBeamCurve, alignBitextMine,
-    alignBitextKnn, simAnnUpsert, simAnnDelete, sampleKcenter)
+    alignBitextKnn, simAnnUpsert, simAnnDelete, simAnnFiltered, sampleKcenter)
 }
