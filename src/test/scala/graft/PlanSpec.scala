@@ -706,6 +706,29 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Window"), s"anneal arithmetic grew a window:\n$p")
   }
 
+  test("sim_ann_upsert: increment assignment and merged probe never go cartesian") {
+    // the maintenance contract: the upsert job is increment x centroids
+    // (broadcast) + keyed joins into the landed lists — an unkeyed
+    // corpus join anywhere would mean the merge re-derives base state
+    val p = plan(graft.ops.Ann.simAnnUpsert)
+    assert(!p.contains("CartesianProduct"),
+      s"upsert path degenerated to a cartesian:\n$p")
+  }
+
+  test("sim_ann_delete: tombstones apply as an anti join; no cartesian") {
+    val p = plan(graft.ops.Ann.simAnnDelete)
+    assert(p.contains("LeftAnti"),
+      s"the delete vector did not apply as an anti join:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"delete path degenerated to a cartesian:\n$p")
+  }
+
+  test("sim_ann_filtered: label constraint and probe ride keyed/broadcast joins; no cartesian") {
+    val p = plan(graft.ops.Ann.simAnnFiltered)
+    assert(!p.contains("CartesianProduct"),
+      s"filtered probe degenerated to a cartesian:\n$p")
+  }
+
   test("cdc boundary scan runs as the native expression inside whole-stage codegen") {
     val docs = graft.Tables.documents(spark, d)
     val df = docs.select(org.apache.spark.sql.functions.col("doc_id"),
