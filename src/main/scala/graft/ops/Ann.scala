@@ -1667,13 +1667,21 @@ object Ann {
     val cents = cachedKmeansCentsScaled(s, d)
     Landed.once(s, d, s"knngivfs${m}p$nprobe") {
       val v = prep(Tables.embeddings(s, d))
-      val rnA = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cid"))
+      // both per-group ranks run as the COMBINABLE bounded top-k
+      // aggregate (TopKAgg, round 14): a rank window has no partial
+      // step, so the multi-assign window shuffled n·c rows and the
+      // final top-M window shuffled every directional candidate row
+      // (353M at the 100× study point) — the aggregate caps the
+      // exchanges at n and n·M rows. Identical rank semantics
+      // (score DESC, id ASC, NaN greatest) — the (i, j) set is
+      // hash-identical.
+      val topk = graft.functions.TopKAgg.topk _
       val ma0 = v.crossJoin(broadcast(cents))
         .select(col("vec_id"), col("cid"),
           (Similarity.dot(col("ve"), col("cve")) / (col("nrm") * col("cnrm")))
             .as("ccos"))
-        .withColumn("rn", row_number().over(rnA)).filter(col("rn") <= nprobe)
-        .select(col("cid"), col("vec_id"))
+        .groupBy("vec_id").agg(topk(col("ccos"), col("cid"), nprobe).as("cs"))
+        .select(col("vec_id"), explode(col("cs")).as("cid"))
       val ma = ma0.join(v, Seq("vec_id"))
         .select(col("cid"), col("vec_id"), col("ve"), col("nrm"))
         .repartition(col("cid"))
@@ -1686,9 +1694,8 @@ object Ann {
       val dir = p.select(col("i"), col("j"), col("cos_raw"))
         .unionByName(p.select(col("j").as("i"), col("i").as("j"),
           col("cos_raw")))
-      val w = Window.partitionBy("i").orderBy(col("cos_raw").desc, col("j"))
-      dir.withColumn("rn", row_number().over(w)).filter(col("rn") <= m)
-        .select("i", "j")
+      dir.groupBy("i").agg(topk(col("cos_raw"), col("j"), m).as("js"))
+        .select(col("i"), explode(col("js")).as("j"))
     }
   }
 
