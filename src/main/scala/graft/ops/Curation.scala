@@ -411,16 +411,40 @@ object Curation {
     * arithmetic integer div, mirrored in the oracle; Σ(q − q_min) is
     * floor-guarded to 1 so a uniform-quality corpus yields b2 = 0
     * everywhere instead of a division failure. */
+  /** (source, n_docs, n_tokens, qual_micro) — the per-source size and
+    * quality relation both mix planners (`sample_anneal`,
+    * `sample_epoch_cap`) consume. Quality = mean per-doc distinct-token
+    * ratio in integer micro (the pipeline_dpo scoring signal). One
+    * scan-stage projection + one source-keyed combinable aggregate;
+    * sources are bounded, so everything after this is a constant-size
+    * relation however large the corpus. */
+  private def perSourceQuality(docs: DataFrame): DataFrame = docs
+    .select(col("source"), split(col("text"), " ").as("toks"))
+    .select(col("source"), size(col("toks")).cast("long").as("nt"),
+      (size(array_distinct(col("toks"))).cast("long") * 1000000L).as("ndm"))
+    .withColumn("ratio", expr("ndm div nt"))
+    .groupBy("source")
+    .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"),
+      expr("sum(ratio) div count(1)").as("qual_micro"))
+
+  /** The shared oracle prefix producing `per` — the DuckDB replay of
+    * `perSourceQuality`. */
+  private val perSourceQualityCte: String =
+    """scored AS (
+      |  SELECT source, len(string_split(text, ' ')) AS nt,
+      |    len(list_distinct(string_split(text, ' '))) * 1000000
+      |      // len(string_split(text, ' ')) AS ratio
+      |  FROM documents
+      |), per AS (
+      |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |    CAST(sum(nt) AS BIGINT) AS n_tokens,
+      |    CAST(sum(ratio) // count(*) AS BIGINT) AS qual_micro
+      |  FROM scored GROUP BY source
+      |)""".stripMargin
+
   def annealMix(docs: DataFrame, b1: Long = AnnealB1,
       b2: Long = AnnealB2): DataFrame = {
-    val per = docs
-      .select(col("source"), split(col("text"), " ").as("toks"))
-      .select(col("source"), size(col("toks")).cast("long").as("nt"),
-        (size(array_distinct(col("toks"))).cast("long") * 1000000L).as("ndm"))
-      .withColumn("ratio", expr("ndm div nt"))
-      .groupBy("source")
-      .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"),
-        expr("sum(ratio) div count(1)").as("qual_micro"))
+    val per = perSourceQuality(docs)
     val tot = broadcast(per.agg(sum(col("n_tokens")).as("tt"),
       min(col("qual_micro")).as("qmin")))
     val withT = per.crossJoin(tot)
@@ -439,17 +463,7 @@ object Curation {
 
   val sampleAnneal = QueryDef(
     "sample_anneal",
-    s"""WITH scored AS (
-       |  SELECT source, len(string_split(text, ' ')) AS nt,
-       |    len(list_distinct(string_split(text, ' '))) * 1000000
-       |      // len(string_split(text, ' ')) AS ratio
-       |  FROM documents
-       |), per AS (
-       |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
-       |    CAST(sum(nt) AS BIGINT) AS n_tokens,
-       |    CAST(sum(ratio) // count(*) AS BIGINT) AS qual_micro
-       |  FROM scored GROUP BY source
-       |), tot AS (
+    s"""WITH $perSourceQualityCte, tot AS (
        |  SELECT sum(n_tokens) AS tt, min(qual_micro) AS qmin FROM per
        |), ex AS (
        |  SELECT per.*, qual_micro - qmin AS excess, tt FROM per, tot
@@ -465,7 +479,97 @@ object Curation {
     annealMix(Tables.documents(s, d))
   }
 
+  /** Hard repeat ceiling: ~4 epochs is where repeating data stops being
+    * nearly as good as fresh data (Muennighoff et al. 2023, Fig. 1). */
+  private val EpochCap = 4L
+
+  /** DATA-CONSTRAINED EPOCH ALLOCATION (Muennighoff et al. 2023,
+    * "Scaling Data-Constrained Language Models", arXiv:2305.16264): when
+    * the compute-optimal token budget exceeds the unique corpus — the
+    * regime every frontier run is now in — data is REPEATED, but returns
+    * decay so fast past ~4 epochs that extra repeats are wasted compute.
+    * The planner: budget B = 4·total (compute worth 4 corpus epochs),
+    * desired per-source allocation proportional to QUALITY share (the
+    * perSourceQuality signal — better sources earn more of the budget),
+    * hard cap at 4 epochs of the source; the overflow from capped
+    * sources is redistributed once to the uncapped sources proportional
+    * to size, re-capped (both guards live at every SF: 9-10 of 20
+    * sources cap, and redistribution pushes further sources to the
+    * ceiling). `epochs_x1024` = alloc·2¹⁰ div tokens is the repeat
+    * factor the loader consumes (4096 = at the cap).
+    *
+    * Overflow discipline: shares are quantized to 2¹⁰ fixed point and
+    * the budget is DIVIDED FIRST — desired = (B div 1024)·(q·1024 div
+    * Σq) — so every intermediate stays ≤ max(B, n·1024) and the whole
+    * plan fits in i64 at 100 TB token counts (~2·10¹³), where the naive
+    * B·q product overflows. The quantization error (< B/1024 + one
+    * share unit) is deterministic and identical in both engines.
+    *
+    * At scale: the corpus is touched exactly once (the shared
+    * perSourceQuality scan-aggregate); everything after is arithmetic
+    * over the bounded source relation with two 1-row broadcast totals —
+    * the same shape as `sample_anneal`. */
+  def epochCapMix(docs: DataFrame): DataFrame = {
+    val per = perSourceQuality(docs)
+    val tot = broadcast(per.agg(sum(col("n_tokens")).as("tt"),
+      sum(col("qual_micro")).as("sq")))
+    val a1 = per.crossJoin(tot)
+      .withColumn("desired",
+        expr(s"(($EpochCap * tt) div 1024) * ((qual_micro * 1024) div sq)"))
+      .withColumn("cap", expr(s"$EpochCap * n_tokens"))
+      .withColumn("alloc1", least(col("desired"), col("cap")))
+      .withColumn("capped", col("desired") > col("cap"))
+    val lv = broadcast(a1.agg(
+      sum(col("desired") - col("alloc1")).as("l"),
+      greatest(coalesce(sum(when(!col("capped"), col("n_tokens"))), lit(0L)),
+        lit(1L)).as("un")))
+    a1.crossJoin(lv)
+      .withColumn("extra", when(col("capped"), lit(0L))
+        .otherwise(expr("(l div 1024) * ((n_tokens * 1024) div un)")))
+      .withColumn("alloc_tokens",
+        least(col("alloc1") + col("extra"), col("cap")))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("qual_micro"), col("desired").as("desired_tokens"),
+        col("alloc_tokens"),
+        expr("alloc_tokens * 1024 div n_tokens").as("epochs_x1024"),
+        col("capped"))
+      .orderBy("source")
+  }
+
+  val sampleEpochCap = QueryDef(
+    "sample_epoch_cap",
+    s"""WITH $perSourceQualityCte, tot AS (
+       |  SELECT sum(n_tokens) AS tt, sum(qual_micro) AS sq FROM per
+       |), a1 AS (
+       |  SELECT per.*,
+       |    (($EpochCap * tt) // 1024) * ((qual_micro * 1024) // sq) AS desired,
+       |    $EpochCap * n_tokens AS cap
+       |  FROM per, tot
+       |), a2 AS (
+       |  SELECT *, least(desired, cap) AS alloc1, desired > cap AS capped
+       |  FROM a1
+       |), lv AS (
+       |  SELECT CAST(sum(desired - alloc1) AS BIGINT) AS l,
+       |    greatest(CAST(coalesce(
+       |      sum(CASE WHEN NOT capped THEN n_tokens END), 0) AS BIGINT), 1)
+       |      AS un
+       |  FROM a2
+       |), fin AS (
+       |  SELECT a2.*, CASE WHEN capped THEN 0
+       |    ELSE (l // 1024) * ((n_tokens * 1024) // un) END AS extra
+       |  FROM a2, lv
+       |)
+       |SELECT source, n_docs, n_tokens, qual_micro,
+       |  CAST(desired AS BIGINT) AS desired_tokens,
+       |  CAST(least(alloc1 + extra, cap) AS BIGINT) AS alloc_tokens,
+       |  CAST(least(alloc1 + extra, cap) * 1024 // n_tokens AS BIGINT)
+       |    AS epochs_x1024,
+       |  capped
+       |FROM fin ORDER BY source""".stripMargin) { (s, d) =>
+    epochCapMix(Tables.documents(s, d))
+  }
+
   val all: Seq[QueryDef] =
     Seq(textLineDedup, sampleDsir, textPerplexityBucket, pipelineSft,
-      sampleAnneal)
+      sampleAnneal, sampleEpochCap)
 }

@@ -1003,6 +1003,30 @@ class EdgeSpec extends AnyFunSuite {
       s"anneal must order by quality excess: $got")
   }
 
+  test("epochCapMix: quality source hits the 4-epoch cap, overflow redistributed to the uncapped") {
+    // source a: 128 distinct tokens (q = 10^6) — quality share far above
+    // size share, so its desired allocation exceeds 4 epochs and CAPS;
+    // source b: 384 repeats of one token (q ~ 2.6k) — uncapped, and the
+    // redistribution of a's overflow must push its allocation above its
+    // own quality-share desire while staying under ITS cap.
+    val docs = Seq(
+      (1L, "a", (0 until 128).map("t" + _).mkString(" ")),
+      (2L, "b", Seq.fill(384)("x").mkString(" ")))
+      .toDF("doc_id", "source", "text")
+    val got = graft.ops.Curation.epochCapMix(docs)
+      .select("source", "n_tokens", "desired_tokens", "alloc_tokens",
+        "epochs_x1024", "capped")
+      .as[(String, Long, Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    val (_, na, _, aa, ea, ca) = got("a")
+    val (_, nb, db, ab, eb, cb) = got("b")
+    assert(ca && aa == 4 * na && ea == 4096,
+      s"quality source must sit exactly at the 4-epoch cap: $got")
+    assert(!cb && ab > db && ab <= 4 * nb && eb < 4096,
+      s"uncapped source must gain redistribution under its cap: $got")
+    assert(aa + ab <= 4 * (na + nb), s"allocation exceeded the budget: $got")
+  }
+
   test("skewTopK: equals the one-phase window, value ties broken by event_id across salts") {
     // one hot key ("click") with VALUE TIES landing in different salt
     // buckets (event_ids 8 and 9 differ mod 8), so the phase-2 re-rank

@@ -706,6 +706,13 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Window"), s"anneal arithmetic grew a window:\n$p")
   }
 
+  test("sample_epoch_cap: two-phase hash aggregation, no corpus-wide window") {
+    val p = plan(graft.ops.Curation.sampleEpochCap)
+    assert("HashAggregate".r.findAllIn(p).length >= 2,
+      s"source rollup lost map-side partials:\n$p")
+    assert(!p.contains("Window"), s"epoch-cap arithmetic grew a window:\n$p")
+  }
+
   test("sim_ann_upsert: increment assignment and merged probe never go cartesian") {
     // the maintenance contract: the upsert job is increment x centroids
     // (broadcast) + keyed joins into the landed lists — an unkeyed
