@@ -2467,6 +2467,150 @@ object Ann {
       .orderBy("qid")
   }
 
+  /** Rebalance threshold: a list is oversized above mean + mean/16.
+    * The fixture's trained lists are well balanced (max ≈ 1.13× mean),
+    * so the tight ε = 1/16 keeps the branch LIVE at every SF (2/2/1
+    * lists over at the three SFs); a production store rebalances at
+    * 2–4× mean after heavy upserts — the motion below is identical,
+    * only this constant moves. */
+  private def rebalanceCap(nv: Long, nc: Long): Long =
+    nv / nc + nv / (16L * nc)
+
+  /** IVF LIST REBALANCING (round 14 — the remaining maintenance motion
+    * after `sim_ann_upsert` add and `sim_ann_delete` remove): sustained
+    * upserts skew the inverted lists, and an oversized list degrades
+    * every query probing it (the bucket scan is the per-probe cost), so
+    * a production store periodically REBALANCES — the balanced-k-means
+    * motion (Malinen & Fränti 2014; FAISS reclusters oversized lists
+    * the same way). Deterministic one-round recipe: lists above the
+    * size cap keep their `cap` most-attached members and move the rest
+    * to each row's SECOND-nearest centroid. Attachment = margin =
+    * cos(row, own centroid) − cos(row, runner-up): low margin means the
+    * row sits on the Voronoi boundary, so moving it degrades its probe
+    * recall least — exactly the rows a rebalancer evicts. Gate: the
+    * per-list accounting relation (bucket, n_before, n_out, n_in,
+    * n_after) — the artifact a maintenance job ships.
+    *
+    * Scale shape: sizes are one combinable count over the landed lists
+    * (the SAME artifact `sim_ann_delete`/`sim_ann_filtered` read — one
+    * build, five consumers); only OVERSIZED lists' members join their
+    * vectors back (skew-bounded, not corpus-bounded); the rank-1/rank-2
+    * margin is ONE combinable conditional aggregate over the skinny
+    * members×c relation — rank 1 is the stored assignment itself
+    * (cid = bucket, exactly one row), rank 2 a max-struct over the
+    * cid ≠ bucket rows, so no rank window ever sees the ×c relation;
+    * the keep/evict window partitions by oversized list (list-size-
+    * bounded groups). Everything downstream is ≤ c rows. */
+  val simAnnRebalance = QueryDef(
+    "sim_ann_rebalance",
+    s"""$kmeansOraclePrefixScaled,
+       |sz AS (
+       |  SELECT cid, CAST(count(*) AS BIGINT) AS n_before FROM af GROUP BY cid
+       |), cp AS (
+       |  SELECT sum(n_before) // count(*)
+       |       + sum(n_before) // (16 * count(*)) AS cap
+       |  FROM sz
+       |), ov AS (
+       |  SELECT cid FROM sz, cp WHERE n_before > cap
+       |), mem AS (
+       |  SELECT af.vec_id, af.cid AS bucket, v.ve, v.nrm
+       |  FROM af JOIN ov USING (cid) JOIN v USING (vec_id)
+       |), mcc AS (
+       |  SELECT m.vec_id, m.bucket, c.cid,
+       |         list_dot_product(m.ve, c.cve) / (m.nrm * c.cnrm) AS ccos
+       |  FROM mem m, c3 c
+       |), r2 AS (
+       |  SELECT vec_id, bucket, cid, ccos,
+       |         row_number() OVER (PARTITION BY vec_id
+       |           ORDER BY ccos DESC, cid) AS rn
+       |  FROM mcc
+       |), m2 AS (
+       |  SELECT vec_id, bucket,
+       |         round(max(CASE WHEN rn = 1 THEN ccos END)
+       |             - max(CASE WHEN rn = 2 THEN ccos END), 4) AS margin,
+       |         max(CASE WHEN rn = 2 THEN cid END) AS to_cid
+       |  FROM r2 WHERE rn <= 2 GROUP BY vec_id, bucket
+       |), mv AS (
+       |  SELECT vec_id, bucket AS from_cid, to_cid FROM (
+       |    SELECT m2.*, row_number() OVER (PARTITION BY bucket
+       |      ORDER BY margin DESC, vec_id) AS krn FROM m2), cp
+       |  WHERE krn > cap
+       |), oc AS (
+       |  SELECT from_cid AS cid, CAST(count(*) AS BIGINT) AS n_out
+       |  FROM mv GROUP BY 1
+       |), ic AS (
+       |  SELECT to_cid AS cid, CAST(count(*) AS BIGINT) AS n_in
+       |  FROM mv GROUP BY 1
+       |)
+       |SELECT sz.cid AS bucket, sz.n_before,
+       |       CAST(coalesce(oc.n_out, 0) AS BIGINT) AS n_out,
+       |       CAST(coalesce(ic.n_in, 0) AS BIGINT) AS n_in,
+       |       CAST(sz.n_before - coalesce(oc.n_out, 0)
+       |            + coalesce(ic.n_in, 0) AS BIGINT) AS n_after
+       |FROM sz LEFT JOIN oc ON oc.cid = sz.cid
+       |LEFT JOIN ic ON ic.cid = sz.cid
+       |ORDER BY bucket""".stripMargin) { (s, d) =>
+    val v = prep(Tables.embeddings(s, d))
+    val cents = cachedKmeansCentsScaled(s, d)
+    // the shared serving lists (forced before the closure — the
+    // Landed.once non-reentrancy discipline)
+    val lists = Landed.once(s, d, "ivfdell") {
+      assignTo(v, cents).select("vec_id", "bucket")
+    }
+    rebalanceReport(v, cents, lists)
+  }
+
+  /** The rebalance motion over an explicit (v, model, lists) triple —
+    * see `simAnnRebalance` for the contract. Separated so the spec can
+    * drive it on a constructed skew fixture. */
+  def rebalanceReport(v: DataFrame, cents: DataFrame,
+      lists: DataFrame): DataFrame = {
+    val sizes = lists.groupBy("bucket").agg(count(lit(1)).as("n_before"))
+    // bounded driver state: (corpus rows, non-empty lists) in ONE
+    // c-row aggregate over sizes — the mean a rebalancer actually
+    // thresholds against; mirrored by the oracle's `cp` over `sz`
+    val st = sizes.agg(sum(col("n_before")), count(lit(1))).head()
+    val cap = rebalanceCap(st.getLong(0), st.getLong(1))
+    val over = sizes.filter(col("n_before") > cap).select("bucket")
+    val mem = lists.join(broadcast(over), Seq("bucket"))
+      .join(v, Seq("vec_id"))
+    val mcc = mem.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("bucket"), col("cid"),
+        (Similarity.dot(col("ve"), col("cve")) / (col("nrm") * col("cnrm")))
+          .as("ccos"))
+    // rank 1 = the stored assignment (cid = bucket); rank 2 = combinable
+    // max-struct over the rest — identical tie-break (ccos DESC, cid ASC)
+    // to the oracle's rank window
+    val m2 = mcc.groupBy("vec_id", "bucket").agg(
+      max(when(col("cid") === col("bucket"), col("ccos"))).as("cos1"),
+      max(when(col("cid") =!= col("bucket"),
+        struct(col("ccos"), (-col("cid")).as("ncid")))).as("b2"))
+      .select(col("vec_id"), col("bucket"),
+        round(col("cos1") - col("b2.ccos"), 4).as("margin"),
+        (-col("b2.ncid")).as("to_cid"))
+    val krn = Window.partitionBy("bucket")
+      .orderBy(col("margin").desc, col("vec_id"))
+    // the move list is eviction-bounded (Σ oversize − cap); checkpoint
+    // once so the out- and in-count branches read it instead of each
+    // re-running the margin chain (the plan otherwise duplicates the
+    // whole members×c subtree)
+    val mv = m2.withColumn("krn", row_number().over(krn))
+      .filter(col("krn") > cap)
+      .select(col("vec_id"), col("bucket").as("from_cid"), col("to_cid"))
+      .localCheckpoint()
+    val oc = broadcast(mv.groupBy(col("from_cid").as("bucket"))
+      .agg(count(lit(1)).as("n_out")))
+    val ic = broadcast(mv.groupBy(col("to_cid").as("bucket"))
+      .agg(count(lit(1)).as("n_in")))
+    sizes.join(oc, Seq("bucket"), "left").join(ic, Seq("bucket"), "left")
+      .select(col("bucket"), col("n_before"),
+        coalesce(col("n_out"), lit(0L)).as("n_out"),
+        coalesce(col("n_in"), lit(0L)).as("n_in"),
+        (col("n_before") - coalesce(col("n_out"), lit(0L))
+          + coalesce(col("n_in"), lit(0L))).as("n_after"))
+      .orderBy("bucket")
+  }
+
   private val KcSelect = 8
   private val KcB = 1099511627776L // 2^40 packing base
 
@@ -2580,5 +2724,6 @@ object Ann {
     simAnnPq, simAnnKmeansRecall, simAnnPqRecall, dedupEmbedLshRecall, simPcaPower,
     simAnnIvfPq, simAnnNprobeCurve, dedupSemantic, dedupSemanticScaled,
     simAnnHnsw, simAnnGraphBuild, simAnnBeamCurve, alignBitextMine,
-    alignBitextKnn, simAnnUpsert, simAnnDelete, simAnnFiltered, sampleKcenter)
+    alignBitextKnn, simAnnUpsert, simAnnDelete, simAnnFiltered,
+    simAnnRebalance, sampleKcenter)
 }

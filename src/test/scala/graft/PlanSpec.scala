@@ -722,6 +722,17 @@ class PlanSpec extends AnyFunSuite {
       s"upsert path degenerated to a cartesian:\n$p")
   }
 
+  test("sim_ann_rebalance: margin rank is a combinable aggregate; no cartesian") {
+    // the members-by-centroids relation must reach its exchange already
+    // collapsed to one row per member (the assignTo max-struct shape) —
+    // a rank window over the x-c relation would shuffle members*c rows
+    val p = plan(graft.ops.Ann.simAnnRebalance)
+    assert(!p.contains("CartesianProduct"),
+      s"rebalance path degenerated to a cartesian:\n$p")
+    assert("Window".r.findAllIn(p).length <= 1,
+      s"more windows than the per-list keep/evict rank:\n$p")
+  }
+
   test("sim_ann_delete: tombstones apply as an anti join; no cartesian") {
     val p = plan(graft.ops.Ann.simAnnDelete)
     assert(p.contains("LeftAnti"),
