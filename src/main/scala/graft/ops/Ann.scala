@@ -2205,8 +2205,16 @@ object Ann {
     * which is exactly what the oracle replays (train on the base
     * sample, `af` over full v); AnnSpec pins the equivalence on the
     * Spark side. */
-  val simAnnUpsert = QueryDef(
-    "sim_ann_upsert",
+  /** The batch-vs-maintained-index recall replay shared by
+    * `sim_ann_upsert` and `stream_ann_upsert`: train on the base
+    * sample, assign the FULL corpus under that model (`af` — which
+    * base-assign ∪ increment-assign must equal, the per-row-independent
+    * determinism the keys gate), probe the merged index, compare to
+    * exact. One oracle string, two ingestion paths: the hash certifies
+    * the STREAMED maintenance reaches exactly the batch answer — the
+    * exactly-once claim, the `stream_upsert_sink` ↔ `merge_cdc`
+    * relationship replayed for the ANN index. */
+  private val upsertOracleSql: String =
     s"""WITH v0 AS (
        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
        |  FROM embeddings
@@ -2262,7 +2270,20 @@ object Ann {
        |       CAST(count(*) * 10 AS BIGINT) AS recall_pct, ni.n_inserted
        |FROM exact e JOIN appx h ON e.qid = h.qid AND e.vec_id = h.vec_id, ni
        |GROUP BY e.qid, ni.n_inserted
-       |ORDER BY e.qid""".stripMargin) { (s, d) =>
+       |ORDER BY e.qid""".stripMargin
+
+  /** Probe + recall tail over a maintained (merged) index — shared by
+    * the batch and streaming upsert gates so the serving read path has
+    * exactly one implementation. */
+  private def upsertRecallReport(v: DataFrame, merged: DataFrame,
+      cents: DataFrame, nIns: DataFrame): DataFrame = {
+    val qids = Seq(0L, 101L, 202L)
+    val approx = ivfTopKMulti(v, merged, cents, qids, nprobe = 4, k = 10)
+    recallOverlap(v, approx, qids, k = 10)
+      .crossJoin(broadcast(nIns)).orderBy("qid")
+  }
+
+  val simAnnUpsert = QueryDef("sim_ann_upsert", upsertOracleSql) { (s, d) =>
     val v = prep(Tables.embeddings(s, d))
     val inc = v.filter(col("vec_id") % 10 === 7)
     // model + base lists forced OUTSIDE the Landed closure (the
@@ -2275,10 +2296,69 @@ object Ann {
     // the upsert job: assign-only, touches ONLY the increment
     val merged = baseLists.unionByName(
       assignTo(inc, cents).select("vec_id", "bucket"))
-    val qids = Seq(0L, 101L, 202L)
-    val approx = ivfTopKMulti(v, merged, cents, qids, nprobe = 4, k = 10)
-    val nIns = broadcast(inc.agg(count(lit(1)).as("n_inserted")))
-    recallOverlap(v, approx, qids, k = 10).crossJoin(nIns).orderBy("qid")
+    upsertRecallReport(v, merged, cents,
+      inc.agg(count(lit(1)).as("n_inserted")))
+  }
+
+  /** STREAMING ANN INDEX MAINTENANCE (round 14 — the ingestion motion
+    * behind `sim_ann_upsert` run as an actual checkpointed stream): a
+    * production serving index is fed by a STREAM of fresh embeddings —
+    * each microbatch is assigned under the frozen base model
+    * (assign-only, the FAISS `add` motion) and appended to the
+    * maintained lists; the gate probes the merged index (landed base
+    * lists ∪ streamed lists) and hash-matches THE SAME oracle as the
+    * batch upsert. That equality is the exactly-once claim for index
+    * ingestion — batch slicing, file pick order and crash replay all
+    * land the same index because per-row assignment is independent and
+    * keyed (the `stream_upsert_sink` ↔ `merge_cdc` relationship,
+    * replayed for the ANN family). The read side dedups the sink by
+    * (vec_id, bucket) so a replayed batch cannot double a row —
+    * assignment determinism makes the append idempotent under dedup.
+    * `n_inserted` counts the SINK (not the source), so a dropped or
+    * double-counted row fails the gate with a readable column.
+    *
+    * Scale: staging lands once per (session, dataset); each microbatch
+    * costs |batch|·c broadcast dot products + one append — increment-
+    * bounded, never touching base lists; the probe is the shared
+    * nprobe/c serving read path. */
+  val streamAnnUpsert = QueryDef("stream_ann_upsert", upsertOracleSql) {
+    (s, d) =>
+    val root = QueryDef.tmpRoot("annup", d)
+    graft.ops.Staging.deleteTree(root)
+    val v = prep(Tables.embeddings(s, d))
+    // model + base lists: the sim_ann_upsert artifacts (one build,
+    // both ingestion paths), forced before any closure
+    val cents = cachedKmeansCentsUpsertBase(s, d)
+    val baseLists = Landed.once(s, d, "ivfupsb") {
+      assignTo(v.filter(col("vec_id") % 10 =!= 7), cents)
+        .select("vec_id", "bucket")
+    }
+    // the increment arrives as 4 staged microbatches (landed once per
+    // session/dataset; checkpoint + sink stay per-run)
+    val (inDir, schema) = graft.streaming.StreamOps.stagedOnce(s, d, "annup") {
+      dir =>
+        graft.streaming.StreamOps.stageBatches(
+          Tables.embeddings(s, d).filter(col("vec_id") % 10 === 7)
+            .select(col("vec_id"), col("embedding"),
+              pmod(expr("vec_id div 10"), lit(4)).cast("int").as("b")),
+          4, dir)
+    }
+    val q = s.readStream.schema(schema)
+      .option("recursiveFileLookup", "true")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(inDir)
+      .writeStream
+      .option("checkpointLocation", root + "/ckpt")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        assignTo(prep(batch), cents).select("vec_id", "bucket")
+          .write.mode("append").parquet(root + "/lists")
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = s.read.parquet(root + "/lists").distinct()
+    upsertRecallReport(v, baseLists.unionByName(streamed), cents,
+      streamed.agg(count(lit(1)).as("n_inserted")))
   }
 
   /** ANN INDEX DELETION + COMPACTION (round 14 — completes the index
@@ -2724,6 +2804,6 @@ object Ann {
     simAnnPq, simAnnKmeansRecall, simAnnPqRecall, dedupEmbedLshRecall, simPcaPower,
     simAnnIvfPq, simAnnNprobeCurve, dedupSemantic, dedupSemanticScaled,
     simAnnHnsw, simAnnGraphBuild, simAnnBeamCurve, alignBitextMine,
-    alignBitextKnn, simAnnUpsert, simAnnDelete, simAnnFiltered,
-    simAnnRebalance, sampleKcenter)
+    alignBitextKnn, simAnnUpsert, streamAnnUpsert, simAnnDelete,
+    simAnnFiltered, simAnnRebalance, sampleKcenter)
 }

@@ -550,4 +550,18 @@ class StreamingSpec extends AnyFunSuite {
       .as[(Long, Long, Double)].collect().toSet
     assert(got == want, s"snapshot after restart != batch aggregate: $got vs $want")
   }
+
+  test("stream_ann_upsert equals the batch sim_ann_upsert relation (exactly-once index ingestion)") {
+    // the two gates share one oracle; this pins the equality on the
+    // Spark side too — a dropped microbatch, a doubled replay row that
+    // survives the sink dedup, or an increment row influencing the
+    // model would each break it
+    val d = "/root/testdata/sf0.001"
+    val batch = graft.ops.Ann.simAnnUpsert.fn(spark, d)
+    val streamed = graft.ops.Ann.streamAnnUpsert.fn(spark, d)
+    assert(batch.exceptAll(streamed).isEmpty &&
+      streamed.exceptAll(batch).isEmpty,
+      s"streamed index diverged from batch upsert:\n" +
+        s"batch=${batch.collect().toSeq}\nstream=${streamed.collect().toSeq}")
+  }
 }
