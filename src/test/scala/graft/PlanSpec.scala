@@ -725,11 +725,16 @@ class PlanSpec extends AnyFunSuite {
   test("sim_ann_rebalance: margin rank is a combinable aggregate; no cartesian") {
     // the members-by-centroids relation must reach its exchange already
     // collapsed to one row per member (the assignTo max-struct shape) —
-    // a rank window over the x-c relation would shuffle members*c rows
+    // a rank window over the x-c relation would shuffle members*c rows.
+    // The move list is cached and read by both count branches, so its
+    // subtree (holding the ONE per-list keep/evict window) prints once
+    // per reader: <= 2 Window occurrences, all the same cached plan.
     val p = plan(graft.ops.Ann.simAnnRebalance)
     assert(!p.contains("CartesianProduct"),
       s"rebalance path degenerated to a cartesian:\n$p")
-    assert("Window".r.findAllIn(p).length <= 1,
+    assert(p.contains("InMemoryTableScan"),
+      s"move list lost its shared cache (margin chain recomputed):\n$p")
+    assert("Window".r.findAllIn(p).length <= 2,
       s"more windows than the per-list keep/evict rank:\n$p")
   }
 
