@@ -2283,16 +2283,27 @@ object Ann {
       .crossJoin(broadcast(nIns)).orderBy("qid")
   }
 
+  /** The maintained index's frozen base: (model, landed base lists) —
+    * ONE definition for both ingestion paths (review finding: the two
+    * inline copies had to stay byte-identical or the Landed artifact
+    * would silently depend on which key ran first). Model forced
+    * OUTSIDE the Landed closure (the documented non-reentrancy
+    * discipline). */
+  private def upsertBaseIndex(s: SparkSession, d: String)
+      : (DataFrame, DataFrame) = {
+    val cents = cachedKmeansCentsUpsertBase(s, d)
+    val baseLists = Landed.once(s, d, "ivfupsb") {
+      assignTo(prep(Tables.embeddings(s, d))
+          .filter(col("vec_id") % 10 =!= 7), cents)
+        .select("vec_id", "bucket")
+    }
+    (cents, baseLists)
+  }
+
   val simAnnUpsert = QueryDef("sim_ann_upsert", upsertOracleSql) { (s, d) =>
     val v = prep(Tables.embeddings(s, d))
     val inc = v.filter(col("vec_id") % 10 === 7)
-    // model + base lists forced OUTSIDE the Landed closure (the
-    // documented non-reentrancy discipline)
-    val cents = cachedKmeansCentsUpsertBase(s, d)
-    val baseLists = Landed.once(s, d, "ivfupsb") {
-      assignTo(v.filter(col("vec_id") % 10 =!= 7), cents)
-        .select("vec_id", "bucket")
-    }
+    val (cents, baseLists) = upsertBaseIndex(s, d)
     // the upsert job: assign-only, touches ONLY the increment
     val merged = baseLists.unionByName(
       assignTo(inc, cents).select("vec_id", "bucket"))
@@ -2326,13 +2337,9 @@ object Ann {
     val root = QueryDef.tmpRoot("annup", d)
     graft.ops.Staging.deleteTree(root)
     val v = prep(Tables.embeddings(s, d))
-    // model + base lists: the sim_ann_upsert artifacts (one build,
-    // both ingestion paths), forced before any closure
-    val cents = cachedKmeansCentsUpsertBase(s, d)
-    val baseLists = Landed.once(s, d, "ivfupsb") {
-      assignTo(v.filter(col("vec_id") % 10 =!= 7), cents)
-        .select("vec_id", "bucket")
-    }
+    // model + base lists: the sim_ann_upsert artifacts (one shared
+    // build, both ingestion paths)
+    val (cents, baseLists) = upsertBaseIndex(s, d)
     // the increment arrives as 4 staged microbatches (landed once per
     // session/dataset; checkpoint + sink stay per-run)
     val (inDir, schema) = graft.streaming.StreamOps.stagedOnce(s, d, "annup") {
@@ -2352,18 +2359,27 @@ object Ann {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         // a file-source microbatch inherits the staged file's partition
         // count (one file -> ONE task), which would serialize the
-        // |batch|*c assignment dots; re-spread by key before the
-        // CPU-heavy stage (measured 38 -> ~8 s warm at the 100x study
-        // point). Assignment is per-row deterministic, so the spread
-        // cannot move the hash.
-        assignTo(prep(batch).repartition(col("vec_id")), cents)
-          .select("vec_id", "bucket")
+        // |batch|*c assignment dots; re-spread by key over a BOUNDED 8
+        // partitions before the CPU-heavy stage (measured 38 -> ~7 s
+        // warm at the 100x study point; an unbounded spread would also
+        // leave shuffle-partition-count tiny sink files per batch —
+        // list compaction is `sim_ann_delete`'s motion, not the
+        // ingester's). Assignment is per-row deterministic, so the
+        // spread cannot move the hash.
+        assignTo(prep(batch).repartition(8, col("vec_id")), cents)
+          .select("vec_id", "bucket").coalesce(8)
           .write.mode("append").parquet(root + "/lists")
         ()
       }
       .start()
     try q.processAllAvailable() finally q.stop()
-    val streamed = s.read.parquet(root + "/lists").distinct()
+    // an empty increment never writes the sink directory — fall back to
+    // the typed empty relation so the degenerate input matches the
+    // batch twin (n_inserted = 0) instead of failing schema inference
+    val streamed =
+      if (new java.io.File(root + "/lists").exists())
+        s.read.parquet(root + "/lists").distinct()
+      else s.range(0).select(col("id").as("vec_id"), col("id").as("bucket"))
     upsertRecallReport(v, baseLists.unionByName(streamed), cents,
       streamed.agg(count(lit(1)).as("n_inserted")))
   }
@@ -2628,14 +2644,18 @@ object Ann {
        |), ic AS (
        |  SELECT to_cid AS cid, CAST(count(*) AS BIGINT) AS n_in
        |  FROM mv GROUP BY 1
+       |), sb AS (
+       |  SELECT sz.cid, sz.n_before, CAST(coalesce(oc.n_out, 0) AS BIGINT)
+       |           AS n_out
+       |  FROM sz LEFT JOIN oc ON oc.cid = sz.cid
        |)
-       |SELECT sz.cid AS bucket, sz.n_before,
-       |       CAST(coalesce(oc.n_out, 0) AS BIGINT) AS n_out,
+       |SELECT coalesce(sb.cid, ic.cid) AS bucket,
+       |       CAST(coalesce(sb.n_before, 0) AS BIGINT) AS n_before,
+       |       CAST(coalesce(sb.n_out, 0) AS BIGINT) AS n_out,
        |       CAST(coalesce(ic.n_in, 0) AS BIGINT) AS n_in,
-       |       CAST(sz.n_before - coalesce(oc.n_out, 0)
+       |       CAST(coalesce(sb.n_before, 0) - coalesce(sb.n_out, 0)
        |            + coalesce(ic.n_in, 0) AS BIGINT) AS n_after
-       |FROM sz LEFT JOIN oc ON oc.cid = sz.cid
-       |LEFT JOIN ic ON ic.cid = sz.cid
+       |FROM sb FULL JOIN ic ON ic.cid = sb.cid
        |ORDER BY bucket""".stripMargin) { (s, d) =>
     val v = prep(Tables.embeddings(s, d))
     val cents = cachedKmeansCentsScaled(s, d)
@@ -2690,13 +2710,23 @@ object Ann {
       .persist()
     val oc = broadcast(mv.groupBy(col("from_cid").as("bucket"))
       .agg(count(lit(1)).as("n_out")))
-    val ic = broadcast(mv.groupBy(col("to_cid").as("bucket"))
-      .agg(count(lit(1)).as("n_in")))
-    sizes.join(oc, Seq("bucket"), "left").join(ic, Seq("bucket"), "left")
-      .select(col("bucket"), col("n_before"),
+    // no broadcast hint on the receive side: it joins FULL OUTER below
+    // (hash/broadcast strategies cannot preserve both sides), and both
+    // relations are <= c rows anyway
+    val ic = mv.groupBy(col("to_cid").as("bucket"))
+      .agg(count(lit(1)).as("n_in"))
+    // outer join on the receive side: a row can be evicted TO a
+    // centroid whose list was empty (a centroid that is nobody's
+    // rank-1 can still be a runner-up); that bucket must appear in the
+    // accounting with n_before = 0, else Σ n_after < Σ n_before and
+    // conservation — the relation's contract — breaks (review finding)
+    sizes.join(oc, Seq("bucket"), "left").join(ic, Seq("bucket"), "outer")
+      .select(col("bucket"),
+        coalesce(col("n_before"), lit(0L)).as("n_before"),
         coalesce(col("n_out"), lit(0L)).as("n_out"),
         coalesce(col("n_in"), lit(0L)).as("n_in"),
-        (col("n_before") - coalesce(col("n_out"), lit(0L))
+        (coalesce(col("n_before"), lit(0L))
+          - coalesce(col("n_out"), lit(0L))
           + coalesce(col("n_in"), lit(0L))).as("n_after"))
       .orderBy("bucket")
   }

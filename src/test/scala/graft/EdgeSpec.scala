@@ -1003,26 +1003,31 @@ class EdgeSpec extends AnyFunSuite {
       s"anneal must order by quality excess: $got")
   }
 
-  test("rebalanceReport: oversized list evicts its lowest-margin rows to the runner-up centroid") {
+  test("rebalanceReport: oversized list evicts its lowest-margin rows; empty receiving list stays in the accounting") {
     import graft.ops.{Ann, Similarity}
-    // two centroids on the axes; list 0 holds five vectors fanning from
-    // (1,0) toward (0,1), list 1 holds one. n=6 over 2 lists -> cap=3,
-    // so list 0 (size 5) must keep its three highest-margin members
-    // (ids 1,2,3 — nearest the x axis) and move ids 4,5 to centroid 1.
+    // three centroids; list 0 holds five vectors fanning off the x
+    // axis, list 1 holds one, centroid 2 has NO members. n=6 over 2
+    // non-empty lists -> cap=3, so list 0 (size 5) keeps its three
+    // highest-margin members (ids 1,2,3 — nearest the x axis) and
+    // evicts id 4 to centroid 1 and id 5 (the only y<0 vector) to
+    // centroid 2 — which must appear in the report with n_before = 0
+    // (conservation: sum n_after == sum n_before).
     def withNorm(df: org.apache.spark.sql.DataFrame, vc: String, nc: String) =
       df.withColumn(nc, Similarity.l2norm(col(vc)))
     val v = withNorm(Seq(
       (1L, Seq(1.0, 0.0)), (2L, Seq(1.0, 0.1)), (3L, Seq(1.0, 0.2)),
-      (4L, Seq(1.0, 0.5)), (5L, Seq(1.0, 0.8)), (6L, Seq(0.0, 1.0)))
+      (4L, Seq(1.0, 0.5)), (5L, Seq(1.0, -0.8)), (6L, Seq(0.0, 1.0)))
       .toDF("vec_id", "ve"), "ve", "nrm")
-    val cents = withNorm(Seq((0L, Seq(1.0, 0.0)), (1L, Seq(0.0, 1.0)))
-      .toDF("cid", "cve"), "cve", "cnrm")
+    val cents = withNorm(Seq((0L, Seq(1.0, 0.0)), (1L, Seq(0.0, 1.0)),
+      (2L, Seq(0.0, -1.0))).toDF("cid", "cve"), "cve", "cnrm")
     val lists = Seq((1L, 0L), (2L, 0L), (3L, 0L), (4L, 0L), (5L, 0L),
       (6L, 1L)).toDF("vec_id", "bucket")
     val got = Ann.rebalanceReport(v, cents, lists)
       .as[(Long, Long, Long, Long, Long)].collect().toSeq
-    assert(got == Seq((0L, 5L, 2L, 0L, 3L), (1L, 1L, 0L, 2L, 3L)),
-      s"got $got")
+    assert(got == Seq((0L, 5L, 2L, 0L, 3L), (1L, 1L, 0L, 1L, 2L),
+      (2L, 0L, 0L, 1L, 1L)), s"got $got")
+    assert(got.map(_._2).sum == got.map(_._5).sum,
+      s"rebalance lost rows (conservation): $got")
   }
 
   test("epochCapMix: quality source hits the 4-epoch cap, overflow redistributed to the uncapped") {
