@@ -2667,6 +2667,22 @@ object Ann {
     rebalanceReport(v, cents, lists)
   }
 
+  /** (vec_id, bucket, margin, to_cid) from the skinny members×centroids
+    * relation (vec_id, bucket, cid, ccos): rank 1 is the STORED
+    * assignment (cid = bucket — exactly one row), rank 2 a combinable
+    * max-struct over the cid ≠ bucket rows with the oracle rank
+    * window's tie-break (ccos DESC, cid ASC). One partial-aggregating
+    * exchange of member-count rows however large c grows — PlanSpec
+    * pins that no Window ever sees this relation. */
+  def marginToRunnerUp(mcc: DataFrame): DataFrame =
+    mcc.groupBy("vec_id", "bucket").agg(
+      max(when(col("cid") === col("bucket"), col("ccos"))).as("cos1"),
+      max(when(col("cid") =!= col("bucket"),
+        struct(col("ccos"), (-col("cid")).as("ncid")))).as("b2"))
+      .select(col("vec_id"), col("bucket"),
+        round(col("cos1") - col("b2.ccos"), 4).as("margin"),
+        (-col("b2.ncid")).as("to_cid"))
+
   /** The rebalance motion over an explicit (v, model, lists) triple —
     * see `simAnnRebalance` for the contract. Separated so the spec can
     * drive it on a constructed skew fixture. */
@@ -2685,16 +2701,7 @@ object Ann {
       .select(col("vec_id"), col("bucket"), col("cid"),
         (Similarity.dot(col("ve"), col("cve")) / (col("nrm") * col("cnrm")))
           .as("ccos"))
-    // rank 1 = the stored assignment (cid = bucket); rank 2 = combinable
-    // max-struct over the rest — identical tie-break (ccos DESC, cid ASC)
-    // to the oracle's rank window
-    val m2 = mcc.groupBy("vec_id", "bucket").agg(
-      max(when(col("cid") === col("bucket"), col("ccos"))).as("cos1"),
-      max(when(col("cid") =!= col("bucket"),
-        struct(col("ccos"), (-col("cid")).as("ncid")))).as("b2"))
-      .select(col("vec_id"), col("bucket"),
-        round(col("cos1") - col("b2.ccos"), 4).as("margin"),
-        (-col("b2.ncid")).as("to_cid"))
+    val m2 = marginToRunnerUp(mcc)
     val krn = Window.partitionBy("bucket")
       .orderBy(col("margin").desc, col("vec_id"))
     // the move list is eviction-bounded (Σ oversize − cap); cache it so
