@@ -49,6 +49,86 @@ object Ann {
       .select(col("vec_id"), col("ve"), col("nrm"), col("bucket"))
   }
 
+  /** Anchor count of the two-level coarse quantizer: g = ⌈√c⌉, the
+    * classic inverted-multi-index split that balances the two probe
+    * stages (g anchor dots + ~c/g within-group dots per point). */
+  def anchorCount(c: Long): Int = math.ceil(math.sqrt(c.toDouble)).toInt
+
+  /** TWO-LEVEL (hierarchical) nearest-centroid assignment — the
+    * production build path of a large-c IVF index (faiss trains an
+    * HNSW/IMI coarse quantizer over the centroids for exactly this
+    * reason; Babenko & Lempitsky's inverted multi-index is the
+    * published form): with c(n) = n/200 centroids the flat `assignTo`
+    * costs n·c ∝ n²/200 dot products — the one remaining superlinear
+    * build in the ANN family. Here the g = ⌈√c⌉ lowest-cid centroids
+    * act as ANCHORS (the seed convention applied to the centroid
+    * relation itself); each centroid groups under its nearest anchor,
+    * and each point routes nearest-anchor → best centroid WITHIN that
+    * anchor's group: n·(g + c/g) ≈ 2n√c dots, restoring a sub-quadratic
+    * build (n^1.5/√200) that shards by vec_id like any scan.
+    *
+    * Totality (every point gets a bucket): a point can only route to an
+    * anchor whose group is non-empty. An anchor a loses its own
+    * centroid to a lower anchor b only on an exact cosine tie
+    * (colinear anchors); in that case every point's anchor rank ties
+    * a with b too and the shared (acos DESC, aid ASC) tie-break routes
+    * the point to b as well — so a routed-to anchor always holds at
+    * least its own centroid. AnnSpec pins this on a duplicate-anchor
+    * fixture.
+    *
+    * Determinism: both argmax stages are the same combinable max-struct
+    * aggregate as `assignTo` (ties → lowest id, NaN greatest), and the
+    * per-point result depends only on (point, model) — per-row
+    * independent, so base ∪ increment decomposition (the upsert keys'
+    * contract) holds exactly as it does for the flat form. The oracle
+    * mirror is `twoLevelAfCtes`. Output: (vec_id, ve, nrm, bucket).
+    *
+    * Shuffle audit: the anchor stage is one partial-aggregating
+    * exchange of n SKINNY rows (the assignTo discipline); the group
+    * stage joins the anchor choice back to the vectors and re-uses the
+    * vec_id hash partitioning for its own aggregate (no extra
+    * exchange); centroids and groups ride broadcasts. */
+  /** The g lowest-cid centroids as the anchor relation (aid, ave, anrm). */
+  def anchorsOf(cents: DataFrame, g: Int): DataFrame =
+    broadcast(cents.orderBy(col("cid")).limit(g)
+      .select(col("cid").as("aid"), col("cve").as("ave"), col("cnrm").as("anrm")))
+
+  /** Centroid → nearest-anchor group (cid, gid): argmax over the c·g
+    * broadcast-local relation, ties → lowest aid. */
+  def centroidGroups(cents: DataFrame, anch: DataFrame): DataFrame =
+    cents.crossJoin(anch)
+      .select(col("cid"),
+        (Similarity.dot(col("cve"), col("ave")) / (col("cnrm") * col("anrm"))).as("acos"),
+        col("aid"))
+      .groupBy("cid")
+      .agg(max(struct(col("acos"), (-col("aid")).as("naid"))).as("b"))
+      .select(col("cid"), (-col("b.naid")).as("gid"))
+
+  def twoLevelAssign(v: DataFrame, cents: DataFrame): DataFrame = {
+    val g = anchorCount(cents.count())
+    val anch = anchorsOf(cents, g)
+    val centsG = broadcast(cents.join(centroidGroups(cents, anch), Seq("cid")))
+    // point → anchor (n·g dots, one skinny partial-agg exchange)
+    val pa = v.select("vec_id", "ve", "nrm").crossJoin(anch)
+      .select(col("vec_id"), col("aid"),
+        (Similarity.dot(col("ve"), col("ave")) / (col("nrm") * col("anrm"))).as("acos"))
+      .groupBy("vec_id")
+      .agg(max(struct(col("acos"), (-col("aid")).as("naid"))).as("b"))
+      .select(col("vec_id"), (-col("b.naid")).as("gid"))
+    // point → best centroid within its group (n·(c/g) candidate rows;
+    // the broadcast gid join preserves the vec_id partitioning, so the
+    // final argmax aggregates without another exchange)
+    val best = v.select("vec_id", "ve", "nrm").join(pa, Seq("vec_id"))
+      .join(centsG, Seq("gid"))
+      .select(col("vec_id"), col("cid"),
+        (Similarity.dot(col("ve"), col("cve")) / (col("nrm") * col("cnrm"))).as("ccos"))
+      .groupBy("vec_id")
+      .agg(max(struct(col("ccos"), (-col("cid")).as("ncid"))).as("b"))
+      .select(col("vec_id"), (-col("b.ncid")).as("bucket"))
+    v.select("vec_id", "ve", "nrm").join(best, Seq("vec_id"))
+      .select(col("vec_id"), col("ve"), col("nrm"), col("bucket"))
+  }
+
   /** Centroid relation from data-vector ids (the deterministic seed). */
   def centroidsFromIds(v: DataFrame, centroidIds: Seq[Long]): DataFrame =
     v.filter(col("vec_id").isin(centroidIds: _*))
@@ -479,7 +559,7 @@ object Ann {
     * the bounded `vs` sample (lowest TrainSample ids), and the final
     * `af` assignment over the full corpus — the exact deploy recipe
     * (SemDeDup trains on a sample, assigns everything). */
-  private def kmeansOraclePrefixScaled: String =
+  private def kmeansOraclePrefixScaledNoAf: String =
     s"""WITH v0 AS (
        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
        |  FROM embeddings
@@ -503,11 +583,46 @@ object Ann {
        |),
        |${kmeansRoundCte(1, "vs")},
        |${kmeansRoundCte(2, "vs")},
-       |${kmeansRoundCte(3, "vs")},
+       |${kmeansRoundCte(3, "vs")}""".stripMargin
+
+  private def kmeansOraclePrefixScaled: String =
+    s"""$kmeansOraclePrefixScaledNoAf,
        |af AS (SELECT vec_id, cid FROM (
        |  SELECT v.vec_id, c.cid, row_number() OVER (PARTITION BY v.vec_id
        |    ORDER BY list_dot_product(v.ve, c.cve) / (v.nrm * c.cnrm) DESC, c.cid) AS rn
        |  FROM v, c3 c) WHERE rn = 1)""".stripMargin
+
+  /** The oracle mirror of `twoLevelAssign`, appended after a prefix's
+    * `c3`: `anch` = the ⌈√c⌉ lowest-cid centroids, `cg` = centroid →
+    * nearest-anchor group, `pa` = point → nearest anchor, and the final
+    * `af` = best centroid within the point's group — same tie-breaks
+    * (cos DESC, id ASC) at every stage, so the CTE name `af` means
+    * "the index lists" to every downstream consumer regardless of
+    * which build produced it. `srcV` is the assigned relation. */
+  private def twoLevelAfCtes(srcV: String = "v"): String =
+    s"""anch AS (SELECT cid AS aid, cve AS ave, cnrm AS anrm FROM (
+       |  SELECT cid, cve, cnrm, row_number() OVER (ORDER BY cid) AS arn,
+       |         (SELECT count(*) FROM c3) AS nc FROM c3)
+       |  WHERE arn <= CAST(ceil(sqrt(nc)) AS BIGINT)),
+       |cg AS (SELECT cid, aid AS gid FROM (
+       |  SELECT c.cid, a.aid, row_number() OVER (PARTITION BY c.cid
+       |    ORDER BY list_dot_product(c.cve, a.ave) / (c.cnrm * a.anrm) DESC, a.aid) AS rn
+       |  FROM c3 c, anch a) WHERE rn = 1),
+       |pa AS (SELECT vec_id, aid AS gid FROM (
+       |  SELECT v.vec_id, a.aid, row_number() OVER (PARTITION BY v.vec_id
+       |    ORDER BY list_dot_product(v.ve, a.ave) / (v.nrm * a.anrm) DESC, a.aid) AS rn
+       |  FROM $srcV v, anch a) WHERE rn = 1),
+       |af AS (SELECT vec_id, cid FROM (
+       |  SELECT v.vec_id, c.cid, row_number() OVER (PARTITION BY v.vec_id
+       |    ORDER BY list_dot_product(v.ve, c.cve) / (v.nrm * c.cnrm) DESC, c.cid) AS rn
+       |  FROM $srcV v JOIN pa USING (vec_id) JOIN cg ON cg.gid = pa.gid
+       |  JOIN c3 c ON c.cid = cg.cid) WHERE rn = 1)""".stripMargin
+
+  /** The scaled prefix with the TWO-LEVEL `af` — the serving-index
+    * family's build contract (see `twoLevelAssign`). */
+  private def kmeansOraclePrefixScaled2: String =
+    s"""$kmeansOraclePrefixScaledNoAf,
+       |${twoLevelAfCtes()}""".stripMargin
 
   val simAnnKmeans = QueryDef(
     "sim_ann_kmeans",
@@ -2241,10 +2356,7 @@ object Ann {
        |${kmeansRoundCte(1, "vs")},
        |${kmeansRoundCte(2, "vs")},
        |${kmeansRoundCte(3, "vs")},
-       |af AS (SELECT vec_id, cid FROM (
-       |  SELECT v.vec_id, c.cid, row_number() OVER (PARTITION BY v.vec_id
-       |    ORDER BY list_dot_product(v.ve, c.cve) / (v.nrm * c.cnrm) DESC, c.cid) AS rn
-       |  FROM v, c3 c) WHERE rn = 1),
+       |${twoLevelAfCtes()},
        |qs AS (
        |  SELECT vec_id AS qid, ve AS qve, nrm AS qnrm FROM v
        |  WHERE vec_id IN (0, 101, 202)
@@ -2293,7 +2405,7 @@ object Ann {
       : (DataFrame, DataFrame) = {
     val cents = cachedKmeansCentsUpsertBase(s, d)
     val baseLists = Landed.once(s, d, "ivfupsb") {
-      assignTo(prep(Tables.embeddings(s, d))
+      twoLevelAssign(prep(Tables.embeddings(s, d))
           .filter(col("vec_id") % 10 =!= 7), cents)
         .select("vec_id", "bucket")
     }
@@ -2304,9 +2416,12 @@ object Ann {
     val v = prep(Tables.embeddings(s, d))
     val inc = v.filter(col("vec_id") % 10 === 7)
     val (cents, baseLists) = upsertBaseIndex(s, d)
-    // the upsert job: assign-only, touches ONLY the increment
+    // the upsert job: assign-only, touches ONLY the increment — routed
+    // through the same two-level quantizer as the base lists (the
+    // oracle's single `af` over the full corpus requires base and
+    // increment to share one assignment function)
     val merged = baseLists.unionByName(
-      assignTo(inc, cents).select("vec_id", "bucket"))
+      twoLevelAssign(inc, cents).select("vec_id", "bucket"))
     upsertRecallReport(v, merged, cents,
       inc.agg(count(lit(1)).as("n_inserted")))
   }
@@ -2366,7 +2481,7 @@ object Ann {
         // list compaction is `sim_ann_delete`'s motion, not the
         // ingester's). Assignment is per-row deterministic, so the
         // spread cannot move the hash.
-        assignTo(prep(batch).repartition(8, col("vec_id")), cents)
+        twoLevelAssign(prep(batch).repartition(8, col("vec_id")), cents)
           .select("vec_id", "bucket").coalesce(8)
           .write.mode("append").parquet(root + "/lists")
         ()
@@ -2382,6 +2497,78 @@ object Ann {
       else s.range(0).select(col("id").as("vec_id"), col("id").as("bucket"))
     upsertRecallReport(v, baseLists.unionByName(streamed), cents,
       streamed.agg(count(lit(1)).as("n_inserted")))
+  }
+
+  /** TWO-LEVEL IVF BUILD (round 14 — clears the last named superlinear
+    * build in the family): the serving-index lists (`ivfdell`, the
+    * artifact `sim_ann_delete`/`sim_ann_filtered`/`sim_ann_rebalance`
+    * maintain and probe) are built by `twoLevelAssign` — the
+    * ⌈√c⌉-anchor hierarchical coarse quantizer (faiss's
+    * quantizer-over-the-quantizer; Babenko & Lempitsky's inverted
+    * multi-index) — instead of the flat n·c assignment, which at
+    * c(n) = n/200 is n²/200 and was the session-3 study's documented
+    * boundary (the 33–44 s ivfdell landing at the 100× point). This
+    * key IS the build contract: it lands the lists and gates
+    * (a) search recall of nprobe=4 top-10 over them vs exact brute
+    * force — on this near-orthogonal fixture the two-level lists sit
+    * in the SAME recall band as the flat build (sf0.1: 10/9/4 vs
+    * 10/6/3 of 10), because the loss is the fixture's flat-cosine
+    * regime, not the hierarchy; (b) TOTALITY — n_indexed counts the
+    * landed artifact and must equal the corpus (a point silently
+    * dropped by an empty anchor group — impossible up to colinear
+    * ties, see `twoLevelAssign` — would fail the hash here); and
+    * (c) the structure counts (n_centroids, n_groups) a build report
+    * ships. The oracle replays anchors/groups/routing bit-identically
+    * (`twoLevelAfCtes`). */
+  val simAnnIvf2 = QueryDef(
+    "sim_ann_ivf2",
+    s"""$kmeansOraclePrefixScaled2,
+       |qs AS (
+       |  SELECT vec_id AS qid, ve AS qve, nrm AS qnrm FROM v
+       |  WHERE vec_id IN (0, 101, 202)
+       |), probed AS (SELECT qid, cid FROM (
+       |  SELECT q.qid, c.cid, row_number() OVER (PARTITION BY q.qid
+       |    ORDER BY list_dot_product(q.qve, c.cve) / (q.qnrm * c.cnrm) DESC, c.cid) AS rn
+       |  FROM qs q, c3 c) WHERE rn <= 4),
+       |appx AS (SELECT qid, vec_id FROM (
+       |  SELECT p.qid, af.vec_id, row_number() OVER (PARTITION BY p.qid
+       |    ORDER BY round(list_dot_product(q.qve, v.ve) / (q.qnrm * v.nrm), 4) DESC,
+       |             af.vec_id) AS rn
+       |  FROM probed p JOIN af ON af.cid = p.cid JOIN v ON v.vec_id = af.vec_id
+       |  JOIN qs q ON q.qid = p.qid
+       |  WHERE af.vec_id <> p.qid) WHERE rn <= 10),
+       |exact AS (SELECT qid, vec_id FROM (
+       |  SELECT q.qid, v.vec_id, row_number() OVER (PARTITION BY q.qid
+       |    ORDER BY list_dot_product(q.qve, v.ve) / (q.qnrm * v.nrm) DESC,
+       |             v.vec_id) AS rn
+       |  FROM v, qs q WHERE v.vec_id <> q.qid) WHERE rn <= 10),
+       |acc AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM af) AS n_indexed,
+       |               (SELECT CAST(count(*) AS BIGINT) FROM c3) AS n_centroids,
+       |               (SELECT CAST(count(DISTINCT gid) AS BIGINT) FROM cg) AS n_groups)
+       |SELECT e.qid, CAST(count(*) AS BIGINT) AS n_overlap,
+       |       CAST(count(*) * 10 AS BIGINT) AS recall_pct,
+       |       acc.n_indexed, acc.n_centroids, acc.n_groups
+       |FROM exact e JOIN appx h ON e.qid = h.qid AND e.vec_id = h.vec_id, acc
+       |GROUP BY e.qid, acc.n_indexed, acc.n_centroids, acc.n_groups
+       |ORDER BY e.qid""".stripMargin) { (s, d) =>
+    val v = prep(Tables.embeddings(s, d))
+    val cents = cachedKmeansCentsScaled(s, d)
+    // THE serving-lists build: every maintenance/serving consumer reads
+    // this same landed artifact — one build, four consumers
+    val lists = Landed.once(s, d, "ivfdell") {
+      twoLevelAssign(v, cents).select("vec_id", "bucket")
+    }
+    val qids = Seq(0L, 101L, 202L)
+    val approx = ivfTopKMulti(v, lists, cents, qids, nprobe = 4, k = 10)
+    val nc = cents.count()
+    val gUsed = centroidGroups(cents, anchorsOf(cents, anchorCount(nc)))
+      .select("gid").distinct().count()
+    // n_indexed counts the LANDED artifact (the totality gate), the
+    // structure counts are driver-held model state (bounded at c rows)
+    val acc = broadcast(lists.agg(count(lit(1)).as("n_indexed"))
+      .withColumn("n_centroids", lit(nc))
+      .withColumn("n_groups", lit(gUsed)))
+    recallOverlap(v, approx, qids, k = 10).crossJoin(acc).orderBy("qid")
   }
 
   /** ANN INDEX DELETION + COMPACTION (round 14 — completes the index
@@ -2405,7 +2592,7 @@ object Ann {
     * probes touch nprobe/c of the corpus. */
   val simAnnDelete = QueryDef(
     "sim_ann_delete",
-    s"""$kmeansOraclePrefixScaled,
+    s"""$kmeansOraclePrefixScaled2,
        |sv AS (
        |  SELECT vec_id, ve, nrm FROM v WHERE vec_id % 10 <> 3
        |), ai AS (
@@ -2440,10 +2627,11 @@ object Ann {
     val v = prep(Tables.embeddings(s, d))
     val cents = cachedKmeansCentsScaled(s, d)
     // the serving index: full-corpus lists under the shared scaled
-    // model, landed once (forced before the compaction closure — the
-    // Landed.once non-reentrancy discipline)
+    // model, landed once via the two-level build — sim_ann_ivf2's
+    // contract (forced before the compaction closure — the Landed.once
+    // non-reentrancy discipline)
     val lists = Landed.once(s, d, "ivfdell") {
-      assignTo(v, cents).select("vec_id", "bucket")
+      twoLevelAssign(v, cents).select("vec_id", "bucket")
     }
     val del = v.filter(col("vec_id") % 10 === 3).select("vec_id")
     val tomb = lists.join(del, Seq("vec_id"), "left_anti")
@@ -2484,7 +2672,7 @@ object Ann {
     * landed full-corpus lists — one build, three consumers). */
   val simAnnFiltered = QueryDef(
     "sim_ann_filtered",
-    s"""$kmeansOraclePrefixScaled,
+    s"""$kmeansOraclePrefixScaled2,
        |lb AS (
        |  SELECT vec_id, CAST(label AS BIGINT) AS label FROM embeddings
        |), qs AS (
@@ -2523,10 +2711,10 @@ object Ann {
     val emb = Tables.embeddings(s, d)
     val v = prep(emb)
     val cents = cachedKmeansCentsScaled(s, d)
-    // the SAME landed serving lists sim_ann_delete reads (one build,
-    // all maintenance/serving consumers); forced before any closure
+    // the SAME landed serving lists sim_ann_delete reads (one two-level
+    // build, all maintenance/serving consumers); forced before any closure
     val lists = Landed.once(s, d, "ivfdell") {
-      assignTo(v, cents).select("vec_id", "bucket")
+      twoLevelAssign(v, cents).select("vec_id", "bucket")
     }
     val lb = emb.select(col("vec_id"), col("label").cast("long").as("label"))
     val qids = Seq(0L, 101L, 202L)
@@ -2587,26 +2775,28 @@ object Ann {
     * motion (Malinen & Fränti 2014; FAISS reclusters oversized lists
     * the same way). Deterministic one-round recipe: lists above the
     * size cap keep their `cap` most-attached members and move the rest
-    * to each row's SECOND-nearest centroid. Attachment = margin =
-    * cos(row, own centroid) − cos(row, runner-up): low margin means the
-    * row sits on the Voronoi boundary, so moving it degrades its probe
-    * recall least — exactly the rows a rebalancer evicts. Gate: the
-    * per-list accounting relation (bucket, n_before, n_out, n_in,
-    * n_after) — the artifact a maintenance job ships.
+    * to the best centroid OTHER than the stored one. Attachment =
+    * margin = cos(row, stored centroid) − cos(row, best other): low
+    * margin means the row sits on the Voronoi boundary (under the
+    * two-level build a hierarchy-misrouted member can even go
+    * NEGATIVE — exactly the rows a rebalancer should move first), so
+    * evicting it degrades its probe recall least. Gate: the per-list
+    * accounting relation (bucket, n_before, n_out, n_in, n_after) —
+    * the artifact a maintenance job ships.
     *
     * Scale shape: sizes are one combinable count over the landed lists
     * (the SAME artifact `sim_ann_delete`/`sim_ann_filtered` read — one
     * build, five consumers); only OVERSIZED lists' members join their
-    * vectors back (skew-bounded, not corpus-bounded); the rank-1/rank-2
-    * margin is ONE combinable conditional aggregate over the skinny
-    * members×c relation — rank 1 is the stored assignment itself
-    * (cid = bucket, exactly one row), rank 2 a max-struct over the
-    * cid ≠ bucket rows, so no rank window ever sees the ×c relation;
+    * vectors back (skew-bounded, not corpus-bounded); the stored-vs-
+    * best-other margin is ONE combinable conditional aggregate over the
+    * skinny members×c relation — cos(stored) from the cid = bucket row,
+    * the runner-up a max-struct over the cid ≠ bucket rows, so no rank
+    * window ever sees the ×c relation;
     * the keep/evict window partitions by oversized list (list-size-
     * bounded groups). Everything downstream is ≤ c rows. */
   val simAnnRebalance = QueryDef(
     "sim_ann_rebalance",
-    s"""$kmeansOraclePrefixScaled,
+    s"""$kmeansOraclePrefixScaled2,
        |sz AS (
        |  SELECT cid, CAST(count(*) AS BIGINT) AS n_before FROM af GROUP BY cid
        |), cp AS (
@@ -2626,13 +2816,13 @@ object Ann {
        |  SELECT vec_id, bucket, cid, ccos,
        |         row_number() OVER (PARTITION BY vec_id
        |           ORDER BY ccos DESC, cid) AS rn
-       |  FROM mcc
+       |  FROM mcc WHERE cid <> bucket
+       |), st AS (
+       |  SELECT vec_id, ccos AS cos1 FROM mcc WHERE cid = bucket
        |), m2 AS (
-       |  SELECT vec_id, bucket,
-       |         round(max(CASE WHEN rn = 1 THEN ccos END)
-       |             - max(CASE WHEN rn = 2 THEN ccos END), 4) AS margin,
-       |         max(CASE WHEN rn = 2 THEN cid END) AS to_cid
-       |  FROM r2 WHERE rn <= 2 GROUP BY vec_id, bucket
+       |  SELECT r2.vec_id, r2.bucket,
+       |         round(st.cos1 - r2.ccos, 4) AS margin, r2.cid AS to_cid
+       |  FROM r2 JOIN st USING (vec_id) WHERE rn = 1
        |), mv AS (
        |  SELECT vec_id, bucket AS from_cid, to_cid FROM (
        |    SELECT m2.*, row_number() OVER (PARTITION BY bucket
@@ -2659,10 +2849,10 @@ object Ann {
        |ORDER BY bucket""".stripMargin) { (s, d) =>
     val v = prep(Tables.embeddings(s, d))
     val cents = cachedKmeansCentsScaled(s, d)
-    // the shared serving lists (forced before the closure — the
-    // Landed.once non-reentrancy discipline)
+    // the shared two-level serving lists (forced before the closure —
+    // the Landed.once non-reentrancy discipline)
     val lists = Landed.once(s, d, "ivfdell") {
-      assignTo(v, cents).select("vec_id", "bucket")
+      twoLevelAssign(v, cents).select("vec_id", "bucket")
     }
     rebalanceReport(v, cents, lists)
   }
@@ -2851,6 +3041,6 @@ object Ann {
     simAnnPq, simAnnKmeansRecall, simAnnPqRecall, dedupEmbedLshRecall, simPcaPower,
     simAnnIvfPq, simAnnNprobeCurve, dedupSemantic, dedupSemanticScaled,
     simAnnHnsw, simAnnGraphBuild, simAnnBeamCurve, alignBitextMine,
-    alignBitextKnn, simAnnUpsert, streamAnnUpsert, simAnnDelete,
+    alignBitextKnn, simAnnUpsert, streamAnnUpsert, simAnnIvf2, simAnnDelete,
     simAnnFiltered, simAnnRebalance, sampleKcenter)
 }

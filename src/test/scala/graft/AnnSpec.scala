@@ -114,6 +114,56 @@ class AnnSpec extends AnyFunSuite {
     assert(merged.exceptAll(full).isEmpty && full.exceptAll(merged).isEmpty)
   }
 
+  test("twoLevelAssign: total, valid, and per-row independent on the real table") {
+    val v = Ann.prep(Tables.embeddings(spark, d))
+    val cents = Ann.kmeansCentroidsQuantized(
+      v.orderBy("vec_id").limit(1024).localCheckpoint(), c = 8, iters = 3)
+    val lists = Ann.twoLevelAssign(v, cents).select("vec_id", "bucket")
+      .localCheckpoint()
+    // totality: every vector indexed exactly once (the sim_ann_ivf2
+    // n_indexed gate), every bucket a real centroid
+    val n = v.count()
+    assert(lists.count() == n)
+    assert(lists.select("vec_id").distinct().count() == n)
+    assert(lists.join(cents, col("bucket") === col("cid")).count() == n)
+    // per-row independence (the upsert keys' contract, now riding the
+    // two-level path): base ∪ increment ≡ full corpus under one model
+    val merged = Ann.twoLevelAssign(v.filter(col("vec_id") % 10 =!= 7), cents)
+      .select("vec_id", "bucket")
+      .unionByName(Ann.twoLevelAssign(v.filter(col("vec_id") % 10 === 7), cents)
+        .select("vec_id", "bucket"))
+    assert(merged.exceptAll(lists).isEmpty && lists.exceptAll(merged).isEmpty)
+  }
+
+  test("twoLevelAssign: totality survives colinear (duplicate) anchors") {
+    // anchors = the 3 lowest cids (g = ⌈√8⌉); cid 2 duplicates cid 1, so
+    // the exact-tie route sends centroid 2 (and every point that would
+    // pick anchor 2) to anchor 1 — group(2) is EMPTY but no point routes
+    // to it: the scaladoc's totality argument, pinned
+    val emb = Seq(
+      1L -> Array(1.0f, 0.0f), 2L -> Array(1.0f, 0.0f),
+      3L -> Array(0.0f, 1.0f), 4L -> Array(0.7f, 0.7f),
+      5L -> Array(0.9f, 0.1f), 6L -> Array(0.1f, 0.9f),
+      7L -> Array(-1.0f, 0.2f), 8L -> Array(0.5f, -0.5f))
+      .toDF("vec_id", "embedding")
+    val v = Ann.prep(emb)
+    val cents = v.select(col("vec_id").as("cid"), col("ve").as("cve"),
+      col("nrm").as("cnrm"))
+    val lists = Ann.twoLevelAssign(v, cents).select("vec_id", "bucket")
+      .localCheckpoint()
+    assert(lists.count() == 8)
+    assert(lists.select("vec_id").distinct().count() == 8)
+    // with every vector its own centroid, flat assignment is the
+    // identity; the hierarchy must agree wherever the route is exact —
+    // at minimum the anchors themselves stay self-assigned (up to the
+    // colinear tie collapsing 2 onto 1's group, where cos is still 1)
+    import spark.implicits._
+    val m = lists.as[(Long, Long)].collect().toMap
+    assert(m(1L) == 1L)
+    assert(Set(1L, 2L).contains(m(2L))) // colinear: either is cos 1.0
+    assert(m(3L) == 3L)
+  }
+
   test("sim_ann_delete: a tombstoned index never returns a deleted id") {
     // the serving invariant: after the delete anti-join, NO probe can
     // surface a tombstoned vector — even one that would be top-1

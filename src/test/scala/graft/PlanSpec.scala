@@ -744,6 +744,30 @@ class PlanSpec extends AnyFunSuite {
       s"margin aggregate lost its map-side partial:\n$mp")
   }
 
+  test("sim_ann_ivf2: two-level build has no cartesian; both argmax stages aggregate, never window") {
+    val p = plan(graft.ops.Ann.simAnnIvf2)
+    assert(!p.contains("CartesianProduct"),
+      s"two-level build degenerated to a cartesian:\n$p")
+    // the build stage in isolation: point→anchor and point→best-centroid
+    // are combinable max-struct aggregates — a rank window on either
+    // stage would shuffle every candidate row (n·g or n·c/g of them)
+    // instead of one collapsed row per vector per scan partition
+    import spark.implicits._
+    val v = graft.ops.Ann.prep(Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f)),
+      (2L, Array(0.7f, 0.7f)), (3L, Array(0.9f, 0.1f)))
+      .toDF("vec_id", "embedding"))
+    import org.apache.spark.sql.functions.col
+    val cents = v.select(col("vec_id").as("cid"), col("ve").as("cve"),
+      col("nrm").as("cnrm"))
+    val bp = graft.ops.Ann.twoLevelAssign(v, cents)
+      .queryExecution.executedPlan.toString
+    assert(!bp.contains("Window"),
+      s"a two-level argmax stage grew a window:\n$bp")
+    assert(bp.contains("partial_max"),
+      s"two-level argmax lost its map-side partial:\n$bp")
+  }
+
   test("sim_ann_delete: tombstones apply as an anti join; no cartesian") {
     val p = plan(graft.ops.Ann.simAnnDelete)
     assert(p.contains("LeftAnti"),
