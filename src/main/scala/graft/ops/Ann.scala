@@ -68,20 +68,20 @@ object Ann {
     * build (n^1.5/√200) that shards by vec_id like any scan.
     *
     * Totality (every point gets a bucket): a point can only route to an
-    * anchor whose group is non-empty. An anchor a loses its own
-    * centroid to a lower anchor b only on an exact cosine tie
-    * (colinear anchors); in that case every point's anchor rank ties
-    * a with b too and the shared (acos DESC, aid ASC) tie-break routes
-    * the point to b as well — so a routed-to anchor always holds at
-    * least its own centroid. AnnSpec pins this on a duplicate-anchor
-    * fixture.
+    * anchor id, and `centroidGroups` pins every anchor's own centroid
+    * to its own group UNCONDITIONALLY — so the within-group candidate
+    * set of a routed point is never empty, independent of any
+    * floating-point tie convention (see centroidGroups' scaladoc for
+    * why the weaker colinear-tie argument was not enough). AnnSpec pins
+    * a duplicate-anchor fixture; sim_ann_ivf2 gates the count against
+    * the corpus-side oracle count.
     *
     * Determinism: both argmax stages are the same combinable max-struct
     * aggregate as `assignTo` (ties → lowest id, NaN greatest), and the
     * per-point result depends only on (point, model) — per-row
     * independent, so base ∪ increment decomposition (the upsert keys'
     * contract) holds exactly as it does for the flat form. The oracle
-    * mirror is `twoLevelAfCtes`. Output: (vec_id, ve, nrm, bucket).
+    * mirror is `twoLevelAfCtes`. Output: the skinny (vec_id, bucket).
     *
     * Shuffle audit: the anchor stage is one partial-aggregating
     * exchange of n SKINNY rows (the assignTo discipline); the group
@@ -93,21 +93,40 @@ object Ann {
     broadcast(cents.orderBy(col("cid")).limit(g)
       .select(col("cid").as("aid"), col("cve").as("ave"), col("cnrm").as("anrm")))
 
-  /** Centroid → nearest-anchor group (cid, gid): argmax over the c·g
-    * broadcast-local relation, ties → lowest aid. */
-  def centroidGroups(cents: DataFrame, anch: DataFrame): DataFrame =
-    cents.crossJoin(anch)
+  /** Centroid → anchor group (cid, gid): every ANCHOR is pinned to its
+    * OWN group unconditionally; only non-anchor centroids route by
+    * argmax cosine (ties → lowest aid). The pin is what makes totality
+    * unconditional rather than tie-convention-dependent: cosines are
+    * computed from different operand bits at the centroid stage and the
+    * point stage, so two COLINEAR-but-not-bitwise-identical anchors
+    * (possible after milli-quantized Lloyd means) could otherwise
+    * round an ulp apart in the two stages and leave a routed-to anchor
+    * with an empty group (round-14 review finding). With the pin, any
+    * gid a point can route to holds at least that anchor's centroid. */
+  def centroidGroups(cents: DataFrame, anch: DataFrame): DataFrame = {
+    val self = anch.select(col("aid").as("cid"), col("aid").as("gid"))
+    cents.join(anch.select(col("aid").as("cid")), Seq("cid"), "left_anti")
+      .crossJoin(anch)
       .select(col("cid"),
         (Similarity.dot(col("cve"), col("ave")) / (col("cnrm") * col("anrm"))).as("acos"),
         col("aid"))
       .groupBy("cid")
       .agg(max(struct(col("acos"), (-col("aid")).as("naid"))).as("b"))
       .select(col("cid"), (-col("b.naid")).as("gid"))
+      .unionByName(self)
+  }
 
-  def twoLevelAssign(v: DataFrame, cents: DataFrame): DataFrame = {
-    val g = anchorCount(cents.count())
-    val anch = anchorsOf(cents, g)
-    val centsG = broadcast(cents.join(centroidGroups(cents, anch), Seq("cid")))
+  /** The two-level routing against a PRE-BUILT (anchors, grouped
+    * centroids) pair — the per-microbatch form: the model structure is
+    * frozen, so a streaming ingester derives (anch, centsG) once and
+    * routes every batch through this without re-counting or
+    * re-broadcasting (round-14 review finding). Output is the SKINNY
+    * (vec_id, bucket) index relation — unlike `assignTo` there is no
+    * vector-carrying rejoin, because every index-build consumer drops
+    * ve/nrm immediately and the rejoin would cost one full-corpus
+    * exchange per build. */
+  def twoLevelAssignWith(v: DataFrame, anch: DataFrame,
+      centsG: DataFrame): DataFrame = {
     // point → anchor (n·g dots, one skinny partial-agg exchange)
     val pa = v.select("vec_id", "ve", "nrm").crossJoin(anch)
       .select(col("vec_id"), col("aid"),
@@ -118,15 +137,26 @@ object Ann {
     // point → best centroid within its group (n·(c/g) candidate rows;
     // the broadcast gid join preserves the vec_id partitioning, so the
     // final argmax aggregates without another exchange)
-    val best = v.select("vec_id", "ve", "nrm").join(pa, Seq("vec_id"))
+    v.select("vec_id", "ve", "nrm").join(pa, Seq("vec_id"))
       .join(centsG, Seq("gid"))
       .select(col("vec_id"), col("cid"),
         (Similarity.dot(col("ve"), col("cve")) / (col("nrm") * col("cnrm"))).as("ccos"))
       .groupBy("vec_id")
       .agg(max(struct(col("ccos"), (-col("cid")).as("ncid"))).as("b"))
       .select(col("vec_id"), (-col("b.ncid")).as("bucket"))
-    v.select("vec_id", "ve", "nrm").join(best, Seq("vec_id"))
-      .select(col("vec_id"), col("ve"), col("nrm"), col("bucket"))
+  }
+
+  /** Derives the frozen routing structure from the model: the anchor
+    * relation and the grouped-centroid broadcast `twoLevelAssignWith`
+    * routes against. One tiny count job on the driver-held model DF. */
+  def twoLevelStructure(cents: DataFrame): (DataFrame, DataFrame) = {
+    val anch = anchorsOf(cents, anchorCount(cents.count()))
+    (anch, broadcast(cents.join(centroidGroups(cents, anch), Seq("cid"))))
+  }
+
+  def twoLevelAssign(v: DataFrame, cents: DataFrame): DataFrame = {
+    val (anch, centsG) = twoLevelStructure(cents)
+    twoLevelAssignWith(v, anch, centsG)
   }
 
   /** Centroid relation from data-vector ids (the deterministic seed). */
@@ -604,10 +634,14 @@ object Ann {
        |  SELECT cid, cve, cnrm, row_number() OVER (ORDER BY cid) AS arn,
        |         (SELECT count(*) FROM c3) AS nc FROM c3)
        |  WHERE arn <= CAST(ceil(sqrt(nc)) AS BIGINT)),
-       |cg AS (SELECT cid, aid AS gid FROM (
-       |  SELECT c.cid, a.aid, row_number() OVER (PARTITION BY c.cid
-       |    ORDER BY list_dot_product(c.cve, a.ave) / (c.cnrm * a.anrm) DESC, a.aid) AS rn
-       |  FROM c3 c, anch a) WHERE rn = 1),
+       |cg AS (
+       |  SELECT aid AS cid, aid AS gid FROM anch
+       |  UNION ALL
+       |  SELECT cid, aid AS gid FROM (
+       |    SELECT c.cid, a.aid, row_number() OVER (PARTITION BY c.cid
+       |      ORDER BY list_dot_product(c.cve, a.ave) / (c.cnrm * a.anrm) DESC, a.aid) AS rn
+       |    FROM c3 c, anch a
+       |    WHERE c.cid NOT IN (SELECT aid FROM anch)) WHERE rn = 1),
        |pa AS (SELECT vec_id, aid AS gid FROM (
        |  SELECT v.vec_id, a.aid, row_number() OVER (PARTITION BY v.vec_id
        |    ORDER BY list_dot_product(v.ve, a.ave) / (v.nrm * a.anrm) DESC, a.aid) AS rn
@@ -2306,7 +2340,8 @@ object Ann {
     * base × base). Base corpus = vec_id % 10 ≠ 7; increment = the
     * % 10 = 7 rows arriving later. The base lists are a LANDED
     * artifact (the serving index on disk); the upsert job assigns ONLY
-    * the increment (|inc|·c dot products — increment-bounded, the
+    * the increment (|inc|·(g + c/g) dot products through the two-level
+    * quantizer — increment-bounded, the
     * property the 10× row records) and the merged index is the
     * landed-lists ∪ increment-lists union. Gate: per-query recall of
     * nprobe=4 IVF top-10 over the MERGED index vs the exact top-10
@@ -2407,7 +2442,6 @@ object Ann {
     val baseLists = Landed.once(s, d, "ivfupsb") {
       twoLevelAssign(prep(Tables.embeddings(s, d))
           .filter(col("vec_id") % 10 =!= 7), cents)
-        .select("vec_id", "bucket")
     }
     (cents, baseLists)
   }
@@ -2420,8 +2454,7 @@ object Ann {
     // through the same two-level quantizer as the base lists (the
     // oracle's single `af` over the full corpus requires base and
     // increment to share one assignment function)
-    val merged = baseLists.unionByName(
-      twoLevelAssign(inc, cents).select("vec_id", "bucket"))
+    val merged = baseLists.unionByName(twoLevelAssign(inc, cents))
     upsertRecallReport(v, merged, cents,
       inc.agg(count(lit(1)).as("n_inserted")))
   }
@@ -2444,7 +2477,8 @@ object Ann {
     * double-counted row fails the gate with a readable column.
     *
     * Scale: staging lands once per (session, dataset); each microbatch
-    * costs |batch|·c broadcast dot products + one append — increment-
+    * costs |batch|·(g + c/g) broadcast dot products through the frozen
+    * two-level structure + one append — increment-
     * bounded, never touching base lists; the probe is the shared
     * nprobe/c serving read path. */
   val streamAnnUpsert = QueryDef("stream_ann_upsert", upsertOracleSql) {
@@ -2455,6 +2489,10 @@ object Ann {
     // model + base lists: the sim_ann_upsert artifacts (one shared
     // build, both ingestion paths)
     val (cents, baseLists) = upsertBaseIndex(s, d)
+    // the routing structure is a pure function of the FROZEN base model:
+    // derive it once here, not per microbatch (no per-batch count jobs
+    // or re-broadcasts on the ingest hot path — round-14 review finding)
+    val (anch, centsG) = twoLevelStructure(cents)
     // the increment arrives as 4 staged microbatches (landed once per
     // session/dataset; checkpoint + sink stay per-run)
     val (inDir, schema) = graft.streaming.StreamOps.stagedOnce(s, d, "annup") {
@@ -2474,15 +2512,17 @@ object Ann {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         // a file-source microbatch inherits the staged file's partition
         // count (one file -> ONE task), which would serialize the
-        // |batch|*c assignment dots; re-spread by key over a BOUNDED 8
-        // partitions before the CPU-heavy stage (measured 38 -> ~7 s
-        // warm at the 100x study point; an unbounded spread would also
-        // leave shuffle-partition-count tiny sink files per batch —
-        // list compaction is `sim_ann_delete`'s motion, not the
-        // ingester's). Assignment is per-row deterministic, so the
-        // spread cannot move the hash.
-        twoLevelAssign(prep(batch).repartition(8, col("vec_id")), cents)
-          .select("vec_id", "bucket").coalesce(8)
+        // |batch|·(g + c/g) assignment dots; re-spread by key over a
+        // BOUNDED 8 partitions before the CPU-heavy stage (measured
+        // 38 -> ~7 s warm at the 100x study point under the flat
+        // assignment; an unbounded spread would also leave
+        // shuffle-partition-count tiny sink files per batch — list
+        // compaction is `sim_ann_delete`'s motion, not the ingester's).
+        // Assignment is per-row deterministic, so the spread cannot
+        // move the hash.
+        twoLevelAssignWith(prep(batch).repartition(8, col("vec_id")),
+            anch, centsG)
+          .coalesce(8)
           .write.mode("append").parquet(root + "/lists")
         ()
       }
@@ -2499,6 +2539,16 @@ object Ann {
       streamed.agg(count(lit(1)).as("n_inserted")))
   }
 
+  /** The landed serving lists (the `ivfdell` artifact): ONE builder for
+    * all four consumers (`sim_ann_ivf2`/`simAnnDelete`/`simAnnFiltered`/
+    * `simAnnRebalance`), so the artifact can never depend on key
+    * execution order — the shared-builder discipline `upsertBaseIndex`
+    * got from the same class of review finding. Forced OUTSIDE any
+    * other Landed closure (non-reentrancy). */
+  private def servingLists(s: SparkSession, d: String, v: DataFrame,
+      cents: DataFrame): DataFrame =
+    Landed.once(s, d, "ivfdell") { twoLevelAssign(v, cents) }
+
   /** TWO-LEVEL IVF BUILD (round 14 — clears the last named superlinear
     * build in the family): the serving-index lists (`ivfdell`, the
     * artifact `sim_ann_delete`/`sim_ann_filtered`/`sim_ann_rebalance`
@@ -2513,10 +2563,12 @@ object Ann {
     * force — on this near-orthogonal fixture the two-level lists sit
     * in the SAME recall band as the flat build (sf0.1: 10/9/4 vs
     * 10/6/3 of 10), because the loss is the fixture's flat-cosine
-    * regime, not the hierarchy; (b) TOTALITY — n_indexed counts the
-    * landed artifact and must equal the corpus (a point silently
-    * dropped by an empty anchor group — impossible up to colinear
-    * ties, see `twoLevelAssign` — would fail the hash here); and
+    * regime, not the hierarchy; (b) TOTALITY — Spark's n_indexed is the
+    * MEASURED count of the landed artifact while the oracle's is the
+    * CORPUS count (the measured-identity convention), so a dropped
+    * point fails the hash even if both engines' routing would drop it
+    * symmetrically (and `centroidGroups`' anchor self-pin makes a drop
+    * structurally impossible besides); and
     * (c) the structure counts (n_centroids, n_groups) a build report
     * ships. The oracle replays anchors/groups/routing bit-identically
     * (`twoLevelAfCtes`). */
@@ -2542,7 +2594,7 @@ object Ann {
        |    ORDER BY list_dot_product(q.qve, v.ve) / (q.qnrm * v.nrm) DESC,
        |             v.vec_id) AS rn
        |  FROM v, qs q WHERE v.vec_id <> q.qid) WHERE rn <= 10),
-       |acc AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM af) AS n_indexed,
+       |acc AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM v) AS n_indexed,
        |               (SELECT CAST(count(*) AS BIGINT) FROM c3) AS n_centroids,
        |               (SELECT CAST(count(DISTINCT gid) AS BIGINT) FROM cg) AS n_groups)
        |SELECT e.qid, CAST(count(*) AS BIGINT) AS n_overlap,
@@ -2553,11 +2605,7 @@ object Ann {
        |ORDER BY e.qid""".stripMargin) { (s, d) =>
     val v = prep(Tables.embeddings(s, d))
     val cents = cachedKmeansCentsScaled(s, d)
-    // THE serving-lists build: every maintenance/serving consumer reads
-    // this same landed artifact — one build, four consumers
-    val lists = Landed.once(s, d, "ivfdell") {
-      twoLevelAssign(v, cents).select("vec_id", "bucket")
-    }
+    val lists = servingLists(s, d, v, cents)
     val qids = Seq(0L, 101L, 202L)
     val approx = ivfTopKMulti(v, lists, cents, qids, nprobe = 4, k = 10)
     val nc = cents.count()
@@ -2626,13 +2674,9 @@ object Ann {
        |ORDER BY e.qid""".stripMargin) { (s, d) =>
     val v = prep(Tables.embeddings(s, d))
     val cents = cachedKmeansCentsScaled(s, d)
-    // the serving index: full-corpus lists under the shared scaled
-    // model, landed once via the two-level build — sim_ann_ivf2's
-    // contract (forced before the compaction closure — the Landed.once
-    // non-reentrancy discipline)
-    val lists = Landed.once(s, d, "ivfdell") {
-      twoLevelAssign(v, cents).select("vec_id", "bucket")
-    }
+    // the serving index: the shared two-level build (sim_ann_ivf2's
+    // contract), forced before the compaction closure
+    val lists = servingLists(s, d, v, cents)
     val del = v.filter(col("vec_id") % 10 === 3).select("vec_id")
     val tomb = lists.join(del, Seq("vec_id"), "left_anti")
     val compacted = Landed.once(s, d, "ivfdelc") {
@@ -2713,9 +2757,7 @@ object Ann {
     val cents = cachedKmeansCentsScaled(s, d)
     // the SAME landed serving lists sim_ann_delete reads (one two-level
     // build, all maintenance/serving consumers); forced before any closure
-    val lists = Landed.once(s, d, "ivfdell") {
-      twoLevelAssign(v, cents).select("vec_id", "bucket")
-    }
+    val lists = servingLists(s, d, v, cents)
     val lb = emb.select(col("vec_id"), col("label").cast("long").as("label"))
     val qids = Seq(0L, 101L, 202L)
     val q = broadcast(v.join(lb, Seq("vec_id"))
@@ -2849,11 +2891,7 @@ object Ann {
        |ORDER BY bucket""".stripMargin) { (s, d) =>
     val v = prep(Tables.embeddings(s, d))
     val cents = cachedKmeansCentsScaled(s, d)
-    // the shared two-level serving lists (forced before the closure —
-    // the Landed.once non-reentrancy discipline)
-    val lists = Landed.once(s, d, "ivfdell") {
-      twoLevelAssign(v, cents).select("vec_id", "bucket")
-    }
+    val lists = servingLists(s, d, v, cents)
     rebalanceReport(v, cents, lists)
   }
 
