@@ -2829,11 +2829,13 @@ object Ann {
     * Scale shape: sizes are one combinable count over the landed lists
     * (the SAME artifact `sim_ann_delete`/`sim_ann_filtered` read — one
     * build, five consumers); only OVERSIZED lists' members join their
-    * vectors back (skew-bounded, not corpus-bounded); the stored-vs-
-    * best-other margin is ONE combinable conditional aggregate over the
-    * skinny members×c relation — cos(stored) from the cid = bucket row,
-    * the runner-up a max-struct over the cid ≠ bucket rows, so no rank
-    * window ever sees the ×c relation;
+    * vectors back, and each member scores only the centroids of its
+    * top-2 anchor groups (router-consistent candidates — see the
+    * in-body comment for why plain "skew-bounded" was not bound enough
+    * at large c); the stored-vs-best-other margin is ONE combinable
+    * conditional aggregate over the skinny candidate relation —
+    * cos(stored) from the cid = bucket row, the runner-up a max-struct
+    * over the cid ≠ bucket rows, so no rank window ever sees it;
     * the keep/evict window partitions by oversized list (list-size-
     * bounded groups). Everything downstream is ≤ c rows. */
   val simAnnRebalance = QueryDef(
@@ -2850,10 +2852,16 @@ object Ann {
        |), mem AS (
        |  SELECT af.vec_id, af.cid AS bucket, v.ve, v.nrm
        |  FROM af JOIN ov USING (cid) JOIN v USING (vec_id)
+       |), pa2 AS (
+       |  SELECT vec_id, aid AS gid FROM (
+       |    SELECT m.vec_id, a.aid, row_number() OVER (PARTITION BY m.vec_id
+       |      ORDER BY list_dot_product(m.ve, a.ave) / (m.nrm * a.anrm) DESC, a.aid) AS rn
+       |    FROM mem m, anch a) WHERE rn <= 2
        |), mcc AS (
        |  SELECT m.vec_id, m.bucket, c.cid,
        |         list_dot_product(m.ve, c.cve) / (m.nrm * c.cnrm) AS ccos
-       |  FROM mem m, c3 c
+       |  FROM mem m JOIN pa2 USING (vec_id) JOIN cg ON cg.gid = pa2.gid
+       |  JOIN c3 c ON c.cid = cg.cid
        |), r2 AS (
        |  SELECT vec_id, bucket, cid, ccos,
        |         row_number() OVER (PARTITION BY vec_id
@@ -2925,7 +2933,29 @@ object Ann {
     val over = sizes.filter(col("n_before") > cap).select("bucket")
     val mem = lists.join(broadcast(over), Seq("bucket"))
       .join(v, Seq("vec_id"))
-    val mcc = mem.crossJoin(broadcast(cents))
+    // ROUTER-CONSISTENT candidates (round 14): score each member only
+    // against the centroids of its top-2 anchor groups — the same
+    // quantizer the index routes by (faiss reassigns through its own
+    // coarse quantizer) — instead of ALL c centroids. "Skew-bounded"
+    // was not bound enough: a sample-trained large-c model skews ~half
+    // the corpus oversized (measured at the 100× point, flat AND
+    // two-level builds alike), so members×c was ~n·c all over again
+    // (106 s at 100×). members·(g + 2c/g) restores the sub-quadratic
+    // bound, and the stored bucket is always a candidate (it is the
+    // best centroid of the member's top-1 anchor group by
+    // construction), so cos1 — the keep/evict attachment — is exact;
+    // to_cid is quantizer-consistent: the evicted member lands exactly
+    // where a fresh insert of that vector would.
+    val (anch, centsG) = twoLevelStructure(cents)
+    val pa2 = mem.select("vec_id", "ve", "nrm").crossJoin(anch)
+      .select(col("vec_id"), col("aid"),
+        (Similarity.dot(col("ve"), col("ave")) / (col("nrm") * col("anrm")))
+          .as("acos"))
+      .groupBy("vec_id")
+      .agg(graft.functions.TopKAgg.topk(col("acos"), col("aid"), 2).as("gids"))
+      .select(col("vec_id"), explode(col("gids")).as("gid"))
+    val mcc = mem.join(pa2, Seq("vec_id"))
+      .join(centsG, Seq("gid"))
       .select(col("vec_id"), col("bucket"), col("cid"),
         (Similarity.dot(col("ve"), col("cve")) / (col("nrm") * col("cnrm")))
           .as("ccos"))
