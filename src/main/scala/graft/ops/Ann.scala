@@ -1825,7 +1825,23 @@ object Ann {
       // (score DESC, id ASC, NaN greatest) — the (i, j) set is
       // hash-identical.
       val topk = graft.functions.TopKAgg.topk _
-      val ma0 = v.crossJoin(broadcast(cents))
+      // TWO-LEVEL multi-assign (round 14): rank only the centroids of
+      // each point's top-2 anchor groups instead of ALL c. The flat
+      // n·c scoring is n²/200 with the scaled model — linear tile pair
+      // work (constant ~nprobe·200 bucket width) rides on top of a
+      // superlinear scoring stage that overtakes it at the next decade;
+      // routing brings scoring to n·(g + 2c/g). Same hierarchy the
+      // serving index builds by (`twoLevelStructure`), oracle-mirrored
+      // by the `pag` CTE in ivfGraphOracleCtes.
+      val (anch, centsG) = twoLevelStructure(cents)
+      val pag = v.select("vec_id", "ve", "nrm").crossJoin(anch)
+        .select(col("vec_id"), col("aid"),
+          (Similarity.dot(col("ve"), col("ave")) / (col("nrm") * col("anrm")))
+            .as("acos"))
+        .groupBy("vec_id").agg(topk(col("acos"), col("aid"), 2).as("gs"))
+        .select(col("vec_id"), explode(col("gs")).as("gid"))
+      val ma0 = v.join(pag, Seq("vec_id"))
+        .join(centsG, Seq("gid"))
         .select(col("vec_id"), col("cid"),
           (Similarity.dot(col("ve"), col("cve")) / (col("nrm") * col("cnrm")))
             .as("ccos"))
@@ -1965,11 +1981,22 @@ object Ann {
     * `knnGraphIvf(m=16, nprobe=3)`, shared by `sim_ann_graph_build`,
     * `align_bitext_knn` and `sim_ann_beam_curve` so the graph the keys
     * gate has exactly one oracle formulation. */
+  /** MATERIALIZED discipline: the unrolled beam rounds reference their
+    * predecessor TWICE each (direct ∪ graph-expanded), so an INLINED
+    * `knn` re-executes ~2^rounds times per chain — tolerable while `ma`
+    * was one cheap window, a multi-minute blowup once the two-level
+    * routing made each re-execution a 4-way join (round-14 session 4).
+    * MATERIALIZED pins one execution per query; values are unchanged. */
   private val ivfGraphOracleCtes: String =
-    """ma AS (SELECT cid, vec_id FROM (
+    """pag AS MATERIALIZED (SELECT vec_id, aid AS gid FROM (
+      |  SELECT v.vec_id, a.aid, row_number() OVER (PARTITION BY v.vec_id
+      |    ORDER BY list_dot_product(v.ve, a.ave) / (v.nrm * a.anrm) DESC, a.aid) AS rn
+      |  FROM v, anch a) WHERE rn <= 2),
+      |ma AS MATERIALIZED (SELECT cid, vec_id FROM (
       |  SELECT v.vec_id, c.cid, row_number() OVER (PARTITION BY v.vec_id
       |    ORDER BY list_dot_product(v.ve, c.cve) / (v.nrm * c.cnrm) DESC, c.cid) AS rn
-      |  FROM v, c3 c) WHERE rn <= 3),
+      |  FROM v JOIN pag USING (vec_id) JOIN cg ON cg.gid = pag.gid
+      |  JOIN c3 c ON c.cid = cg.cid) WHERE rn <= 3),
       |cand AS (
       |  SELECT DISTINCT x.vec_id AS i, y.vec_id AS j
       |  FROM ma x JOIN ma y ON x.cid = y.cid AND x.vec_id < y.vec_id),
@@ -1978,13 +2005,13 @@ object Ann {
       |         list_dot_product(a.ve, b.ve) / (a.nrm * b.nrm) AS c
       |  FROM cand JOIN v a ON cand.i = a.vec_id JOIN v b ON cand.j = b.vec_id),
       |gd AS (SELECT i, j, c FROM gp UNION ALL SELECT j AS i, i AS j, c FROM gp),
-      |knn AS (SELECT i, j FROM (
+      |knn AS MATERIALIZED (SELECT i, j FROM (
       |  SELECT i, j, row_number() OVER (PARTITION BY i
       |    ORDER BY c DESC, j) AS rn FROM gd) WHERE rn <= 16)""".stripMargin
 
   val simAnnGraphBuild = QueryDef(
     "sim_ann_graph_build",
-    s"""$kmeansOraclePrefixScaled,
+    s"""$kmeansOraclePrefixScaled2,
        |$ivfGraphOracleCtes,
        |apr AS (
        |  SELECT a.vec_id AS i, b.vec_id AS j,
@@ -2169,7 +2196,7 @@ object Ann {
     * normalization and all margin arithmetic. */
   val alignBitextKnn = QueryDef(
     "align_bitext_knn",
-    s"""$kmeansOraclePrefixScaled,
+    s"""$kmeansOraclePrefixScaled2,
        |$ivfGraphOracleCtes,
        |bc AS (
        |  SELECT DISTINCT CASE WHEN i % 2 = 0 THEN i ELSE j END AS a_id,
@@ -2267,7 +2294,7 @@ object Ann {
            |  GROUP BY e.qid
            |)""".stripMargin
       }.mkString(",\n")
-      s"""$kmeansOraclePrefixScaled,
+      s"""$kmeansOraclePrefixScaled2,
          |$ivfGraphOracleCtes,
          |qs AS (
          |  SELECT vec_id AS qid, ve AS qve, nrm AS qnrm FROM v
