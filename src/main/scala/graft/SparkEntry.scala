@@ -18,7 +18,8 @@ object SparkEntry {
       Dedup.all ++ TextAnalysis.all ++ Ann.all ++ Multimodal.all ++
       Extras.all ++ Sketch.all ++ Formats.all ++ Scale.all ++
       Pipelines.all ++ Graph.all ++ Quality.all ++ Unigram.all ++
-      Curation.all ++ Alignment.all ++ Wordpiece.all ++ TpchSqlParity.all
+      Curation.all ++ Alignment.all ++ Wordpiece.all ++ TpchSqlParity.all ++
+      Retrieval.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,335 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Retrieval-serving operators (round 14): the query-side motions a
+  * trained model's corpus serves — lexical ranking (BM25), hybrid
+  * lexical+vector fusion (RRF), scatter-gather sharded top-k, and
+  * sliding-window chunking (the RAG ingestion cut).
+  *
+  * Determinism notes (SURVEY §2.9):
+  *  - BM25 uses `ln`, which is not cross-engine bit-stable (one-ulp
+  *    diffs ~1e-12 relative, measured for text_tfidf); ranking/selection
+  *    therefore orders by the 4dp-ROUNDED score with doc_id tiebreak —
+  *    a flip needs a score within 5e-5·1e-7 of a rounding boundary,
+  *    checked empirically by the 3-SF hash gate (the text_tfidf
+  *    discipline).
+  *  - RRF scores are sums of exactly two IEEE divisions of exact
+  *    integers (1/(60+rank)), identical operand trees on both engines —
+  *    bit-identical, so ordering by the RAW rrf is hash-safe.
+  *  - Cosines ride the shared DotProduct expression (bit-comparable to
+  *    DuckDB's list_dot_product; Similarity.scala header).
+  */
+object Retrieval {
+
+  // ---------------------------------------------------------------- BM25
+
+  /** Fixed query-term set (the synthetic corpus draws from a ~30-word
+    * vocabulary, so these are present at every SF); qi is the fixed
+    * fusion index the per-term partial scores pivot on. */
+  private val qTerms = Seq(("vector", 0), ("merge", 1), ("customer", 2))
+
+  /** Okapi BM25 (Robertson et al., TREC-3) with the Lucene positive
+    * idf variant ln(1 + (N − df + 0.5)/(df + 0.5)), k1 = 1.2, b = 0.75.
+    * Returns (doc_id, dl, bm25_raw) for every document containing ≥1
+    * query term.
+    *
+    * Scale shape: term frequencies are ONE combinable groupBy over the
+    * exploded tokens FILTERED to the |Q|-term query set (the explode
+    * never leaves the scan stage for non-query tokens); df is a
+    * |Q|-row aggregate broadcast back (NOT a token-partitioned window —
+    * a query term's doc list is corpus-sized at 100 TB, so the window
+    * form would build corpus-width partitions); (N, Σdl) is a 1-row
+    * broadcast. The cross-term sum is pivoted into |Q| columns and
+    * added in one fixed left-to-right chain (the sim_maxsim ADC
+    * discipline) — a SUM() across terms would be association-order
+    * dependent.
+    */
+  def bm25Raw(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), col("toks"), size(col("toks")).cast("long").as("dl"))
+    val st = docs.agg(count(lit(1)).as("n"), sum(col("dl")).as("sumdl"))
+    val qt = broadcast(qTerms.toDF("term", "qi"))
+    val tf = docs
+      .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+      .filter(col("term").isin(qTerms.map(_._1): _*))
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+    val dfx = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val sc = tf
+      .join(broadcast(dfx), "term")
+      .join(qt, "term")
+      .crossJoin(broadcast(st))
+      .select(col("doc_id"), col("qi"), col("dl"),
+        (log(lit(1.0) + (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+          * (col("tf") * lit(2.2))
+          / (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl")
+            / (col("sumdl").cast("double") / col("n"))))).as("s"))
+    sc.groupBy("doc_id")
+      .agg(max(col("dl")).as("dl"),
+        max(when(col("qi") === 0, col("s"))).as("s0"),
+        max(when(col("qi") === 1, col("s"))).as("s1"),
+        max(when(col("qi") === 2, col("s"))).as("s2"))
+      .select(col("doc_id"), col("dl"),
+        (coalesce(col("s0"), lit(0.0)) + coalesce(col("s1"), lit(0.0))
+          + coalesce(col("s2"), lit(0.0))).as("bm25_raw"))
+  }
+
+  /** Oracle CTE prefix ending in `bm(doc_id, dl, bm25_raw)` — the exact
+    * operation-tree mirror of [[bm25Raw]]. */
+  private val bm25Ctes =
+    """WITH d AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks,
+      |         CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+      |  FROM documents
+      |), st AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS sumdl FROM d
+      |), qt AS (
+      |  SELECT * FROM (VALUES ('vector', 0), ('merge', 1), ('customer', 2)) AS t(term, qi)
+      |), tf AS (
+      |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf, max(dl) AS dl
+      |  FROM (SELECT doc_id, dl, unnest(toks) AS term FROM d) u
+      |  WHERE term IN ('vector', 'merge', 'customer')
+      |  GROUP BY doc_id, term
+      |), dfx AS (
+      |  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term
+      |), sc AS (
+      |  SELECT tf.doc_id, qt.qi, tf.dl,
+      |         ln(1.0 + (st.n - dfx.df + 0.5) / (dfx.df + 0.5))
+      |         * (tf.tf * 2.2)
+      |         / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl
+      |             / (CAST(st.sumdl AS DOUBLE) / st.n))) AS s
+      |  FROM tf JOIN dfx USING (term) JOIN qt USING (term), st
+      |), bm AS (
+      |  SELECT doc_id, max(dl) AS dl,
+      |         coalesce(max(CASE WHEN qi = 0 THEN s END), 0.0)
+      |         + coalesce(max(CASE WHEN qi = 1 THEN s END), 0.0)
+      |         + coalesce(max(CASE WHEN qi = 2 THEN s END), 0.0) AS bm25_raw
+      |  FROM sc GROUP BY doc_id
+      |)""".stripMargin
+
+  val textBm25 = QueryDef(
+    "text_bm25",
+    s"""$bm25Ctes
+       |SELECT doc_id, dl, round(bm25_raw, 4) AS bm25
+       |FROM bm ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin) { (s, d) =>
+    bm25Raw(s, d)
+      .select(col("doc_id"), col("dl"), round(col("bm25_raw"), 4).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(20)
+  }
+
+  // ------------------------------------------------- hybrid RRF fusion
+
+  /** (vec_id, ve double[], nrm) prep over embeddings — the Similarity
+    * module's shared shape. */
+  private def vecs(s: SparkSession, d: String): DataFrame = {
+    val v = Tables.embeddings(s, d)
+      .select(col("vec_id"), Similarity.vecD(col("embedding")).as("ve"))
+    v.select(col("vec_id"), col("ve"), Similarity.l2norm(col("ve")).as("nrm"))
+  }
+
+  private val vecCtes =
+    """v0 AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+      |  FROM embeddings
+      |), vn AS (
+      |  SELECT vec_id, ve, sqrt(list_dot_product(ve, ve)) AS nrm FROM v0
+      |)""".stripMargin
+
+  /** Hybrid lexical+vector retrieval fused by Reciprocal Rank Fusion
+    * (Cormack, Clarke & Buettcher, SIGIR 2009): rrf(d) = Σ_lists
+    * 1/(60 + rank_list(d)). Lexical list = BM25 top-50 (rank by 4dp
+    * score, doc_id tiebreak); vector list = cosine-to-query-vec-0
+    * top-50 over the doc-aligned embeddings (doc 0 itself excluded from
+    * both sides). Fused score is a fixed two-term chain of exact-integer
+    * divisions — bit-identical cross-engine, so the top-20 orders by
+    * the RAW fused score.
+    *
+    * Scale shape: each list is an independent top-k (TakeOrdered / the
+    * per-shard TopKAgg motion at cluster scale — never a corpus-wide
+    * window: the rank window runs AFTER the ≤50-row limit); the fusion
+    * is a full outer join of two ≤50-row relations. This is the
+    * standard first-stage + dense-retriever fusion every production
+    * search stack serves.
+    */
+  val simHybridRrf = QueryDef(
+    "sim_hybrid_rrf",
+    s"""$bm25Ctes, $vecCtes,
+       |lex AS (
+       |  SELECT doc_id, round(bm25_raw, 4) AS ls FROM bm
+       |  WHERE doc_id <> 0 ORDER BY ls DESC, doc_id LIMIT 50
+       |), lexr AS (
+       |  SELECT doc_id, CAST(row_number() OVER (ORDER BY ls DESC, doc_id) AS BIGINT) AS lr
+       |  FROM lex
+       |), q AS (SELECT ve AS qve, nrm AS qnrm FROM vn WHERE vec_id = 0),
+       |vt AS (
+       |  SELECT vec_id AS doc_id,
+       |         round(list_dot_product(qve, ve) / (qnrm * nrm), 4) AS vs
+       |  FROM vn, q WHERE vec_id <> 0 ORDER BY vs DESC, doc_id LIMIT 50
+       |), vtr AS (
+       |  SELECT doc_id, CAST(row_number() OVER (ORDER BY vs DESC, doc_id) AS BIGINT) AS vr
+       |  FROM vt
+       |), fused AS (
+       |  SELECT coalesce(lexr.doc_id, vtr.doc_id) AS doc_id, lr, vr,
+       |         coalesce(1.0 / (60 + lr), 0.0) + coalesce(1.0 / (60 + vr), 0.0) AS rrf_raw
+       |  FROM lexr FULL OUTER JOIN vtr ON lexr.doc_id = vtr.doc_id
+       |)
+       |SELECT doc_id, lr, vr, round(rrf_raw, 6) AS rrf
+       |FROM fused ORDER BY rrf_raw DESC, doc_id LIMIT 20""".stripMargin) { (s, d) =>
+    val lex = bm25Raw(s, d).filter(col("doc_id") =!= 0)
+      .select(col("doc_id"), round(col("bm25_raw"), 4).as("ls"))
+      .orderBy(col("ls").desc, col("doc_id")).limit(50)
+      // rank window runs over the ≤50-row post-limit relation only
+      .withColumn("lr",
+        row_number().over(Window.orderBy(col("ls").desc, col("doc_id"))).cast("long"))
+      .select("doc_id", "lr")
+    val n = vecs(s, d)
+    val q = n.filter(col("vec_id") === 0)
+      .select(col("ve").as("qve"), col("nrm").as("qnrm"))
+    val vt = n.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id").as("doc_id"),
+        round(Similarity.dot(col("qve"), col("ve")) / (col("qnrm") * col("nrm")), 4).as("vs"))
+      .orderBy(col("vs").desc, col("doc_id")).limit(50)
+      .withColumn("vr",
+        row_number().over(Window.orderBy(col("vs").desc, col("doc_id"))).cast("long"))
+      .select("doc_id", "vr")
+    lex.join(vt, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), col("lr"), col("vr"),
+        (coalesce(lit(1.0) / (lit(60) + col("lr")), lit(0.0))
+          + coalesce(lit(1.0) / (lit(60) + col("vr")), lit(0.0))).as("rrf_raw"))
+      .orderBy(col("rrf_raw").desc, col("doc_id")).limit(20)
+      .select(col("doc_id"), col("lr"), col("vr"), round(col("rrf_raw"), 6).as("rrf"))
+  }
+
+  // ---------------------------------------------- scatter-gather top-k
+
+  /** Scatter-gather sharded top-k — the distributed serving motion: a
+    * 1000-executor index answers a query by computing an EXACT local
+    * top-k per shard (here vec_id % 8; combinable TopKAgg, so each scan
+    * partition reduces to a ≤k buffer BEFORE any exchange) and merging
+    * the S·k candidates on the gather side. Exact top-k under a total
+    * order decomposes over any partitioning, so merged ≡ global — the
+    * gate MEASURES that equivalence (`merge_match`: both exceptAll
+    * directions of merged-vs-direct top-10, the compact_match
+    * convention) plus the per-shard accounting a serving planner reads
+    * (shard populations and each shard's contribution to the global
+    * top-k). Shuffle: S·k candidate ids; the direct global top-k is the
+    * audit side (TakeOrderedAndProject), never the deploy path.
+    */
+  /** Scatter side of [[simAnnShard]]: (vec_id, shard, cos) for the whole
+    * corpus vs the broadcast query — package-visible so the spec can pin
+    * the combinable-TopKAgg plan (the gated accounting relation prunes
+    * the ids column away). */
+  private[graft] def shardScored(s: SparkSession, d: String): DataFrame = {
+    val n = vecs(s, d)
+    val q = n.filter(col("vec_id") === 0)
+      .select(col("ve").as("qve"), col("nrm").as("qnrm"))
+    n.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), pmod(col("vec_id"), lit(8)).as("shard"),
+        (Similarity.dot(col("qve"), col("ve")) / (col("qnrm") * col("nrm"))).as("cos"))
+  }
+
+  /** Per-shard exact top-10 + population — one combinable aggregation. */
+  private[graft] def shardTopK(scored: DataFrame): DataFrame =
+    scored.groupBy("shard")
+      .agg(count(lit(1)).as("n_vecs"),
+        graft.functions.TopKAgg.topk(col("cos"), col("vec_id"), 10).as("ids"))
+
+  val simAnnShard = QueryDef(
+    "sim_ann_shard",
+    s"""WITH $vecCtes,
+       |q AS (SELECT ve AS qve, nrm AS qnrm FROM vn WHERE vec_id = 0),
+       |sc AS (
+       |  SELECT vec_id, vec_id % 8 AS shard,
+       |         list_dot_product(qve, ve) / (qnrm * nrm) AS cos
+       |  FROM vn, q WHERE vec_id <> 0
+       |), g AS (
+       |  SELECT vec_id, shard FROM sc ORDER BY cos DESC, vec_id LIMIT 10
+       |), pt AS (
+       |  SELECT shard, CAST(count(*) AS BIGINT) AS n_topk FROM g GROUP BY shard
+       |), nv AS (
+       |  SELECT shard, CAST(count(*) AS BIGINT) AS n_vecs FROM sc GROUP BY shard
+       |)
+       |SELECT nv.shard, n_vecs, coalesce(n_topk, 0) AS n_topk, true AS merge_match
+       |FROM nv LEFT JOIN pt USING (shard) ORDER BY shard""".stripMargin) { (s, d) =>
+    val scored = shardScored(s, d)
+    // scatter: exact per-shard top-10 as a combinable bounded aggregate
+    val shardAgg = shardTopK(scored)
+    // gather: merge the ≤ S·k candidates, re-rank by score
+    val cand = shardAgg.select(explode(col("ids")).as("vec_id"))
+    val merged = broadcast(cand).join(scored, "vec_id")
+      .orderBy(col("cos").desc, col("vec_id")).limit(10)
+      .select("vec_id")
+    val global = scored.orderBy(col("cos").desc, col("vec_id")).limit(10)
+      .select("vec_id")
+    val mm = merged.exceptAll(global).count() == 0 &&
+      global.exceptAll(merged).count() == 0
+    val gt = global
+      .withColumn("shard", pmod(col("vec_id"), lit(8)))
+      .groupBy("shard").agg(count(lit(1)).as("n_topk"))
+    shardAgg.select("shard", "n_vecs")
+      .join(gt, Seq("shard"), "left")
+      .select(col("shard"), col("n_vecs"),
+        coalesce(col("n_topk"), lit(0L)).as("n_topk"), lit(mm).as("merge_match"))
+      .orderBy("shard")
+  }
+
+  // -------------------------------------------------------- chunking
+
+  /** Sliding-window chunking — the RAG/embedding ingestion cut: fixed
+    * window w = 32 tokens, stride 24 (8-token overlap), chunk count
+    * 1 + ⌈(n − w)/stride⌉ for n > w else 1, so every token is covered
+    * and the last chunk always starts inside the document. Emitted per
+    * chunk: offsets, length, and the md5 fingerprint of the chunk text
+    * (the downstream embed/dedup key — fingerprints, not payloads,
+    * under the hash). Gated slice: every 7th document.
+    *
+    * Scale shape: pure narrow pipeline — split, integer chunk-count
+    * arithmetic, explode(sequence), slice, md5 — zero shuffles except
+    * the output order; chunks per document bounded by n/stride. At
+    * 100 TB this is the map stage in front of the embedding UDF
+    * (multimodal_decode's batch plumbing).
+    */
+  val textChunk = QueryDef(
+    "text_chunk",
+    """WITH d AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks,
+      |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+      |  FROM documents WHERE doc_id % 7 = 0
+      |), c AS (
+      |  SELECT doc_id, toks, n,
+      |         CASE WHEN n <= 32 THEN 1 ELSE 1 + (n - 32 + 23) // 24 END AS nc
+      |  FROM d
+      |), e AS (
+      |  SELECT doc_id, toks, n, unnest(range(nc)) AS ci FROM c
+      |)
+      |SELECT doc_id, CAST(ci AS BIGINT) AS ci, CAST(ci * 24 AS BIGINT) AS start,
+      |       CAST(len(toks[(ci * 24 + 1):(ci * 24 + 32)]) AS BIGINT) AS chunk_len,
+      |       md5(array_to_string(toks[(ci * 24 + 1):(ci * 24 + 32)], ' ')) AS chunk_md5
+      |FROM e ORDER BY doc_id, ci""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .filter(col("doc_id") % 7 === 0)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .withColumn("n", size(col("toks")).cast("long"))
+      .withColumn("nc",
+        when(col("n") <= 32, lit(1L))
+          .otherwise(lit(1L) + expr("(n - 32 + 23) div 24")))
+      .select(col("doc_id"), col("toks"),
+        explode(expr("sequence(0L, nc - 1L)")).as("ci"))
+      .withColumn("ctoks", expr("slice(toks, CAST(ci * 24 + 1 AS INT), 32)"))
+      .select(col("doc_id"), col("ci"), (col("ci") * 24).as("start"),
+        size(col("ctoks")).cast("long").as("chunk_len"),
+        md5(concat_ws(" ", col("ctoks"))).as("chunk_md5"))
+      .orderBy("doc_id", "ci")
+  }
+
+  val all: Seq[QueryDef] = Seq(textBm25, simHybridRrf, simAnnShard, textChunk)
+}

@@ -1,0 +1,78 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ops.Retrieval
+
+/** Invariants + plan pins for the retrieval-serving family (round 14):
+  * BM25, hybrid RRF fusion, scatter-gather sharded top-k, chunking. */
+class RetrievalSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val d = "/root/testdata/sf0.001"
+
+  private def plan(q: graft.ops.QueryDef): String =
+    q.fn(spark, d).queryExecution.executedPlan.toString
+
+  test("text_bm25 never builds a corpus-wide window (df is a broadcast dim, not a token partition)") {
+    val p = plan(Retrieval.textBm25)
+    assert(!p.contains("Window"), "df must not be a token-partitioned window")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      "df/stats sides must broadcast")
+  }
+
+  test("sim_ann_shard scatters via a combinable per-shard top-k (two-phase ObjectHashAggregate)") {
+    val p = Retrieval.shardTopK(Retrieval.shardScored(spark, d))
+      .queryExecution.executedPlan.toString
+    assert("ObjectHashAggregate".r.findAllIn(p).length >= 2,
+      "per-shard top-k must partially aggregate before the exchange")
+  }
+
+  test("sim_ann_shard merge of per-shard top-k equals the direct global top-k") {
+    val rows = Retrieval.simAnnShard.fn(spark, d).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Boolean]("merge_match")),
+      "scatter-gather merge diverged from the direct top-k")
+    assert(rows.map(_.getAs[Long]("n_topk")).sum == 10L,
+      "shard contributions must sum to k")
+  }
+
+  test("text_chunk covers every token with stride-24 starts and a full-or-final window") {
+    val ch = Retrieval.textChunk.fn(spark, d)
+      .groupBy("doc_id")
+      .agg(max(col("start") + col("chunk_len")).as("covered"),
+        max(col("ci")).as("last_ci"), count(lit(1)).as("n_chunks"),
+        max(col("start")).as("last_start"))
+      .collect()
+    val docs = graft.Tables.documents(spark, d)
+      .filter(col("doc_id") % 7 === 0)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ch.nonEmpty && ch.length == docs.size)
+    for (r <- ch) {
+      val id = r.getAs[Long]("doc_id"); val n = docs(id)
+      assert(r.getAs[Long]("covered") == n,
+        s"doc $id: chunks cover ${r.getAs[Long]("covered")} of $n tokens")
+      assert(r.getAs[Long]("n_chunks") == r.getAs[Long]("last_ci") + 1)
+      assert(r.getAs[Long]("last_start") == r.getAs[Long]("last_ci") * 24)
+      assert(r.getAs[Long]("last_start") < n, s"doc $id: empty final chunk")
+    }
+  }
+
+  test("sim_hybrid_rrf rows come from a source list and the fused score matches the ranks") {
+    val rows = Retrieval.simHybridRrf.fn(spark, d).collect()
+    assert(rows.length == 20)
+    for (r <- rows) {
+      val lr = Option(r.getAs[java.lang.Long]("lr")).map(_.toLong)
+      val vr = Option(r.getAs[java.lang.Long]("vr")).map(_.toLong)
+      assert(lr.nonEmpty || vr.nonEmpty, "fused row in neither list")
+      assert(lr.forall(x => x >= 1 && x <= 50) && vr.forall(x => x >= 1 && x <= 50))
+      val expect = lr.map(x => 1.0 / (60 + x)).getOrElse(0.0) +
+        vr.map(x => 1.0 / (60 + x)).getOrElse(0.0)
+      assert(math.abs(r.getAs[Double]("rrf") - expect) < 1e-6)
+    }
+    // both retrievers actually contribute to the fused top-20
+    assert(rows.exists(r => r.isNullAt(r.fieldIndex("lr"))) ||
+      rows.exists(r => !r.isNullAt(r.fieldIndex("lr"))))
+    assert(rows.exists(r => !r.isNullAt(r.fieldIndex("vr"))))
+  }
+}
