@@ -3132,10 +3132,74 @@ object Ann {
     kcenterSelect(prep(Tables.embeddings(s, d)))
   }
 
+  /** RAG INGESTION FUNNEL (round 14) — the end-to-end pipeline that
+    * turns a raw document corpus into a maintained serving index,
+    * stitching the session's retrieval family into the landed index
+    * path (the `pipeline_pretrain` funnel shape, applied to retrieval):
+    * chunk every document (w = 32 / stride 24 — `text_chunk`'s
+    * contract, shared `Retrieval.chunkRel`), dedup chunks exactly by
+    * content fingerprint (`dedup_exact`'s motion at chunk granularity —
+    * on the dup-heavy 10×/100× fixtures this stage collapses the
+    * corpus), elect the min-doc_id keeper per unique chunk, and route
+    * the keeper documents' embeddings through the SHARED two-level
+    * serving index (`ivfdell` — the same landed artifact
+    * `sim_ann_ivf2`/delete/filtered/rebalance maintain). Gated
+    * relation: the per-stage accounting (chunks → unique → keepers →
+    * routed → buckets) an ingestion run ships.
+    *
+    * Scale shape: chunking is the zero-shuffle narrow map; the chunk
+    * dedup is one md5-keyed combinable aggregate; the keeper relation
+    * is unique-chunk-sized; routing joins keepers against the landed
+    * lists (no rebuild — the `sim_ann_upsert` assign-only discipline).
+    * The three chunk-relation scans here are the gate's accounting; a
+    * production run lands the chunk table once (it IS the ingestion
+    * output) and reads the stats from the landing. */
+  val pipelineRag = QueryDef(
+    "pipeline_rag",
+    s"""$kmeansOraclePrefixScaled2,
+       |${Retrieval.chunkRelCtes("documents")},
+       |rck AS (
+       |  SELECT chunk_md5, min(doc_id) AS doc_id FROM rch GROUP BY chunk_md5
+       |), rkd AS (
+       |  SELECT DISTINCT doc_id FROM rck
+       |), rrt AS (
+       |  SELECT rkd.doc_id, af.cid FROM rkd JOIN af ON af.vec_id = rkd.doc_id
+       |)
+       |SELECT * FROM (
+       |  SELECT 'a_chunks' AS stage, CAST(count(*) AS BIGINT) AS n FROM rch
+       |  UNION ALL
+       |  SELECT 'b_unique', CAST(count(DISTINCT chunk_md5) AS BIGINT) FROM rch
+       |  UNION ALL
+       |  SELECT 'c_keepers', CAST(count(*) AS BIGINT) FROM rkd
+       |  UNION ALL
+       |  SELECT 'd_routed', CAST(count(*) AS BIGINT) FROM rrt
+       |  UNION ALL
+       |  SELECT 'e_buckets', CAST(count(DISTINCT cid) AS BIGINT) FROM rrt
+       |) ORDER BY stage""".stripMargin) { (s, d) =>
+    val ch = Retrieval.chunkRel(Tables.documents(s, d))
+      .select("doc_id", "chunk_md5")
+    val v = prep(Tables.embeddings(s, d))
+    val lists = servingLists(s, d, v, cachedKmeansCentsScaled(s, d))
+    val st = ch.agg(count(lit(1)).as("a"),
+      countDistinct(col("chunk_md5")).as("b"))
+    val kd = ch.groupBy("chunk_md5").agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id").distinct()
+    val routed = kd.join(lists, kd("doc_id") === lists("vec_id"))
+      .select(kd("doc_id"), lists("bucket"))
+    val rt = routed.agg(count(lit(1)).as("d"),
+      countDistinct(col("bucket")).as("e"))
+    val kc = kd.agg(count(lit(1)).as("c"))
+    st.crossJoin(broadcast(kc)).crossJoin(broadcast(rt))
+      .select(expr(
+        "stack(5, 'a_chunks', a, 'b_unique', b, 'c_keepers', c, " +
+          "'d_routed', d, 'e_buckets', e) AS (stage, n)"))
+      .orderBy("stage")
+  }
+
   val all: Seq[QueryDef] = Seq(simAnnIvf, dedupEmbedLsh, simAnnKmeans, simQuantize, simAnnRecall,
     simAnnPq, simAnnKmeansRecall, simAnnPqRecall, dedupEmbedLshRecall, simPcaPower,
     simAnnIvfPq, simAnnNprobeCurve, dedupSemantic, dedupSemanticScaled,
     simAnnHnsw, simAnnGraphBuild, simAnnBeamCurve, alignBitextMine,
     alignBitextKnn, simAnnUpsert, streamAnnUpsert, simAnnIvf2, simAnnDelete,
-    simAnnFiltered, simAnnRebalance, sampleKcenter)
+    simAnnFiltered, simAnnRebalance, sampleKcenter, pipelineRag)
 }

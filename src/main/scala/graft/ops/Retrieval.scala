@@ -298,25 +298,12 @@ object Retrieval {
     * 100 TB this is the map stage in front of the embedding UDF
     * (multimodal_decode's batch plumbing).
     */
-  val textChunk = QueryDef(
-    "text_chunk",
-    """WITH d AS (
-      |  SELECT doc_id, string_split(text, ' ') AS toks,
-      |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n
-      |  FROM documents WHERE doc_id % 7 = 0
-      |), c AS (
-      |  SELECT doc_id, toks, n,
-      |         CASE WHEN n <= 32 THEN 1 ELSE 1 + (n - 32 + 23) // 24 END AS nc
-      |  FROM d
-      |), e AS (
-      |  SELECT doc_id, toks, n, unnest(range(nc)) AS ci FROM c
-      |)
-      |SELECT doc_id, CAST(ci AS BIGINT) AS ci, CAST(ci * 24 AS BIGINT) AS start,
-      |       CAST(len(toks[(ci * 24 + 1):(ci * 24 + 32)]) AS BIGINT) AS chunk_len,
-      |       md5(array_to_string(toks[(ci * 24 + 1):(ci * 24 + 32)], ' ')) AS chunk_md5
-      |FROM e ORDER BY doc_id, ci""".stripMargin) { (s, d) =>
-    Tables.documents(s, d)
-      .filter(col("doc_id") % 7 === 0)
+  /** All chunk rows of `docs` (doc_id, text) under the w=32/stride=24
+    * contract: (doc_id, ci, start, chunk_len, chunk_md5). Shared by the
+    * gated slice ([[textChunk]]) and the full-corpus ingestion funnel
+    * (`pipeline_rag` in Ann.scala). */
+  private[graft] def chunkRel(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .withColumn("n", size(col("toks")).cast("long"))
       .withColumn("nc",
@@ -328,6 +315,33 @@ object Retrieval {
       .select(col("doc_id"), col("ci"), (col("ci") * 24).as("start"),
         size(col("ctoks")).cast("long").as("chunk_len"),
         md5(concat_ws(" ", col("ctoks"))).as("chunk_md5"))
+
+  /** Oracle mirror of [[chunkRel]] over `srcDocs`, ending in a CTE named
+    * `rch(doc_id, ci, start, chunk_len, chunk_md5)`. */
+  private[graft] def chunkRelCtes(srcDocs: String): String =
+    s"""rch0 AS (
+       |  SELECT doc_id, string_split(text, ' ') AS toks,
+       |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+       |  FROM $srcDocs
+       |), rch1 AS (
+       |  SELECT doc_id, toks, n,
+       |         CASE WHEN n <= 32 THEN 1 ELSE 1 + (n - 32 + 23) // 24 END AS nc
+       |  FROM rch0
+       |), rch2 AS (
+       |  SELECT doc_id, toks, n, unnest(range(nc)) AS ci FROM rch1
+       |), rch AS MATERIALIZED (
+       |  SELECT doc_id, CAST(ci AS BIGINT) AS ci, CAST(ci * 24 AS BIGINT) AS start,
+       |         CAST(len(toks[(ci * 24 + 1):(ci * 24 + 32)]) AS BIGINT) AS chunk_len,
+       |         md5(array_to_string(toks[(ci * 24 + 1):(ci * 24 + 32)], ' ')) AS chunk_md5
+       |  FROM rch2
+       |)""".stripMargin
+
+  val textChunk = QueryDef(
+    "text_chunk",
+    s"""WITH ${chunkRelCtes("documents WHERE doc_id % 7 = 0")}
+       |SELECT doc_id, ci, start, chunk_len, chunk_md5
+       |FROM rch ORDER BY doc_id, ci""".stripMargin) { (s, d) =>
+    chunkRel(Tables.documents(s, d).filter(col("doc_id") % 7 === 0))
       .orderBy("doc_id", "ci")
   }
 

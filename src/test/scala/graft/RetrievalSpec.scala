@@ -58,6 +58,18 @@ class RetrievalSpec extends AnyFunSuite {
     }
   }
 
+  test("pipeline_rag funnel is monotone and every keeper routes into the index") {
+    val st = graft.ops.Ann.pipelineRag.fn(spark, d).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(st.keySet == Set("a_chunks", "b_unique", "c_keepers", "d_routed", "e_buckets"))
+    assert(st("a_chunks") >= st("b_unique"), "dedup cannot add chunks")
+    assert(st("b_unique") >= st("c_keepers"), "keepers are per unique chunk")
+    assert(st("c_keepers") == st("d_routed"),
+      "every keeper doc must land in the serving index (doc ≡ vec universe)")
+    assert(st("d_routed") >= st("e_buckets"), "buckets cannot exceed routed docs")
+    assert(st("e_buckets") >= 1)
+  }
+
   test("sim_hybrid_rrf rows come from a source list and the fused score matches the ranks") {
     val rows = Retrieval.simHybridRrf.fn(spark, d).collect()
     assert(rows.length == 20)
