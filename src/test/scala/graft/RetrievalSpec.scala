@@ -83,8 +83,9 @@ class RetrievalSpec extends AnyFunSuite {
       assert(math.abs(r.getAs[Double]("rrf") - expect) < 1e-6)
     }
     // both retrievers actually contribute to the fused top-20
-    assert(rows.exists(r => r.isNullAt(r.fieldIndex("lr"))) ||
-      rows.exists(r => !r.isNullAt(r.fieldIndex("lr"))))
-    assert(rows.exists(r => !r.isNullAt(r.fieldIndex("vr"))))
+    assert(rows.exists(r => !r.isNullAt(r.fieldIndex("lr"))),
+      "lexical list contributes no fused row")
+    assert(rows.exists(r => !r.isNullAt(r.fieldIndex("vr"))),
+      "vector list contributes no fused row")
   }
 }
