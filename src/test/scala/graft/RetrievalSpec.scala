@@ -70,6 +70,50 @@ class RetrievalSpec extends AnyFunSuite {
     assert(st("e_buckets") >= 1)
   }
 
+  test("chunkRel boundary arithmetic: window-exact, one-past, stride-exact and empty docs") {
+    import spark.implicits._
+    def doc(id: Long, n: Int) =
+      (id, (1 to n).map(i => s"t$i").mkString(" "))
+    // n=32 → 1 chunk; n=33 → 2 (second covers 25..33); n=56 → 2 (24..56
+    // exactly fills the window); n=57 → 3; n=1 → 1; empty text → split
+    // gives [""] (n=1) → 1 chunk of the empty token
+    val docs = Seq(doc(1, 32), doc(2, 33), doc(3, 56), doc(4, 57),
+      doc(5, 1), (6L, "")).toDF("doc_id", "text")
+    val ch = graft.ops.Retrieval.chunkRel(docs)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("nc"),
+        max(col("start") + col("chunk_len")).as("covered"),
+        min(col("chunk_len")).as("minlen"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("nc"), r.getAs[Long]("covered"), r.getAs[Long]("minlen"))).toMap
+    assert(ch(1L) == (1L, 32L, 32L))
+    assert(ch(2L) == (2L, 33L, 9L))   // 2nd chunk = tokens 25..33
+    assert(ch(3L) == (2L, 56L, 32L))  // 2nd chunk exactly fills the window
+    assert(ch(4L) == (3L, 57L, 9L))   // 3rd chunk = tokens 49..57
+    assert(ch(5L) == (1L, 1L, 1L))
+    assert(ch(6L) == (1L, 1L, 1L))    // split("") = [""] — one empty token
+  }
+
+  test("bm25Raw: term-absent docs drop out; tf raises and doc length lowers the score") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "vector alpha beta gamma"),                 // tf=1, dl=4
+      (2L, "vector vector alpha beta"),                // tf=2, same dl → higher
+      (3L, "vector alpha beta gamma delta eps zeta"),  // tf=1, dl=7 → lower than 1
+      (4L, "alpha beta gamma")                         // no query term → absent
+    ).toDF("doc_id", "text")
+    // bm25Raw reads the documents table: stage the planted docs as a
+    // dataset dir the Tables reader accepts
+    val dir = graft.ops.QueryDef.tmpRoot("edge_bm25", "planted")
+    docs.write.mode("overwrite").parquet(dir + "/documents.parquet")
+    val got = graft.ops.Retrieval.bm25Raw(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getAs[Double]("bm25_raw")).toMap
+    assert(got.keySet == Set(1L, 2L, 3L), "term-absent doc must not appear")
+    assert(got(2L) > got(1L), "higher tf at equal length must score higher")
+    assert(got(1L) > got(3L), "longer doc at equal tf must score lower")
+    assert(got.values.forall(_ > 0.0), "Lucene positive idf keeps scores > 0")
+  }
+
   test("sim_hybrid_rrf rows come from a source list and the fused score matches the ranks") {
     val rows = Retrieval.simHybridRrf.fn(spark, d).collect()
     assert(rows.length == 20)
