@@ -675,8 +675,97 @@ object Formats {
       .orderBy("shard")
   }
 
+  /** CHANGE-DATA-FEED READ (round 14) — the diff between two table
+    * snapshots as typed change rows (Delta CDF / Iceberg changelog
+    * semantics: insert / delete / update_preimage / update_postimage),
+    * closing the snapshot loop `scan_time_travel` opened (address a
+    * version) and `merge_cdc` applies (consume a feed): THIS produces
+    * the feed from two staged versions. v1 derives deterministically
+    * from v0 (customer): every key % 17 = 3 DELETED, % 10 = 0 UPDATED
+    * (+100.00), % 23 = 5 re-INSERTED under a fresh key (+10⁷) — all
+    * four change types live at every SF. Diff = ONE full-outer
+    * equi-join on the snapshot key, change rows emitted in the same
+    * pass (array+explode, no per-type rescan); the gate carries the
+    * per-(change_type, segment) accounting a downstream consumer
+    * checkpoints against. At 100 TB a table format derives the feed
+    * from the transaction log without scanning either snapshot — the
+    * join here is the format-agnostic fallback (and the semantics
+    * contract the log-derived feed must match). */
+  val scanCdf = QueryDef(
+    "scan_cdf",
+    """WITH base AS (
+      |  SELECT c_custkey, c_mktsegment,
+      |         CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+      |  FROM customer
+      |), v1 AS (
+      |  SELECT c_custkey, c_mktsegment,
+      |         CASE WHEN c_custkey % 10 = 0 THEN cents + 10000 ELSE cents END AS cents
+      |  FROM base WHERE c_custkey % 17 <> 3
+      |  UNION ALL
+      |  SELECT c_custkey + 10000000, c_mktsegment, cents + 555 FROM base
+      |  WHERE c_custkey % 23 = 5
+      |), j AS (
+      |  SELECT v0.c_mktsegment AS seg0, v1.c_mktsegment AS seg1,
+      |         v0.cents AS cents0, v1.cents AS cents1
+      |  FROM base v0 FULL OUTER JOIN v1 ON v0.c_custkey = v1.c_custkey
+      |), ch AS (
+      |  SELECT 'a_insert' AS change_type, seg1 AS c_mktsegment, cents1 AS cents
+      |  FROM j WHERE cents0 IS NULL
+      |  UNION ALL
+      |  SELECT 'b_delete', seg0, cents0 FROM j WHERE cents1 IS NULL
+      |  UNION ALL
+      |  SELECT 'c_update_pre', seg0, cents0 FROM j
+      |  WHERE cents0 IS NOT NULL AND cents1 IS NOT NULL AND cents0 <> cents1
+      |  UNION ALL
+      |  SELECT 'd_update_post', seg1, cents1 FROM j
+      |  WHERE cents0 IS NOT NULL AND cents1 IS NOT NULL AND cents0 <> cents1
+      |)
+      |SELECT change_type, c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+      |       CAST(sum(cents) AS BIGINT) AS sum_cents
+      |FROM ch GROUP BY change_type, c_mktsegment
+      |ORDER BY change_type, c_mktsegment""".stripMargin) { (s, d) =>
+    val root = fmtDir(d, "cdf")
+    val base = graft.Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_mktsegment"),
+        round(col("c_acctbal") * 100).cast("long").as("cents"))
+    base.write.mode("overwrite").parquet(root + "/v=0")
+    base.filter(col("c_custkey") % 17 =!= 3)
+      .withColumn("cents",
+        when(col("c_custkey") % 10 === 0, col("cents") + 10000L)
+          .otherwise(col("cents")))
+      .unionByName(base.filter(col("c_custkey") % 23 === 5)
+        .select((col("c_custkey") + 10000000L).as("c_custkey"),
+          col("c_mktsegment"), (col("cents") + 555L).as("cents")))
+      .write.mode("overwrite").parquet(root + "/v=1")
+    val v0 = s.read.parquet(root + "/v=0")
+      .select(col("c_custkey"), col("c_mktsegment").as("seg0"),
+        col("cents").as("cents0"))
+    val v1 = s.read.parquet(root + "/v=1")
+      .select(col("c_custkey"), col("c_mktsegment").as("seg1"),
+        col("cents").as("cents1"))
+    // one full-outer pass; each row expands to its 0-2 change rows
+    // in place (array+explode) — no per-change-type rescan of the join
+    v0.join(v1, Seq("c_custkey"), "full_outer")
+      .select(explode(expr(
+        """CASE
+          |  WHEN cents0 IS NULL THEN
+          |    array(named_struct('t', 'a_insert', 'seg', seg1, 'cts', cents1))
+          |  WHEN cents1 IS NULL THEN
+          |    array(named_struct('t', 'b_delete', 'seg', seg0, 'cts', cents0))
+          |  WHEN cents0 <> cents1 THEN array(
+          |    named_struct('t', 'c_update_pre', 'seg', seg0, 'cts', cents0),
+          |    named_struct('t', 'd_update_post', 'seg', seg1, 'cts', cents1))
+          |  ELSE array()
+          |END""".stripMargin)).as("k"))
+      .select(col("k.t").as("change_type"), col("k.seg").as("c_mktsegment"),
+        col("k.cts").as("cents"))
+      .groupBy("change_type", "c_mktsegment")
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
+      .orderBy("change_type", "c_mktsegment")
+  }
+
   val all: Seq[QueryDef] = Seq(scanCsv, scanJson, scanOrc, scanXml,
     maintenanceCompact, scanEvolution, exportTfrecord, scanAvro,
     scanMorDeletes, maintenanceRetention, scanTimeTravel, scanCsvQuarantine,
-    maintenanceVacuum, exportTfrecordEmb, exportJsonl)
+    maintenanceVacuum, exportTfrecordEmb, exportJsonl, scanCdf)
 }

@@ -467,6 +467,50 @@ object Quality {
       .orderBy("day")
   }
 
+  /** K-ANONYMITY AUDIT (round 14; Sweeney 2002, "k-Anonymity: a model
+    * for protecting privacy") — the privacy gate a data-release /
+    * training-corpus pipeline runs beside the PII scrub
+    * (`text_pii_scrub` removes direct identifiers; THIS measures
+    * re-identification risk from QUASI-identifiers): group the table by
+    * the QI tuple (nation, market segment, balance sign — chosen so the
+    * violating branch is live at every SF: 99/92/23 groups under k at
+    * the three SFs) and report, per nation, the equivalence-class
+    * statistics a release decision reads — group count, the nation's
+    * k-anonymity (min class size), classes under k = 8, and the rows a
+    * k-anonymization pass would suppress. Both branches live: sf0.1
+    * nations with zero violations PASS in the same relation.
+    *
+    * Scale shape: one combinable QI groupBy (the class sizes), one
+    * nation-keyed rollup over the class relation (bounded by the QI
+    * domain, not the corpus) — the same two-phase shape at 100 TB, with
+    * the class relation as the broadcastable release artifact. */
+  val qualityKAnon = QueryDef(
+    "quality_k_anon",
+    """WITH cls AS (
+      |  SELECT c_nationkey, c_mktsegment,
+      |         CASE WHEN c_acctbal < 0 THEN 'neg' ELSE 'pos' END AS bal_sign,
+      |         CAST(count(*) AS BIGINT) AS n
+      |  FROM customer GROUP BY c_nationkey, c_mktsegment, bal_sign
+      |)
+      |SELECT c_nationkey, CAST(sum(n) AS BIGINT) AS n_rows,
+      |       CAST(count(*) AS BIGINT) AS n_classes,
+      |       CAST(min(n) AS BIGINT) AS k_anonymity,
+      |       CAST(sum(CASE WHEN n < 8 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating,
+      |       CAST(sum(CASE WHEN n < 8 THEN n ELSE 0 END) AS BIGINT) AS n_suppressed
+      |FROM cls GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin) { (s, d) =>
+    val cls = Tables.customer(s, d)
+      .groupBy(col("c_nationkey"), col("c_mktsegment"),
+        when(col("c_acctbal") < 0, "neg").otherwise("pos").as("bal_sign"))
+      .agg(count(lit(1)).as("n"))
+    cls.groupBy("c_nationkey")
+      .agg(sum(col("n")).as("n_rows"),
+        count(lit(1)).as("n_classes"),
+        min(col("n")).as("k_anonymity"),
+        sum(when(col("n") < 8, 1L).otherwise(0L)).as("n_violating"),
+        sum(when(col("n") < 8, col("n")).otherwise(0L)).as("n_suppressed"))
+      .orderBy("c_nationkey")
+  }
+
   val all: Seq[QueryDef] = Seq(qualityExpectations, qualityDrift, qualityOutliers,
-    qualityProfile, qualitySkew, qualityVolumeAnomaly)
+    qualityProfile, qualitySkew, qualityVolumeAnomaly, qualityKAnon)
 }

@@ -1451,4 +1451,38 @@ class EdgeSpec extends AnyFunSuite {
         r.getAs[Long]("n_nodes"), r.getAs[Long]("chk"))).toSeq
     assert(got == expect.toSeq, s"got $got\nexpect $expect")
   }
+
+  test("scan_cdf change counts replay the staged edit rules; pre/post rows pair up") {
+    val d = "/root/testdata/sf0.001"
+    val rows = graft.ops.Formats.scanCdf.fn(spark, d).collect()
+    val byType = rows.groupBy(_.getString(0))
+      .map { case (t, rs) => t -> rs.map(_.getAs[Long]("n")).sum }
+    assert(byType.keySet ==
+      Set("a_insert", "b_delete", "c_update_pre", "d_update_post"),
+      "all four change types must be live at the smallest SF")
+    assert(byType("c_update_pre") == byType("d_update_post"),
+      "every update emits exactly one preimage and one postimage")
+    // the staged edit rules, replayed from the base table
+    val cust = graft.Tables.customer(spark, d)
+      .select(col("c_custkey")).collect().map(_.getLong(0))
+    assert(byType("b_delete") == cust.count(_ % 17 == 3))
+    assert(byType("a_insert") == cust.count(_ % 23 == 5))
+    assert(byType("c_update_pre") ==
+      cust.count(k => k % 10 == 0 && k % 17 != 3))
+  }
+
+  test("quality_k_anon accounting conserves rows; suppression is bounded per nation") {
+    val d = "/root/testdata/sf0.001"
+    val rows = graft.ops.Quality.qualityKAnon.fn(spark, d).collect()
+    val total = graft.Tables.customer(spark, d).count()
+    assert(rows.map(_.getAs[Long]("n_rows")).sum == total,
+      "per-nation rows must partition the table")
+    for (r <- rows) {
+      assert(r.getAs[Long]("k_anonymity") >= 1)
+      assert(r.getAs[Long]("n_suppressed") <= r.getAs[Long]("n_rows"))
+      assert(r.getAs[Long]("n_violating") <= r.getAs[Long]("n_classes"))
+    }
+    assert(rows.exists(_.getAs[Long]("n_violating") > 0),
+      "the violating branch must be live at the smallest SF")
+  }
 }
