@@ -501,13 +501,26 @@ object Formats {
     * contract, and `stream_upsert_sink` already gates the incremental-
     * delta construction of such versions. Exact cents arithmetic
     * end-to-end. */
-  val scanTimeTravel = QueryDef(
-    "scan_time_travel",
-    """WITH base AS (
+  /** The exact-cents customer projection the three snapshot keys
+    * (`scan_time_travel`, `maintenance_vacuum`, `scan_cdf`) all stage
+    * from — one Spark helper + one oracle CTE (review finding: the
+    * projection appeared verbatim in six places; a cents-convention
+    * change now lands once). */
+  private def centsBase(s: SparkSession, d: String): DataFrame =
+    graft.Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_mktsegment"),
+        round(col("c_acctbal") * 100).cast("long").as("cents"))
+
+  private val centsBaseCte =
+    """base AS (
       |  SELECT c_custkey, c_mktsegment,
       |         CAST(round(c_acctbal * 100) AS BIGINT) AS cents
       |  FROM customer
-      |), v1 AS (
+      |)""".stripMargin
+
+  val scanTimeTravel = QueryDef(
+    "scan_time_travel",
+    s"""WITH $centsBaseCte, v1 AS (
       |  SELECT c_mktsegment,
       |         CASE WHEN c_custkey % 10 = 0 THEN cents + 10000 ELSE cents END AS cents
       |  FROM base
@@ -520,9 +533,7 @@ object Formats {
       |FROM v1 GROUP BY c_mktsegment
       |ORDER BY version, c_mktsegment""".stripMargin) { (s, d) =>
     val root = fmtDir(d, "timetravel")
-    val base = graft.Tables.customer(s, d)
-      .select(col("c_custkey"), col("c_mktsegment"),
-        round(col("c_acctbal") * 100).cast("long").as("cents"))
+    val base = centsBase(s, d)
     base.write.mode("overwrite").parquet(root + "/v=0")
     base
       .withColumn("cents",
@@ -553,11 +564,7 @@ object Formats {
     * this key's own verification read. */
   val maintenanceVacuum = QueryDef(
     "maintenance_vacuum",
-    """WITH base AS (
-      |  SELECT c_custkey, c_mktsegment,
-      |         CAST(round(c_acctbal * 100) AS BIGINT) AS cents
-      |  FROM customer
-      |), vs AS (
+    s"""WITH $centsBaseCte, vs AS (
       |  SELECT v, c_mktsegment,
       |         CASE WHEN c_custkey % 10 = v THEN cents + 10000 * v ELSE cents END AS cents
       |  FROM base, (SELECT unnest([2, 3]) AS v)
@@ -570,9 +577,7 @@ object Formats {
       |FROM vs GROUP BY v, c_mktsegment
       |ORDER BY version, c_mktsegment""".stripMargin) { (s, d) =>
     val root = fmtDir(d, "vacuum")
-    val base = graft.Tables.customer(s, d)
-      .select(col("c_custkey"), col("c_mktsegment"),
-        round(col("c_acctbal") * 100).cast("long").as("cents"))
+    val base = centsBase(s, d)
     for (v <- 0 to 3)
       base.withColumn("cents",
           when(col("c_custkey") % 10 === v, col("cents") + 10000L * v)
@@ -682,7 +687,8 @@ object Formats {
     * version) and `merge_cdc` applies (consume a feed): THIS produces
     * the feed from two staged versions. v1 derives deterministically
     * from v0 (customer): every key % 17 = 3 DELETED, % 10 = 0 UPDATED
-    * (+100.00), % 23 = 5 re-INSERTED under a fresh key (+10⁷) — all
+    * (+100.00), % 23 = 5 re-INSERTED under a fresh key (offset
+    * max(key)+1 — collision-free at any SF) — all
     * four change types live at every SF. Diff = ONE full-outer
     * equi-join on the snapshot key, change rows emitted in the same
     * pass (array+explode, no per-type rescan); the gate carries the
@@ -693,16 +699,13 @@ object Formats {
     * contract the log-derived feed must match). */
   val scanCdf = QueryDef(
     "scan_cdf",
-    """WITH base AS (
-      |  SELECT c_custkey, c_mktsegment,
-      |         CAST(round(c_acctbal * 100) AS BIGINT) AS cents
-      |  FROM customer
-      |), v1 AS (
+    s"""WITH $centsBaseCte, v1 AS (
       |  SELECT c_custkey, c_mktsegment,
       |         CASE WHEN c_custkey % 10 = 0 THEN cents + 10000 ELSE cents END AS cents
       |  FROM base WHERE c_custkey % 17 <> 3
       |  UNION ALL
-      |  SELECT c_custkey + 10000000, c_mktsegment, cents + 555 FROM base
+      |  SELECT c_custkey + (SELECT max(c_custkey) + 1 FROM base),
+      |         c_mktsegment, cents + 555 FROM base
       |  WHERE c_custkey % 23 = 5
       |), j AS (
       |  SELECT v0.c_mktsegment AS seg0, v1.c_mktsegment AS seg1,
@@ -725,16 +728,20 @@ object Formats {
       |FROM ch GROUP BY change_type, c_mktsegment
       |ORDER BY change_type, c_mktsegment""".stripMargin) { (s, d) =>
     val root = fmtDir(d, "cdf")
-    val base = graft.Tables.customer(s, d)
-      .select(col("c_custkey"), col("c_mktsegment"),
-        round(col("c_acctbal") * 100).cast("long").as("cents"))
-    base.write.mode("overwrite").parquet(root + "/v=0")
-    base.filter(col("c_custkey") % 17 =!= 3)
+    centsBase(s, d).write.mode("overwrite").parquet(root + "/v=0")
+    // v1 derives from the MATERIALIZED v=0 snapshot (one scan of the
+    // small landed projection, not two more passes over the source
+    // table — review finding), with a collision-safe re-insert offset
+    // past the key domain at any SF (a fixed 10^7 collides once the
+    // table exceeds 10M keys)
+    val staged0 = s.read.parquet(root + "/v=0")
+    val off = staged0.agg(max(col("c_custkey"))).head.getLong(0) + 1L
+    staged0.filter(col("c_custkey") % 17 =!= 3)
       .withColumn("cents",
         when(col("c_custkey") % 10 === 0, col("cents") + 10000L)
           .otherwise(col("cents")))
-      .unionByName(base.filter(col("c_custkey") % 23 === 5)
-        .select((col("c_custkey") + 10000000L).as("c_custkey"),
+      .unionByName(staged0.filter(col("c_custkey") % 23 === 5)
+        .select((col("c_custkey") + off).as("c_custkey"),
           col("c_mktsegment"), (col("cents") + 555L).as("cents")))
       .write.mode("overwrite").parquet(root + "/v=1")
     val v0 = s.read.parquet(root + "/v=0")

@@ -1469,6 +1469,16 @@ class EdgeSpec extends AnyFunSuite {
     assert(byType("a_insert") == cust.count(_ % 23 == 5))
     assert(byType("c_update_pre") ==
       cust.count(k => k % 10 == 0 && k % 17 != 3))
+    // pre/post images must pair PER SEGMENT (segments never change in
+    // the staged edits), not just in total — a postimage emitted with
+    // the wrong attribution keeps the totals equal but breaks this
+    val bySeg = rows.filter(r => r.getString(0).startsWith("c_") ||
+        r.getString(0).startsWith("d_"))
+      .groupBy(r => (r.getString(0), r.getString(1)))
+      .map { case (k, rs) => k -> rs.map(_.getAs[Long]("n")).sum }
+    for (((t, seg), n) <- bySeg if t == "c_update_pre")
+      assert(bySeg.getOrElse(("d_update_post", seg), 0L) == n,
+        s"segment $seg: pre=$n post=${bySeg.get(("d_update_post", seg))}")
   }
 
   test("quality_k_anon accounting conserves rows; suppression is bounded per nation") {
@@ -1477,12 +1487,25 @@ class EdgeSpec extends AnyFunSuite {
     val total = graft.Tables.customer(spark, d).count()
     assert(rows.map(_.getAs[Long]("n_rows")).sum == total,
       "per-nation rows must partition the table")
-    for (r <- rows) {
-      assert(r.getAs[Long]("k_anonymity") >= 1)
-      assert(r.getAs[Long]("n_suppressed") <= r.getAs[Long]("n_rows"))
-      assert(r.getAs[Long]("n_violating") <= r.getAs[Long]("n_classes"))
-    }
     assert(rows.exists(_.getAs[Long]("n_violating") > 0),
       "the violating branch must be live at the smallest SF")
+    // independent plain-Scala replication of one nation's statistics
+    // (the deepwalk golden discipline) — pins the k<8 threshold and the
+    // violating/suppressed semantics against a shared spec-level bug
+    // the hash gate cannot see
+    val nat = rows.head.getAs[Int]("c_nationkey")
+    val cls = graft.Tables.customer(spark, d)
+      .filter(col("c_nationkey") === nat)
+      .select(col("c_mktsegment"),
+        (col("c_acctbal") < 0).as("neg"))
+      .collect()
+      .groupBy(r => (r.getString(0), r.getBoolean(1)))
+      .map(_._2.length.toLong)
+    val r0 = rows.head
+    assert(r0.getAs[Long]("n_rows") == cls.sum)
+    assert(r0.getAs[Long]("n_classes") == cls.size)
+    assert(r0.getAs[Long]("k_anonymity") == cls.min)
+    assert(r0.getAs[Long]("n_violating") == cls.count(_ < 8))
+    assert(r0.getAs[Long]("n_suppressed") == cls.filter(_ < 8).sum)
   }
 }
