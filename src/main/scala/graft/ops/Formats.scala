@@ -771,8 +771,65 @@ object Formats {
       .orderBy("change_type", "c_mktsegment")
   }
 
+  /** WEBDATASET TAR-SHARD EXPORT (round 14) — the multimodal
+    * training-loader handoff format (webdataset.github.io: a POSIX tar
+    * per shard, each sample a basename-grouped run of entries —
+    * `%09d.json` metadata + `%09d.txt` payload), completing the export
+    * family's container coverage (TFRecord = framed protobuf, JSONL =
+    * lines, Avro = OCF, THIS = the tar samples loader PyTorch/DALI
+    * stacks stream). Hand-rolled ustar writer+reader
+    * (`graft.sources.WebDataset`, the TfExample discipline — no tar
+    * library offline), deterministic headers (mode 0644, uid/gid 0,
+    * mtime 0, ids sorted within shard), reader re-verifies every header
+    * checksum. The gate certifies the WIRE layer: per shard, the
+    * read-back sample accounting (ids, text bytes, metadata bytes —
+    * the oracle rebuilds the exact JSON string) AND the tar file's
+    * actual byte size vs the oracle's 512-byte block arithmetic
+    * (1024 trailer + Σ 512·headers + data rounded up) — a padding or
+    * framing bug shifts `tar_bytes` even when the payload survives.
+    * Executor-owned shard files; read = one binaryFile scan. */
+  val exportWebdataset = QueryDef(
+    "export_webdataset",
+    """WITH m AS (
+      |  SELECT doc_id % 4 AS shard, doc_id,
+      |         CAST(strlen(text) AS BIGINT) AS tb,
+      |         CAST(strlen('{"doc_id":' || doc_id || ',"lang":"' || lang ||
+      |                     '","n_tokens":' || len(string_split(text, ' ')) || '}')
+      |              AS BIGINT) AS mb
+      |  FROM documents
+      |)
+      |SELECT shard, CAST(count(*) AS BIGINT) AS n_samples,
+      |       CAST(sum(doc_id) AS BIGINT) AS sum_id,
+      |       CAST(sum(tb) AS BIGINT) AS sum_text_bytes,
+      |       CAST(sum(mb) AS BIGINT) AS sum_meta_bytes,
+      |       CAST(1024 + sum(512 + (tb + 511) // 512 * 512
+      |                       + 512 + (mb + 511) // 512 * 512) AS BIGINT) AS tar_bytes
+      |FROM m GROUP BY shard ORDER BY shard""".stripMargin) { (s, d) =>
+    val dir = fmtDir(d, "wds")
+    graft.sources.WebDataset.writeDocShards(
+      Tables.documents(s, d).select(
+        (col("doc_id") % 4).as("shard"), col("doc_id"), col("text"),
+        col("lang"), size(split(col("text"), " ")).cast("long").as("n_tokens")),
+      dir)
+    val samples = graft.sources.WebDataset.readDocShards(s, dir)
+      .groupBy((col("doc_id") % 4).as("shard"))
+      .agg(count(lit(1)).as("n_samples"),
+        sum(col("doc_id")).as("sum_id"),
+        sum(octet_length(col("text")).cast("long")).as("sum_text_bytes"),
+        sum(octet_length(col("meta")).cast("long")).as("sum_meta_bytes"))
+    val sizes = s.read.format("binaryFile")
+      .option("pathGlobFilter", "docs-*.tar").load(dir)
+      .select(regexp_extract(col("path"), "docs-(\\d+)\\.tar", 1)
+        .cast("long").as("shard"), col("length").as("tar_bytes"))
+    samples.join(sizes, Seq("shard"))
+      .select(col("shard"), col("n_samples"), col("sum_id"),
+        col("sum_text_bytes"), col("sum_meta_bytes"), col("tar_bytes"))
+      .orderBy("shard")
+  }
+
   val all: Seq[QueryDef] = Seq(scanCsv, scanJson, scanOrc, scanXml,
     maintenanceCompact, scanEvolution, exportTfrecord, scanAvro,
     scanMorDeletes, maintenanceRetention, scanTimeTravel, scanCsvQuarantine,
-    maintenanceVacuum, exportTfrecordEmb, exportJsonl, scanCdf)
+    maintenanceVacuum, exportTfrecordEmb, exportJsonl, scanCdf,
+    exportWebdataset)
 }
