@@ -511,6 +511,51 @@ object Quality {
       .orderBy("c_nationkey")
   }
 
+  /** L-DIVERSITY AUDIT (round 14; Machanavajjhala et al. 2007,
+    * "l-Diversity: privacy beyond k-anonymity") — the follow-on check
+    * to `quality_k_anon`: a class can be large (k-anonymous) yet leak
+    * its members' sensitive attribute when every member SHARES it, so
+    * the release gate also requires ≥ l distinct sensitive values per
+    * equivalence class. Here over documents: QI = (source, 50-char
+    * length bucket — the crawl-metadata pair a corpus release exposes),
+    * sensitive attribute = lang; classes with l < 3 are the
+    * homogeneity-attack surface. Reported per source (the k_anon
+    * rollup shape): rows, classes, the source's l-diversity (min
+    * distinct-lang count), classes under l = 3, and the rows those
+    * classes expose — violating AND passing branches live at every SF
+    * (123/141/23 classes under l across the three SFs).
+    *
+    * Scale shape: one combinable (QI → count, count-distinct) groupBy
+    * — Catalyst's two-phase distinct keeps the sensitive column's
+    * domain, not the corpus, in the aggregate state — then a rollup
+    * bounded by the QI domain. */
+  val qualityLDiversity = QueryDef(
+    "quality_l_diversity",
+    """WITH cls AS (
+      |  SELECT source, n_chars // 50 AS len_bucket,
+      |         CAST(count(*) AS BIGINT) AS n,
+      |         CAST(count(DISTINCT lang) AS BIGINT) AS l
+      |  FROM documents GROUP BY source, len_bucket
+      |)
+      |SELECT source, CAST(sum(n) AS BIGINT) AS n_rows,
+      |       CAST(count(*) AS BIGINT) AS n_classes,
+      |       CAST(min(l) AS BIGINT) AS l_diversity,
+      |       CAST(sum(CASE WHEN l < 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating,
+      |       CAST(sum(CASE WHEN l < 3 THEN n ELSE 0 END) AS BIGINT) AS n_exposed
+      |FROM cls GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+    val cls = Tables.documents(s, d)
+      .groupBy(col("source"), expr("n_chars div 50").as("len_bucket"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("lang")).as("l"))
+    cls.groupBy("source")
+      .agg(sum(col("n")).as("n_rows"),
+        count(lit(1)).as("n_classes"),
+        min(col("l")).as("l_diversity"),
+        sum(when(col("l") < 3, 1L).otherwise(0L)).as("n_violating"),
+        sum(when(col("l") < 3, col("n")).otherwise(0L)).as("n_exposed"))
+      .orderBy("source")
+  }
+
   val all: Seq[QueryDef] = Seq(qualityExpectations, qualityDrift, qualityOutliers,
-    qualityProfile, qualitySkew, qualityVolumeAnomaly, qualityKAnon)
+    qualityProfile, qualitySkew, qualityVolumeAnomaly, qualityKAnon,
+    qualityLDiversity)
 }

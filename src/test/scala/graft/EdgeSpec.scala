@@ -1508,4 +1508,31 @@ class EdgeSpec extends AnyFunSuite {
     assert(r0.getAs[Long]("n_violating") == cls.count(_ < 8))
     assert(r0.getAs[Long]("n_suppressed") == cls.filter(_ < 8).sum)
   }
+
+  test("quality_l_diversity replays one source's class stats in plain Scala") {
+    val d = "/root/testdata/sf0.001"
+    val rows = graft.ops.Quality.qualityLDiversity.fn(spark, d).collect()
+    assert(rows.exists(_.getAs[Long]("n_violating") > 0),
+      "the homogeneity-attack branch must be live at the smallest SF")
+    val src = rows.head.getAs[String]("source")
+    // independent replication of (class count, l-diversity, violations,
+    // exposed rows) for one source — pins the l<3 threshold and the
+    // distinct-lang semantics against a shared spec-level bug
+    val docs = graft.Tables.documents(spark, d)
+      .filter(col("source") === src)
+      .select(expr("n_chars div 50").as("b"), col("lang"))
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    // .toSeq BEFORE .map: mapping a Map to (len, l) pairs would rebuild
+    // a Map and silently merge classes with identical stats
+    val byClass = docs.groupBy(_._1).toSeq.map { case (_, xs) =>
+      (xs.length.toLong, xs.map(_._2).distinct.length.toLong)
+    }
+    val r0 = rows.head
+    assert(r0.getAs[Long]("n_rows") == byClass.map(_._1).sum)
+    assert(r0.getAs[Long]("n_classes") == byClass.size)
+    assert(r0.getAs[Long]("l_diversity") == byClass.map(_._2).min)
+    assert(r0.getAs[Long]("n_violating") == byClass.count(_._2 < 3))
+    assert(r0.getAs[Long]("n_exposed") ==
+      byClass.filter(_._2 < 3).map(_._1).sum)
+  }
 }
