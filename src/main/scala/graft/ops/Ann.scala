@@ -3196,10 +3196,86 @@ object Ann {
       .orderBy("stage")
   }
 
+  /** RANGE (radius) SEARCH over the shared serving index — the
+    * threshold query the top-k family can't express: "every vector
+    * within cos ≥ τ of the query", whose result SIZE is data-dependent
+    * (faiss `range_search`; the serving shape behind SemDeDup-style
+    * threshold sweeps and near-dup mining around a probe point). Served
+    * exactly like the top-k keys — per-query probe of the 4 nearest
+    * coarse lists over the landed two-level index (`ivfdell`, the same
+    * artifact `sim_ann_delete`/`sim_ann_filtered` maintain), then an
+    * exact-cosine THRESHOLD filter instead of a rank window: no per-qid
+    * sort at all, the candidate stream filters in place (at 100 TB the
+    * scan touches nprobe/c of the corpus and emits matches combinably —
+    * a rank window would buffer candidates per query for an order the
+    * threshold never needed). The per-query accounting (candidates
+    * scored, matches) rides a combinable groupBy re-attached by a
+    * 3-row broadcast. The gated contract is the PROBED result: recall
+    * vs brute force is the index's already-gated property
+    * (`sim_ann_ivf2`); what this key certifies is that the radius
+    * semantics over the lists are exact and engine-identical. τ = 0.3
+    * sits below the fixture's top-cosine band (max ≈ 0.33–0.45 across
+    * SFs) so every query keeps live matches at every SF. */
+  val simAnnRange = QueryDef(
+    "sim_ann_range",
+    s"""$kmeansOraclePrefixScaled2,
+       |qs AS (
+       |  SELECT vec_id AS qid, ve AS qve, nrm AS qnrm FROM v
+       |  WHERE vec_id IN (0, 101, 202)
+       |), probed AS (SELECT qid, cid FROM (
+       |  SELECT q.qid, c.cid, row_number() OVER (PARTITION BY q.qid
+       |    ORDER BY list_dot_product(q.qve, c.cve) / (q.qnrm * c.cnrm) DESC, c.cid) AS rn
+       |  FROM qs q, c3 c) WHERE rn <= 4),
+       |cand AS (
+       |  SELECT p.qid, af.vec_id,
+       |         round(list_dot_product(q.qve, v.ve) / (q.qnrm * v.nrm), 4) AS cos
+       |  FROM probed p JOIN af ON af.cid = p.cid
+       |  JOIN v ON v.vec_id = af.vec_id
+       |  JOIN qs q ON q.qid = p.qid
+       |  WHERE af.vec_id <> p.qid
+       |), cnt AS (
+       |  SELECT qid, CAST(count(*) AS BIGINT) AS n_cand,
+       |         CAST(sum(CASE WHEN cos >= 0.3 THEN 1 ELSE 0 END) AS BIGINT) AS n_match
+       |  FROM cand GROUP BY qid
+       |)
+       |SELECT c.qid, c.vec_id, c.cos, cnt.n_cand, cnt.n_match
+       |FROM cand c JOIN cnt USING (qid) WHERE c.cos >= 0.3
+       |ORDER BY c.qid, c.cos DESC, c.vec_id""".stripMargin) { (s, d) =>
+    val v = prep(Tables.embeddings(s, d))
+    val cents = cachedKmeansCentsScaled(s, d)
+    val lists = servingLists(s, d, v, cents)
+    val qids = Seq(0L, 101L, 202L)
+    val q = broadcast(v.filter(col("vec_id").isin(qids: _*))
+      .select(col("vec_id").as("qid"), col("ve").as("qve"),
+        col("nrm").as("qnrm")))
+    val rnP = Window.partitionBy("qid").orderBy(col("pcos").desc, col("cid"))
+    val probed = broadcast(q.crossJoin(broadcast(cents))
+      .select(col("qid"), col("cid"),
+        (Similarity.dot(col("qve"), col("cve")) / (col("qnrm") * col("cnrm")))
+          .as("pcos"))
+      .withColumn("rn", row_number().over(rnP)).filter(col("rn") <= 4)
+      .select(col("qid"), col("cid").as("bucket")))
+    val cand = lists.join(probed, Seq("bucket"))
+      .join(q, Seq("qid"))
+      .filter(col("vec_id") =!= col("qid"))
+      .join(v, Seq("vec_id"))
+      .select(col("qid"), col("vec_id"),
+        round(Similarity.dot(col("qve"), col("ve")) /
+          (col("qnrm") * col("nrm")), 4).as("cos"))
+    val cnt = cand.groupBy("qid")
+      .agg(count(lit(1)).as("n_cand"),
+        sum(when(col("cos") >= 0.3, 1L).otherwise(0L)).as("n_match"))
+    cand.filter(col("cos") >= 0.3)
+      .join(broadcast(cnt), Seq("qid"))
+      .select(col("qid"), col("vec_id"), col("cos"), col("n_cand"),
+        col("n_match"))
+      .orderBy(col("qid"), col("cos").desc, col("vec_id"))
+  }
+
   val all: Seq[QueryDef] = Seq(simAnnIvf, dedupEmbedLsh, simAnnKmeans, simQuantize, simAnnRecall,
     simAnnPq, simAnnKmeansRecall, simAnnPqRecall, dedupEmbedLshRecall, simPcaPower,
     simAnnIvfPq, simAnnNprobeCurve, dedupSemantic, dedupSemanticScaled,
     simAnnHnsw, simAnnGraphBuild, simAnnBeamCurve, alignBitextMine,
     alignBitextKnn, simAnnUpsert, streamAnnUpsert, simAnnIvf2, simAnnDelete,
-    simAnnFiltered, simAnnRebalance, sampleKcenter, pipelineRag)
+    simAnnFiltered, simAnnRebalance, sampleKcenter, pipelineRag, simAnnRange)
 }

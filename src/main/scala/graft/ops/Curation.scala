@@ -569,7 +569,98 @@ object Curation {
     epochCapMix(Tables.documents(s, d))
   }
 
+  /** Per-source cap for the domain-cap key: 16 of each source's 25
+    * docs survive — deep enough that the rank ORDER (not just set
+    * membership) is exercised, shallow enough that the cut line falls
+    * inside every source. */
+  private val DomainCap = 16
+
+  /** PER-DOMAIN QUALITY QUOTA — the RefinedWeb/C4 anti-concentration
+    * motion: a crawl is dominated by a few giant hosts, so curation
+    * caps each domain's contribution, keeping only its top-N documents
+    * by quality score (source here stands in for the registered
+    * domain). The score is the text_quality composite re-expressed in
+    * EXACT INTEGER MICRO-UNITS with truncating division (the pagerank
+    * determinism discipline): the double `round(q, 4)` form has
+    * cross-engine ties at the 4th decimal (a 0.96125 landed 0.9612 vs
+    * 0.9613 at sf0.1), and a SELECTION key cannot tolerate a tied
+    * score deciding who survives differently per engine. Term algebra:
+    * 0.5·min(nt,100)/100 + 0.3·(1 − |avg−5|/10) + 0.2·(1 − nl/nt)
+    * with avg = (nc+1−nt)/nt becomes
+    * 5000·min(nt,100) + 300000 − (30000·|nc+1−6·nt|) div nt
+    * + 200000 − (200000·nl) div nt — all BIGINT, ranking-equivalent.
+    *
+    * The cap is NOT a rank window: `row_number() OVER (PARTITION BY
+    * source ORDER BY quality DESC)` has no partial-aggregate step, so
+    * the exchange would carry every document row to the domain's one
+    * reducer — the exact hot-domain straggler the cap exists to remove
+    * (one host can be 10% of a crawl). Instead the quota is the
+    * combinable bounded top-k aggregate (TopKAgg, the kNN-graph/shard
+    * discipline): each scan partition reduces a domain's rows to one
+    * ≤ cap-entry buffer BEFORE the shuffle, so the exchange carries
+    * domains · cap entries regardless of how skewed the domain is.
+    * posexplode re-emits the kept ids in rank order; quality is
+    * re-attached by a broadcast-sized join against the kept ids only
+    * (domains · cap rows — never the corpus). Total order
+    * (quality DESC, doc_id ASC) on both engines; quality is the
+    * already-gated 4dp-rounded composite, identical expression tree.
+    *
+    * At 100 TB: two corpus scans (quota build, then keeper re-emit
+    * through the broadcast), one partial-aggregated exchange of
+    * ≤ domains · cap buffer entries — the corpus itself is never
+    * shuffled, which is what makes the quota safe to run as the first
+    * curation stage. */
+  val curationDomainCap = QueryDef(
+    "curation_domain_cap",
+    s"""WITH q AS (
+       |  SELECT doc_id, source,
+       |    CAST(5000 * least(n_tokens, 100) + 300000
+       |      - (30000 * abs(n_chars_txt + 1 - 6 * n_tokens)) // n_tokens
+       |      + 200000 - (200000 * n_long) // n_tokens AS BIGINT) AS quality_micro
+       |  FROM (
+       |    SELECT doc_id, source,
+       |      CAST(length(text) AS BIGINT) AS n_chars_txt,
+       |      CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |      CAST(len(list_filter(string_split(text, ' '), t -> length(t) > 6)) AS BIGINT) AS n_long
+       |    FROM documents)
+       |), r AS (
+       |  SELECT source, doc_id, quality_micro,
+       |    row_number() OVER (PARTITION BY source
+       |                       ORDER BY quality_micro DESC, doc_id) AS rank,
+       |    count(*) OVER (PARTITION BY source) AS n_docs
+       |  FROM q
+       |)
+       |SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+       |       CAST(rank AS INT) AS rank, doc_id, quality_micro
+       |FROM r WHERE rank <= $DomainCap ORDER BY source, rank""".stripMargin) {
+    (s, d) =>
+    val toks = split(col("text"), " ")
+    val scored = Tables.documents(s, d)
+      .select(col("source"), col("doc_id"),
+        length(col("text")).cast("long").as("nc"),
+        size(toks).cast("long").as("nt"),
+        size(filter(toks, t => length(t) > 6)).cast("long").as("nl"))
+      .select(col("source"), col("doc_id"),
+        (lit(5000L) * least(col("nt"), lit(100L)) + lit(300000L)
+          - expr("(30000 * abs(nc + 1 - 6 * nt)) div nt")
+          + lit(200000L) - expr("(200000 * nl) div nt")).as("quality_micro"))
+    val kept = scored.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        graft.functions.TopKAgg.topk(col("quality_micro").cast("double"),
+          col("doc_id"), DomainCap).as("ids"))
+      .select(col("source"), col("n_docs"),
+        posexplode(col("ids")).as(Seq("rank0", "doc_id")))
+      .select(col("source"), col("n_docs"),
+        (col("rank0") + 1).cast("int").as("rank"), col("doc_id"))
+    // re-attach quality: the kept side is ≤ domains·cap rows, so it
+    // BROADCASTS and the scored corpus streams past it un-shuffled
+    scored.join(broadcast(kept), Seq("source", "doc_id"))
+      .select(col("source"), col("n_docs"), col("rank"), col("doc_id"),
+        col("quality_micro"))
+      .orderBy("source", "rank")
+  }
+
   val all: Seq[QueryDef] =
     Seq(textLineDedup, sampleDsir, textPerplexityBucket, pipelineSft,
-      sampleAnneal, sampleEpochCap)
+      sampleAnneal, sampleEpochCap, curationDomainCap)
 }

@@ -1626,6 +1626,102 @@ object Events {
       .orderBy("user_id", "day").limit(500)
   }
 
+  /** LINEAR TIME-SERIES INTERPOLATION onto the per-user daily spine —
+    * the continuous-signal sibling of `events_ffill` (LOCF carries a
+    * step function; a sensor/metric feature pipeline lerps between the
+    * bracketing observations instead — pandas `interpolate('linear')`
+    * at engine scale). Same spine construction as ffill: per (user,
+    * day) closing value by the identical keyed row_number pick, a
+    * sequence+explode spine over the user's own [first, last] activity
+    * span. The bracketing observations come from the TWO one-pass
+    * ignoreNulls window fills — last() over the preceding frame (LOCF)
+    * and first() over the following frame (NOCB) — never a self-join
+    * or per-gap as-of probe. Both frames INCLUDE the current row and
+    * the spine's endpoints are observed by construction, so prev/next
+    * are always defined; on an observed day prev == next and the lerp
+    * denominator would be 0, so that branch returns the stored value
+    * unchanged. The filled value is
+    *   v_prev + (v_next − v_prev) · (day − d_prev)/(d_next − d_prev)
+    * with the ratio computed as a double of exact BIGINT differences —
+    * determinism class (c): bit-identical operands through the
+    * identical IEEE operation tree on both engines.
+    *
+    * Scale shape: identical to ffill — one (user, day)-keyed pick, one
+    * user-keyed span aggregate, two user-keyed window passes over the
+    * spine (one exchange: both windows share the user_id partitioning;
+    * the second sorts within the same partition). Nothing grows faster
+    * than users × span days. */
+  val eventsInterp = QueryDef(
+    "events_interp",
+    """WITH e AS (
+      |  SELECT user_id, event_id, value, epoch_us(ts) AS eus,
+      |         epoch_us(ts) // 86400000000 AS day
+      |  FROM events
+      |), obs AS (
+      |  SELECT user_id, day, value AS v FROM (
+      |    SELECT user_id, day, value,
+      |           row_number() OVER (PARTITION BY user_id, day
+      |                              ORDER BY eus DESC, event_id DESC) AS rn
+      |    FROM e) WHERE rn = 1
+      |), b AS (
+      |  SELECT user_id, min(day) AS lo, max(day) AS hi FROM e GROUP BY user_id
+      |), spine AS (
+      |  SELECT user_id, unnest(generate_series(lo, hi)) AS day FROM b
+      |), j AS (
+      |  SELECT s.user_id, s.day, obs.v
+      |  FROM spine s LEFT JOIN obs ON s.user_id = obs.user_id AND s.day = obs.day
+      |), f AS (
+      |  SELECT user_id, day, v,
+      |    last_value(v IGNORE NULLS) OVER wf AS v_prev,
+      |    last_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS)
+      |      OVER wf AS d_prev,
+      |    first_value(v IGNORE NULLS) OVER wb AS v_next,
+      |    first_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS)
+      |      OVER wb AS d_next
+      |  FROM j
+      |  WINDOW wf AS (PARTITION BY user_id ORDER BY day
+      |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+      |         wb AS (PARTITION BY user_id ORDER BY day
+      |                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+      |)
+      |SELECT user_id, CAST(day AS BIGINT) AS day,
+      |       CASE WHEN d_next = d_prev THEN v_prev
+      |            ELSE v_prev + (v_next - v_prev) *
+      |              (CAST(day - d_prev AS DOUBLE) / CAST(d_next - d_prev AS DOUBLE))
+      |       END AS value_interp,
+      |       (v IS NOT NULL) AS observed
+      |FROM f ORDER BY user_id, day LIMIT 500""".stripMargin) { (s, d) =>
+    val e = Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("value"), eus.as("eus"))
+      .withColumn("day", floorDiv("eus", 86400000000L))
+    val pick = Window.partitionBy("user_id", "day")
+      .orderBy(col("eus").desc, col("event_id").desc)
+    val obs = e.withColumn("rn", row_number().over(pick))
+      .filter(col("rn") === 1).select(col("user_id"), col("day"), col("value").as("v"))
+    val spine = e.groupBy("user_id")
+      .agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+      .select(col("user_id"), explode(sequence(col("lo"), col("hi"))).as("day"))
+    val wf = Window.partitionBy("user_id").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wb = Window.partitionBy("user_id").orderBy("day")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val dayObs = when(col("v").isNotNull, col("day"))
+    spine.join(obs, Seq("user_id", "day"), "left")
+      .select(col("user_id"), col("day"), col("v"),
+        last(col("v"), ignoreNulls = true).over(wf).as("v_prev"),
+        last(dayObs, ignoreNulls = true).over(wf).as("d_prev"),
+        first(col("v"), ignoreNulls = true).over(wb).as("v_next"),
+        first(dayObs, ignoreNulls = true).over(wb).as("d_next"))
+      .select(col("user_id"), col("day"),
+        when(col("d_next") === col("d_prev"), col("v_prev"))
+          .otherwise(col("v_prev") + (col("v_next") - col("v_prev")) *
+            ((col("day") - col("d_prev")).cast("double") /
+              (col("d_next") - col("d_prev")).cast("double")))
+          .as("value_interp"),
+        col("v").isNotNull.as("observed"))
+      .orderBy("user_id", "day").limit(500)
+  }
+
   /** REAL WATERMARK LATE-DROP under the driver hash — the third member
     * of the real checkpointed streaming family (stateful_session gates
     * event-time timers, upsert_sink gates CDC merge; THIS gates the
@@ -1948,5 +2044,5 @@ object Events {
     streamStatefulSession, streamUpsertSink, eventActiveUsers,
     eventForecastBacktest, eventAbTest, eventSurvival, eventsFfill,
     eventConcurrency, streamLateDrop, streamJoinSink, eventBotRegularity,
-    eventAttributionPosition, streamRestartResume)
+    eventAttributionPosition, streamRestartResume, eventsInterp)
 }

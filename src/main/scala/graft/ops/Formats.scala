@@ -827,9 +827,62 @@ object Formats {
       .orderBy("shard")
   }
 
+  /** MDS SIZED-INDEX SHARD EXPORT — the offset-table loader format
+    * (MosaicML StreamingDataset's shard layout: uint32 sample count +
+    * (n+1)-entry offset table + concatenated samples + index.json),
+    * closing the export family's loader-format matrix: TFRecord =
+    * framed protobuf stream, WebDataset = tar sample runs, THIS = the
+    * random-access shape (sample i is two u32 reads + one ranged read —
+    * what makes global sample shuffles cheap on a 100 TB corpus, where
+    * a streaming format must scan to position). Hand-rolled writer +
+    * reader (`graft.sources.MdsShard`); the reader verifies the whole
+    * offset table (monotone, first = header length, last = file length,
+    * per-sample framing) and locates each shard's PROBE sample (index
+    * n/2) through the table — so the gate certifies the seek path, not
+    * just the stream path. The oracle pins per shard: the sample
+    * accounting, the exact wire size from 12-byte framing arithmetic
+    * (4 + 4·(n+1) + Σ(12+tb)) vs the file's ACTUAL byte length, and the
+    * probe doc_id via the identical rank arithmetic. */
+  val exportMds = QueryDef(
+    "export_mds",
+    """WITH m AS (
+      |  SELECT doc_id % 4 AS shard, doc_id,
+      |         CAST(strlen(text) AS BIGINT) AS tb,
+      |         row_number() OVER (PARTITION BY doc_id % 4 ORDER BY doc_id) AS rn,
+      |         count(*) OVER (PARTITION BY doc_id % 4) AS n
+      |  FROM documents
+      |)
+      |SELECT shard, CAST(count(*) AS BIGINT) AS n_samples,
+      |       CAST(sum(doc_id) AS BIGINT) AS sum_id,
+      |       CAST(sum(tb) AS BIGINT) AS sum_text_bytes,
+      |       CAST(4 + 4 * (count(*) + 1) + sum(12 + tb) AS BIGINT) AS mds_bytes,
+      |       CAST(max(CASE WHEN rn = n // 2 + 1 THEN doc_id END) AS BIGINT)
+      |         AS probe_doc_id
+      |FROM m GROUP BY shard ORDER BY shard""".stripMargin) { (s, d) =>
+    val dir = fmtDir(d, "mds")
+    graft.sources.MdsShard.writeDocShards(
+      Tables.documents(s, d).select(
+        (col("doc_id") % 4).as("shard"), col("doc_id"), col("text")),
+      dir)
+    val samples = graft.sources.MdsShard.readDocShards(s, dir)
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_samples"),
+        sum(col("doc_id")).as("sum_id"),
+        sum(col("text_bytes")).as("sum_text_bytes"),
+        max(when(col("is_probe"), col("doc_id"))).as("probe_doc_id"))
+    val sizes = s.read.format("binaryFile")
+      .option("pathGlobFilter", "docs-*.mds").load(dir)
+      .select(regexp_extract(col("path"), "docs-(\\d+)\\.mds", 1)
+        .cast("long").as("shard"), col("length").as("mds_bytes"))
+    samples.join(sizes, Seq("shard"))
+      .select(col("shard"), col("n_samples"), col("sum_id"),
+        col("sum_text_bytes"), col("mds_bytes"), col("probe_doc_id"))
+      .orderBy("shard")
+  }
+
   val all: Seq[QueryDef] = Seq(scanCsv, scanJson, scanOrc, scanXml,
     maintenanceCompact, scanEvolution, exportTfrecord, scanAvro,
     scanMorDeletes, maintenanceRetention, scanTimeTravel, scanCsvQuarantine,
     maintenanceVacuum, exportTfrecordEmb, exportJsonl, scanCdf,
-    exportWebdataset)
+    exportWebdataset, exportMds)
 }

@@ -1088,7 +1088,101 @@ object Graph {
     deepwalkStats(partCoEdges(s, d).select("u", "v"))
   }
 
+  /** HITS (Kleinberg 1999) over the DIRECTED 1996 engagement graph
+    * customer → supplier (an order links the buying customer to each
+    * supplying supplier): hubs are customers whose orders reach the
+    * strong suppliers, authorities are suppliers reached by the strong
+    * customers — the mutually-recursive pair PageRank's single score
+    * collapses. On a bipartite edge set the two scores live on disjoint
+    * node sets, so the key emits both sides under a role column.
+    *
+    * Determinism: the pagerank discipline — integer micro-units with
+    * truncating division (`div` ≡ DuckDB `//` on non-negative
+    * operands), and the classic max-normalization after every half-step
+    * (h ← h·10⁶ div max h) so the fixpoint scale is pinned without any
+    * double sqrt (the L2 norm the textbook uses is the one piece that
+    * won't cross engines bit-exact; max-normalization is the standard
+    * integer-friendly variant and converges to the same ranking).
+    * Overflow headroom: score ≤ 10⁶, so a sum is ≤ degree·10⁶ and the
+    * scaled numerator ≤ degree·10¹² — safe to degree ~10⁶; a web-scale
+    * run divides by max BEFORE rescaling (two-step div, same floor).
+    *
+    * Scale shape per half-step: one edge ⋈ score join on the score key
+    * (AQE broadcasts the node-sized side at test SFs, shuffle-joins at
+    * web scale), one combinable sum, one 1-row broadcast for the max —
+    * 3 unrolled rounds, no driver-side state. */
+  val graphHits = QueryDef(
+    "graph_hits", {
+      val round = (i: Int, prev: String) =>
+        s"""hr$i AS (
+           |  SELECT e.c, sum($prev.a) AS hs FROM e JOIN $prev ON e.s = $prev.node
+           |  GROUP BY e.c
+           |), h$i AS (
+           |  SELECT c, (hs * 1000000) // (SELECT max(hs) FROM hr$i) AS h FROM hr$i
+           |), ar$i AS (
+           |  SELECT e.s, sum(h$i.h) AS sa FROM e JOIN h$i ON e.c = h$i.c
+           |  GROUP BY e.s
+           |), a$i AS (
+           |  SELECT s AS node, (sa * 1000000) // (SELECT max(sa) FROM ar$i) AS a
+           |  FROM ar$i
+           |)""".stripMargin
+      s"""WITH ord96 AS (
+         |  SELECT o_orderkey, o_custkey FROM orders
+         |  WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+         |    AND o_orderdate <  TIMESTAMP '1997-01-01'
+         |), e AS (
+         |  SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+         |  FROM ord96 JOIN lineitem ON l_orderkey = o_orderkey
+         |), a0 AS (
+         |  SELECT DISTINCT s AS node, CAST(1000000 AS BIGINT) AS a FROM e
+         |),
+         |${round(1, "a0")},
+         |${round(2, "a1")},
+         |${round(3, "a2")},
+         |au AS (
+         |  SELECT 'auth' AS role, node, CAST(a AS BIGINT) AS score_micro
+         |  FROM a3 ORDER BY a DESC, node LIMIT 10
+         |), hu AS (
+         |  SELECT 'hub' AS role, c AS node, CAST(h AS BIGINT) AS score_micro
+         |  FROM h3 ORDER BY h DESC, node LIMIT 10
+         |)
+         |SELECT role, node, score_micro
+         |FROM (SELECT * FROM au UNION ALL SELECT * FROM hu)
+         |ORDER BY role, score_micro DESC, node""".stripMargin
+    }) { (s, d) =>
+    val ord96 = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp_ntz") &&
+        col("o_orderdate") < lit("1997-01-01").cast("timestamp_ntz"))
+      .select(col("o_orderkey"), col("o_custkey"))
+    val e = ord96
+      .join(Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_suppkey").as("s")).distinct()
+      .localCheckpoint() // 6 joins consume it: cut the self-join lineage
+    var a = e.select(col("s").as("node")).distinct()
+      .withColumn("a", lit(1000000L))
+    var h: DataFrame = null
+    for (_ <- 1 to 3) {
+      val hr = e.join(a, col("s") === col("node"))
+        .groupBy("c").agg(sum(col("a")).as("hs"))
+      h = hr.crossJoin(broadcast(hr.agg(max(col("hs")).as("hm"))))
+        .select(col("c"), expr("(hs * 1000000) div hm").as("h"))
+      val ar = e.join(h, Seq("c"))
+        .groupBy("s").agg(sum(col("h")).as("sa"))
+      a = ar.crossJoin(broadcast(ar.agg(max(col("sa")).as("am"))))
+        .select(col("s").as("node"), expr("(sa * 1000000) div am").as("a"))
+    }
+    val au = a.orderBy(col("a").desc, col("node")).limit(10)
+      .select(lit("auth").as("role"), col("node"),
+        col("a").cast("long").as("score_micro"))
+    val hu = h.orderBy(col("h").desc, col("c")).limit(10)
+      .select(lit("hub").as("role"), col("c").as("node"),
+        col("h").cast("long").as("score_micro"))
+    au.unionAll(hu).orderBy(col("role"), col("score_micro").desc, col("node"))
+  }
+
   val all: Seq[QueryDef] = Seq(graphPagerank, graphTriangles, graphComponents,
     graphLinkpred, graphKhop, graphSssp, graphLabelprop, graphKcore,
-    graphProjectBipartite, graphAssortativity, graphModularity, graphDeepwalk)
+    graphProjectBipartite, graphAssortativity, graphModularity, graphDeepwalk,
+    graphHits)
 }

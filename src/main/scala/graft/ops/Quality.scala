@@ -555,7 +555,84 @@ object Quality {
       .orderBy("source")
   }
 
+  /** T-CLOSENESS (Li, Li & Venkatasubramanian 2007) — the third rung of
+    * the release-audit ladder: k-anonymity bounds re-identification,
+    * l-diversity blocks the homogeneity attack, but a class can still
+    * LEAK by its sensitive-value DISTRIBUTION diverging from the
+    * table's (the skewness attack: a class that is 90% one language in
+    * a 20%-baseline corpus tells the attacker a lot even with l ≥ 3
+    * distinct values). t-closeness requires every equivalence class's
+    * sensitive distribution to stay within distance t of the global
+    * one. For an unordered categorical attribute the paper's EMD
+    * reduces to total variation distance — ½ Σ_lang |p_class − p_global|
+    * — computed here in integer micro-units with truncating division
+    * (the pagerank determinism discipline), so the audit is exact
+    * arithmetic on counts, never a double sum. Absent languages
+    * contribute |0 − p_global|: the class spine is classes × the
+    * bounded lang domain (a broadcast), so a class missing a language
+    * entirely is measured, not skipped.
+    *
+    * Scale: one combinable (QI, lang) groupBy over the corpus; all
+    * later relations are bounded by classes × langs (the k_anon rollup
+    * discipline). Threshold t = 0.25 (250 000 micro) keeps both
+    * branches live on this fixture. */
+  val qualityTCloseness = QueryDef(
+    "quality_t_closeness",
+    """WITH cl AS (
+      |  SELECT source, n_chars // 50 AS len_bucket, lang,
+      |         CAST(count(*) AS BIGINT) AS cnt
+      |  FROM documents GROUP BY source, len_bucket, lang
+      |), ct AS (
+      |  SELECT source, len_bucket, CAST(sum(cnt) AS BIGINT) AS n_c
+      |  FROM cl GROUP BY source, len_bucket
+      |), gl AS (
+      |  SELECT lang, CAST(count(*) AS BIGINT) AS cnt_l,
+      |         CAST((SELECT count(*) FROM documents) AS BIGINT) AS n
+      |  FROM documents GROUP BY lang
+      |), spine AS (
+      |  SELECT ct.source, ct.len_bucket, ct.n_c, gl.lang, gl.cnt_l, gl.n,
+      |         coalesce(cl.cnt, 0) AS cnt
+      |  FROM ct CROSS JOIN gl
+      |  LEFT JOIN cl ON cl.source = ct.source
+      |    AND cl.len_bucket = ct.len_bucket AND cl.lang = gl.lang
+      |), tvd AS (
+      |  SELECT source, len_bucket, n_c,
+      |         CAST(sum(abs(cnt * 1000000 // n_c - cnt_l * 1000000 // n)) // 2
+      |              AS BIGINT) AS tvd_micro
+      |  FROM spine GROUP BY source, len_bucket, n_c
+      |)
+      |SELECT source, CAST(count(*) AS BIGINT) AS n_classes,
+      |       CAST(max(tvd_micro) AS BIGINT) AS max_tvd_micro,
+      |       CAST(sum(CASE WHEN tvd_micro > 250000 THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS n_violating,
+      |       CAST(sum(CASE WHEN tvd_micro > 250000 THEN n_c ELSE 0 END) AS BIGINT)
+      |         AS n_exposed
+      |FROM tvd GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val cl = docs
+      .groupBy(col("source"), expr("n_chars div 50").as("len_bucket"), col("lang"))
+      .agg(count(lit(1)).as("cnt"))
+    val ct = cl.groupBy("source", "len_bucket").agg(sum(col("cnt")).as("n_c"))
+    val gl = docs.groupBy("lang").agg(count(lit(1)).as("cnt_l"))
+      .crossJoin(broadcast(docs.agg(count(lit(1)).as("n"))))
+    val spine = ct.crossJoin(broadcast(gl))
+      .join(cl, Seq("source", "len_bucket", "lang"), "left")
+      .select(col("source"), col("len_bucket"), col("n_c"), col("cnt_l"),
+        col("n"), coalesce(col("cnt"), lit(0L)).as("cnt"))
+    val tvd = spine
+      .groupBy("source", "len_bucket", "n_c")
+      .agg(expr("sum(abs(cnt * 1000000 div n_c - cnt_l * 1000000 div n)) div 2")
+        .as("tvd_micro"))
+    tvd.groupBy("source")
+      .agg(count(lit(1)).as("n_classes"),
+        max(col("tvd_micro")).as("max_tvd_micro"),
+        sum(when(col("tvd_micro") > 250000L, 1L).otherwise(0L)).as("n_violating"),
+        sum(when(col("tvd_micro") > 250000L, col("n_c")).otherwise(0L))
+          .as("n_exposed"))
+      .orderBy("source")
+  }
+
   val all: Seq[QueryDef] = Seq(qualityExpectations, qualityDrift, qualityOutliers,
     qualityProfile, qualitySkew, qualityVolumeAnomaly, qualityKAnon,
-    qualityLDiversity)
+    qualityLDiversity, qualityTCloseness)
 }

@@ -1535,4 +1535,130 @@ class EdgeSpec extends AnyFunSuite {
     assert(r0.getAs[Long]("n_exposed") ==
       byClass.filter(_._2 < 3).map(_._1).sum)
   }
+
+  test("events_interp: gap days lerp between brackets; observed days keep the stored value") {
+    val day = 86400000000L
+    def ts(us: Long) = new java.sql.Timestamp(us / 1000)
+    // user 1: day 0 observed twice (event 11 later → closing value 10.0),
+    // days 1-3 are gaps, day 4 observes 50.0 → exact quarters 20/30/40
+    // (gap/denominator a power of two so the lerp doubles are exact);
+    // user 2: a single observed day emits one observed row.
+    val ev = Seq(
+      (10L, 1L, 100L, 3.0),
+      (11L, 1L, 200L, 10.0),
+      (12L, 1L, 4 * day + 5L, 50.0),
+      (20L, 2L, day + 1L, 2.5))
+      .map { case (e, u, us, v) => (e, u, ts(us), v) }
+      .toDF("event_id", "user_id", "ts", "value")
+      .withColumn("ts", col("ts").cast("timestamp_ntz"))
+    val dir = sys.props("java.io.tmpdir") + "/graft_interp_spec"
+    ev.write.mode("overwrite").parquet(dir + "/events.parquet")
+    val q = graft.ops.Events.all.find(_.name == "events_interp").get
+    val got = q.fn(spark, dir).as[(Long, Long, Double, Boolean)].collect().toSeq
+    assert(got == Seq(
+      (1L, 0L, 10.0, true), (1L, 1L, 20.0, false), (1L, 2L, 30.0, false),
+      (1L, 3L, 40.0, false), (1L, 4L, 50.0, true), (2L, 1L, 2.5, true)),
+      s"got $got")
+  }
+
+  test("graph_hits matches an independent max-normalized integer HITS replayer") {
+    // bipartite engagement graph: c1 → {s10, s20}, c2 → {s20}
+    val dir = sys.props("java.io.tmpdir") + "/graft_hits_spec"
+    Seq((100L, 1L, "1996-05-01 00:00:00"), (101L, 1L, "1996-06-01 00:00:00"),
+        (102L, 2L, "1996-07-01 00:00:00"),
+        (103L, 9L, "1995-01-01 00:00:00")) // outside the window: must not edge
+      .toDF("o_orderkey", "o_custkey", "dstr")
+      .select(col("o_orderkey"), col("o_custkey"),
+        to_timestamp(col("dstr")).cast("timestamp_ntz").as("o_orderdate"))
+      .write.mode("overwrite").parquet(dir + "/orders.parquet")
+    Seq((100L, 10L), (101L, 20L), (102L, 20L), (103L, 10L))
+      .toDF("l_orderkey", "l_suppkey")
+      .write.mode("overwrite").parquet(dir + "/lineitem.parquet")
+    // independent replayer: integer micro-units, truncating division,
+    // max-normalization after every half-step — 3 rounds
+    val edges = Seq((1L, 10L), (1L, 20L), (2L, 20L))
+    var a = edges.map(_._2).distinct.map(_ -> 1000000L).toMap
+    var h = Map.empty[Long, Long]
+    for (_ <- 1 to 3) {
+      val hr = edges.groupBy(_._1).map { case (c, es) => c -> es.map(e => a(e._2)).sum }
+      val hm = hr.values.max
+      h = hr.map { case (c, v) => c -> v * 1000000L / hm }
+      val ar = edges.groupBy(_._2).map { case (s, es) => s -> es.map(e => h(e._1)).sum }
+      val am = ar.values.max
+      a = ar.map { case (s, v) => s -> v * 1000000L / am }
+    }
+    val want =
+      a.toSeq.map { case (n, v) => ("auth", n, v) }
+        .sortBy { case (_, n, v) => (-v, n) } ++
+      h.toSeq.map { case (n, v) => ("hub", n, v) }
+        .sortBy { case (_, n, v) => (-v, n) }
+    val q = graft.ops.Graph.all.find(_.name == "graph_hits").get
+    val got = q.fn(spark, dir).as[(String, Long, Long)].collect().toSeq
+    assert(got == want, s"got $got\nwant $want")
+    // every round ends max-normalized: each side's top score is exactly 10⁶
+    assert(got.count(_._3 == 1000000L) == 2)
+  }
+
+  test("quality_t_closeness: TVD micro-units match a hand-computed distribution audit") {
+    val dir = sys.props("java.io.tmpdir") + "/graft_tclose_spec"
+    // global: 5 en + 5 fr (p = 500000 each). Class X/b0 = 3 en + 1 fr
+    // → tvd = (|750000−500000| + |250000−500000|) div 2 = 250000 (NOT
+    // violating under strict >); X/b1 = 2 fr → the absent-language
+    // branch: tvd = (500000 + 500000) div 2 = 500000 (violating);
+    // Y/b0 = 2 en + 2 fr → tvd 0.
+    val docs = Seq(
+      (1L, "en", "X", 10L), (2L, "en", "X", 20L), (3L, "en", "X", 30L),
+      (4L, "fr", "X", 40L),
+      (5L, "fr", "X", 60L), (6L, "fr", "X", 70L),
+      (7L, "en", "Y", 10L), (8L, "en", "Y", 20L),
+      (9L, "fr", "Y", 30L), (10L, "fr", "Y", 40L))
+      .toDF("doc_id", "lang", "source", "n_chars")
+      .withColumn("text", lit("t"))
+    docs.write.mode("overwrite").parquet(dir + "/documents.parquet")
+    val q = graft.ops.Quality.all.find(_.name == "quality_t_closeness").get
+    val got = q.fn(spark, dir).as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(("X", 2L, 500000L, 1L, 2L), ("Y", 1L, 0L, 0L, 0L)),
+      s"got $got")
+  }
+
+  test("curation_domain_cap matches a plain-Scala micro-score ranker (cap binds, ties break by doc_id)") {
+    def micro(text: String): Long = {
+      val toks = text.split(" ", -1)
+      val nc = text.length.toLong
+      val nt = toks.length.toLong
+      val nl = toks.count(_.length > 6).toLong
+      5000L * math.min(nt, 100L) + 300000L -
+        (30000L * math.abs(nc + 1 - 6 * nt)) / nt +
+        200000L - (200000L * nl) / nt
+    }
+    // source A: 20 docs, 17 of them the identical text (one tie block
+    // crossing the cap boundary — survivor choice is pure doc_id);
+    // source B: 3 docs (under the cap: all survive, n_docs = 3)
+    val aTexts = (0 until 17).map(_ => "the same eight token text repeats here") ++
+      Seq("a superb document with many many informative tokens inside",
+        "tiny", "loooooooong tokens dominate this particular document sample")
+    val docs = (aTexts.zipWithIndex.map { case (t, i) => (i.toLong, t, "A") } ++
+      Seq((100L, "short and sweet", "B"), (101L, "b doc two", "B"),
+        (102L, "b doc three has more words", "B")))
+      .toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val dir = sys.props("java.io.tmpdir") + "/graft_domcap_spec"
+    docs.write.mode("overwrite").parquet(dir + "/documents.parquet")
+    val rows = docs.select("source", "doc_id", "text")
+      .as[(String, Long, String)].collect().toSeq
+    val want = rows.groupBy(_._1).toSeq.flatMap { case (src, ds) =>
+      val ranked = ds.map { case (_, id, t) => (id, micro(t)) }
+        .sortBy { case (id, m) => (-m, id) }
+      ranked.take(16).zipWithIndex.map { case ((id, m), i) =>
+        (src, ds.size.toLong, i + 1, id, m)
+      }
+    }.sortBy(r => (r._1, r._3))
+    val q = graft.ops.Curation.all.find(_.name == "curation_domain_cap").get
+    val got = q.fn(spark, dir).as[(String, Long, Int, Long, Long)].collect().toSeq
+    assert(got == want, s"got $got\nwant $want")
+    // the cap binds on A: exactly 16 of 20 survive, and the tie block
+    // fills by ascending doc_id
+    assert(got.count(_._1 == "A") == 16)
+  }
 }

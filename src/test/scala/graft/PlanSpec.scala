@@ -795,4 +795,34 @@ class PlanSpec extends AnyFunSuite {
     assert(proj.trim.stripPrefix("+- ").startsWith("*"),
       s"cdc boundary projection left whole-stage codegen: $proj")
   }
+
+  test("curation_domain_cap: the quota is a combinable aggregate, never a rank window") {
+    val p = plan(graft.ops.Curation.curationDomainCap)
+    // the per-domain cap must partially aggregate (TopKAgg rides an
+    // ObjectHashAggregate pair) — a Window here would shuffle every
+    // corpus row to its domain's single reducer
+    assert(!p.contains("Window"), s"domain cap grew a rank window:\n$p")
+    assert("ObjectHashAggregate".r.findAllIn(p).length >= 2,
+      s"top-k buffer lost its partial step:\n$p")
+    // the keeper re-attach must broadcast the bounded kept side
+    assert(p.contains("BroadcastHashJoin"), s"keeper re-attach shuffled:\n$p")
+    assert(!p.contains("CartesianProduct"), s"fell back to cartesian:\n$p")
+  }
+
+  test("sim_ann_range: candidates filter in place — no rank window past the bounded probe stage") {
+    val p = plan(graft.ops.Ann.simAnnRange)
+    // windows are legal only on BOUNDED relations upstream (the probe
+    // rank over queries × centroids orders by pcos; the shared model
+    // lineage ranks assignments) — the CANDIDATE stream itself must
+    // threshold-filter, never rank: no window may order by the
+    // candidate cosine `cos` (negative-lookbehind excludes `pcos`)
+    val candWindows = p.linesIterator
+      .filter(_.contains("windowspecdefinition"))
+      .filter(l => "(?<![a-z])cos#\\d+".r.findFirstIn(l).isDefined).toSeq
+    assert(candWindows.isEmpty,
+      s"radius filter grew a candidate-stream window:\n${candWindows.mkString("\n")}")
+    assert(!p.contains("CartesianProduct"), s"fell back to cartesian:\n$p")
+    // list members and vectors meet on keyed/broadcast joins
+    assert(p.contains("BroadcastHashJoin"), s"probe join shuffled:\n$p")
+  }
 }

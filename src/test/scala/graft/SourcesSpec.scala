@@ -259,4 +259,38 @@ class SourcesSpec extends AnyFunSuite {
       assert(payload.stripSuffix("\n") == "hello tar world")
     }
   }
+
+  test("MdsShard: offset-table layout hand-decoded, probe seek, manifest, corruption detection") {
+    import graft.sources.MdsShard
+    import java.nio.{ByteBuffer, ByteOrder}
+    val docs = Seq((0L, 7L, "alpha"), (0L, 9L, "bravo charlie"), (0L, 12L, "d"),
+      (1L, 3L, "echo")).toDF("shard", "doc_id", "text")
+    val dir = Files.createTempDirectory("graft_mds").toString
+    MdsShard.writeDocShards(docs, dir)
+    // hand-decode shard 0 (3 samples sorted by doc_id; header 4 + 4·4 = 20;
+    // sample bytes 12+5, 12+13, 12+1 → offsets 20, 37, 62, 75)
+    val bytes = Files.readAllBytes(java.nio.file.Paths.get(s"$dir/docs-000.mds"))
+    def u32(off: Int) =
+      ByteBuffer.wrap(bytes, off, 4).order(ByteOrder.LITTLE_ENDIAN).getInt
+    assert(u32(0) == 3)
+    assert(Seq(u32(4), u32(8), u32(12), u32(16)) == Seq(20, 37, 62, 75))
+    assert(bytes.length == 75)
+    // random access: sample 1's doc_id read THROUGH the offset table
+    assert(ByteBuffer.wrap(bytes, u32(8), 8)
+      .order(ByteOrder.LITTLE_ENDIAN).getLong == 9L)
+    // reader round-trip; probe = index n/2 (shard 0 → doc 9, shard 1 → doc 3)
+    val got = MdsShard.readDocShards(spark, dir)
+      .as[(Long, Long, Long, Boolean)].collect().toSet
+    assert(got == Set((0L, 7L, 5L, false), (0L, 9L, 13L, true),
+      (0L, 12L, 1L, false), (1L, 3L, 4L, true)), s"got $got")
+    // the driver-written manifest names every shard with its exact size
+    val idx = new String(
+      Files.readAllBytes(java.nio.file.Paths.get(s"$dir/index.json")), "UTF-8")
+    assert(idx.contains("""{"shard":"docs-000.mds","samples":3,"bytes":75}"""))
+    assert(idx.contains("""{"shard":"docs-001.mds","samples":1,"bytes":28}"""))
+    // a corrupted offset table must fail the framing check loudly
+    val corrupt = bytes.clone(); corrupt(8) = (corrupt(8) ^ 1).toByte
+    Files.write(java.nio.file.Paths.get(s"$dir/docs-000.mds"), corrupt)
+    intercept[Exception](MdsShard.readDocShards(spark, dir).collect())
+  }
 }
