@@ -1722,6 +1722,161 @@ object Events {
       .orderBy("user_id", "day").limit(500)
   }
 
+  /** CUSUM CHANGE-POINT DETECTION (Page 1954) over the zero-filled
+    * daily purchase spine — the sequential LEVEL-SHIFT detector
+    * `event_anomaly`'s pointwise z-test can't express: a z-test flags a
+    * single wild bucket, CUSUM accumulates small persistent deviations
+    * until a sustained shift crosses the decision interval (the
+    * data-quality monitor a 100 TB ingestion pipeline runs on its daily
+    * volumes). One-sided positive CUSUM, all INTEGER micro-units:
+    * reference μ = the mean count of the CALIBRATION PREFIX — the first
+    * half of the spine — not the whole series (a reference that
+    * includes the shifted segment absorbs the very shift it must
+    * detect: with a +60% step over the last third, the whole-series
+    * mean rises enough that S never crosses h — the self-contamination
+    * every production monitor avoids by calibrating on history), slack
+    * k = μ/10, deviation d_t = n_t·10⁶ − μ − k, and the recursion
+    * S_t = max(0, S_{t−1} + d_t) computed WITHOUT recursion via the
+    * reflection identity S_t = P_t − min(0, min_{i≤t} P_i) (P = prefix
+    * sum) — two running windows over the calendar-bounded spine, which
+    * is what makes the sequential test expressible as one declarative
+    * plan. Alarm at S > 3μ. This fixture is STATIONARY (30 days,
+    * CV ≈ 4% at sf0.1), so the gated state is the quiescent half of the
+    * contract — zero false alarms at every SF, with the full S_t
+    * trajectory hashed; EdgeSpec plants a +60% level shift in a
+    * synthetic stream and pins that the alarm fires, with the
+    * detection delay, at exactly the replayer's day.
+    *
+    * Scale: the spine is calendar-bounded (365 rows/year at ANY corpus
+    * size), so the single-partition running windows are bounded by the
+    * calendar, never the corpus — the event_anomaly discipline. */
+  val eventChangepoint = QueryDef(
+    "event_changepoint",
+    """WITH e AS (
+      |  SELECT epoch_us(ts) // 86400000000 AS bucket
+      |  FROM events WHERE event_type = 'purchase'
+      |), b AS (SELECT min(bucket) AS lo, max(bucket) AS hi FROM e),
+      |spine AS (SELECT unnest(generate_series(lo, hi)) AS bucket FROM b),
+      |c AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n FROM e GROUP BY bucket),
+      |s AS (
+      |  SELECT spine.bucket, coalesce(c.n, 0) AS n
+      |  FROM spine LEFT JOIN c USING (bucket)
+      |), m AS (
+      |  SELECT CAST((sum(CASE WHEN bucket <= lo + (hi - lo) // 2 THEN n END)
+      |    * 1000000)
+      |    // sum(CASE WHEN bucket <= lo + (hi - lo) // 2 THEN 1 END) AS BIGINT)
+      |    AS mu
+      |  FROM s, b
+      |), dev AS (
+      |  SELECT bucket, n, mu, n * 1000000 - mu - mu // 10 AS dv FROM s, m
+      |), p AS (
+      |  SELECT bucket, n, mu,
+      |         sum(dv) OVER (ORDER BY bucket
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd
+      |  FROM dev
+      |)
+      |SELECT bucket AS day, n,
+      |       CAST(pd - least(min(pd) OVER (ORDER BY bucket
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS BIGINT)
+      |         AS cusum_micro,
+      |       (pd - least(min(pd) OVER (ORDER BY bucket
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0)) > 3 * mu
+      |         AS alarm
+      |FROM p ORDER BY day""".stripMargin) { (s, d) =>
+    cusumDaily(Tables.events(s, d).filter(col("event_type") === "purchase"))
+  }
+
+  /** The CUSUM core over any event stream (shared by the gated key and
+    * EdgeSpec's planted-shift replay). */
+  def cusumDaily(ev: DataFrame): DataFrame = {
+    val spine = resampleBuckets(ev, 86400000000L).select("bucket", "n")
+      .localCheckpoint() // consumed by bounds, calibration AND the trajectory
+    val b = spine.agg(min(col("bucket")).as("lo"), max(col("bucket")).as("hi"))
+    val mu = spine.crossJoin(broadcast(b))
+      .filter(col("bucket") <= col("lo") + expr("(hi - lo) div 2"))
+      .agg(expr("(sum(n) * 1000000) div count(1)").as("mu"))
+    val wRun = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.crossJoin(broadcast(mu))
+      .select(col("bucket"), col("n"), col("mu"),
+        (col("n") * 1000000L - col("mu") - expr("mu div 10")).as("dv"))
+      .withColumn("pd", sum(col("dv")).over(wRun))
+      .withColumn("cusum_micro",
+        col("pd") - least(min(col("pd")).over(wRun), lit(0L)))
+      .select(col("bucket").as("day"), col("n"), col("cusum_micro"),
+        (col("cusum_micro") > lit(3L) * col("mu")).as("alarm"))
+      .orderBy("day")
+  }
+
+  /** EMBARGOED TEMPORAL SPLIT — the leakage-safe evaluation split for
+    * time-dependent data (the "purged/embargoed" split of de Prado,
+    * Advances in Financial Machine Learning ch. 7, and the standard
+    * honest eval for any forecasting/ranking model): train = days
+    * before the cut minus a 7-day embargo, eval = days at/after the
+    * cut, the embargo absorbing the boundary rows whose features/labels
+    * straddle it (a random split — `sample_split` — leaks future
+    * information backward; the 80% cut is lo + 4·span div 5). The gate
+    * also reports the GROUP leakage an embargo cannot fix: per subset,
+    * how many of its users are also active in another subset (the
+    * signal that tells a pipeline it needs `sample_group_split`
+    * instead when identity dominates time). Deterministic integer day
+    * arithmetic throughout.
+    *
+    * Scale: one corpus scan to day-tagged rows, one combinable subset
+    * rollup; the leakage count is a distinct (subset, user) relation —
+    * user-bounded — with a two-subset filter re-joined broadcast. */
+  val sampleTimeSplit = QueryDef(
+    "sample_time_split",
+    """WITH e AS (
+      |  SELECT epoch_us(ts) // 86400000000 AS day, user_id, event_id
+      |  FROM events
+      |), b AS (
+      |  SELECT min(day) AS lo, min(day) + 4 * (max(day) - min(day)) // 5 AS cut
+      |  FROM e
+      |), t AS (
+      |  SELECT CASE WHEN day < cut - 7 THEN 'train'
+      |              WHEN day < cut THEN 'embargo'
+      |              ELSE 'eval' END AS subset, day, user_id
+      |  FROM e, b
+      |), su AS (SELECT DISTINCT subset, user_id FROM t),
+      |multi AS (
+      |  SELECT user_id FROM su GROUP BY user_id HAVING count(*) >= 2
+      |), leak AS (
+      |  SELECT subset, CAST(count(*) AS BIGINT) AS n_shared_users
+      |  FROM su JOIN multi USING (user_id) GROUP BY subset
+      |)
+      |SELECT t.subset, CAST(count(*) AS BIGINT) AS n_events,
+      |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+      |       CAST(min(day) AS BIGINT) AS day_lo,
+      |       CAST(max(day) AS BIGINT) AS day_hi,
+      |       coalesce(any_value(leak.n_shared_users), 0) AS n_shared_users
+      |FROM t LEFT JOIN leak ON t.subset = leak.subset
+      |GROUP BY t.subset ORDER BY t.subset""".stripMargin) { (s, d) =>
+    val e = Tables.events(s, d)
+      .select(floorDiv("unix_micros(cast(ts as timestamp))", 86400000000L)
+        .as("day"), col("user_id"))
+    val b = e.agg(min(col("day")).as("lo"),
+      expr("min(day) + 4 * (max(day) - min(day)) div 5").as("cut"))
+    val t = e.crossJoin(broadcast(b))
+      .select(when(col("day") < col("cut") - 7, "train")
+        .when(col("day") < col("cut"), "embargo")
+        .otherwise("eval").as("subset"), col("day"), col("user_id"))
+    val su = t.select("subset", "user_id").distinct()
+    val multi = su.groupBy("user_id").agg(count(lit(1)).as("ns"))
+      .filter(col("ns") >= 2).select("user_id")
+    val leak = su.join(multi, Seq("user_id"))
+      .groupBy("subset").agg(count(lit(1)).as("n_shared_users"))
+    t.groupBy("subset")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        min(col("day")).as("day_lo"), max(col("day")).as("day_hi"))
+      .join(broadcast(leak), Seq("subset"), "left")
+      .select(col("subset"), col("n_events"), col("n_users"),
+        col("day_lo"), col("day_hi"),
+        coalesce(col("n_shared_users"), lit(0L)).as("n_shared_users"))
+      .orderBy("subset")
+  }
+
   /** REAL WATERMARK LATE-DROP under the driver hash — the third member
     * of the real checkpointed streaming family (stateful_session gates
     * event-time timers, upsert_sink gates CDC merge; THIS gates the
@@ -2044,5 +2199,6 @@ object Events {
     streamStatefulSession, streamUpsertSink, eventActiveUsers,
     eventForecastBacktest, eventAbTest, eventSurvival, eventsFfill,
     eventConcurrency, streamLateDrop, streamJoinSink, eventBotRegularity,
-    eventAttributionPosition, streamRestartResume, eventsInterp)
+    eventAttributionPosition, streamRestartResume, eventsInterp,
+    eventChangepoint, sampleTimeSplit)
 }

@@ -880,9 +880,67 @@ object Formats {
       .orderBy("shard")
   }
 
+  /** SHARD-BALANCE PLANNER — the assignment step that runs BEFORE any
+    * sharded export (MDS/WebDataset/TFRecord): loader throughput is
+    * gated by the slowest shard, so the planner must bound the byte
+    * spread across shards. A global size-sorted round-robin gives the
+    * best stripe but needs a TOTAL order — one reducer sorting the
+    * corpus. This plans with BANDED STRIPING instead: documents bucket
+    * into size bands (32-byte wide), rank within their band (the
+    * window partitions by band — embarrassingly parallel), and stripe
+    * rank-mod-k across the k shards. Within a band all items are
+    * near-equal size, so the stripe balances almost as tightly as the
+    * global sort while every stage stays partitioned (at 100 TB the
+    * band cardinality is the size domain, not the corpus). The gate
+    * hashes the per-shard accounting AND the realized spread
+    * ((max − min)·100 div max over shard bytes), so a planner
+    * regression that unbalances the stripe fails the hash, not just a
+    * dashboard. Byte model = the MDS sample framing (12 + text bytes),
+    * so the plan is exactly what `export_mds` would cut. */
+  val exportShardPlan = QueryDef(
+    "export_shard_plan",
+    """WITH m AS (
+      |  SELECT doc_id, CAST(strlen(text) + 12 AS BIGINT) AS bytes,
+      |         CAST((strlen(text) + 12) // 32 AS BIGINT) AS band
+      |  FROM documents
+      |), r AS (
+      |  SELECT doc_id, bytes,
+      |         (row_number() OVER (PARTITION BY band
+      |            ORDER BY bytes DESC, doc_id) - 1) % 8 AS shard
+      |  FROM m
+      |), g AS (
+      |  SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+      |         CAST(sum(bytes) AS BIGINT) AS shard_bytes
+      |  FROM r GROUP BY shard
+      |), sp AS (
+      |  SELECT max(shard_bytes) AS mx, min(shard_bytes) AS mn FROM g
+      |)
+      |SELECT shard, n_docs, shard_bytes,
+      |       CAST(mx AS BIGINT) AS max_bytes, CAST(mn AS BIGINT) AS min_bytes,
+      |       CAST(((mx - mn) * 100) // mx AS BIGINT) AS spread_pct
+      |FROM g, sp ORDER BY shard""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val m = Tables.documents(s, d)
+      .select(col("doc_id"),
+        (length(col("text")).cast("long") + 12L).as("bytes"))
+      .withColumn("band", expr("bytes div 32"))
+    val w = Window.partitionBy("band").orderBy(col("bytes").desc, col("doc_id"))
+    val g = m
+      .withColumn("shard", pmod(row_number().over(w) - 1, lit(8)).cast("long"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum(col("bytes")).as("shard_bytes"))
+      .localCheckpoint() // 8 rows, two consumers — one corpus pass, not two
+    g.crossJoin(broadcast(
+        g.agg(max(col("shard_bytes")).as("mx"), min(col("shard_bytes")).as("mn"))))
+      .select(col("shard"), col("n_docs"), col("shard_bytes"),
+        col("mx").as("max_bytes"), col("mn").as("min_bytes"),
+        expr("((mx - mn) * 100) div mx").as("spread_pct"))
+      .orderBy("shard")
+  }
+
   val all: Seq[QueryDef] = Seq(scanCsv, scanJson, scanOrc, scanXml,
     maintenanceCompact, scanEvolution, exportTfrecord, scanAvro,
     scanMorDeletes, maintenanceRetention, scanTimeTravel, scanCsvQuarantine,
     maintenanceVacuum, exportTfrecordEmb, exportJsonl, scanCdf,
-    exportWebdataset, exportMds)
+    exportWebdataset, exportMds, exportShardPlan)
 }

@@ -1150,25 +1150,35 @@ object Graph {
          |FROM (SELECT * FROM au UNION ALL SELECT * FROM hu)
          |ORDER BY role, score_micro DESC, node""".stripMargin
     }) { (s, d) =>
-    val ord96 = Tables.orders(s, d)
-      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp_ntz") &&
-        col("o_orderdate") < lit("1997-01-01").cast("timestamp_ntz"))
-      .select(col("o_orderkey"), col("o_custkey"))
-    val e = ord96
-      .join(Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey")),
-        col("l_orderkey") === col("o_orderkey"))
-      .select(col("o_custkey").as("c"), col("l_suppkey").as("s")).distinct()
-      .localCheckpoint() // 6 joins consume it: cut the self-join lineage
+    // the directed (c, s) edge relation lands ONCE per (session, dataset)
+    // — the supplier96Edges discipline: the fact join + distinct is the
+    // expensive pass, and SIX iteration joins consume the relation
+    val e = landedOnce(s, d, "hits96") {
+      val ord96 = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp_ntz") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp_ntz"))
+        .select(col("o_orderkey"), col("o_custkey"))
+      ord96
+        .join(Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_suppkey").as("s")).distinct()
+    }
     var a = e.select(col("s").as("node")).distinct()
       .withColumn("a", lit(1000000L))
     var h: DataFrame = null
     for (_ <- 1 to 3) {
+      // each raw-score relation is node-sized and consumed TWICE (by its
+      // own max subquery and by the next half-step): localCheckpoint it
+      // so the two consumers read materialized blocks — without the cut,
+      // every max branch replays the whole iteration lineage and the
+      // recompute tree doubles per half-step (measured 12.9 s at 10×;
+      // 6 bounded checkpoint jobs bring it to edge-join cost)
       val hr = e.join(a, col("s") === col("node"))
-        .groupBy("c").agg(sum(col("a")).as("hs"))
+        .groupBy("c").agg(sum(col("a")).as("hs")).localCheckpoint()
       h = hr.crossJoin(broadcast(hr.agg(max(col("hs")).as("hm"))))
         .select(col("c"), expr("(hs * 1000000) div hm").as("h"))
       val ar = e.join(h, Seq("c"))
-        .groupBy("s").agg(sum(col("h")).as("sa"))
+        .groupBy("s").agg(sum(col("h")).as("sa")).localCheckpoint()
       a = ar.crossJoin(broadcast(ar.agg(max(col("sa")).as("am"))))
         .select(col("s").as("node"), expr("(sa * 1000000) div am").as("a"))
     }

@@ -632,7 +632,53 @@ object Quality {
       .orderBy("source")
   }
 
+  /** DIFFERENTIALLY-PRIVATE RELEASE AUDIT — the fourth rung of the
+    * release ladder (k-anonymity → l-diversity → t-closeness → noise):
+    * the syntactic audits bound what a class reveals, but only NOISE
+    * bounds what the released COUNTS themselves reveal (Dwork et al.
+    * 2006 — differential privacy; the per-source histogram is the
+    * canonical sensitivity-1 query). Mechanism: binomial noise
+    * B(32, ½) − 16 per source (σ = √32/2 ≈ 2.83 — the discrete
+    * Gaussian-approximating mechanism of Dwork, Kenthapadi, McSherry,
+    * Mironov & Naor 2006, "Our Data, Ourselves"), released count
+    * clamped at 0. The noise draw here is a PINNED TAPE — bit_count of
+    * 32 salted md5 bits per source — because a hash-gated relation
+    * must be deterministic: what the gate certifies is the MECHANISM
+    * ARITHMETIC (tape → centered noise → clamped release, identical on
+    * both engines bit-for-bit); a production release swaps the tape
+    * for CSPRNG draws and nothing else changes. The audit relation
+    * keeps n_true beside n_released (it certifies the mechanism; it is
+    * not itself the release artifact).
+    *
+    * Scale: one combinable source groupBy; the tape is computed per
+    * GROUP (bounded), never per row. */
+  val qualityDpRelease = QueryDef(
+    "quality_dp_release",
+    """WITH g AS (
+      |  SELECT source, CAST(count(*) AS BIGINT) AS n_true FROM documents
+      |  GROUP BY source
+      |), t AS (
+      |  SELECT source, n_true,
+      |    CAST(bit_count(CAST('0x' || substr(md5('dp1:' || source), 1, 8)
+      |      AS BIGINT)) AS BIGINT) - 16 AS noise
+      |  FROM g
+      |)
+      |SELECT source, n_true, noise,
+      |       greatest(n_true + noise, 0) AS n_released,
+      |       CAST(abs(noise) AS BIGINT) AS abs_err
+      |FROM t ORDER BY source""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .groupBy("source").agg(count(lit(1)).as("n_true"))
+      .select(col("source"), col("n_true"),
+        (expr("bit_count(cast(conv(substr(md5('dp1:' || source), 1, 8), 16, 10) as bigint))")
+          .cast("long") - 16L).as("noise"))
+      .select(col("source"), col("n_true"), col("noise"),
+        greatest(col("n_true") + col("noise"), lit(0L)).as("n_released"),
+        abs(col("noise")).as("abs_err"))
+      .orderBy("source")
+  }
+
   val all: Seq[QueryDef] = Seq(qualityExpectations, qualityDrift, qualityOutliers,
     qualityProfile, qualitySkew, qualityVolumeAnomaly, qualityKAnon,
-    qualityLDiversity, qualityTCloseness)
+    qualityLDiversity, qualityTCloseness, qualityDpRelease)
 }

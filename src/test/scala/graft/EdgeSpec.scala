@@ -1621,6 +1621,127 @@ class EdgeSpec extends AnyFunSuite {
       s"got $got")
   }
 
+  test("event_changepoint: a planted +60% level shift fires the alarm at the replayer's day") {
+    val day = 86400000000L
+    def ts(us: Long) = new java.sql.Timestamp(us / 1000)
+    // 20 quiet days at 10 events/day, then 10 shifted days at 16/day
+    val counts = Seq.fill(20)(10) ++ Seq.fill(10)(16)
+    val ev = counts.zipWithIndex.flatMap { case (c, d) =>
+      (0 until c).map(i => (d * 100L + i, 1L, d * day + i * 1000L, "purchase"))
+    }.map { case (e, u, us, t) => (e, u, ts(us), t, 1.0) }
+      .toDF("event_id", "user_id", "ts", "event_type", "value")
+      .withColumn("ts", col("ts").cast("timestamp_ntz"))
+    val dir = sys.props("java.io.tmpdir") + "/graft_cusum_spec"
+    ev.write.mode("overwrite").parquet(dir + "/events.parquet")
+    // independent integer replayer: calibration-prefix mu (first half of
+    // the spine), slack mu/10, reflection identity
+    val n = counts.map(_.toLong)
+    val cal = n.take((n.length - 1) / 2 + 1)
+    val mu = cal.sum * 1000000L / cal.length
+    val dev = n.map(_ * 1000000L - mu - mu / 10)
+    val prefix = dev.scanLeft(0L)(_ + _).tail
+    val s = prefix.zipWithIndex.map { case (p, i) =>
+      p - math.min(prefix.take(i + 1).min, 0L)
+    }
+    val want = n.indices.map(d =>
+      (d.toLong, n(d), s(d), s(d) > 3 * mu))
+    val q = graft.ops.Events.all.find(_.name == "event_changepoint").get
+    val got = q.fn(spark, dir).as[(Long, Long, Long, Boolean)].collect().toSeq
+    assert(got == want, s"got $got\nwant $want")
+    // the shift is detected: the alarm fires, never before the shift
+    // day, and within a bounded delay after it
+    val firstAlarm = got.indexWhere(_._4)
+    val wantFirst = want.indexWhere(_._4)
+    assert(firstAlarm == wantFirst && firstAlarm >= 20,
+      s"alarm at $firstAlarm, replayer says $wantFirst")
+    assert(firstAlarm <= 26, s"detection delay too long: day $firstAlarm")
+    // the quiet prefix never alarms (the gated fixture's certified state)
+    assert(got.take(20).forall(!_._4))
+  }
+
+  test("sample_time_split: embargo absorbs the boundary; group leakage counts cross-subset users") {
+    val day = 86400000000L
+    def ts(us: Long) = new java.sql.Timestamp(us / 1000)
+    // span 0..28 → cut = 4·28 div 5 = 22: train < 15, embargo 15–21, eval ≥ 22
+    val ev = Seq(
+      (1L, 1L, 0L), (2L, 2L, 3L),            // train: u1, u2
+      (3L, 4L, 17L), (4L, 5L, 20L),          // embargo: u4, u5
+      (5L, 1L, 28L), (6L, 3L, 25L), (7L, 5L, 24L)) // eval: u1, u3, u5
+      .map { case (e, u, d) => (e, u, ts(d * day), "click", 1.0) }
+      .toDF("event_id", "user_id", "ts", "event_type", "value")
+      .withColumn("ts", col("ts").cast("timestamp_ntz"))
+    val dir = sys.props("java.io.tmpdir") + "/graft_tsplit_spec"
+    ev.write.mode("overwrite").parquet(dir + "/events.parquet")
+    val q = graft.ops.Events.all.find(_.name == "sample_time_split").get
+    val got = q.fn(spark, dir)
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      ("embargo", 2L, 2L, 17L, 20L, 1L),   // u5 also in eval
+      ("eval", 3L, 3L, 24L, 28L, 2L),      // u1 (train), u5 (embargo)
+      ("train", 2L, 2L, 0L, 3L, 1L)),      // u1 also in eval
+      s"got $got")
+  }
+
+  test("quality_dp_release: tape replay matches; negative noise clamps a small count at zero") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    def tapeNoise(source: String): Long =
+      java.lang.Long.bitCount(
+        java.lang.Long.parseLong(md5hex("dp1:" + source).take(8), 16)) - 16L
+    // find a source whose pinned tape is negative enough to clamp n=1
+    val clampSrc = (0 until 200).map(i => s"s$i")
+      .find(s => tapeNoise(s) <= -2L).get
+    val sources = Seq(("big", 50), ("mid", 7), (clampSrc, 1))
+    val docs = sources.flatMap { case (src, n) =>
+      (0 until n).map(i => (src.hashCode.toLong * 1000 + i, "t", "en", src, 1L))
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = sys.props("java.io.tmpdir") + "/graft_dp_spec"
+    docs.write.mode("overwrite").parquet(dir + "/documents.parquet")
+    val q = graft.ops.Quality.all.find(_.name == "quality_dp_release").get
+    val got = q.fn(spark, dir)
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    val want = sources.map { case (src, n) =>
+      val nz = tapeNoise(src)
+      src -> ((n.toLong, nz, math.max(n + nz, 0L), math.abs(nz)))
+    }.toMap
+    assert(got == want, s"got $got\nwant $want")
+    // the clamp branch is live and the binomial tape is range-bounded
+    assert(got(clampSrc)._3 == 0L)
+    assert(got.values.forall(v => v._2 >= -16L && v._2 <= 16L))
+  }
+
+  test("export_shard_plan matches a plain-Scala banded striper and balances a skewed corpus") {
+    // sizes span several 32-byte bands, with one giant-doc band of ONE
+    // member (stripe puts it alone on shard 0 of its band) and a dense
+    // small band where the mod-8 stripe rotates
+    val texts = (0 until 40).map(i => "x" * (20 + i % 5)) ++    // dense band
+      (0 until 10).map(i => "y" * (100 + 7 * i)) ++             // mid bands
+      Seq("z" * 400)                                            // giant band
+    val docs = texts.zipWithIndex
+      .map { case (t, i) => (i.toLong, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = sys.props("java.io.tmpdir") + "/graft_shardplan_spec"
+    docs.write.mode("overwrite").parquet(dir + "/documents.parquet")
+    // independent replayer: band = bytes div 32, rank in band by
+    // (bytes DESC, doc_id), shard = (rank-1) mod 8
+    val m = texts.zipWithIndex.map { case (t, i) =>
+      (i.toLong, t.length.toLong + 12L) }
+    val assigned = m.groupBy(_._2 / 32).toSeq.flatMap { case (_, ds) =>
+      ds.sortBy { case (id, b) => (-b, id) }.zipWithIndex
+        .map { case ((id, b), r) => (r % 8, b) }
+    }
+    val g = assigned.groupBy(_._1).map { case (sh, xs) =>
+      (sh.toLong, xs.size.toLong, xs.map(_._2).sum) }.toSeq.sortBy(_._1)
+    val mx = g.map(_._3).max; val mn = g.map(_._3).min
+    val want = g.map { case (sh, n, b) => (sh, n, b, mx, mn, (mx - mn) * 100 / mx) }
+    val q = graft.ops.Formats.all.find(_.name == "export_shard_plan").get
+    val got = q.fn(spark, dir)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == want, s"got $got\nwant $want")
+  }
+
   test("curation_domain_cap matches a plain-Scala micro-score ranker (cap binds, ties break by doc_id)") {
     def micro(text: String): Long = {
       val toks = text.split(" ", -1)
