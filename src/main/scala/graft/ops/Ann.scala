@@ -3262,6 +3262,10 @@ object Ann {
       .select(col("qid"), col("vec_id"),
         round(Similarity.dot(col("qve"), col("ve")) /
           (col("qnrm") * col("nrm")), 4).as("cos"))
+      // two consumers (accounting + threshold filter): materialize the
+      // probe-bounded candidate relation once instead of re-running the
+      // lists⋈vectors scan and the per-candidate cosines for each
+      .localCheckpoint()
     val cnt = cand.groupBy("qid")
       .agg(count(lit(1)).as("n_cand"),
         sum(when(col("cos") >= 0.3, 1L).otherwise(0L)).as("n_match"))

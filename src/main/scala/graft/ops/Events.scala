@@ -1822,9 +1822,12 @@ object Events {
     * instead when identity dominates time). Deterministic integer day
     * arithmetic throughout.
     *
-    * Scale: one corpus scan to day-tagged rows, one combinable subset
-    * rollup; the leakage count is a distinct (subset, user) relation —
-    * user-bounded — with a two-subset filter re-joined broadcast. */
+    * Scale: ONE corpus scan lands the day-tagged (day, user) relation
+    * (two longs per event — far narrower than the corpus), from which
+    * the bounds, the rollup and the user-bounded distinct (subset,
+    * user) relation all derive; the leakage count re-joins that
+    * distinct relation broadcast. Without the cut the four consumers
+    * would each replay the table scan. */
   val sampleTimeSplit = QueryDef(
     "sample_time_split",
     """WITH e AS (
@@ -1855,6 +1858,7 @@ object Events {
     val e = Tables.events(s, d)
       .select(floorDiv("unix_micros(cast(ts as timestamp))", 86400000000L)
         .as("day"), col("user_id"))
+      .localCheckpoint() // one table scan feeds bounds, rollup AND leakage
     val b = e.agg(min(col("day")).as("lo"),
       expr("min(day) + 4 * (max(day) - min(day)) div 5").as("cut"))
     val t = e.crossJoin(broadcast(b))
@@ -1862,6 +1866,7 @@ object Events {
         .when(col("day") < col("cut"), "embargo")
         .otherwise("eval").as("subset"), col("day"), col("user_id"))
     val su = t.select("subset", "user_id").distinct()
+      .localCheckpoint() // user-bounded, consumed by multi AND leak
     val multi = su.groupBy("user_id").agg(count(lit(1)).as("ns"))
       .filter(col("ns") >= 2).select("user_id")
     val leak = su.join(multi, Seq("user_id"))

@@ -922,7 +922,10 @@ object Formats {
     import org.apache.spark.sql.expressions.Window
     val m = Tables.documents(s, d)
       .select(col("doc_id"),
-        (length(col("text")).cast("long") + 12L).as("bytes"))
+        // octet_length ↔ the oracle's strlen: BYTE count, not chars —
+        // a multi-byte UTF-8 doc must band identically on both engines
+        // (and the byte model must match what export_mds actually cuts)
+        (octet_length(col("text")).cast("long") + 12L).as("bytes"))
       .withColumn("band", expr("bytes div 32"))
     val w = Window.partitionBy("band").orderBy(col("bytes").desc, col("doc_id"))
     val g = m

@@ -1,7 +1,6 @@
-// Round-14 session-6 batch-2 rows: event_changepoint, sample_time_split,
-// and the re-measure of graph_hits after the per-round localCheckpoint
-// fix (the max branches no longer replay the iteration lineage).
-// Cold = first run, warm = min of 3. Control: agg_groupby.
+// Round-14 session-6 batch-3 rows: quality_dp_release and
+// export_shard_plan. Cold = first run, warm = min of 3.
+// Control: agg_groupby.
 
 // Usage: /opt/spark/bin/spark-shell --master local[32] --driver-memory 24g \
 //   --conf spark.sql.shuffle.partitions=32 --conf spark.sql.session.timeZone=UTC \
