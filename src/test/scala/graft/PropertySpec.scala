@@ -576,4 +576,35 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("TopKAgg ≡ the rank window under heavy ties, NaN scores and any partitioning") {
+    import org.apache.spark.sql.expressions.Window
+    // heavy ties (8 score values across 500 rows), NaN rows (which both
+    // Double.compare and a DESC sort place above every value), and ids
+    // reused across groups
+    val rnd = new scala.util.Random(42)
+    val rows = (0 until 500).map { i =>
+      val score =
+        if (i % 97 == 0) Double.NaN else rnd.nextInt(8).toDouble
+      (s"g${rnd.nextInt(5)}", score, (rnd.nextInt(40) + 1).toLong)
+    }
+    def viaAgg(parts: Int) = rows.toDF("g", "score", "id")
+      .repartition(parts)
+      .groupBy("g")
+      .agg(graft.functions.TopKAgg.topk(col("score"), col("id"), 3).as("ids"))
+      .select(col("g"), posexplode(col("ids")).as(Seq("r", "id")))
+      .as[(String, Int, Long)].collect().toSet
+    val win = rows.toDF("g", "score", "id")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("g").orderBy(col("score").desc, col("id"))))
+      .filter(col("rn") <= 3)
+      .select(col("g"), (col("rn") - 1).cast("int").as("r"), col("id"))
+      .as[(String, Int, Long)].collect().toSet
+    val one = viaAgg(1)
+    assert(one == win, s"agg(1 partition) diverged from the rank window")
+    // merge-order insensitivity: the partial buffers combine to the same
+    // relation at any partitioning
+    assert(viaAgg(7) == one)
+    assert(viaAgg(13) == one)
+  }
 }
