@@ -18,17 +18,20 @@ object Events {
 
   private def eus = unix_micros(col("ts").cast("timestamp"))
 
-  /** Floor division on BIGINT, in exact integer arithmetic: Spark's `div`
-    * truncates toward zero while DuckDB's `//` floors, so bucket ids built
-    * with `div` diverge for pre-1970 timestamps. `x - pmod(x, y)` is an
-    * exact multiple of y (pmod is nonnegative for y > 0), so the trailing
-    * `div` is exact floor division — all BIGINT, no double rounding at
-    * any magnitude. (The interval-join bands keep plain `div`: banding is
-    * correct for any consistent gap-width bucketing, floor or trunc.)
-    * Takes the operand as a SQL expression string because integer `div`
-    * only exists in the SQL surface, not the Column API. */
-  private[ops] def floorDiv(x: String, y: Long) =
-    expr(s"(($x) - pmod(($x), ${y}L)) div ${y}L")
+  /** Integer bucket division matching the oracle's `//` EXACTLY at
+    * every input: DuckDB 1.0.0's integer `//` TRUNCATES toward zero,
+    * the same as Spark's `div` (verified this session: `(-7) // 2 = -3`
+    * in DuckDB — floor would be −4; an earlier version of this helper
+    * computed exact FLOOR via `x − pmod(x, y)` under a docstring
+    * claiming `//` floors, which is Python's operator, not DuckDB's —
+    * a latent divergence for every pre-1970 timestamp). Truncation on
+    * BOTH sides makes bucket ids engine-identical at ANY input;
+    * pre-1970 instants bucket by truncation (−0.5 day → day 0) on both
+    * engines alike — a shared convention, not a divergence. Takes the
+    * operand as a SQL expression string because integer `div` only
+    * exists in the SQL surface, not the Column API. */
+  private[ops] def bucketDiv(x: String, y: Long) =
+    expr(s"($x) div ${y}L")
 
   /** Banded interval self-join: pairs of events per user with
     * 0 < ts_b − ts_a ≤ maxGapUs and id_a < id_b.
@@ -507,7 +510,7 @@ object Events {
       |ORDER BY cohort_day, offset_days""".stripMargin) { (s, d) =>
     val e = Tables.events(s, d)
       .select(col("user_id"), eus.as("eus"))
-      .select(col("user_id"), floorDiv("eus", 86400000000L).as("day"))
+      .select(col("user_id"), bucketDiv("eus", 86400000000L).as("day"))
     val cohort = e.groupBy("user_id").agg(min(col("day")).as("cohort_day"))
     val active = e.distinct()
     active.join(cohort, Seq("user_id"))
@@ -530,7 +533,7 @@ object Events {
     * event count over [min, max] activity, empty buckets as zeros. */
   def resampleBuckets(ev: DataFrame, bucketUs: Long): DataFrame = {
     val e = ev.select(
-      floorDiv("unix_micros(cast(ts as timestamp))", bucketUs).as("bucket"))
+      bucketDiv("unix_micros(cast(ts as timestamp))", bucketUs).as("bucket"))
     val bounds = e.agg(min(col("bucket")).as("lo"), max(col("bucket")).as("hi"))
     val spine = bounds
       .select(explode(sequence(col("lo"), col("hi"))).as("bucket"))
@@ -1549,7 +1552,7 @@ object Events {
   def survivalTable(ev: DataFrame): DataFrame = {
     val ls = ev
       .select(col("user_id"), eus.as("eus"))
-      .select(col("user_id"), floorDiv("eus", 86400000000L).as("day"))
+      .select(col("user_id"), bucketDiv("eus", 86400000000L).as("day"))
       .groupBy("user_id")
       .agg((max(col("day")) - min(col("day"))).as("t"))
     val ended = ls.groupBy("t").agg(count(lit(1)).as("n_ended"))
@@ -1607,23 +1610,36 @@ object Events {
       |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_ffill,
       |       (v IS NOT NULL) AS observed
       |FROM j ORDER BY user_id, day LIMIT 500""".stripMargin) { (s, d) =>
-    val e = Tables.events(s, d)
-      .select(col("user_id"), col("event_id"), col("value"), eus.as("eus"))
-      .withColumn("day", floorDiv("eus", 86400000000L))
-    val pick = Window.partitionBy("user_id", "day")
-      .orderBy(col("eus").desc, col("event_id").desc)
-    val obs = e.withColumn("rn", row_number().over(pick))
-      .filter(col("rn") === 1).select(col("user_id"), col("day"), col("value").as("v"))
-    val spine = e.groupBy("user_id")
-      .agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
-      .select(col("user_id"), explode(sequence(col("lo"), col("hi"))).as("day"))
     val locf = Window.partitionBy("user_id").orderBy("day")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    spine.join(obs, Seq("user_id", "day"), "left")
+    dailyObsSpine(Tables.events(s, d))
       .select(col("user_id"), col("day"),
         last(col("v"), ignoreNulls = true).over(locf).as("value_ffill"),
         col("v").isNotNull.as("observed"))
       .orderBy("user_id", "day").limit(500)
+  }
+
+  /** The gap-filling observation spine shared by `events_ffill` and
+    * `events_interp` — one definition of the per-(user, day) closing
+    * value and the per-user [first, last] day spine, so the pick
+    * tie-break and the spine bounds cannot drift between the two fill
+    * keys: (user_id, day, v) with v null on gap days; the day's
+    * closing value is latest by (ts, event_id) — both engines'
+    * identical tie rule — and the spine endpoints are observed by
+    * construction. */
+  def dailyObsSpine(ev: DataFrame): DataFrame = {
+    val e = ev
+      .select(col("user_id"), col("event_id"), col("value"), eus.as("eus"))
+      .withColumn("day", bucketDiv("eus", 86400000000L))
+    val pick = Window.partitionBy("user_id", "day")
+      .orderBy(col("eus").desc, col("event_id").desc)
+    val obs = e.withColumn("rn", row_number().over(pick))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("day"), col("value").as("v"))
+    val spine = e.groupBy("user_id")
+      .agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+      .select(col("user_id"), explode(sequence(col("lo"), col("hi"))).as("day"))
+    spine.join(obs, Seq("user_id", "day"), "left")
   }
 
   /** LINEAR TIME-SERIES INTERPOLATION onto the per-user daily spine —
@@ -1691,22 +1707,12 @@ object Events {
       |       END AS value_interp,
       |       (v IS NOT NULL) AS observed
       |FROM f ORDER BY user_id, day LIMIT 500""".stripMargin) { (s, d) =>
-    val e = Tables.events(s, d)
-      .select(col("user_id"), col("event_id"), col("value"), eus.as("eus"))
-      .withColumn("day", floorDiv("eus", 86400000000L))
-    val pick = Window.partitionBy("user_id", "day")
-      .orderBy(col("eus").desc, col("event_id").desc)
-    val obs = e.withColumn("rn", row_number().over(pick))
-      .filter(col("rn") === 1).select(col("user_id"), col("day"), col("value").as("v"))
-    val spine = e.groupBy("user_id")
-      .agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
-      .select(col("user_id"), explode(sequence(col("lo"), col("hi"))).as("day"))
     val wf = Window.partitionBy("user_id").orderBy("day")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wb = Window.partitionBy("user_id").orderBy("day")
       .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     val dayObs = when(col("v").isNotNull, col("day"))
-    spine.join(obs, Seq("user_id", "day"), "left")
+    dailyObsSpine(Tables.events(s, d))
       .select(col("user_id"), col("day"), col("v"),
         last(col("v"), ignoreNulls = true).over(wf).as("v_prev"),
         last(dayObs, ignoreNulls = true).over(wf).as("d_prev"),
@@ -1831,10 +1837,10 @@ object Events {
   val sampleTimeSplit = QueryDef(
     "sample_time_split",
     """WITH e AS (
-      |  SELECT epoch_us(ts) // 86400000000 AS day, user_id, event_id
+      |  SELECT epoch_us(ts) // 86400000000 AS day, user_id
       |  FROM events
       |), b AS (
-      |  SELECT min(day) AS lo, min(day) + 4 * (max(day) - min(day)) // 5 AS cut
+      |  SELECT min(day) + 4 * (max(day) - min(day)) // 5 AS cut
       |  FROM e
       |), t AS (
       |  SELECT CASE WHEN day < cut - 7 THEN 'train'
@@ -1856,11 +1862,10 @@ object Events {
       |FROM t LEFT JOIN leak ON t.subset = leak.subset
       |GROUP BY t.subset ORDER BY t.subset""".stripMargin) { (s, d) =>
     val e = Tables.events(s, d)
-      .select(floorDiv("unix_micros(cast(ts as timestamp))", 86400000000L)
+      .select(bucketDiv("unix_micros(cast(ts as timestamp))", 86400000000L)
         .as("day"), col("user_id"))
       .localCheckpoint() // one table scan feeds bounds, rollup AND leakage
-    val b = e.agg(min(col("day")).as("lo"),
-      expr("min(day) + 4 * (max(day) - min(day)) div 5").as("cut"))
+    val b = e.agg(expr("min(day) + 4 * (max(day) - min(day)) div 5").as("cut"))
     val t = e.crossJoin(broadcast(b))
       .select(when(col("day") < col("cut") - 7, "train")
         .when(col("day") < col("cut"), "embargo")

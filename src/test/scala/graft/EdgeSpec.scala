@@ -1561,6 +1561,25 @@ class EdgeSpec extends AnyFunSuite {
       s"got $got")
   }
 
+  test("bucketDiv: pre-1970 instants bucket by TRUNCATION on both engines (day −0.5 → day 0)") {
+    // DuckDB 1.0.0's integer `//` truncates toward zero (verified:
+    // (-7)//2 = -3), same as Spark's `div` — the exact-floor helper this
+    // replaced put 1969-12-31 23:00 on day −1 while every `//` oracle
+    // puts it on day 0. This pins the shared truncation convention.
+    val ev = Seq(
+      (1L, 1L, java.sql.Timestamp.valueOf("1969-12-31 23:00:00"), 5.0),
+      (2L, 1L, java.sql.Timestamp.valueOf("1970-01-01 01:00:00"), 7.0))
+      .toDF("event_id", "user_id", "ts", "value")
+      .withColumn("ts", col("ts").cast("timestamp_ntz"))
+    val dir = sys.props("java.io.tmpdir") + "/graft_pre1970_spec"
+    ev.write.mode("overwrite").parquet(dir + "/events.parquet")
+    val q = graft.ops.Events.all.find(_.name == "events_ffill").get
+    val got = q.fn(spark, dir).as[(Long, Long, Double, Boolean)].collect().toSeq
+    // both events truncate to day 0; the later one (event 2) is the
+    // day's closing value — one spine row, no phantom day −1
+    assert(got == Seq((1L, 0L, 7.0, true)), s"got $got")
+  }
+
   test("graph_hits matches an independent max-normalized integer HITS replayer") {
     // bipartite engagement graph: c1 → {s10, s20}, c2 → {s20}
     val dir = sys.props("java.io.tmpdir") + "/graft_hits_spec"
