@@ -941,9 +941,43 @@ object Formats {
       .orderBy("shard")
   }
 
+  /** GZIP-COMPRESSED JSONL INGEST — the wire shape web-corpus data
+    * actually arrives in (a Common Crawl dump is tens of thousands of
+    * gzip members; `scan_json` certifies the parser, THIS certifies
+    * the CODEC path): documents round-trip through 4 gzip JSONL part
+    * files and the read-back aggregates must match the table-derived
+    * oracle exactly — a single corrupted byte fails the member CRC and
+    * the job, a silently-wrong decode fails the hash. The scale lesson
+    * this key encodes: gzip is NOT splittable, so one file = one read
+    * task and PARALLELISM IS THE FILE COUNT — a 100 TB gz corpus is
+    * ingestible exactly because it ships as ~100k members (CC's own
+    * layout), never as one stream; the 4-file staging here is that
+    * contract in miniature. SourcesSpec pins the files really are gzip
+    * (magic bytes) and that a truncated member fails loudly. */
+  val scanJsonlGz = QueryDef(
+    "scan_jsonl_gz",
+    """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(sum(doc_id) AS BIGINT) AS sum_id,
+      |       CAST(sum(strlen(text)) AS BIGINT) AS sum_text_bytes,
+      |       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
+    val dir = fmtDir(d, "jsonlgz")
+    Tables.documents(s, d)
+      .select(to_json(struct(col("doc_id"), col("lang"), col("text"))).as("value"))
+      .repartition(4)
+      .write.mode("overwrite").option("compression", "gzip").text(dir)
+    s.read.schema("doc_id LONG, lang STRING, text STRING").json(dir)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("doc_id")).as("sum_id"),
+        sum(octet_length(col("text")).cast("long")).as("sum_text_bytes"),
+        sum(size(split(col("text"), " ")).cast("long")).as("sum_tokens"))
+      .orderBy("lang")
+  }
+
   val all: Seq[QueryDef] = Seq(scanCsv, scanJson, scanOrc, scanXml,
     maintenanceCompact, scanEvolution, exportTfrecord, scanAvro,
     scanMorDeletes, maintenanceRetention, scanTimeTravel, scanCsvQuarantine,
     maintenanceVacuum, exportTfrecordEmb, exportJsonl, scanCdf,
-    exportWebdataset, exportMds, exportShardPlan)
+    exportWebdataset, exportMds, exportShardPlan, scanJsonlGz)
 }

@@ -260,6 +260,35 @@ class SourcesSpec extends AnyFunSuite {
     }
   }
 
+  test("scan_jsonl_gz: 4 real gzip members (magic bytes), truncation fails loudly") {
+    val q = graft.ops.Formats.all.find(_.name == "scan_jsonl_gz").get
+    val d = "/root/testdata/sf0.001"
+    assert(q.fn(spark, d).collect().nonEmpty)
+    val pid = java.lang.ProcessHandle.current().pid()
+    val staged = new java.io.File(sys.props("java.io.tmpdir"))
+      .listFiles().filter(_.getName.startsWith(s"graft_fmt_p${pid}_"))
+      .map(f => new java.io.File(f, "jsonlgz")).find(_.isDirectory).get
+    val parts = staged.listFiles().filter(_.getName.endsWith(".gz"))
+    assert(parts.length == 4, s"expected 4 gz members, got ${parts.length}")
+    parts.foreach { f =>
+      val b = Files.readAllBytes(f.toPath)
+      assert((b(0) & 0xff) == 0x1f && (b(1) & 0xff) == 0x8b,
+        s"${f.getName} is not gzip")
+    }
+    // a truncated member must fail the read, never silently drop rows
+    val broken = Files.createTempDirectory("graft_gz_broken").toString
+    parts.zipWithIndex.foreach { case (f, i) =>
+      val b = Files.readAllBytes(f.toPath)
+      val out = if (i == 0) b.take(b.length - 5).toArray else b
+      Files.write(java.nio.file.Paths.get(broken, f.getName), out)
+    }
+    intercept[Exception] {
+      spark.read.schema("doc_id LONG, lang STRING, text STRING")
+        .json(broken).agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1))).collect()
+    }
+  }
+
   test("MdsShard: offset-table layout hand-decoded, probe seek, manifest, corruption detection") {
     import graft.sources.MdsShard
     import java.nio.{ByteBuffer, ByteOrder}
