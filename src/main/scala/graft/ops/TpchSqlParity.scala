@@ -54,6 +54,81 @@ object TpchSqlParity {
   private val parityCache = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), Seq[(String, Long, Boolean)]]()
 
+  /** Fingerprint of the BUILD running this JVM — (name, length, mtime)
+    * of every classfile under the code source (or the jar's own triple
+    * when packaged), hashed. Keys the cross-process report cache below:
+    * a recompile of ANYTHING in the library (either compared side, or a
+    * shared helper) changes the fingerprint and forces a fresh
+    * certification, so a stale green from an older build can never
+    * satisfy this round's gate. Conservative in the right direction —
+    * an unrelated rebuild merely re-pays the ~50 s cold cost once. */
+  private lazy val buildFingerprint: String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def add(s: String): Unit = md.update(s.getBytes("UTF-8"))
+    val src = TpchSqlParity.getClass.getProtectionDomain.getCodeSource
+    val loc = Option(src).flatMap(cs => Option(cs.getLocation))
+      .map(u => java.nio.file.Paths.get(u.toURI))
+    loc match {
+      case Some(p) if java.nio.file.Files.isDirectory(p) =>
+        val walk = java.nio.file.Files.walk(p)
+        try walk.sorted().forEach { f =>
+          if (java.nio.file.Files.isRegularFile(f))
+            add(s"${p.relativize(f)}:${java.nio.file.Files.size(f)}:" +
+              java.nio.file.Files.getLastModifiedTime(f).toMillis)
+        } finally walk.close()
+      case Some(p) =>
+        add(s"$p:${java.nio.file.Files.size(p)}:" +
+          java.nio.file.Files.getLastModifiedTime(p).toMillis)
+      case None => add("no-code-source-" + System.nanoTime()) // never cache
+    }
+    add(org.apache.spark.SPARK_VERSION)
+    md.digest().map("%02x".format(_)).mkString
+  }
+
+  /** Cross-PROCESS report persistence (round-14 verdict task #7): the
+    * certification is deterministic per (build, dataset), but a driver
+    * round runs Verify and Bench as separate JVMs — each paid the full
+    * 44-execution cold cost (~50 s/session). The report persists under
+    * /tmp keyed by (dataset, buildFingerprint) — the bench-mirror
+    * discipline: not pid-scoped (it IS the inter-process cache), atomic
+    * move so a concurrent driver reads whole files or nothing, and any
+    * rebuild changes the key. Line format: name\\tcount\\tmatches. */
+  private def parityCachePath(d: String): java.nio.file.Path = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$d\n$buildFingerprint".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    java.nio.file.Paths.get(sys.props("java.io.tmpdir"), s"graft_parity_$hex.tsv")
+  }
+
+  private def readPersisted(d: String): Option[Seq[(String, Long, Boolean)]] =
+    try {
+      val p = parityCachePath(d)
+      if (!java.nio.file.Files.exists(p)) None
+      else {
+        val rows = scala.jdk.CollectionConverters.ListHasAsScala(
+          java.nio.file.Files.readAllLines(p)).asScala.toSeq
+          .filter(_.nonEmpty).map { l =>
+            val Array(n, c, m) = l.split("\t")
+            (n, c.toLong, m.toBoolean)
+          }
+        // the file must cover exactly the current suite — a key added or
+        // renamed since the write (same-build impossible, but belt and
+        // braces against a truncated file) voids the cache
+        if (rows.map(_._1) == tpch.map(_.name)) Some(rows) else None
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  private def persist(d: String, rows: Seq[(String, Long, Boolean)]): Unit =
+    try {
+      val p = parityCachePath(d)
+      val tmp = java.nio.file.Files.createTempFile(p.getParent, "graft_parity_", ".tmp")
+      java.nio.file.Files.write(tmp, rows.map { case (n, c, m) => s"$n\t$c\t$m" }
+        .mkString("", "\n", "\n").getBytes("UTF-8"))
+      java.nio.file.Files.move(tmp, p,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    } catch { case scala.util.control.NonFatal(_) => () } // cache only
+
   private def parityRows(s: SparkSession, d: String): Seq[(String, Long, Boolean)] = {
     parityCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
     // double-checked get/putIfAbsent, NOT computeIfAbsent: the report is
@@ -64,7 +139,11 @@ object TpchSqlParity {
     val key = (s, d)
     val hit = parityCache.get(key)
     if (hit != null) hit
-    else {
+    else readPersisted(d) match {
+      case Some(rows) =>
+        val prev = parityCache.putIfAbsent(key, rows)
+        if (prev != null) prev else rows
+      case None =>
       val report =
         try {
           registerViews(s, d)
@@ -87,6 +166,10 @@ object TpchSqlParity {
             }
           }
         } finally dropViews(s)
+      // persist only a CLEAN certification: a failed row is a signal the
+      // next session must re-derive (and failures are what a round is
+      // trying to surface), never a cache entry
+      if (report.forall(_._3)) persist(d, report)
       val prev = parityCache.putIfAbsent(key, report)
       if (prev != null) prev else report
     }

@@ -29,8 +29,14 @@ import org.apache.spark.sql.functions._
   */
 object MdsShard {
 
-  private def u32(v: Long): Array[Byte] =
+  private def u32(v: Long): Array[Byte] = {
+    // fail at WRITE time, naming the format limit: toInt alone would
+    // silently wrap a >u32 sample count or byte offset into a corrupt
+    // offset table the reader only catches later as a framing error
+    require(v >= 0L && v <= 0xffffffffL,
+      s"mds u32 field out of range: $v (format limit 2^32-1 — shard too large; split into more shards)")
     ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN).putInt(v.toInt).array
+  }
   private def readU32(b: Array[Byte], off: Int): Long =
     ByteBuffer.wrap(b, off, 4).order(ByteOrder.LITTLE_ENDIAN).getInt.toLong & 0xffffffffL
 
@@ -69,6 +75,11 @@ object MdsShard {
           val samples = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
           while (buf.hasNext && buf.head.getLong(0) == shard) {
             val r = buf.next()
+            // fail with the doc named instead of an opaque executor NPE:
+            // the documents-table contract is text NOT NULL, so a null
+            // here is an upstream bug worth a readable message
+            require(!r.isNullAt(2),
+              s"mds writer: null text for doc_id ${r.getLong(1)} (shard $shard) — text must be non-null")
             samples += sample(r.getLong(1), r.getString(2).getBytes("UTF-8"))
           }
           val n = samples.length
@@ -125,6 +136,12 @@ object MdsShard {
           s"mds $path: last offset ${off.last} != file length ${bytes.length}")
         require(off.zip(off.tail).forall { case (a, b) => a <= b },
           s"mds $path: offset table not monotone")
+        // the seek below indexes a JVM byte array through .toInt — a
+        // shard near the 2 GiB array bound would wrap and surface as an
+        // IndexOutOfBounds; name the real limit instead (a valid-format
+        // shard that is simply too large for one in-memory read)
+        require(off.last <= Int.MaxValue.toLong,
+          s"mds $path: shard ${off.last} bytes exceeds the 2 GiB single-buffer read limit — split into more shards")
         val probe = n / 2
         (0 until n).map { i =>
           val start = off(i).toInt

@@ -135,6 +135,24 @@ class AnnSpec extends AnyFunSuite {
     assert(merged.exceptAll(lists).isEmpty && lists.exceptAll(merged).isEmpty)
   }
 
+  test("sim_ann_ivf2_capped: c_eff = min(max(8, n div 200), CapC), and where the cap is non-binding the capped build coincides with the scaled one") {
+    val n = Tables.embeddings(spark, d).count()
+    val rep = Ann.simAnnIvf2Capped.fn(spark, d).localCheckpoint()
+    val cEff = math.min(math.max(8L, n / 200L), Ann.CapC.toLong)
+    assert(rep.select("n_centroids").distinct().as[Long].collect().toSeq
+      == Seq(cEff), s"capped build trained ≠ $cEff centroids")
+    // the broadcast side of the build is bounded by the STRUCTURE, not
+    // the corpus: ≤ ⌈√c_eff⌉ groups (constant once the cap binds)
+    val g = rep.select("n_groups").distinct().as[Long].collect().head
+    assert(g <= math.ceil(math.sqrt(cEff.toDouble)).toLong)
+    // at gate SFs c ≤ 10 < CapC: the least() is live but non-binding,
+    // so the capped report must equal the scaled twin's exactly — the
+    // hash-continuity premise of shipping the cap as a separate key
+    val unc = Ann.simAnnIvf2.fn(spark, d)
+    assert(rep.exceptAll(unc).isEmpty && unc.exceptAll(rep).isEmpty,
+      "capped and scaled builds diverge where the cap is non-binding")
+  }
+
   test("twoLevelAssign: totality survives colinear (duplicate) anchors") {
     // anchors = the 3 lowest cids (g = ⌈√8⌉); cid 2 duplicates cid 1, so
     // the exact-tie route sends centroid 2 (and every point that would

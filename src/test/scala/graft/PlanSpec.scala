@@ -825,4 +825,35 @@ class PlanSpec extends AnyFunSuite {
     // list members and vectors meet on keyed/broadcast joins
     assert(p.contains("BroadcastHashJoin"), s"probe join shuffled:\n$p")
   }
+
+  test("global (partition-less) windows ride only bounded inputs across the ANN sampling + report-tail family") {
+    // Pins the r14 verdict's watch-list item: a full verify sweep logs
+    // 185 `WindowExec: No Partition Defined` warnings — today all on
+    // bounded relations (model rows, ≤TrainSample samples, post-LIMIT
+    // top-k), but nothing stopped a future key from putting a global
+    // window on a corpus path, which at 100 TB funnels every row
+    // through ONE task. Bounded-by-construction here = the logical
+    // child KNOWS its row bound (maxRows — set by Limit, LocalRelation,
+    // single-row aggregates, and preserved through projections/joins of
+    // bounded sides). Any global window whose input cannot prove a
+    // bound fails with the key and the window named — the allowed
+    // sites are exactly the provably bounded ones.
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val keys = Seq(
+      graft.ops.Ann.simAnnKmeans, graft.ops.Ann.simAnnKmeansRecall,
+      graft.ops.Ann.dedupSemantic, graft.ops.Ann.dedupSemanticScaled,
+      graft.ops.Ann.simAnnIvf2, graft.ops.Ann.simAnnIvf2Capped,
+      graft.ops.Ann.simAnnUpsert, graft.ops.Ann.simAnnDelete,
+      graft.ops.Ann.simAnnFiltered, graft.ops.Ann.simAnnRebalance,
+      graft.ops.Ann.simAnnRange, graft.ops.Ann.simAnnNprobeCurve)
+    val offenders = keys.flatMap { q =>
+      q.fn(spark, d).queryExecution.optimizedPlan.collect {
+        case w: LWindow if w.partitionSpec.isEmpty && w.child.maxRows.isEmpty =>
+          s"${q.name}: global window ${w.windowExpressions.map(_.sql).mkString(", ")}" +
+            s" over unbounded input ${w.child.nodeName}"
+      }
+    }
+    assert(offenders.isEmpty,
+      s"global windows over unbounded inputs:\n${offenders.mkString("\n")}")
+  }
 }

@@ -322,4 +322,18 @@ class SourcesSpec extends AnyFunSuite {
     Files.write(java.nio.file.Paths.get(s"$dir/docs-000.mds"), corrupt)
     intercept[Exception](MdsShard.readDocShards(spark, dir).collect())
   }
+
+  test("MdsShard: null text fails at write time naming the doc, not as an executor NPE") {
+    import graft.sources.MdsShard
+    val docs = Seq((0L, 7L, "ok"), (0L, 9L, null: String))
+      .toDF("shard", "doc_id", "text")
+    val dir = Files.createTempDirectory("graft_mds_null").toString
+    val e = intercept[Exception](MdsShard.writeDocShards(docs, dir))
+    // the require's message (with doc_id 9 named) must survive Spark's
+    // task-failure wrapping
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(m => m.contains("doc_id 9") && m.contains("non-null")),
+      s"expected a named null-text failure, got: ${msgs(e).mkString(" | ")}")
+  }
 }

@@ -1,7 +1,13 @@
 #!/usr/bin/env python3
 """Local replica of the driver's correctness gate.
 
-Usage: python3 tools/verify_local.py <sfDir> <outDir> [query ...]
+Usage: python3 tools/verify_local.py <sfDir> <outDir> [--json FILE] [query ...]
+
+With --json FILE, also writes a per-key record in the driver's
+CORRECTNESS schema ({key: {rows_match, schema_match, hash_match, err}})
+— the round's durable correctness evidence (committed as
+CORRECTNESS_LOCAL.json at each gate; round-14 verdict task #3, after the
+driver's own artifact landed empty).
 
 Reads each query dump written by `graft.Verify` (outDir/<name>/*.parquet),
 runs the matching oracle SQL from outDir/oracle_sql.json in DuckDB over the
@@ -19,17 +25,33 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 def main():
-    sf_dir, out_dir = sys.argv[1], sys.argv[2]
-    only = set(sys.argv[3:])
+    argv = sys.argv[1:]
+    json_out = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_out = argv[i + 1]
+        argv = argv[:i] + argv[i + 2:]
+    sf_dir, out_dir = argv[0], argv[1]
+    only = set(argv[2:])
     con = duckdb.connect()
     con.execute("SET TimeZone='UTC'")
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracles = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
     n_fail = n_pass = n_skip = 0
+    # per-key record in the driver's CORRECTNESS schema; a hard failure
+    # (missing dump, oracle error, nested columns) sets err and falsifies
+    # every match flag — absence of evidence is never a pass
+    records = {}
+
+    def rec(name, rows, schema, hash_, err=None):
+        records[name] = {"rows_match": rows, "schema_match": schema,
+                         "hash_match": hash_, "err": err}
+
     for name in sorted(oracles):
         if (not only or name in only) and not os.path.isdir(os.path.join(out_dir, name)):
             print(f"FAIL {name}: query produced no dump (crashed in Verify?)")
+            rec(name, False, False, False, "no dump (crashed in Verify?)")
             n_fail += 1
     for name in sorted(os.listdir(out_dir)):
         path = os.path.join(out_dir, name)
@@ -40,6 +62,7 @@ def main():
         files = glob.glob(os.path.join(path, "*.parquet"))
         if not files:
             print(f"FAIL {name}: no parquet written")
+            rec(name, False, False, False, "no parquet written")
             n_fail += 1
             continue
         got_rel = con.sql(f"SELECT * FROM read_parquet({files!r})")
@@ -53,11 +76,13 @@ def main():
             print(f"FAIL {name}: non-scalar output column(s) {bad}"
                   " (driver comparator cannot sort arrays; project to"
                   " scalar columns)")
+            rec(name, False, False, False, f"non-scalar output column(s) {bad}")
             n_fail += 1
             continue
         got = got_rel.fetchdf()
         if name not in oracles:
             print(f"SKIP {name}: no oracle ({len(got)} rows)")
+            rec(name, len(got) > 0, None, None, "no-oracle (rows-only check)")
             n_skip += 1
             continue
         try:
@@ -66,19 +91,35 @@ def main():
             exp = exp_rel.fetchdf()
         except Exception as e:
             print(f"FAIL {name}: oracle SQL error: {e}")
+            rec(name, False, False, False, f"oracle SQL error: {e}")
             n_fail += 1
             continue
         got_types = dict(zip(got_rel.columns, [str(t) for t in got_rel.types]))
         ok, msg = compare_types(got_types, exp_types)
+        dim = "schema"
         if ok:
-            ok, msg = compare(got, exp)
+            ok, msg, dim = compare(got, exp)
         if ok:
             print(f"PASS {name} ({len(got)} rows)")
+            rec(name, True, True, True)
             n_pass += 1
         else:
             print(f"FAIL {name}: {msg}")
+            rec(name, dim != "rows", dim != "schema", False, msg)
             n_fail += 1
     print(f"== {n_pass} pass, {n_fail} fail, {n_skip} no-oracle ==")
+    if json_out:
+        head = {"sf_dir": sf_dir, "n_pass": n_pass, "n_fail": n_fail,
+                "n_no_oracle": n_skip}
+        if only:
+            # the Bench.json discipline: a name-filtered run marks itself
+            # so a partial record can never pass as the full-suite gate
+            head["filtered"] = len(only)
+        head["queries"] = dict(sorted(records.items()))
+        with open(json_out, "w") as f:
+            json.dump(head, f, indent=1)
+            f.write("\n")
+        print(f"json written: {json_out}")
     sys.exit(1 if n_fail else 0)
 
 # Keys explicitly allowed to emit nested columns (none today — keep empty
@@ -110,19 +151,21 @@ def compare_types(got_types, exp_types):
     return True, ""
 
 def compare(got, exp):
+    """(ok, msg, failed_dimension) — dimension in rows/schema/hash for the
+    driver-schema JSON record."""
     gc, ec = sorted(got.columns), sorted(exp.columns)
     if gc != ec:
-        return False, f"columns differ: spark={gc} oracle={ec}"
+        return False, f"columns differ: spark={gc} oracle={ec}", "schema"
     if len(got) != len(exp):
-        return False, f"row count differs: spark={len(got)} oracle={len(exp)}"
+        return False, f"row count differs: spark={len(got)} oracle={len(exp)}", "rows"
     got, exp = got[gc], exp[gc]
     for c in gc:
         gv, ev = list(got[c]), list(exp[c])
         for i, (a, b) in enumerate(zip(gv, ev)):
             if not eq(a, b):
                 return False, (f"col {c} row {i}: spark={a!r} oracle={b!r}"
-                               f" (types {type(a).__name__}/{type(b).__name__})")
-    return True, ""
+                               f" (types {type(a).__name__}/{type(b).__name__})"), "hash"
+    return True, "", ""
 
 def eq(a, b):
     import numpy as np
