@@ -80,7 +80,14 @@ object Bench {
     // deterministic CI certification, but the artifact must also carry
     // the COLD certification cost (round-13 verdict #5). Rep 1 is the
     // first run of the key in this session = the cold cost; recorded
-    // separately as "cold_s" so the line self-describes.
+    // separately as "cold_s" so the line self-describes. Since round 15
+    // the certification also persists per (dataset, build fingerprint)
+    // across PROCESSES (TpchSqlParity.persist): if an earlier JVM of
+    // the SAME build already certified this dataset, rep 1 here is a
+    // cache read and cold_s records that — the true cold cost is paid
+    // exactly once per (build, dataset), by whichever process ran
+    // first. Any rebuild voids the cache, so cold_s after a code change
+    // is always a real certification.
     var parityColdS = -1.0
     for (rep <- 1 to reps; (name, fn) <- keys) {
       val t0 = System.nanoTime()

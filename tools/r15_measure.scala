@@ -1,9 +1,9 @@
 // Round-15 rows: (1) dedup_semantic_scaled after the two-level routing
-// (verdict task #1 — the centx cold row must show the 2n√c assign, not
-// the flat n·c), (2) sim_ann_ivf2_capped decade rows (task #2 — the cap
+// (verdict task #1 - the centx cold row must show the 2nsqrtc assign, not
+// the flat n*c), (2) sim_ann_ivf2_capped decade rows (task #2 - the cap
 // BINDS at centx: c_eff = 512 vs uncapped 1000; cold must scale LINEAR),
-// (3) stream_ann_upsert steady state (task #4 — 1 cold + 5 warm reps
-// over the landed staging; warm variance must sit < 2×).
+// (3) stream_ann_upsert steady state (task #4 - 1 cold + 5 warm reps
+// over the landed staging; warm variance must sit < 2x).
 // Ordering is the attribution: dedup_semantic_scaled runs FIRST per dir
 // so its cold pays the shared scaled model + ivfdell landing; ivf2 then
 // measures the amortized consumer; capped builds its own model + lists.
@@ -45,7 +45,7 @@ for ((tag, dir) <- dirs; k <- keys) m(k, tag, dir)
 
 // stream_ann_upsert steady state: rep-1 stages the increment files +
 // trains the base model (cold); reps 2..6 re-run the 4-microbatch
-// checkpointed stream over the LANDED staging — the steady-state the
+// checkpointed stream over the LANDED staging - the steady-state the
 // r14 row could not separate. Print every rep so the variance is the
 // record, not a summary of it.
 for ((tag, dir) <- dirs if tag == "centx") {
