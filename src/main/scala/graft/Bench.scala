@@ -89,6 +89,13 @@ object Bench {
     // first. Any rebuild voids the cache, so cold_s after a code change
     // is always a real certification.
     var parityColdS = -1.0
+    // sampled BEFORE rep 1: whether the parity certification will be a
+    // cross-process cache read rather than a real cold run — emitted as
+    // "cold_cached" so a tiny cold_s can never masquerade as a 500×
+    // plan win (review finding)
+    val parityWasCached =
+      try graft.ops.TpchSqlParity.hasPersistedReport(benchDir)
+      catch { case _: Throwable => false }
     for (rep <- 1 to reps; (name, fn) <- keys) {
       val t0 = System.nanoTime()
       try { fn(spark, benchDir).count() } catch { case _: Throwable => () }
@@ -117,7 +124,8 @@ object Bench {
     // (currently just sql_tpch_parity's rep-1); omitted when the key
     // didn't run (filtered A/B) so the field never carries a bogus -1
     val coldTag = if (parityColdS >= 0)
-      s""","cold_s":{"sql_tpch_parity":${cs(parityColdS)}}""" else ""
+      s""","cold_s":{"sql_tpch_parity":${cs(parityColdS)}},"cold_cached":$parityWasCached"""
+    else ""
     val line = s"""{"metric":"total","value":$total,"unit":"sec","harness":"repeat-and-min-v4-mirror","reps":$reps,"stat":"min"$filteredTag$coldTag,"queries":$qs,"sf":"$sfDir"}"""
     // The "metric" stdout line prints FIRST, the moment it exists:
     // the driver's artifact window lost the line's head in r5 (tail-only

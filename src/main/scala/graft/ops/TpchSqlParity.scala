@@ -62,26 +62,47 @@ object TpchSqlParity {
     * certification, so a stale green from an older build can never
     * satisfy this round's gate. Conservative in the right direction —
     * an unrelated rebuild merely re-pays the ~50 s cold cost once. */
-  private lazy val buildFingerprint: String = {
+  private def hashFiles(md: java.security.MessageDigest,
+      root: java.nio.file.Path): Unit = {
+    val walk = java.nio.file.Files.walk(root)
+    try walk.sorted().forEach { f =>
+      if (java.nio.file.Files.isRegularFile(f))
+        md.update((s"${root.relativize(f)}:${java.nio.file.Files.size(f)}:" +
+          java.nio.file.Files.getLastModifiedTime(f).toMillis).getBytes("UTF-8"))
+    } finally walk.close()
+  }
+
+  /** None when the code source cannot be located (custom classloader) —
+    * the cross-process cache is then disabled entirely: neither read
+    * nor written (an unreadable key must not litter /tmp — review
+    * finding). */
+  private lazy val buildFingerprint: Option[String] =
+    try {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val src = TpchSqlParity.getClass.getProtectionDomain.getCodeSource
+      Option(src).flatMap(cs => Option(cs.getLocation))
+        .map(u => java.nio.file.Paths.get(u.toURI))
+        .map { p =>
+          if (java.nio.file.Files.isDirectory(p)) hashFiles(md, p)
+          else md.update((s"$p:${java.nio.file.Files.size(p)}:" +
+            java.nio.file.Files.getLastModifiedTime(p).toMillis).getBytes("UTF-8"))
+          md.update(org.apache.spark.SPARK_VERSION.getBytes("UTF-8"))
+          md.digest().map("%02x".format(_)).mkString
+        }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** (name, size, mtime) of every parquet file of the certified tables —
+    * a dataset REGENERATED at the same path (same row counts, different
+    * values) must void the cache, since the oracle side of this key only
+    * gates (name, count, true) and would not catch the staleness itself
+    * (review finding). */
+  private def datasetFingerprint(d: String): String = {
     val md = java.security.MessageDigest.getInstance("MD5")
-    def add(s: String): Unit = md.update(s.getBytes("UTF-8"))
-    val src = TpchSqlParity.getClass.getProtectionDomain.getCodeSource
-    val loc = Option(src).flatMap(cs => Option(cs.getLocation))
-      .map(u => java.nio.file.Paths.get(u.toURI))
-    loc match {
-      case Some(p) if java.nio.file.Files.isDirectory(p) =>
-        val walk = java.nio.file.Files.walk(p)
-        try walk.sorted().forEach { f =>
-          if (java.nio.file.Files.isRegularFile(f))
-            add(s"${p.relativize(f)}:${java.nio.file.Files.size(f)}:" +
-              java.nio.file.Files.getLastModifiedTime(f).toMillis)
-        } finally walk.close()
-      case Some(p) =>
-        add(s"$p:${java.nio.file.Files.size(p)}:" +
-          java.nio.file.Files.getLastModifiedTime(p).toMillis)
-      case None => add("no-code-source-" + System.nanoTime()) // never cache
+    val root = java.nio.file.Paths.get(d)
+    TpchTables.foreach { t =>
+      val p = root.resolve(t + ".parquet")
+      if (java.nio.file.Files.exists(p)) hashFiles(md, p)
     }
-    add(org.apache.spark.SPARK_VERSION)
     md.digest().map("%02x".format(_)).mkString
   }
 
@@ -93,16 +114,23 @@ object TpchSqlParity {
     * discipline: not pid-scoped (it IS the inter-process cache), atomic
     * move so a concurrent driver reads whole files or nothing, and any
     * rebuild changes the key. Line format: name\\tcount\\tmatches. */
-  private def parityCachePath(d: String): java.nio.file.Path = {
-    val hex = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"$d\n$buildFingerprint".getBytes("UTF-8"))
-      .map("%02x".format(_)).mkString
-    java.nio.file.Paths.get(sys.props("java.io.tmpdir"), s"graft_parity_$hex.tsv")
-  }
+  private def parityCachePath(d: String): Option[java.nio.file.Path] =
+    buildFingerprint.map { bf =>
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$d\n$bf\n${datasetFingerprint(d)}".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.nio.file.Paths.get(sys.props("java.io.tmpdir"), s"graft_parity_$hex.tsv")
+    }
+
+  /** True when a persisted certification for this (dataset, build, data)
+    * triple exists — Bench marks its cold_s as a cache read with this,
+    * so the artifact self-describes (review finding). */
+  def hasPersistedReport(d: String): Boolean =
+    try readPersisted(d).isDefined
+    catch { case scala.util.control.NonFatal(_) => false }
 
   private def readPersisted(d: String): Option[Seq[(String, Long, Boolean)]] =
-    try {
-      val p = parityCachePath(d)
+    try parityCachePath(d).flatMap { p =>
       if (!java.nio.file.Files.exists(p)) None
       else {
         val rows = scala.jdk.CollectionConverters.ListHasAsScala(
@@ -119,15 +147,22 @@ object TpchSqlParity {
     } catch { case scala.util.control.NonFatal(_) => None }
 
   private def persist(d: String, rows: Seq[(String, Long, Boolean)]): Unit =
-    try {
-      val p = parityCachePath(d)
-      val tmp = java.nio.file.Files.createTempFile(p.getParent, "graft_parity_", ".tmp")
-      java.nio.file.Files.write(tmp, rows.map { case (n, c, m) => s"$n\t$c\t$m" }
-        .mkString("", "\n", "\n").getBytes("UTF-8"))
-      java.nio.file.Files.move(tmp, p,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    } catch { case scala.util.control.NonFatal(_) => () } // cache only
+    parityCachePath(d).foreach { p => // None (no code source) → no write
+      val tmp =
+        try java.nio.file.Files.createTempFile(p.getParent, "graft_parity_", ".tmp")
+        catch { case scala.util.control.NonFatal(_) => return }
+      try {
+        java.nio.file.Files.write(tmp, rows.map { case (n, c, m) => s"$n\t$c\t$m" }
+          .mkString("", "\n", "\n").getBytes("UTF-8"))
+        java.nio.file.Files.move(tmp, p,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      } catch { case scala.util.control.NonFatal(_) => // cache only — but
+        // never leak the temp file into /tmp on a failed move
+        try java.nio.file.Files.deleteIfExists(tmp)
+        catch { case scala.util.control.NonFatal(_) => () }
+      }
+    }
 
   private def parityRows(s: SparkSession, d: String): Seq[(String, Long, Boolean)] = {
     parityCache.keySet.removeIf(k => k._1.sparkContext.isStopped)

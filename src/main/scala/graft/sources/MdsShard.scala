@@ -132,16 +132,19 @@ object MdsShard {
         val off = (0 to n).map(i => readU32(bytes, 4 + 4 * i))
         require(off.head == 4L + 4L * (n + 1),
           s"mds $path: first offset ${off.head} != header length")
+        // ordered BEFORE the file-length equality so a table CLAIMING a
+        // size past the 2 GiB single-buffer bound (the truncated read of
+        // an oversized shard, or a corrupt table) fails naming the REAL
+        // limit rather than a puzzling length mismatch; a genuinely
+        // >2 GiB file never reaches here — binaryFile caps content at
+        // the JVM array bound upstream (review finding: after the
+        // equality require, this check was unreachable)
+        require(off.last <= Int.MaxValue.toLong,
+          s"mds $path: offset table claims ${off.last} bytes — past the 2 GiB single-buffer read limit; split into more shards")
         require(off.last == bytes.length.toLong,
           s"mds $path: last offset ${off.last} != file length ${bytes.length}")
         require(off.zip(off.tail).forall { case (a, b) => a <= b },
           s"mds $path: offset table not monotone")
-        // the seek below indexes a JVM byte array through .toInt — a
-        // shard near the 2 GiB array bound would wrap and surface as an
-        // IndexOutOfBounds; name the real limit instead (a valid-format
-        // shard that is simply too large for one in-memory read)
-        require(off.last <= Int.MaxValue.toLong,
-          s"mds $path: shard ${off.last} bytes exceeds the 2 GiB single-buffer read limit — split into more shards")
         val probe = n / 2
         (0 until n).map { i =>
           val start = off(i).toInt

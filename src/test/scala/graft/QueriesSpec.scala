@@ -44,6 +44,22 @@ class QueriesSpec extends AnyFunSuite {
       "certification over the c_custkey ≤ 2100 slice — the PK-range " +
       "predicate bounds rows at any corpus scale"))
 
+  test("globalWindowAudited entries are live: each names a declared key that still carries an unprovable global window") {
+    // a stale entry would silently whitelist a future unrelated query
+    // reusing the name (review finding) — every audit must stay earned
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    for ((name, why) <- globalWindowAudited) {
+      assert(SparkEntry.queries.contains(name),
+        s"stale audit entry: $name is no longer a declared key — remove it")
+      val n = SparkEntry.queries(name)(spark, d)
+        .queryExecution.optimizedPlan.collect {
+          case w: LWindow if w.partitionSpec.isEmpty && w.child.maxRows.isEmpty => w
+        }.size
+      assert(n > 0, s"stale audit entry: $name no longer carries an " +
+        s"unprovable global window — remove it (was: $why)")
+    }
+  }
+
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
     test(s"query $name executes at sf0.001") {
       val df = fn(spark, d)

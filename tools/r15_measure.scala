@@ -31,12 +31,15 @@ def once(k: String, dir: String): Double = {
   (System.nanoTime() - t0) / 1e9
 }
 
+var nFail = 0
+
 def m(k: String, tag: String, dir: String): Unit = {
   try {
     val cold = once(k, dir)
     val warm = (1 to 3).map(_ => once(k, dir)).min
     println(f"M $k%-22s $tag%-6s cold=$cold%8.2f warm=$warm%8.2f")
   } catch { case e: Throwable =>
+    nFail += 1
     println("FAIL " + k + " " + tag + ": " + e.getMessage.take(200))
   }
 }
@@ -56,8 +59,12 @@ for ((tag, dir) <- dirs if tag == "centx") {
       reps.map(r => f"$r%.2f").mkString(",") +
       f" min=${reps.min}%.2f max=${reps.max}%.2f ratio=${reps.max / reps.min}%.2f")
   } catch { case e: Throwable =>
+    nFail += 1
     println("FAIL stream_ann_upsert " + tag + ": " + e.getMessage.take(200))
   }
 }
-println("DONE r15")
-sys.exit(0)
+// exit 1 on any failed measurement so a chained caller cannot record
+// the round's decade rows as collected when they were not (review
+// finding: the script always exited 0)
+println(if (nFail == 0) "DONE r15" else s"DONE r15 with $nFail FAILURES")
+sys.exit(if (nFail == 0) 0 else 1)

@@ -29,8 +29,16 @@ def main():
     json_out = None
     if "--json" in argv:
         i = argv.index("--json")
+        if i + 1 >= len(argv):
+            print("usage: verify_local.py <sfDir> <outDir> [--json FILE] [query ...]",
+                  file=sys.stderr)
+            sys.exit(2)
         json_out = argv[i + 1]
         argv = argv[:i] + argv[i + 2:]
+    if len(argv) < 2:
+        print("usage: verify_local.py <sfDir> <outDir> [--json FILE] [query ...]",
+              file=sys.stderr)
+        sys.exit(2)
     sf_dir, out_dir = argv[0], argv[1]
     only = set(argv[2:])
     con = duckdb.connect()
@@ -105,7 +113,16 @@ def main():
             n_pass += 1
         else:
             print(f"FAIL {name}: {msg}")
-            rec(name, dim != "rows", dim != "schema", False, msg)
+            # record only what was actually verified: the comparator stops
+            # at the first failing dimension, so later dimensions are
+            # UNKNOWN (null), never implied passes (review finding — the
+            # earlier record claimed rows_match true on a schema failure)
+            if dim == "schema":
+                rec(name, None, False, None, msg)
+            elif dim == "rows":
+                rec(name, False, True, None, msg)
+            else:
+                rec(name, True, True, False, msg)
             n_fail += 1
     print(f"== {n_pass} pass, {n_fail} fail, {n_skip} no-oracle ==")
     if json_out:
