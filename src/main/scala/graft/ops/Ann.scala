@@ -830,36 +830,67 @@ object Ann {
     * partition — one build, every consumer. The oracle routes
     * identically (`twoLevelAfCtes`); the fixed-c twin keeps the flat
     * exact assignment as the local semantics audit. */
+  /** The per-cluster accounting CTEs appended after a model prefix's
+    * `af` — shared text for every SemDeDup gate, so the three keys
+    * (fixed-c / scaled / capped) differ ONLY in the prefix. */
+  private def semanticDedupOracleBody: String =
+    """m AS (
+      |  SELECT af.cid, v.vec_id, v.ve, v.nrm FROM af JOIN v USING (vec_id)
+      |), pairs AS (
+      |  SELECT x.cid, x.vec_id AS i, y.vec_id AS j
+      |  FROM m x JOIN m y ON x.cid = y.cid AND x.vec_id < y.vec_id
+      |  WHERE list_dot_product(x.ve, y.ve) / (x.nrm * y.nrm) >= 0.5
+      |), drp AS (
+      |  SELECT cid, CAST(count(*) AS BIGINT) AS n_pairs,
+      |         CAST(count(DISTINCT j) AS BIGINT) AS n_dropped
+      |  FROM pairs GROUP BY cid
+      |), sz AS (
+      |  SELECT cid, CAST(count(*) AS BIGINT) AS n_vecs FROM m GROUP BY cid
+      |)
+      |SELECT sz.cid, sz.n_vecs,
+      |       CAST(coalesce(drp.n_pairs, 0) AS BIGINT) AS n_pairs,
+      |       CAST(coalesce(drp.n_dropped, 0) AS BIGINT) AS n_dropped,
+      |       CAST(sz.n_vecs - coalesce(drp.n_dropped, 0) AS BIGINT) AS n_kept
+      |FROM sz LEFT JOIN drp USING (cid)
+      |ORDER BY sz.cid""".stripMargin
+
+  /** SemDeDup membership from a landed (vec_id, bucket) lists relation:
+    * the skinny index joined back to the vectors on vec_id (lists carry
+    * no ve/nrm by design). */
+  private def semanticDedupFromLists(lists: DataFrame, v: DataFrame): DataFrame =
+    semanticDedupReportOf(lists.join(v, Seq("vec_id"))
+      .select(col("bucket").as("cid"), col("vec_id"), col("ve"), col("nrm")))
+
   val dedupSemanticScaled = QueryDef(
     "dedup_semantic_scaled",
     s"""$kmeansOraclePrefixScaled2,
-       |m AS (
-       |  SELECT af.cid, v.vec_id, v.ve, v.nrm FROM af JOIN v USING (vec_id)
-       |), pairs AS (
-       |  SELECT x.cid, x.vec_id AS i, y.vec_id AS j
-       |  FROM m x JOIN m y ON x.cid = y.cid AND x.vec_id < y.vec_id
-       |  WHERE list_dot_product(x.ve, y.ve) / (x.nrm * y.nrm) >= 0.5
-       |), drp AS (
-       |  SELECT cid, CAST(count(*) AS BIGINT) AS n_pairs,
-       |         CAST(count(DISTINCT j) AS BIGINT) AS n_dropped
-       |  FROM pairs GROUP BY cid
-       |), sz AS (
-       |  SELECT cid, CAST(count(*) AS BIGINT) AS n_vecs FROM m GROUP BY cid
-       |)
-       |SELECT sz.cid, sz.n_vecs,
-       |       CAST(coalesce(drp.n_pairs, 0) AS BIGINT) AS n_pairs,
-       |       CAST(coalesce(drp.n_dropped, 0) AS BIGINT) AS n_dropped,
-       |       CAST(sz.n_vecs - coalesce(drp.n_dropped, 0) AS BIGINT) AS n_kept
-       |FROM sz LEFT JOIN drp USING (cid)
-       |ORDER BY sz.cid""".stripMargin) { (s, d) =>
+       |$semanticDedupOracleBody""".stripMargin) { (s, d) =>
     val v = prep(Tables.embeddings(s, d))
     // model forced OUTSIDE the Landed closure (non-reentrancy), then
-    // membership = the shared landed serving lists joined back to the
-    // vectors on vec_id (skinny lists carry no ve/nrm by design)
+    // membership = the shared landed serving lists
     val cents = cachedKmeansCentsScaled(s, d)
-    val lists = servingLists(s, d, v, cents)
-    semanticDedupReportOf(lists.join(v, Seq("vec_id"))
-      .select(col("bucket").as("cid"), col("vec_id"), col("ve"), col("nrm")))
+    semanticDedupFromLists(servingLists(s, d, v, cents), v)
+  }
+
+  /** SEMANTIC DEDUP UNDER THE CAPPED PRODUCTION MODEL (round 15) — the
+    * second consumer class of the capped build (`sim_ann_ivf2_capped`
+    * is the serving one): at true corpus scale SemDeDup itself runs
+    * under the capped cluster budget (its published deploy uses ~10⁵
+    * clusters for 10⁹ docs — a CAP, not c ∝ n forever), so the dedup
+    * gate must exist for the model production actually trains. Same
+    * accounting kernel and oracle body as the scaled twin; only the
+    * model prefix (and its landed lists artifact) differ. Where the cap
+    * is non-binding the report coincides with the scaled one by
+    * construction; at the 100× fixture the cap binds (c_eff = 512) and
+    * the tiles widen to n/c_eff ≈ 390 — the cap trades per-tile width
+    * for a bounded model, the documented production tradeoff. */
+  val dedupSemanticCapped = QueryDef(
+    "dedup_semantic_capped",
+    s"""$kmeansOraclePrefixCapped2,
+       |$semanticDedupOracleBody""".stripMargin) { (s, d) =>
+    val v = prep(Tables.embeddings(s, d))
+    val cents = cachedKmeansCentsCapped(s, d)
+    semanticDedupFromLists(cappedServingLists(s, d, v, cents), v)
   }
 
   /** Int8 scalar quantization of the embedding table — the memory-scale
@@ -2652,6 +2683,14 @@ object Ann {
       cents: DataFrame): DataFrame =
     Landed.once(s, d, "ivfdell") { twoLevelAssign(v, cents) }
 
+  /** The capped model's landed lists — ONE builder for both capped
+    * consumers (`sim_ann_ivf2_capped`, `dedup_semantic_capped`), the
+    * servingLists discipline under the production model. Separate tag:
+    * a different model must never alias the scaled artifact. */
+  private def cappedServingLists(s: SparkSession, d: String, v: DataFrame,
+      cents: DataFrame): DataFrame =
+    Landed.once(s, d, "ivfdellcap") { twoLevelAssign(v, cents) }
+
   /** TWO-LEVEL IVF BUILD (round 14 — clears the last named superlinear
     * build in the family): the serving-index lists (`ivfdell`, the
     * artifact `sim_ann_delete`/`sim_ann_filtered`/`sim_ann_rebalance`
@@ -2756,9 +2795,7 @@ object Ann {
        |$ivf2OracleBody""".stripMargin) { (s, d) =>
     val v = prep(Tables.embeddings(s, d))
     val cents = cachedKmeansCentsCapped(s, d)
-    ivf2Report(v, cents, Landed.once(s, d, "ivfdellcap") {
-      twoLevelAssign(v, cents)
-    })
+    ivf2Report(v, cents, cappedServingLists(s, d, v, cents))
   }
 
   /** ANN INDEX DELETION + COMPACTION (round 14 — completes the index
@@ -3394,6 +3431,7 @@ object Ann {
   val all: Seq[QueryDef] = Seq(simAnnIvf, dedupEmbedLsh, simAnnKmeans, simQuantize, simAnnRecall,
     simAnnPq, simAnnKmeansRecall, simAnnPqRecall, dedupEmbedLshRecall, simPcaPower,
     simAnnIvfPq, simAnnNprobeCurve, dedupSemantic, dedupSemanticScaled,
+    dedupSemanticCapped,
     simAnnHnsw, simAnnGraphBuild, simAnnBeamCurve, alignBitextMine,
     alignBitextKnn, simAnnUpsert, streamAnnUpsert, simAnnIvf2, simAnnIvf2Capped,
     simAnnDelete, simAnnFiltered, simAnnRebalance, sampleKcenter, pipelineRag,
