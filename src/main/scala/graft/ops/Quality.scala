@@ -324,16 +324,34 @@ object Quality {
         cols: Seq[(String, Column, String)]): DataFrame = {
       // kind: "num" | "str" | "ts" — decides which min/max slot is
       // populated in the long-format row.
+      //
+      // The string min/max aggregates ride in their OWN no-grouping pass,
+      // cross-joined back onto the single stats row (both sides are
+      // exactly 1 row). Round-15 measurement: a min/max over a STRING
+      // column carries an immutable (variable-length) aggregation buffer,
+      // which forces the WHOLE multi-distinct aggregate — including the
+      // Expand×(n_cols+1) first level that computes the exact NDVs — into
+      // SortAggregate, i.e. a full sort of corpus×(n_cols+1) expanded
+      // rows on a 7-column key. Splitting them keeps the heavy Expand
+      // pass hash-based (mutable long/double buffers only) and the extra
+      // pass is a column-pruned scan of just the string columns with a
+      // 1-row result — cheaper at any scale than sorting the expanded
+      // corpus. Same aggregates, same values, bit-identical report.
       val aggs = cols.zipWithIndex.flatMap { case ((_, c, kind), i) =>
         Seq(nNull(c).as(s"nn_$i"), countDistinct(c).as(s"nd_$i")) ++
           (kind match {
             case "num" => Seq(min(c).cast("double").as(s"mn_$i"),
               max(c).cast("double").as(s"mx_$i"))
-            case "str" => Seq(min(c).as(s"mns_$i"), max(c).as(s"mxs_$i"))
             case _     => Seq.empty
           })
       }
-      val one = df.agg(count(lit(1)).as("n_rows"), aggs: _*)
+      val strAggs = cols.zipWithIndex.collect { case ((_, c, "str"), i) =>
+        Seq(min(c).as(s"mns_$i"), max(c).as(s"mxs_$i"))
+      }.flatten
+      val main = df.agg(count(lit(1)).as("n_rows"), aggs: _*)
+      val one =
+        if (strAggs.isEmpty) main
+        else main.crossJoin(broadcast(df.agg(strAggs.head, strAggs.tail: _*)))
       val rows = cols.zipWithIndex.map { case ((name, _, kind), i) =>
         struct(
           lit(tbl).as("tbl"), lit(name).as("col_name"), col("n_rows"),

@@ -465,11 +465,31 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
 
-  test("maintenance_analyze: ONE orders scan feeds all column stats (multi-distinct Expand)") {
+  test("maintenance_analyze: two orders scans — wide NDV pass + pruned string pass — and the NDV Expand stays hash-based") {
     val p = plan(graft.ops.Scale.maintenanceAnalyze)
-    assert("Scan parquet".r.findAllIn(p).length == 1,
+    // exactly 2 scans: the multi-distinct Expand pass over all profiled
+    // columns, plus the split-out string min/max pass (a string min/max
+    // buffer is immutable and would force the WHOLE Expand aggregate into
+    // SortAggregate — a full sort of corpus×6 expanded rows)
+    assert("Scan parquet".r.findAllIn(p).length == 2,
       s"ANALYZE re-scans the table per column:\n$p")
     assert(p.contains("Expand"), s"multi-distinct lost its Expand shape:\n$p")
+    // the point of the split: the aggregate consuming Expand must be a
+    // HashAggregate (the zero-key string pass may legitimately plan as a
+    // sortless SortAggregate — only the Expand consumer is corpus×6-sized)
+    assertExpandFeedsHashAggregate(p)
+  }
+
+  /** In a formatted plan tree, every `Expand` node's PARENT line must be a
+    * HashAggregate — a SortAggregate there means an immutable (string)
+    * aggregation buffer demoted the whole multi-distinct pass to a full
+    * sort of the expanded corpus. */
+  private def assertExpandFeedsHashAggregate(p: String): Unit = {
+    val tree = p.linesIterator.takeWhile(!_.startsWith("(")).toIndexedSeq
+    tree.zipWithIndex.filter(_._1.contains("Expand")).foreach { case (_, i) =>
+      assert(i > 0 && tree(i - 1).contains("HashAggregate"),
+        s"Expand consumer is not a HashAggregate (string buffer in the multi-distinct agg?):\n$p")
+    }
   }
 
   test("sketch merges (hll_merge, bitmap_distinct) aggregate in combinable phases, no cartesian") {
@@ -541,10 +561,13 @@ class PlanSpec extends AnyFunSuite {
       s"heavy-hitter gate formed pairs:\n$p")
   }
 
-  test("quality_profile: every column's statistics ride ONE aggregate pass per table") {
+  test("quality_profile: one wide NDV pass + one pruned string pass per table, Expand stays hash-based") {
     val p = plan(graft.ops.Quality.qualityProfile)
-    assert("Scan parquet".r.findAllIn(p).length == 2,
+    // 2 tables × (multi-distinct Expand pass + split-out string min/max
+    // pass) = 4 scans; anything more means a per-column re-scan crept in
+    assert("Scan parquet".r.findAllIn(p).length == 4,
       s"per-column profiling re-scanned a table:\n$p")
+    assertExpandFeedsHashAggregate(p)
   }
 
   test("tpch q2/q9/q11/q20: keyed joins only; q20's gate is a semi-join chain; q2 pushes the part filters") {
