@@ -36,7 +36,11 @@ object Bench {
         import java.nio.file.{Files, Paths}
         val hex = java.security.MessageDigest.getInstance("MD5")
           .digest(sfDir.getBytes("UTF-8")).map("%02x".format(_)).mkString
-        val root = s"/tmp/graft_bench_mirror_$hex"
+        // layout version in the root: _MIRROR_READY persists across
+        // processes, so a split-rule change must land in a FRESH root —
+        // otherwise a host that ever built the old layout silently
+        // benches against it forever
+        val root = s"/tmp/graft_bench_mirror_v5_$hex"
         val ready = Paths.get(root, "_MIRROR_READY")
         if (!Files.exists(ready)) {
           for (t <- Tables.all) {
@@ -46,7 +50,22 @@ object Bench {
               // nanosAsLong conf and is written back as plain BIGINT —
               // Tables.events normalizes either layout identically.
               val df = spark.read.parquet(src.toString)
-              val splits = if (Files.size(src) >= (4L << 20)) 32 else 1
+              // v5 (round 15): per-table split counts, A/B-measured
+              // (min-of-3, interleaved, one session per comparison).
+              // The v4 byte threshold (≥4 MB → 32) split only lineitem;
+              // documents' per-row compute (shingle explodes, per-token
+              // md5) dwarfs its 600 KB, so every text key's heavy stage
+              // ran on ONE core (measured: agg_sketch_cms 0.92 → 0.41 s,
+              // text_span_dedup 0.84 → 0.43, sample_dsir 1.13 → 0.59 at
+              // 8 splits). A uniform 32 regressed broadly (+34 s suite):
+              // 60-row parquet files pay open/footer cost on every scan
+              // of the many-scan keys. events/orders carry moderate
+              // per-row work (wide 32 was -0.4 s/key, 4 is neutral-to-
+              // positive); embeddings (2,000 rows) never benefits from
+              // splitting — its kernels are dot-product-bound, not
+              // scan-bound. Dims stay 1 file.
+              val splits = Map("lineitem" -> 32, "documents" -> 8,
+                "events" -> 4, "orders" -> 4).getOrElse(t, 1)
               df.repartition(splits).write.mode("overwrite")
                 .parquet(s"$root/$t.parquet")
             }
@@ -126,7 +145,7 @@ object Bench {
     val coldTag = if (parityColdS >= 0)
       s""","cold_s":{"sql_tpch_parity":${cs(parityColdS)}},"cold_cached":$parityWasCached"""
     else ""
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","harness":"repeat-and-min-v4-mirror","reps":$reps,"stat":"min"$filteredTag$coldTag,"queries":$qs,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","harness":"repeat-and-min-v5-mirror","reps":$reps,"stat":"min"$filteredTag$coldTag,"queries":$qs,"sf":"$sfDir"}"""
     // The "metric" stdout line prints FIRST, the moment it exists:
     // the driver's artifact window lost the line's head in r5 (tail-only
     // capture) and its tail in r7 — printing the line before any other
@@ -171,7 +190,7 @@ object Bench {
     // it whole; the full per-query map lives in BENCH.json and the long
     // line. Flushed so the final line cannot be lost to stream
     // buffering when the driver kills the process at exit.
-    println(s"""{"metric":"total","compact":true,"value":$total,"unit":"sec","n":${keys.size},"harness":"repeat-and-min-v4-mirror","reps":$reps,"stat":"min"$filteredTag$coldTag,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","compact":true,"value":$total,"unit":"sec","n":${keys.size},"harness":"repeat-and-min-v5-mirror","reps":$reps,"stat":"min"$filteredTag$coldTag,"sf":"$sfDir"}""")
     System.out.flush()
   }
 }

@@ -459,6 +459,14 @@ object Formats {
     val cutoff = java.time.LocalDate.parse("2024-01-15")
     graft.Tables.events(s, d)
       .select(col("event_id"), col("value"), to_date(col("ts")).as("day"))
+      // cluster by the partition column before the partitioned write
+      // (guide §6 / Iceberg hash distribution-mode): without this every
+      // input split writes its own file into EVERY day directory —
+      // splits × days tiny files (measured 32 × ~30 ≈ 900 files per run
+      // on the 32-split bench mirror, +2.3 s) — where one shuffle of the
+      // skinny (id, value, day) rows yields one well-sized file per day
+      // at any input layout
+      .repartition(col("day"))
       .write.mode("overwrite").partitionBy("day").parquet(root + "/t")
     // the enforcement pass: drop expired partition DIRECTORIES — a
     // metadata-level operation, no data rewrite, no executor involvement.

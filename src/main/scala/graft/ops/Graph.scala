@@ -231,7 +231,15 @@ object Graph {
     * orientation) and `trianglesPlan` (parquet-landed orientation) so the
     * two paths cannot drift if the tie-break rule changes. */
   def wedgeTriangles(ed: DataFrame): DataFrame = {
-    val a = ed.select(col("x"), col("y").as("y1"), col("yd").as("yd1"))
+    // the probe side re-spreads to the session's parallelism: the landed
+    // oriented relation is ONE sub-split parquet file locally, and both
+    // wedge joins broadcast — so without this the entire wedge
+    // generation + closure (the quadratic part of the key) inherits a
+    // single-task stage (round-15 measurement: 2.2 s on one core, the
+    // whole key's cost). At 100 TB the edge relation is many splits and
+    // the repartition is dropped, not tuned — the cdcChunks discipline.
+    val a = ed.repartition(ed.sparkSession.sparkContext.defaultParallelism)
+      .select(col("x"), col("y").as("y1"), col("yd").as("yd1"))
     val b = ed.select(col("x"), col("y").as("y2"), col("yd").as("yd2"))
     val c = ed.select(col("x").as("cx"), col("y").as("cy"))
     a.join(b, Seq("x"))

@@ -19,7 +19,7 @@ import java.nio.file.{Files, Paths}
 val keys = sys.props.getOrElse("graft.probe.keys", "").split(",").map(_.trim).filter(_.nonEmpty)
 val tag = sys.props.getOrElse("graft.probe.tag", "before")
 val dir = sys.props.getOrElse("graft.probe.dir",
-  "/tmp/graft_bench_mirror_" + java.security.MessageDigest.getInstance("MD5")
+  "/tmp/graft_bench_mirror_v5_" + java.security.MessageDigest.getInstance("MD5")
     .digest("/root/testdata/sf0.1".getBytes("UTF-8")).map("%02x".format(_)).mkString)
 val outDir = Paths.get("plans/r15")
 Files.createDirectories(outDir)
