@@ -8,6 +8,18 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // AQE coalescing floor (round 15, measured): the 1 MB default is
+      // sized for IO-bound work; this suite's pair kernels (shingle
+      // joins, LSH refilters, vector tiles) pack ~0.5-1 s of CPU into
+      // 1 MB of compressed shuffle bytes, so the default coalesced the
+      // hot stages of dedup_minhash / dedup_embed_lsh(_recall) /
+      // sim_knn / event_concurrency onto 1-2 of the session's cores
+      // (A/B min-of-3: 2.09→1.73, 1.13→0.75, 1.77→1.18, 0.70→0.54,
+      // 1.01→0.60 s). At production scale post-shuffle partitions are
+      // far above any floor, so the setting is inert there — the env
+      // override keeps the default-1m production behavior reachable.
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("SPARK_GRAFT_AQE_MIN_PARTITION", "128k"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")

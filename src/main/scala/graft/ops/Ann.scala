@@ -1868,15 +1868,28 @@ object Ann {
     val q = broadcast(v.filter(col("vec_id").isin(qids: _*))
       .select(col("vec_id").as("qid"), col("ve").as("qve"),
         col("nrm").as("qnrm")))
+    // Per-round prune as ONE bounded aggregation (round 15): the
+    // previous form was distinct() THEN a (qid)-window rank — two
+    // exchanges of the candidate relation per round. Candidates per
+    // query are ≤ beamW·(M+1) at ANY corpus size (the beam-search
+    // invariant), so a per-qid collect_set of (−c, vec_id) structs,
+    // sorted and sliced, computes the identical top-beamW in one
+    // exchange: set-dedup replaces distinct (duplicate candidates score
+    // identically — same codegen dot on the same rows), and the struct
+    // sort (−c asc, vec_id asc) replays the window's (c desc, vec_id)
+    // total order exactly, −0.0/0.0 included (both orders are
+    // java.lang.Double.compare on the same values).
     def score(cand: DataFrame, limit: Int, exclSelf: Boolean) = {
-      val rnW = Window.partitionBy("qid").orderBy(col("c").desc, col("vec_id"))
       val scored = cand.join(v, Seq("vec_id")).join(q, Seq("qid"))
         .select(col("qid"), col("vec_id"),
           round(Similarity.dot(col("qve"), col("ve")) /
             (col("qnrm") * col("nrm")), 4).as("c"))
       (if (exclSelf) scored.filter(col("vec_id") =!= col("qid")) else scored)
-        .withColumn("rn", row_number().over(rnW)).filter(col("rn") <= limit)
-        .select("qid", "vec_id")
+        .groupBy("qid")
+        .agg(slice(sort_array(collect_set(
+          struct((-col("c")).as("nc"), col("vec_id")))), 1, limit).as("top"))
+        .select(col("qid"), explode(col("top")).as("t"))
+        .select(col("qid"), col("t.vec_id").as("vec_id"))
     }
     // deterministic entry points: the entryN lowest vector ids (the
     // centroid-seed convention) paired with every query
@@ -1886,7 +1899,7 @@ object Ann {
       beam = score(
         beam.unionByName(
           knn.join(broadcast(beam.withColumnRenamed("vec_id", "i")), Seq("i"))
-            .select(col("qid"), col("j").as("vec_id"))).distinct(),
+            .select(col("qid"), col("j").as("vec_id"))),
         beamW, exclSelf = false)
     score(beam, k, exclSelf = true)
   }
@@ -2434,15 +2447,22 @@ object Ann {
       .select(col("vec_id").as("qid"), col("ve").as("qve"),
         col("nrm").as("qnrm")))
     val entry = v.orderBy("vec_id").limit(8).select("vec_id")
-    def score(cand: DataFrame, exclSelf: Boolean): DataFrame = {
-      val rnW = Window.partitionBy("beam_w", "qid")
-        .orderBy(col("c").desc, col("vec_id"))
+    // one-exchange per-round prune (beamSearchTopK's round-15 form,
+    // with the limit a per-row COLUMN — each width tag keeps its own
+    // beam_w candidates out of one shared aggregation)
+    def score(cand: DataFrame, limit: org.apache.spark.sql.Column,
+        exclSelf: Boolean): DataFrame = {
       val scored = cand.join(v, Seq("vec_id")).join(q, Seq("qid"))
         .select(col("beam_w"), col("qid"), col("vec_id"),
           round(Similarity.dot(col("qve"), col("ve")) /
             (col("qnrm") * col("nrm")), 4).as("c"))
       (if (exclSelf) scored.filter(col("vec_id") =!= col("qid")) else scored)
-        .withColumn("rn", row_number().over(rnW))
+        .groupBy("beam_w", "qid")
+        .agg(sort_array(collect_set(
+          struct((-col("c")).as("nc"), col("vec_id")))).as("topAll"))
+        .select(col("beam_w"), col("qid"),
+          explode(slice(col("topAll"), lit(1), limit)).as("t"))
+        .select(col("beam_w"), col("qid"), col("t.vec_id").as("vec_id"))
     }
     var beam = Seq(4, 8, 16).map(w =>
         q.select(lit(w.toLong).as("beam_w"), col("qid")).crossJoin(entry))
@@ -2451,13 +2471,9 @@ object Ann {
       beam = score(
         beam.unionByName(
           g.join(broadcast(beam.withColumnRenamed("vec_id", "i")), Seq("i"))
-            .select(col("beam_w"), col("qid"), col("j").as("vec_id")))
-          .distinct(),
-        exclSelf = false)
-        .filter(col("rn") <= col("beam_w"))
-        .select("beam_w", "qid", "vec_id")
-    val top = score(beam, exclSelf = true).filter(col("rn") <= 10)
-      .select("beam_w", "qid", "vec_id")
+            .select(col("beam_w"), col("qid"), col("j").as("vec_id"))),
+        limit = col("beam_w").cast("int"), exclSelf = false)
+    val top = score(beam, limit = lit(10), exclSelf = true)
     top.join(exactTopK(v, qids, k = 10), Seq("qid", "vec_id"))
       .groupBy("beam_w", "qid")
       .agg(count(lit(1)).as("n_overlap"),
