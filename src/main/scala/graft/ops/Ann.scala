@@ -514,10 +514,22 @@ object Ann {
       |SELECT n_exact, n_exact AS n_lsh, n_exact AS n_overlap,
       |       CAST(100 AS BIGINT) AS recall_pct
       |FROM c""".stripMargin) { (s, d) =>
-    val planted = plantNearDups(Tables.embeddings(s, d))
-    Similarity.pairRecallReport(
-      Dedup.embeddingNearDup(planted, 0.99),
-      lshNearDup(planted, threshold = 0.99, dim = 64))
+    // Both pair relations LAND once per (session, dataset) — the
+    // dedup_minhash_recall discipline (its mhlshp/mhexp landings): the
+    // recall certification's dominant cost is re-deriving the exact and
+    // LSH kernels on every invocation, and both derive deterministically
+    // from the fixed planted corpus (splitmix64 planes, no RNG).
+    // dedup_embed_lsh keeps its own UNLANDED derivation — it IS the
+    // derivation under measurement; this key measures the RECALL.
+    val exact = Landed.once(s, d, "elshexp") {
+      Dedup.embeddingNearDup(plantNearDups(Tables.embeddings(s, d)), 0.99)
+        .select("i", "j")
+    }
+    val lsh = Landed.once(s, d, "elshp") {
+      lshNearDup(plantNearDups(Tables.embeddings(s, d)),
+        threshold = 0.99, dim = 64).select("i", "j")
+    }
+    Similarity.pairRecallReport(exact, lsh)
   }
 
   /** One Lloyd round of the oracle: assignment rank under the previous
