@@ -8,18 +8,18 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      // AQE coalescing floor (round 15, measured): the 1 MB default is
-      // sized for IO-bound work; this suite's pair kernels (shingle
-      // joins, LSH refilters, vector tiles) pack ~0.5-1 s of CPU into
-      // 1 MB of compressed shuffle bytes, so the default coalesced the
-      // hot stages of dedup_minhash / dedup_embed_lsh(_recall) /
-      // sim_knn / event_concurrency onto 1-2 of the session's cores
-      // (A/B min-of-3: 2.09→1.73, 1.13→0.75, 1.77→1.18, 0.70→0.54,
-      // 1.01→0.60 s). At production scale post-shuffle partitions are
-      // far above any floor, so the setting is inert there — the env
-      // override keeps the default-1m production behavior reachable.
+      // AQE coalescing floor, env-overridable; DEFAULT = Spark's 1m.
+      // Round 15 measured a 128k floor both ways: dedicated probe
+      // sessions showed the 1 MB default coalescing CPU-dense pair
+      // kernels (LSH refilters, shingle joins) onto 1-2 cores, with
+      // per-key min-of-3 wins up to 2× — but in the INTERLEAVED
+      // full-suite bench the same floor was a wash (median per-key
+      // delta 0.00 over the 319 untouched keys, 11 wins / 8 losses
+      // beyond ±0.15 s), so the local-only tuning does not ship as a
+      // default. The knob stays for floor experiments; at production
+      // scale post-shuffle partitions exceed any floor and it is inert.
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
-        sys.env.getOrElse("SPARK_GRAFT_AQE_MIN_PARTITION", "128k"))
+        sys.env.getOrElse("SPARK_GRAFT_AQE_MIN_PARTITION", "1m"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
