@@ -55,6 +55,16 @@ object Bench {
         val root = s"/tmp/graft_bench_mirror_v5_$hex"
         val ready = Paths.get(root, "_MIRROR_READY")
         if (!Files.exists(ready)) {
+          // building a fresh layout: delete every OTHER mirror root
+          // (prior layout versions, prior fixture dirs) so orphaned
+          // full-dataset copies don't accumulate in /tmp across layout
+          // bumps (round-15 advice). Best-effort — a failure here can
+          // only leave the nuisance it was cleaning.
+          Option(new java.io.File("/tmp").listFiles()).toSeq.flatten
+            .filter(f => f.getName.startsWith("graft_bench_mirror_") &&
+              f.getPath != root)
+            .foreach(f => try graft.ops.Staging.deleteTree(f.getPath)
+              catch { case _: Throwable => () })
           for (t <- Tables.all) {
             val src = Paths.get(s"$sfDir/$t.parquet")
             if (Files.exists(src)) {
@@ -119,7 +129,6 @@ object Bench {
     // exactly once per (build, dataset), by whichever process ran
     // first. Any rebuild voids the cache, so cold_s after a code change
     // is always a real certification.
-    var parityColdS = -1.0
     // sampled BEFORE rep 1: whether the parity certification will be a
     // cross-process cache read rather than a real cold run — emitted as
     // "cold_cached" so a tiny cold_s can never masquerade as a 500×
@@ -127,11 +136,20 @@ object Bench {
     val parityWasCached =
       try graft.ops.TpchSqlParity.hasPersistedReport(benchDir)
       catch { case _: Throwable => false }
+    // GENERALIZED cold_s (round 16, r15 verdict #1): rep-1 wall time is
+    // recorded for EVERY key whose first invocation performed session-
+    // scoped one-time work (Landed.once landings, bucketed catalog
+    // tables, vocab/index/parity memos — each bumps ColdWork when it
+    // actually computes). min-of-reps stays the plan-cost stat, but the
+    // amortized work now always appears in the artifact instead of
+    // vanishing behind warm reps (the dedup_embed_lsh_recall finding).
+    val coldS = scala.collection.mutable.LinkedHashMap[String, Double]()
     for (rep <- 1 to reps; (name, fn) <- keys) {
+      val c0 = graft.ops.ColdWork.count
       val t0 = System.nanoTime()
       try { fn(spark, benchDir).count() } catch { case _: Throwable => () }
       val dt = (System.nanoTime() - t0) / 1e9
-      if (rep == 1 && name == "sql_tpch_parity") parityColdS = dt
+      if (rep == 1 && graft.ops.ColdWork.count != c0) coldS(name) = dt
       if (dt < best.getOrElse(name, Double.MaxValue)) best(name) = dt
     }
     val results = keys.map { case (name, _) => name -> best(name) }
@@ -151,13 +169,27 @@ object Bench {
     // a filtered A/B run marks itself in the JSON so a partial-suite
     // total can never masquerade as a full-suite artifact
     val filteredTag = if (only.isDefined) s""","filtered":${keys.size}""" else ""
-    // cold_s: cold-certification costs that the min-of-3 stat hides
-    // (currently just sql_tpch_parity's rep-1); omitted when the key
-    // didn't run (filtered A/B) so the field never carries a bogus -1
-    val coldTag = if (parityColdS >= 0)
-      s""","cold_s":{"sql_tpch_parity":${cs(parityColdS)}},"cold_cached":$parityWasCached"""
+    // cold_s: every rep-1 wall time that covered disclosed one-time work
+    // (see the ColdWork note above) — the full map rides the long line
+    // and BENCH.json; "cold_cached" qualifies sql_tpch_parity's entry
+    // (cross-process persisted read vs real certification)
+    val coldTag = if (coldS.nonEmpty)
+      s""","cold_s":${coldS.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"\"" + k + "\":" + cs(v) }
+        .mkString("{", ",", "}")},"cold_cached":$parityWasCached"""
     else ""
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","harness":"repeat-and-min-v5-mirror","reps":$reps,"stat":"min"$filteredTag$coldTag,"queries":$qs,"sf":"$sfDir"}"""
+    // COMPACT cold summary for the <200 B tail line: the full cold map
+    // would blow the driver's tail-capture window, so the compact record
+    // carries only the count and the parity certification cost
+    val coldTagCompact = {
+      val parity = coldS.get("sql_tpch_parity")
+        .map(v => s""","cold_s":{"sql_tpch_parity":${cs(v)}}""").getOrElse("")
+      s""","n_cold":${coldS.size}$parity,"cold_cached":$parityWasCached"""
+    }
+    // "cpus":<n> in every record (round 16, r15 verdict #2): the 8-core
+    // scaling run's artifact was byte-indistinguishable from the 32-core
+    // artifact of record and silently clobbered BENCH.json
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","cpus":$cpus,"harness":"repeat-and-min-v5-mirror","reps":$reps,"stat":"min"$filteredTag$coldTag,"queries":$qs,"sf":"$sfDir"}"""
     // The "metric" stdout line prints FIRST, the moment it exists:
     // the driver's artifact window lost the line's head in r5 (tail-only
     // capture) and its tail in r7 — printing the line before any other
@@ -176,7 +208,21 @@ object Bench {
       // filtered A/B's partial total — the stdout line is the record
       println("BENCH.json NOT written (SPARK_GRAFT_BENCH_ONLY filter active)")
     } else try {
-      val p = java.nio.file.Paths.get("BENCH.json").toAbsolutePath
+      // a SCALING run (different core count than an existing artifact of
+      // record) must not clobber BENCH.json — the r15 8-core run left a
+      // byte-plausible wrong-core map committed. The existing artifact's
+      // own "cpus" field decides; a run at a new core count lands in a
+      // suffixed file instead.
+      val canonical = java.nio.file.Paths.get("BENCH.json").toAbsolutePath
+      val existingCpus =
+        if (!java.nio.file.Files.exists(canonical)) None
+        else """"cpus":(\d+)""".r.findFirstMatchIn(
+          new String(java.nio.file.Files.readAllBytes(canonical), "UTF-8"))
+          .map(_.group(1))
+      val p =
+        if (existingCpus.exists(_ != cpus))
+          java.nio.file.Paths.get(s"BENCH_c$cpus.json").toAbsolutePath
+        else canonical
       java.nio.file.Files.write(p, (line + "\n").getBytes("UTF-8"))
       println(s"BENCH.json written: $p")
     } catch { case e: Throwable =>
@@ -202,7 +248,7 @@ object Bench {
     // it whole; the full per-query map lives in BENCH.json and the long
     // line. Flushed so the final line cannot be lost to stream
     // buffering when the driver kills the process at exit.
-    println(s"""{"metric":"total","compact":true,"value":$total,"unit":"sec","n":${keys.size},"harness":"repeat-and-min-v5-mirror","reps":$reps,"stat":"min"$filteredTag$coldTag,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","compact":true,"value":$total,"unit":"sec","cpus":$cpus,"n":${keys.size},"harness":"repeat-and-min-v5-mirror","reps":$reps,"stat":"min"$filteredTag$coldTagCompact,"sf":"$sfDir"}""")
     System.out.flush()
   }
 }

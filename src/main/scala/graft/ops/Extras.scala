@@ -307,11 +307,18 @@ object Extras {
   private val bucketedOnce = new java.util.concurrent.ConcurrentHashMap[
     (org.apache.spark.sql.SparkSession, String), String]()
 
-  /** Dataset-scoped suffix for the bucketed catalog table names (shared
-    * with SourcesSpec's cleanup). */
-  def bucketedTableSuffix(d: String): String =
+  /** (Session, dataset)-scoped suffix for the bucketed catalog table
+    * names (shared with SourcesSpec's cleanup). The SESSION identity
+    * rides in the name as well as the path (round-15 advice): two live
+    * sessions in one JVM share one catalog, so dataset-only names would
+    * let the second session's saveAsTable(overwrite) re-point the shared
+    * name at its own directory — data-equivalent, but it silently
+    * replaces the layout the first session landed. */
+  def bucketedTableSuffix(s: org.apache.spark.sql.SparkSession,
+      d: String): String =
     java.security.MessageDigest.getInstance("MD5")
-      .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+      .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8) +
+      "_s" + Integer.toHexString(System.identityHashCode(s))
 
   /** The declared plan for `join_bucketed`, exposed so SourcesSpec can pin
     * the zero-Exchange-below-join shape on exactly what the driver runs.
@@ -320,9 +327,10 @@ object Extras {
     */
   def joinBucketedPlan(s: org.apache.spark.sql.SparkSession, d: String) = {
     import graft.sources.Sources
-    val sfx = bucketedTableSuffix(d)
+    val sfx = bucketedTableSuffix(s, d)
     bucketedOnce.keySet.removeIf(k => k._1.sparkContext.isStopped)
     bucketedOnce.computeIfAbsent((s, d), { _ =>
+      ColdWork.note() // bucketed landing = disclosed one-time work
       // session identity in the path (the Landed.once rule): a second
       // live session in the same JVM must not overwrite the directory
       // the first session's catalog tables point at

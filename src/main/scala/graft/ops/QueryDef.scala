@@ -94,6 +94,25 @@ object Det {
       .otherwise(hi)
 }
 
+/** Honest-measurement hook for session-scoped one-time work (round-16,
+  * r15 verdict #1): every first-invocation landing — `Landed.once`,
+  * the bucketed catalog tables, the swivel vocab/cooc memos, the ANN
+  * index caches, the TPC-H parity certification — bumps this counter
+  * when it actually PERFORMS the amortized work (never on a cache hit).
+  * Bench snapshots the counter around rep 1 of each key: any key whose
+  * first invocation triggered a landing gets its rep-1 wall time
+  * recorded in the artifact's "cold_s" map, so the min-of-reps stat can
+  * never erase the one-time cost from the record (the r15 verdict's
+  * dedup_embed_lsh_recall finding — the landing made the warm rep
+  * 0.29 s and the ~2.3 s derivation appeared nowhere in the artifact).
+  * A landing is attributed to whichever key paid it, which is exactly
+  * what the wall clock says. */
+object ColdWork {
+  private val n = new java.util.concurrent.atomic.AtomicLong(0L)
+  def note(): Unit = { n.incrementAndGet(); () }
+  def count: Long = n.get
+}
+
 /** Landed-relation cache shared across operator modules: ONE parquet
   * materialization per (session, dataset, tag), read back by every key
   * that consumes the same derived base relation — the `sharedVocabCooc`
@@ -121,6 +140,7 @@ object Landed {
       // pid+dataset: two live sessions in one JVM get separate cache
       // entries, and without this one's overwrite would delete the
       // directory the other is lazily scanning mid-read
+      ColdWork.note() // first landing = one-time work a bench rep must disclose
       val root = QueryDef.tmpRoot(
         "ld_" + tag + "_s" + Integer.toHexString(System.identityHashCode(s)), d)
       build.write.mode("overwrite").parquet(root)

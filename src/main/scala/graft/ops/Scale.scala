@@ -1056,6 +1056,7 @@ object Scale {
     val cut = lit("2024-01-25 12:00:00").cast("timestamp_ntz")
     mvCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
     val path = mvCache.computeIfAbsent((s, d), { _ =>
+      ColdWork.note()
       val root = QueryDef.tmpRoot("mv_daily", d)
       dailyPartial(Tables.events(s, d).filter(col("ts") < cut))
         .write.mode("overwrite").parquet(root)

@@ -96,6 +96,7 @@ object Swivel {
     // can never alias
     val key = (s, docs.inputFiles.sorted.mkString(","))
     val rows = vocabCache.computeIfAbsent(key, { _ =>
+      ColdWork.note()
       val vocab = SwivelPrep.buildVocab(docs, MinCount, ShardSize)
       val r = vocab.select(col("id"), col("token"), col("cnt"))
         .as[(Long, String, Long)].collect().toSeq
@@ -201,6 +202,7 @@ object Swivel {
     // otherwise (test suites / long-lived drivers that cycle sessions).
     coocCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
     coocCache.computeIfAbsent((s, d), { case (sess, dir) =>
+      ColdWork.note()
       val docs = Tables.documents(sess, dir)
       val vocab = cachedVocab(docs)
       (vocab, SwivelPrep.cooc(docs, vocab, WindowSize).localCheckpoint())

@@ -176,9 +176,12 @@ object TpchSqlParity {
     if (hit != null) hit
     else readPersisted(d) match {
       case Some(rows) =>
+        ColdWork.note() // session-first fill, even as a persisted read —
+        // cold_cached in the bench line discloses which it was
         val prev = parityCache.putIfAbsent(key, rows)
         if (prev != null) prev else rows
       case None =>
+      ColdWork.note()
       val report =
         try {
           registerViews(s, d)

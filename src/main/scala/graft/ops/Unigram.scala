@@ -269,6 +269,7 @@ object Unigram {
   private def cachedTrain(s: SparkSession, d: String): Seq[(String, Long)] = {
     trainCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
     trainCache.computeIfAbsent((s, d), { case (sess, dir) =>
+      ColdWork.note()
       trainFinal(Tables.documents(sess, dir))
     })
   }

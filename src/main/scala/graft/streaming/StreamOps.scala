@@ -320,6 +320,7 @@ object StreamOps {
       : (String, org.apache.spark.sql.types.StructType) = {
     stagedCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
     stagedCache.computeIfAbsent((s, d, tag), _ => {
+      graft.ops.ColdWork.note()
       // the path embeds the OWNING SESSION (identity hash), not just
       // pid+dataset — the Landed.once discipline: without it a second
       // live session in the same JVM would deleteTree and restage the

@@ -108,7 +108,7 @@ class SourcesSpec extends AnyFunSuite {
       assert(!belowJoin.contains("Exchange"),
         s"bucketed join key still shuffles below the join:\n$belowJoin")
     } finally {
-      val sfx = graft.ops.Extras.bucketedTableSuffix("/root/testdata/sf0.001")
+      val sfx = graft.ops.Extras.bucketedTableSuffix(spark, "/root/testdata/sf0.001")
       spark.sql(s"DROP TABLE IF EXISTS graft_bkt_orders_$sfx")
       spark.sql(s"DROP TABLE IF EXISTS graft_bkt_lineitem_$sfx")
     }
