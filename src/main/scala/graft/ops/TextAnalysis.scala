@@ -1078,6 +1078,7 @@ object TextAnalysis {
       d: String): (Seq[(Int, String, String, Long)], DataFrame) = {
     bpeCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
     bpeCache.computeIfAbsent((s, d), { case (sess, dir) =>
+      ColdWork.note()
       val vocab = Tables.documents(sess, dir)
         .select(explode(split(col("text"), " ")).as("w"))
         .filter(col("w").rlike("^[a-z]{2,}$"))
@@ -1857,12 +1858,20 @@ object TextAnalysis {
       .unionByName(docs0.filter(col("doc_id") % 43 === 0)
         .select((col("doc_id") + 2000000L).as("doc_id"), col("lang"),
           concat(col("text"), lit(" pad pad pad")).as("text")))
-    val injected = langidInject(planted)
+    // raw (pre-inject, pre-strip) token count rides INTO the pq
+    // checkpoint (round 16, r15 verdict #5): the a_raw funnel row used to
+    // re-run the plant union + split over docs0 inside the final action;
+    // carrying the 8-byte count per row lets a_raw aggregate the same
+    // checkpoint b_strip reads. Identical value by construction — the
+    // column is computed from planted.text exactly where a_raw computed
+    // it, before injection and markup.
+    val injected = langidInject(planted
+      .withColumn("raw_nt", size(split(col("text"), " ")).cast("long")))
     // ---- strip markup
     val html = concat(lit("<html><body><p class=\"doc\">"), col("text"),
       lit("</p><br/></body></html>"))
     val pq = injected
-      .select(col("doc_id"), col("lang"),
+      .select(col("doc_id"), col("lang"), col("raw_nt"),
         trim(regexp_replace(regexp_replace(html, "<[^>]+>", " "), "\\s+", " "))
           .as("text"),
         size(regexp_extract_all(html, lit("<[^>]+>"), lit(0)))
@@ -1871,9 +1880,14 @@ object TextAnalysis {
       .withColumn("h", md5(col("text")))
       .localCheckpoint()
     val pqCols = pq.columns.map(col).toSeq
-    // ---- language filter: prediction must confirm the label
+    // ---- language filter: prediction must confirm the label.
+    // Checkpointed (round 16): `en` feeds BOTH the quality-keep
+    // derivation and the c_langid funnel row — without the checkpoint
+    // the marker-scoring pass over the whole planted corpus ran twice
+    // (once in the gs build, once re-derived inside the final funnel
+    // action).
     val en = languageId(pq).filter(col("predicted_lang") === col("lang"))
-      .select(pqCols: _*)
+      .select(pqCols: _*).localCheckpoint()
     // ---- quality: relaxed production profile of the gopher stats
     val keepIds = gopherStats(en.select(col("doc_id"), col("text")))
       .filter(col("nw").between(10, 200) &&
@@ -1924,7 +1938,7 @@ object TextAnalysis {
         aux.as("aux"))
         .select(lit(stage).as("stage"), col("n_docs"), col("n_tokens"), col("aux"))
     row("a_raw",
-        planted.withColumn("n_toks", size(split(col("text"), " ")).cast("long")),
+        pq.select(col("doc_id"), col("raw_nt").as("n_toks")),
         sum(when(col("doc_id") >= 1000000L, 1L).otherwise(0L)))
       .unionByName(row("b_strip", pq, sum(col("n_tags"))))
       .unionByName(row("c_langid", en, lit(0L)))
