@@ -793,10 +793,20 @@ class PlanSpec extends AnyFunSuite {
 
   test("sim_ann_delete: tombstones apply as an anti join; no cartesian") {
     val p = plan(graft.ops.Ann.simAnnDelete)
-    assert(p.contains("LeftAnti"),
-      s"the delete vector did not apply as an anti join:\n$p")
     assert(!p.contains("CartesianProduct"),
       s"delete path degenerated to a cartesian:\n$p")
+    // Round 16: the certified approx relations localCheckpoint (each
+    // computes once for the exceptAll certification + recall report),
+    // so the tombstone subtree no longer prints in the key's final
+    // plan — pin the LeftAnti on the tombstone application itself,
+    // over a real index-shaped relation.
+    import spark.implicits._
+    val lists = Seq((0L, 1L), (3L, 1L), (13L, 2L)).toDF("vec_id", "bucket")
+    val del = Seq(3L, 13L).toDF("vec_id")
+    val tp = graft.ops.Ann.tombstoneApplied(lists, del)
+      .queryExecution.executedPlan.toString
+    assert(tp.contains("LeftAnti"),
+      s"the delete vector did not apply as an anti join:\n$tp")
   }
 
   test("sim_ann_filtered: label constraint and probe ride keyed/broadcast joins; no cartesian") {
